@@ -1,0 +1,21 @@
+from .chars import BELL, SMC_CLASS, SPACE_MAKING_CHARS
+from .lexize import (
+    SUPPORTED_CONFIGS,
+    analyze_document,
+    analyze_text_simple,
+    lexize_chunk,
+    lexize_word,
+)
+from .stemmer_de import stem_german
+from .stemmer_en import stem_english
+from .stopwords import ENGLISH_STOPWORDS, GERMAN_STOPWORDS, STOPWORDS_BY_CONFIG
+from .textprep import to_tsp_text_array, tsp_indexable_text, tsp_present_text
+from .unaccent import unaccent
+
+__all__ = [
+    "BELL", "SMC_CLASS", "SPACE_MAKING_CHARS", "SUPPORTED_CONFIGS",
+    "analyze_document", "analyze_text_simple", "lexize_chunk", "lexize_word",
+    "stem_german", "stem_english", "ENGLISH_STOPWORDS", "GERMAN_STOPWORDS",
+    "STOPWORDS_BY_CONFIG", "to_tsp_text_array", "tsp_indexable_text",
+    "tsp_present_text", "unaccent",
+]

@@ -1,0 +1,93 @@
+"""Lexeme analysis pipeline: chunk → lexeme, and full document analysis.
+
+Reproduces what `to_tsvector(config, TSP_INDEXABLE_TEXT(UNACCENT(text)))`
+yields in the reference (/root/reference/sql/to_tspvector.sql:19-27), as a
+position-aligned lexeme array: element i-1 is the lexeme at position i, or
+None where the position is consumed by a stopword / empty core (positions
+count every token, matched or not — that is what keeps lexeme position n
+equal to element n of the recall array).
+
+Per-config behavior mirrors PostgreSQL's regconfigs:
+- simple:  lowercase, no stopwords, no stemming
+- english: tokens containing digits → lowercase only (numword → simple
+  dict); otherwise stopword check then Porter2 stem
+- german:  same shape with the German stopword list and Snowball stemmer
+"""
+
+from __future__ import annotations
+
+import re
+
+from .chars import BELL, SMC_CLASS
+from .stemmer_de import stem_german
+from .stemmer_en import stem_english
+from .stopwords import STOPWORDS_BY_CONFIG
+from .textprep import to_tsp_text_array, tsp_indexable_text
+from .unaccent import unaccent
+
+# A chunk of canonicalized text is word-core + optional trailing run of
+# word-breaking chars + BELL markers (leading runs get split off and dropped
+# by the canonicalizer), so stripping the breakers recovers the core.
+_RE_STRIP = re.compile(f"[{SMC_CLASS}{BELL}]+")
+_RE_HAS_DIGIT = re.compile(r"\d")
+
+_STEMMERS = {
+    "english": stem_english,
+    "german": stem_german,
+    "simple": None,
+}
+
+SUPPORTED_CONFIGS = tuple(_STEMMERS)
+
+
+def lexize_chunk(chunk: str, config: str) -> str | None:
+    """Lexeme for one whitespace-delimited chunk, or None (stopword/empty)."""
+    core = _RE_STRIP.sub("", chunk)
+    if not core:
+        return None
+    lower = core.lower()
+    stemmer = _STEMMERS[config]
+    if stemmer is None:
+        return lower
+    if _RE_HAS_DIGIT.search(lower):
+        # numeric-bearing tokens go through the simple dictionary in the
+        # english/german regconfigs: lowercased, never stemmed.
+        return lower
+    if lower in STOPWORDS_BY_CONFIG[config]:
+        return None
+    return stemmer(lower)
+
+
+def lexize_word(word: str, config: str) -> str | None:
+    """Lexize a bare word (query-side helper; word may carry punctuation)."""
+    return lexize_chunk(word, config)
+
+
+def analyze_document(content: str, config: str) -> tuple[list[str], list[str | None]]:
+    """Return (tokens, lexemes), position-aligned 1:1.
+
+    tokens  - accent-preserving recall array (content_arr analog)
+    lexemes - unaccented, lexized stream (content_tsv analog); None entries
+              hold the position of stopwords so positions stay aligned.
+    """
+    if content is None:
+        return [], []
+    tokens = to_tsp_text_array(content)
+    indexed = tsp_indexable_text(unaccent(content))
+    chunks = indexed.split(" ") if indexed else []
+    lexemes = [lexize_chunk(c, config) for c in chunks]
+    # Unaccenting almost never changes chunk boundaries; guard the invariant
+    # cheaply rather than silently misaligning.
+    if len(lexemes) != len(tokens):
+        if len(lexemes) < len(tokens):
+            lexemes = lexemes + [None] * (len(tokens) - len(lexemes))
+        else:
+            lexemes = lexemes[: len(tokens)]
+    return tokens, lexemes
+
+
+def analyze_text_simple(content: str, config: str) -> list[str | None]:
+    """Lexeme array only (used by the semantic re-check on tiny slices)."""
+    indexed = tsp_indexable_text(unaccent(content))
+    chunks = indexed.split(" ") if indexed else []
+    return [lexize_chunk(c, config) for c in chunks]

@@ -1,0 +1,203 @@
+"""English (Porter2) Snowball stemmer.
+
+Implements the published "English (Porter2) stemming algorithm" from the
+Snowball project — the same algorithm behind PostgreSQL's `english_stem`
+dictionary, which the reference relies on for fuzzy phrase matching (e.g.
+query 'decide negatively' matching text 'decided negative,' —
+/root/reference/test/english_lang_test.sql:39-41).
+
+Pure Python, no dependencies; called from vectorized Arrow UDF batches.
+"""
+
+from __future__ import annotations
+
+_VOWELS = set("aeiouy")
+_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_LI_ENDING = set("cdeghkmnrt")
+
+_EXCEPTIONS = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+
+_EXCEPTIONS_1A = {"inning", "outing", "canning", "herring", "earring",
+                  "proceed", "exceed", "succeed"}
+
+_STEP2 = (
+    ("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+    ("ousness", "ous"), ("iveness", "ive"), ("tional", "tion"),
+    ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+    ("ation", "ate"), ("alism", "al"), ("aliti", "al"), ("ousli", "ous"),
+    ("iviti", "ive"), ("fulli", "ful"), ("enci", "ence"), ("anci", "ance"),
+    ("abli", "able"), ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+    ("bli", "ble"), ("ogi", None), ("li", None),
+)
+
+_STEP3 = (
+    ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+    ("icate", "ic"), ("iciti", "ic"), ("ative", None), ("ical", "ic"),
+    ("ness", ""), ("ful", ""),
+)
+
+_STEP4 = ("ement", "ance", "ence", "able", "ible", "ment", "ant", "ent",
+          "ism", "ate", "iti", "ous", "ive", "ize", "ion", "al", "er", "ic")
+
+
+def _is_vowel(word: str, i: int) -> bool:
+    return word[i] in _VOWELS
+
+
+def _regions(word: str) -> tuple[int, int]:
+    """Return (r1, r2) start offsets per the Snowball definition."""
+    n = len(word)
+    r1 = n
+    for prefix in ("gener", "commun", "arsen"):
+        if word.startswith(prefix):
+            r1 = len(prefix)
+            break
+    else:
+        for i in range(1, n):
+            if not _is_vowel(word, i) and _is_vowel(word, i - 1):
+                r1 = i + 1
+                break
+    r2 = n
+    for i in range(r1 + 1, n):
+        if not _is_vowel(word, i) and _is_vowel(word, i - 1):
+            r2 = i + 1
+            break
+    return r1, r2
+
+
+def _ends_short_syllable(word: str) -> bool:
+    n = len(word)
+    if n == 2:
+        return _is_vowel(word, 0) and not _is_vowel(word, 1)
+    if n >= 3:
+        c1, c2, c3 = word[-3], word[-2], word[-1]
+        return (c2 in _VOWELS and c3 not in _VOWELS and c3 not in "wxY"
+                and c1 not in _VOWELS)
+    return False
+
+
+def stem_english(word: str) -> str:
+    if len(word) <= 2:
+        return word
+    if word[0] == "'":
+        word = word[1:]
+    if word in _EXCEPTIONS:
+        return _EXCEPTIONS[word]
+    if len(word) <= 2:
+        return word
+
+    # Mark consonant-y to distinguish it from vowel y.
+    if word[0] == "y":
+        word = "Y" + word[1:]
+    chars = list(word)
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _VOWELS:
+            chars[i] = "Y"
+    word = "".join(chars)
+
+    r1, r2 = _regions(word)
+
+    # Step 0: strip apostrophe suffixes.
+    for suf in ("'s'", "'s", "'"):
+        if word.endswith(suf):
+            word = word[: -len(suf)]
+            break
+
+    # Step 1a
+    if word.endswith("sses"):
+        word = word[:-2]
+    elif word.endswith(("ied", "ies")):
+        word = word[:-3] + ("i" if len(word) > 4 else "ie")
+    elif word.endswith(("us", "ss")):
+        pass
+    elif word.endswith("s"):
+        if any(c in _VOWELS for c in word[:-2].lower()):
+            word = word[:-1]
+
+    if word in _EXCEPTIONS_1A:
+        return word.replace("Y", "y")
+
+    # Step 1b
+    if word.endswith(("eedly", "eed")):
+        suf = "eedly" if word.endswith("eedly") else "eed"
+        if len(word) - len(suf) >= r1:
+            word = word[: -len(suf)] + "ee"
+    else:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if word.endswith(suf):
+                stem = word[: -len(suf)]
+                if any(c in _VOWELS for c in stem.lower()):
+                    word = stem
+                    if word.endswith(("at", "bl", "iz")):
+                        word += "e"
+                    elif word.endswith(_DOUBLES):
+                        word = word[:-1]
+                    elif _ends_short_syllable(word) and r1 >= len(word):
+                        word += "e"
+                break
+
+    # Step 1c: y -> i after a non-vowel that is not the first letter.
+    if (len(word) > 2 and word[-1] in "yY"
+            and word[-2] not in _VOWELS):
+        word = word[:-1] + "i"
+
+    r1, r2 = _regions(word)
+
+    # Step 2 (suffix must lie in R1)
+    for suf, repl in _STEP2:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                if suf == "ogi":
+                    if word.endswith("logi"):
+                        word = word[:-1]
+                elif suf == "li":
+                    if word[-3:-2] and word[-3] in _LI_ENDING:
+                        word = word[:-2]
+                else:
+                    word = word[: -len(suf)] + repl
+            break
+
+    r1, r2 = _regions(word)
+
+    # Step 3 (R1; 'ative' additionally requires R2)
+    for suf, repl in _STEP3:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                if suf == "ative":
+                    if len(word) - len(suf) >= r2:
+                        word = word[: -len(suf)]
+                else:
+                    word = word[: -len(suf)] + repl
+            break
+
+    r1, r2 = _regions(word)
+
+    # Step 4 (R2)
+    for suf in _STEP4:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r2:
+                if suf == "ion":
+                    if word[-4:-3] in ("s", "t"):
+                        word = word[:-3]
+                else:
+                    word = word[: -len(suf)]
+            break
+
+    r1, r2 = _regions(word)
+
+    # Step 5
+    if word.endswith("e"):
+        if len(word) - 1 >= r2 or (
+            len(word) - 1 >= r1 and not _ends_short_syllable(word[:-1])
+        ):
+            word = word[:-1]
+    elif word.endswith("l") and len(word) - 1 >= r2 and word[-2:-1] == "l":
+        word = word[:-1]
+
+    return word.replace("Y", "y")

@@ -1,0 +1,128 @@
+"""Unit tests for the pure text kernels (no Spark needed)."""
+
+from pg_ts_semantic_headline_spark.functions import (
+    BELL,
+    analyze_document,
+    lexize_chunk,
+    stem_english,
+    stem_german,
+    to_tsp_text_array,
+    tsp_indexable_text,
+    tsp_present_text,
+    unaccent,
+)
+
+
+class TestIndexableText:
+    def test_end_of_word_punctuation_gets_double_bell(self):
+        out = tsp_indexable_text("best of times, it was")
+        assert out == f"best of times,{BELL}{BELL} it was"
+
+    def test_intra_word_split_single_bell(self):
+        out = tsp_indexable_text("Wo-ho! yes")
+        assert out == f"Wo-{BELL} ho!{BELL}{BELL} yes"
+
+    def test_pure_symbol_tokens_dropped(self):
+        out = tsp_indexable_text("left --- right")
+        assert out == "left right"
+
+    def test_leading_nonword_stripped(self):
+        assert tsp_indexable_text('"Quoted start') == "Quoted start"
+        # leading punctuation + space at string start is removed
+        assert tsp_indexable_text("-- hello").startswith("hello")
+
+    def test_newlines_become_spaces(self):
+        assert tsp_indexable_text("a\nb\rc") == "a b c"
+
+    def test_whitespace_collapsed_and_trimmed(self):
+        assert tsp_indexable_text("  a   b  ") == "a b"
+
+    def test_position_alignment_invariant(self):
+        text = "The quick-thinking fox (yes, really!) jumped; then slept."
+        arr = to_tsp_text_array(text)
+        # every element carries exactly one word core
+        for tok in arr:
+            core = lexize_chunk(tok, "simple")
+            assert core, tok
+
+    def test_idempotent_on_plain_words(self):
+        assert tsp_indexable_text("plain words only") == "plain words only"
+
+
+class TestPresentText:
+    def test_roundtrip_plain(self):
+        src = "Wo-ho! It was the best of times, it was the worst."
+        assert tsp_present_text(tsp_indexable_text(src)) == src
+
+    def test_close_tag_reseated_after_double_bell(self):
+        # "child-bearing." highlighted: close tag hugs the word
+        frag = f"past <b>child-{BELL} bearing.{BELL}{BELL}</b> "
+        assert tsp_present_text(frag) == "past <b>child-bearing.</b>"
+
+    def test_single_bell_tag(self):
+        frag = f"<b>child-{BELL}</b> rest"
+        assert tsp_present_text(frag) == "<b>child-</b>rest"
+
+
+class TestUnaccent:
+    def test_german_umlauts(self):
+        assert unaccent("Gäste zünschten Üble ördentlich") == (
+            "Gaste zunschten Uble ordentlich"
+        )
+
+    def test_eszett(self):
+        assert unaccent("Straße") == "Strasse"
+
+    def test_ascii_unchanged(self):
+        s = "plain ASCII 123 ,.!"
+        assert unaccent(s) == s
+
+
+class TestStemmers:
+    def test_porter2_vectors(self):
+        vectors = {
+            "decided": "decid", "decide": "decid", "negatively": "negat",
+            "negative": "negat", "furiously": "furious", "times": "time",
+            "running": "run", "hopping": "hop", "hoping": "hope",
+            "cries": "cri", "ties": "tie", "caresses": "caress",
+            "ponies": "poni", "cats": "cat", "agreed": "agre",
+            "disabled": "disabl", "electricity": "electr",
+            "electrical": "electr", "hopeful": "hope", "goodness": "good",
+            "sky": "sky", "dying": "die", "news": "news",
+            "adjustment": "adjust", "adoption": "adopt", "rate": "rate",
+            "stillness": "still", "hurried": "hurri",
+        }
+        for w, e in vectors.items():
+            assert stem_english(w) == e, (w, stem_english(w), e)
+
+    def test_german_vectors(self):
+        vectors = {
+            "zechten": "zecht", "zecht": "zecht",
+            "bleibenden": "bleibend", "gaste": "gast",
+            "kinder": "kind", "aufgestellt": "aufgestellt",
+        }
+        for w, e in vectors.items():
+            assert stem_german(w) == e, (w, stem_german(w), e)
+
+
+class TestAnalyze:
+    def test_positions_align_and_stopwords_hold_positions(self):
+        toks, lex = analyze_document(
+            "It was the best of times, it was the worst of times", "english")
+        assert len(toks) == len(lex) == 12
+        assert lex[3] == "best" and lex[5] == "time" and lex[11] == "time"
+        assert lex[0] is None and lex[2] is None  # it, the
+
+    def test_accent_insensitive_match_accent_preserving_output(self):
+        toks, lex = analyze_document("die Gäste zechten", "german")
+        assert toks[1] == "Gäste"       # output keeps accents
+        assert lex[1] == "gast"          # index side unaccented + stemmed
+        assert lex[0] is None            # 'die' German stopword
+
+    def test_simple_config_no_stemming(self):
+        _, lex = analyze_document("the running times", "simple")
+        assert lex == ["the", "running", "times"]
+
+    def test_numeric_tokens_not_stemmed(self):
+        _, lex = analyze_document("chapter 16383 ends", "english")
+        assert lex == ["chapter", "16383", "end"]
