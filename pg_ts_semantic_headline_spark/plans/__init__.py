@@ -1,0 +1,12 @@
+from .query_compiler import (
+    CompiledQuery,
+    Phrase,
+    TSQueryParseError,
+    phraseto_tspquery,
+    to_tspquery,
+)
+
+__all__ = [
+    "CompiledQuery", "Phrase", "TSQueryParseError",
+    "phraseto_tspquery", "to_tspquery",
+]

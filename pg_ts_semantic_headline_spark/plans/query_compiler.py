@@ -1,0 +1,301 @@
+"""Driver-side TSQuery compiler.
+
+Queries are tiny, so everything here runs on the driver and the result is
+broadcast into distributed plans. This replaces the reference's query-side
+function stack:
+
+- `to_tspquery`          (/root/reference/sql/to_tspquery.sql:19-33): unaccent,
+  then twice rewrite intra-word delimiter characters into a `<1>` distance
+  operator so 'seek-ing' queries match the split haystack.
+- `phraseto_tspquery`    (/root/reference/sql/phraseto_tspquery.sql:17-25):
+  canonicalize a human phrase with the *same* pipeline as documents, emit a
+  distance-chained phrase (stopwords dropped, positional gaps preserved).
+- `tsquery_to_tsvector` / `tsquery_to_table`
+  (/root/reference/sql/tsquery_to_tsvector.sql:21-54, tsquery_to_table.sql:18-33):
+  flatten the boolean query into a list of positional phrase patterns
+  (negated terms dropped), each exploded to (lexeme, relative position).
+
+The boolean structure (AND/OR/NOT over phrases) is *kept* for document-level
+match filtering, while highlighting treats all positive phrases as a
+disjunction, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from ..functions.lexize import analyze_text_simple, lexize_word
+from ..functions.unaccent import unaccent
+
+# PG: '(\w)([^[:alnum:]&^<>|\s]+)(\w)' — [:alnum:] excludes underscore, so
+# '_' is a delimiter; \w includes it, hence the explicit alternation.
+_RE_INTRAWORD_DELIM = re.compile(r"(\w)((?:[^\w&^<>|!()'\s]|_)+)(\w)")
+_RE_DIST_OP = re.compile(r"<(\d+)>|<->")
+_RE_TOKEN = re.compile(
+    r"\s*(?:(?P<open>\()|(?P<close>\))|(?P<and>&)|(?P<or>\|)|(?P<not>!)"
+    r"|(?P<dist><(?:\d+|-)>)|(?P<quoted>'(?:[^']|'')*')|(?P<word>[^\s&|!()<>']+))"
+)
+
+
+@dataclass(frozen=True)
+class Phrase:
+    """A positional phrase pattern: lexemes at 1-based relative positions.
+
+    `items` is a tuple of (lexeme, position); positions preserve stopword
+    gaps ('fortune, through the kingdom' → fortune:1 kingdom:4).
+    """
+    items: tuple[tuple[str, int], ...]
+
+    @property
+    def length(self) -> int:
+        return len(self.items)
+
+    @property
+    def span(self) -> int:
+        if not self.items:
+            return 0
+        ps = [p for _, p in self.items]
+        return max(ps) - min(ps)
+
+    def render(self) -> str:
+        if not self.items:
+            return ""
+        parts = [f"'{self.items[0][0]}'"]
+        for (_, p0), (lex, p1) in zip(self.items, self.items[1:]):
+            gap = p1 - p0
+            parts.append("<->" if gap == 1 else f"<{gap}>")
+            parts.append(f"'{lex}'")
+        return " ".join(parts)
+
+
+@dataclass(frozen=True)
+class Node:
+    """Boolean AST node: op in {'phrase','and','or','not'}."""
+    op: str
+    children: tuple = field(default_factory=tuple)
+    phrase: Phrase | None = None
+
+
+@dataclass(frozen=True)
+class CompiledQuery:
+    config: str
+    raw: str
+    root: Node | None           # boolean tree (None = empty query)
+    phrases: tuple[Phrase, ...]  # DISTINCT positive phrases, for highlighting
+
+    @property
+    def lexemes(self) -> tuple[str, ...]:
+        """All positive lexemes (for posting pruning)."""
+        seen: dict[str, None] = {}
+        for ph in self.phrases:
+            for lex, _ in ph.items:
+                seen.setdefault(lex)
+        return tuple(seen)
+
+    def phrase_table(self) -> list[tuple[int, str, int, int, int, str]]:
+        """Rows (phrase_id, lexeme, rel_pos, length, span, phrase_query) —
+        the broadcastable analog of TSQUERY_TO_TABLE."""
+        rows = []
+        for pid, ph in enumerate(self.phrases):
+            rendered = ph.render()
+            for lex, pos in ph.items:
+                rows.append((pid, lex, pos, ph.length, ph.span, rendered))
+        return rows
+
+
+class TSQueryParseError(ValueError):
+    pass
+
+
+def _tokenize_query(text: str):
+    pos, n = 0, len(text)
+    while pos < n:
+        m = _RE_TOKEN.match(text, pos)
+        if not m or m.end() == pos:
+            rest = text[pos:].strip()
+            if not rest:
+                return
+            raise TSQueryParseError(f"cannot parse tsquery near {rest[:20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        val = m.group(kind)
+        if kind == "quoted":
+            val = val[1:-1].replace("''", "'")
+        yield kind, val
+
+
+class _Parser:
+    """Recursive-descent parser for tsquery syntax.
+
+    Grammar:  or_expr  := and_expr ('|' and_expr)*
+              and_expr := seq_expr ('&' seq_expr)*
+              seq_expr := unary (('<->'|'<n>') unary)*
+              unary    := '!' unary | '(' or_expr ')' | term
+    """
+
+    def __init__(self, tokens, config: str):
+        self.toks = list(tokens)
+        self.i = 0
+        self.config = config
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def _unexpected(self, kind, val):
+        if kind is None:
+            return TSQueryParseError("unexpected end of tsquery")
+        return TSQueryParseError(f"unexpected token {kind}:{val!r}")
+
+    def parse(self):
+        node = self._or()
+        if self.i < len(self.toks):
+            raise self._unexpected(*self.toks[self.i])
+        return node
+
+    def _or(self):
+        parts = [self._and()]
+        while self._peek()[0] == "or":
+            self._next()
+            parts.append(self._and())
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def _and(self):
+        parts = [self._seq()]
+        while self._peek()[0] == "and":
+            self._next()
+            parts.append(self._seq())
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def _seq(self):
+        # sequence of terms joined by distance operators → one phrase
+        first = self._unary()
+        items = [(first, 0)]  # (node, gap-from-previous)
+        while self._peek()[0] == "dist":
+            _, d = self._next()
+            gap = 1 if d == "<->" else int(d[1:-1])
+            items.append((self._unary(), gap))
+        if len(items) == 1:
+            return first
+        return ("seq", items)
+
+    def _unary(self):
+        kind, val = self._peek()
+        if kind == "not":
+            self._next()
+            return ("not", self._unary())
+        if kind == "open":
+            self._next()
+            node = self._or()
+            if self._next()[0] != "close":
+                raise TSQueryParseError("unbalanced parenthesis")
+            return node
+        if kind in ("word", "quoted"):
+            self._next()
+            return ("term", val)
+        raise self._unexpected(kind, val)
+
+
+def _lexize_tree(node, config: str):
+    """Lexize raw terms; stopwords vanish but keep positional gaps in
+    sequences (PG: 'a <-> the <-> b' → 'a <2> b')."""
+    if node is None:
+        return None
+    op = node[0]
+    if op == "term":
+        lex = lexize_word(node[1], config)
+        if lex is None:
+            return None
+        return Node("phrase", phrase=Phrase(((lex, 1),)))
+    if op == "not":
+        child = _lexize_tree(node[1], config)
+        return Node("not", (child,)) if child is not None else None
+    if op == "seq":
+        pos, items = 0, []
+        for idx, (child, gap) in enumerate(node[1]):
+            pos = 1 if idx == 0 else pos + gap
+            lex = None
+            if child[0] == "term":
+                lex = lexize_word(child[1], config)
+            elif child[0] == "not":
+                lex = None  # negation inside phrase: treated as gap
+            else:
+                raise TSQueryParseError("nested groups inside phrases unsupported")
+            if lex is not None:
+                items.append((lex, pos))
+        if not items:
+            return None
+        base = min(p for _, p in items)
+        norm = tuple((lx, p - base + 1) for lx, p in items)
+        return Node("phrase", phrase=Phrase(norm))
+    # and / or
+    children = [_lexize_tree(c, config) for c in node[1]]
+    children = [c for c in children if c is not None]
+    if not children:
+        return None
+    if len(children) == 1:
+        return children[0]
+    return Node(op, tuple(children))
+
+
+def _collect_positive_phrases(node: Node | None) -> list[Phrase]:
+    """querytree() analog: drop negated branches, flatten to phrase list."""
+    if node is None:
+        return []
+    if node.op == "phrase":
+        return [node.phrase]
+    if node.op == "not":
+        return []
+    out: list[Phrase] = []
+    for c in node.children:
+        out.extend(_collect_positive_phrases(c))
+    return out
+
+
+def _dedupe(phrases: list[Phrase]) -> tuple[Phrase, ...]:
+    seen, out = set(), []
+    for ph in phrases:
+        if ph.items not in seen:
+            seen.add(ph.items)
+            out.append(ph)
+    return tuple(out)
+
+
+def to_tspquery(config: str, query_string: str) -> CompiledQuery:
+    """Compile tsquery-syntax text ('best<2>time|worst<2>time')."""
+    s = " " + unaccent(query_string) + " "
+    # twice, to catch terms with multiple delimited substrings (seek-ing-ly)
+    s = _RE_INTRAWORD_DELIM.sub(r"\1\2<1>\3", s)
+    s = _RE_INTRAWORD_DELIM.sub(r"\1\2<1>\3", s)
+    raw_tree = _Parser(_tokenize_query(s), config).parse()
+    root = _lexize_tree(raw_tree, config)
+    phrases = _dedupe(_collect_positive_phrases(root))
+    return CompiledQuery(config, query_string, root, phrases)
+
+
+def phraseto_tspquery(config: str, phrase_text: str) -> CompiledQuery:
+    """Compile a plain human phrase; stopwords drop but keep their gaps."""
+    lexemes = analyze_text_simple(phrase_text, config)
+    items = tuple(
+        (lex, pos) for pos, lex in enumerate(lexemes, start=1) if lex is not None
+    )
+    if items:
+        base = min(p for _, p in items)
+        items = tuple((lx, p - base + 1) for lx, p in items)
+        phrase = Phrase(items)
+        root = Node("phrase", phrase=phrase)
+        phrases = (phrase,)
+    else:
+        root, phrases = None, ()
+    return CompiledQuery(config, phrase_text, root, phrases)

@@ -1,0 +1,84 @@
+from pg_ts_semantic_headline_spark.plans.query_compiler import (
+    phraseto_tspquery,
+    to_tspquery,
+)
+
+
+class TestToTspquery:
+    def test_distance_ops_and_or(self):
+        q = to_tspquery("english", "best<2>time|worst<2>time")
+        assert len(q.phrases) == 2
+        assert q.phrases[0].items == (("best", 1), ("time", 3))
+        assert q.phrases[1].items == (("worst", 1), ("time", 3))
+        assert q.root.op == "or"
+
+    def test_stemming_applied(self):
+        q = to_tspquery("english", "running & jumps")
+        assert q.phrases[0].items == (("run", 1),)
+        assert q.phrases[1].items == (("jump", 1),)
+
+    def test_stopword_dropped_from_boolean(self):
+        q = to_tspquery("english", "the & fat & rats")
+        assert [p.items for p in q.phrases] == [(("fat", 1),), (("rat", 1),)]
+
+    def test_stopword_in_phrase_keeps_gap(self):
+        q = to_tspquery("english", "fat<->the<->rat")
+        assert q.phrases[0].items == (("fat", 1), ("rat", 3))
+
+    def test_negation_dropped_from_highlight_phrases(self):
+        q = to_tspquery("english", "cat & !dog")
+        assert [p.items for p in q.phrases] == [(("cat", 1),)]
+        assert q.root.op == "and"
+
+    def test_intraword_delimiter_becomes_distance_op(self):
+        q = to_tspquery("english", "child-bearing")
+        assert q.phrases[0].items == (("child", 1), ("bear", 2))
+
+    def test_duplicate_phrases_deduped(self):
+        q = to_tspquery("english", "cat|cat")
+        assert len(q.phrases) == 1
+
+    def test_render(self):
+        q = to_tspquery("english", "best<2>time")
+        assert q.phrases[0].render() == "'best' <2> 'time'"
+        q2 = to_tspquery("english", "fat<->rat")
+        assert q2.phrases[0].render() == "'fat' <-> 'rat'"
+
+
+class TestPhrasetoTspquery:
+    def test_plain_phrase(self):
+        q = phraseto_tspquery("english", "decide negatively")
+        assert q.phrases[0].items == (("decid", 1), ("negat", 2))
+
+    def test_stopwords_leave_gaps(self):
+        q = phraseto_tspquery("english", "fortune, through the kingdom")
+        assert q.phrases[0].items == (("fortun", 1), ("kingdom", 4))
+
+    def test_leading_stopword_normalized(self):
+        q = phraseto_tspquery("english", "the fat rat")
+        assert q.phrases[0].items == (("fat", 1), ("rat", 2))
+
+    def test_long_phrase_gaps(self):
+        q = phraseto_tspquery("english", "gallop came fast and furiously up the hill")
+        # gallop(1) came(2) fast(3) [and] furiously(5) [up the] hill(8)
+        assert q.phrases[0].items == (
+            ("gallop", 1), ("came", 2), ("fast", 3), ("furious", 5), ("hill", 8))
+
+    def test_hyphenated_term(self):
+        q = phraseto_tspquery("english", "child-bearing")
+        assert q.phrases[0].items == (("child", 1), ("bear", 2))
+
+    def test_german_phrase(self):
+        q = phraseto_tspquery("german", "bleibenden Gäste zecht")
+        assert q.phrases[0].items == (("bleibend", 1), ("gast", 2), ("zecht", 3))
+
+    def test_all_stopwords_empty(self):
+        q = phraseto_tspquery("english", "the of and")
+        assert q.phrases == () and q.root is None
+
+    def test_phrase_table_rows(self):
+        q = to_tspquery("english", "best<2>time|worst<2>time")
+        rows = q.phrase_table()
+        assert (0, "best", 1, 2, 2, "'best' <2> 'time'") in rows
+        assert (1, "time", 3, 2, 2, "'worst' <2> 'time'") in rows
+        assert q.lexemes == ("best", "time", "worst")
