@@ -1,0 +1,154 @@
+"""TSP_QUERY_MATCHES as a distributed DataFrame plan.
+
+The core phrase-match operator (/root/reference/sql/tsp_query_matches.sql:56-97),
+re-expressed Spark-first:
+
+1. explode the lexeme stream to (doc_id, pos, lex), pruned to query lexemes
+   *before* any join — the semi-join analog of the reference's
+   ts_filter/setweight optimization (:42-54,68), which Catalyst pushes into
+   the scan;
+2. broadcast-hash-join the tiny exploded query table (:88-90);
+3. the self-alignment trick: range_start = pos - rel_pos + 1 turns phrase
+   adjacency into an equi group key (:85-87) — no range join needed;
+4. groupBy(doc, phrase, range_start) HAVING count == phrase length (:91-92)
+   and exact span (last-first == query span, :93-94) — this is exact
+   position-adjacency intersection: partial matches are impossible by
+   construction;
+5. optional semantic re-check: re-analyze the matched slice and require the
+   phrase to match it (:95-96), in a vectorized Arrow UDF;
+6. per-document first-N matches in document order (:97 LIMIT, applied per
+   doc because the reference evaluates per row).
+
+Scale note: the only shuffle is the groupBy on (doc_id, phrase_id,
+range_start) — a key that is near-unique, so it distributes evenly even when
+one term is hot; the query side is always broadcast.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BooleanType, IntegerType, LongType,
+                               StringType, StructField, StructType)
+
+from ..functions.lexize import analyze_text_simple
+from .query_compiler import CompiledQuery
+
+PHRASE_TABLE_SCHEMA = StructType([
+    StructField("phrase_id", IntegerType(), False),
+    StructField("q_lexeme", StringType(), False),
+    StructField("q_pos", IntegerType(), False),
+    StructField("q_len", IntegerType(), False),
+    StructField("q_span", IntegerType(), False),
+    StructField("phrase_query", StringType(), False),
+])
+
+
+def phrase_table_df(spark: SparkSession, query: CompiledQuery) -> DataFrame:
+    rows = [(pid, lex, pos, length, span, rendered)
+            for pid, lex, pos, length, span, rendered in query.phrase_table()]
+    return spark.createDataFrame(rows, PHRASE_TABLE_SCHEMA)
+
+
+def explode_lexemes(docs: DataFrame, doc_id: str = "doc_id") -> DataFrame:
+    """(doc_id, pos, lex) with 1-based positions; null lexemes (stopword
+    slots) are dropped — their positions are already burned into `pos`."""
+    return (docs
+            .select(doc_id, F.posexplode("lexemes").alias("pos0", "lex"))
+            .where(F.col("lex").isNotNull())
+            .select(doc_id, (F.col("pos0") + 1).alias("pos"), "lex"))
+
+
+def _semantic_check_udf(query: CompiledQuery):
+    """Arrow UDF: does the phrase actually match the re-analyzed slice?
+
+    Faithful to TO_TSPVECTOR(slice) @@ phrase_query (:95-96): the phrase may
+    match at any offset of the slice, with exact distances.
+    """
+    phrase_items = {pid: ph.items for pid, ph in enumerate(query.phrases)}
+    config = query.config
+
+    def check(words: pd.Series, phrase_id: pd.Series) -> pd.Series:
+        out = []
+        for text, pid in zip(words, phrase_id):
+            items = phrase_items.get(pid, ())
+            lexs = analyze_text_simple(text, config)
+            n = len(lexs)
+            ok = False
+            if items:
+                span = max(p for _, p in items)
+                for off in range(0, n - span + 1):
+                    if all(lexs[off + p - 1] == lx for lx, p in items):
+                        ok = True
+                        break
+            out.append(ok)
+        return pd.Series(out)
+
+    return F.pandas_udf(check, returnType=BooleanType())
+
+
+def tsp_query_matches(
+    docs: DataFrame,
+    query: CompiledQuery,
+    match_limit: int = 5,
+    disable_semantic_check: bool = False,
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase matches over analyzed docs (needs tokens+lexemes cols).
+
+    Returns (doc_id, phrase_id, words, ts_query, start_pos, end_pos).
+    """
+    spark = docs.sparkSession
+    if not query.phrases:
+        return spark.createDataFrame([], StructType([
+            StructField("doc_id", LongType(), True),
+            StructField("phrase_id", IntegerType(), True),
+            StructField("words", StringType(), True),
+            StructField("ts_query", StringType(), True),
+            StructField("start_pos", IntegerType(), True),
+            StructField("end_pos", IntegerType(), True),
+        ]))
+
+    qdf = phrase_table_df(spark, query)
+    hay = explode_lexemes(docs, doc_id)
+    # lexeme pruning before the join (isin folds to a literal filter the
+    # optimizer can push down / turn into a bloom-ish semi filter)
+    hay = hay.where(F.col("lex").isin(list(query.lexemes)))
+
+    joined = hay.join(F.broadcast(qdf), hay.lex == qdf.q_lexeme)
+    aligned = joined.withColumn(
+        "range_start", F.col("pos") - F.col("q_pos") + F.lit(1))
+
+    grouped = (aligned
+               .groupBy(doc_id, "phrase_id", "range_start")
+               .agg(F.count("*").alias("n_hits"),
+                    F.min("pos").alias("start_pos"),
+                    F.max("pos").alias("end_pos"),
+                    F.first("q_len").alias("q_len"),
+                    F.first("q_span").alias("q_span"),
+                    F.first("phrase_query").alias("ts_query"))
+               .where((F.col("n_hits") == F.col("q_len"))
+                      & (F.col("end_pos") - F.col("start_pos") == F.col("q_span"))))
+
+    with_words = (grouped
+                  .join(docs.select(doc_id, "tokens"), on=doc_id)
+                  .withColumn(
+                      "words",
+                      F.array_join(
+                          F.slice(F.col("tokens"),
+                                  F.greatest(F.col("start_pos"), F.lit(1)),
+                                  F.col("end_pos") - F.col("start_pos") + 1),
+                          " ")))
+
+    if not disable_semantic_check:
+        check = _semantic_check_udf(query)
+        with_words = with_words.where(check(F.col("words"), F.col("phrase_id")))
+
+    w = Window.partitionBy(doc_id).orderBy("start_pos", "phrase_id")
+    limited = (with_words
+               .withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") <= match_limit))
+
+    return limited.select(doc_id, "phrase_id", "words", "ts_query",
+                          "start_pos", "end_pos")
