@@ -1,38 +1,843 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: BM25-scored, whole-phrase-highlighted search over
+                the sf0.001 documents corpus.
+queries()     — one entry per implemented operator (SURVEY.md §2 plus the
+                training-data pipeline operators); each callable
+                (spark, sf_dir) -> DataFrame.
+oracle_sql()  — DuckDB-equivalent ANSI SQL per query, same column names;
+                float outputs are returned as *_e4/_e6 integers (score·10^4)
+                so cross-engine hashing is exact.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pg_ts_semantic_headline_spark.functions.chars import BELL, _SMC_RANGES
+from pg_ts_semantic_headline_spark.plans.index_build import B, K1
+
+# ---------------------------------------------------------------- helpers
+
+K1_SQL = "1.2"
+B_SQL = "0.75"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _analyzed(spark, sf_dir, config="simple"):
+    from pg_ts_semantic_headline_spark.plans.analyze import with_analysis
+    return with_analysis(
+        _docs(spark, sf_dir).selectExpr("doc_id", "text as content"),
+        content_col="content", config=config)
+
+
+def _e4(col):
+    return F.round(col * 10000).cast("long")
+
+
+# A deterministic punctuated wrapper exercising the canonicalizer on the
+# plain testdata text (ASCII-only so Java regex and RE2 agree on \w).
+_MUT = ("concat('Wo-ho! so-then -- stop, now: ', {col}, ' (the end).')",)
+
+
+def _mutated(col="text"):
+    return F.expr(_MUT[0].format(col=col))
+
+
+def _smc_class_sql() -> str:
+    """The 217-char word-breaker class as a RE2 character class literal."""
+    parts = []
+    for lo, hi in _SMC_RANGES:
+        if lo == hi:
+            parts.append(_esc_char(lo))
+        else:
+            parts.append(f"{_esc_char(lo)}-{_esc_char(hi)}")
+    return "".join(parts)
+
+
+def _esc_char(cp: int) -> str:
+    ch = chr(cp)
+    if ch in r"\^]-[":
+        return "\\" + ch
+    if cp < 32 or cp == 127:
+        return f"\\x{cp:02x}"
+    return ch
+
+
+SMC = _smc_class_sql()
+MUT_SQL = "concat('Wo-ho! so-then -- stop, now: ', text, ' (the end).')"
+
+
+# build the oracle SQL for the canonicalizer without f-string gymnastics
+def _build_indexable_sql(src: str) -> str:
+    cls = SMC
+    steps = [
+        (r"[\n\r]", " ", True),
+        (r"^[^a-zA-Z0-9_]+", "", False),
+    ]
+    s = src
+    s = f"regexp_replace({s}, '[\\n\\r]', ' ', 'g')"
+    s = f"regexp_replace({s}, '^[^a-zA-Z0-9_]+', '')"
+    s = (f"regexp_replace({s}, '([{cls}]+)\\s', "
+         f"'\\1' || chr(1) || ' ', 'g')")
+    s = (f"regexp_replace({s}, '([{cls}\\x01]+)', "
+         f"'\\1' || chr(1) || ' ', 'g')")
+    s = (f"regexp_replace({s}, '(\\s)([{cls}]+) ', '\\1\\2', 'g')")
+    s = (f"regexp_replace({s}, '\\s([{cls}]+\\x01+)', ' ', 'g')")
+    s = f"regexp_replace({s}, '\\s+', ' ', 'g')"
+    return f"trim({s})"
+
+
+def _build_present_sql(src: str) -> str:
+    s = src
+    s = f"regexp_replace({s}, '\\x01\\x01 ', ' ', 'g')"
+    s = f"regexp_replace({s}, '\\x01 ', '', 'g')"
+    s = f"regexp_replace({s}, '\\x01\\x01(</b>) ', '\\1 ', 'g')"
+    s = f"regexp_replace({s}, '\\x01(</b>) ', '\\1', 'g')"
+    s = f"regexp_replace({s}, '\\x01', '', 'g')"
+    return f"trim({s})"
+
+
+# exploded (doc_id, pos, token) over whitespace-split text — shared CTE
+TOKS_CTE = """
+toks AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+)
+"""
+
+BM25_CTE = f"""
+lex AS (
+  SELECT doc_id, token AS term, pos FROM toks
+),
+docstats AS (
+  SELECT doc_id, count(*) AS dl FROM lex GROUP BY doc_id
+),
+corpus AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docstats
+),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM lex GROUP BY term, doc_id
+),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+)
+"""
+
+
+def _bm25_score_sql(terms: list[str]) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {TOKS_CTE.strip()}, {BM25_CTE.strip()},
+scored AS (
+  SELECT tf.doc_id,
+         SUM( ln(1.0 + (corpus.n_docs - dfreq.df + 0.5)/(dfreq.df + 0.5))
+              * (tf.tf * ({K1_SQL} + 1))
+              / (tf.tf + {K1_SQL} * (1 - {B_SQL} + {B_SQL} * docstats.dl / corpus.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN docstats USING (doc_id)
+  CROSS JOIN corpus
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+)
+"""
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = []
+    for b in range(bits):
+        pos = 1 + b // 4
+        shift = b % 4
+        votes.append(
+            f"SUM((((strpos('0123456789abcdef', substr(md5(token), {pos}, 1)) - 1) >> {shift}) & 1) * 2 - 1) AS v{b}")
+    terms = ",\n    ".join(votes)
+    bitsum = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END"
+        for b in range(bits))
+    return f"""
+WITH {TOKS_CTE.strip()},
+votes AS (
+  SELECT doc_id,
+    {terms}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, ({bitsum}) AS simhash FROM votes
+"""
+
+
+SHINGLE_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id,
+         l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(l) - 2, 0))) AS i) t
+)
+"""
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4,
+                 threshold: float = 0.4) -> str:
+    rows_per_band = num_hashes // bands
+    mins = ",\n    ".join(
+        f"min(md5('{j}|' || shingle)) AS h{j}" for j in range(num_hashes))
+    band_selects = []
+    for b in range(bands):
+        cols = " || '|' || ".join(
+            f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS band_sig FROM sigs")
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {SHINGLE_CTE.strip()},
+sigs AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+),
+band_rows AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM band_rows x JOIN band_rows y
+    ON x.band = y.band AND x.band_sig = y.band_sig AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+  GROUP BY c.a, c.b
+)
+SELECT i.a, i.b,
+       CAST(ROUND(CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) * 10000) AS BIGINT) AS jaccard_e4
+FROM inter i
+JOIN sizes za ON za.doc_id = i.a
+JOIN sizes zb ON zb.doc_id = i.b
+WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: analyze sf0.001 docs, BM25-rank 'spark window', highlight."""
+    from pg_ts_semantic_headline_spark.plans.headline import ts_fast_headline
+    from pg_ts_semantic_headline_spark.plans.matches import explode_lexemes
+    from pg_ts_semantic_headline_spark.plans.query_compiler import to_tspquery
 
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _analyzed(spark, sf_dir)
+    query = to_tspquery("simple", "spark & window")
+    terms = list(query.lexemes)
+
+    lex = explode_lexemes(docs)
+    dl = lex.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).first()
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    tf = (lex.where(F.col("lex").isin(terms))
+          .groupBy("lex", "doc_id").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("lex").agg(F.count("*").alias("df"))
+    scored = (tf.join(F.broadcast(dfreq), on="lex").join(dl, on="doc_id")
+              .withColumn("idf", F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+              .withColumn("s", F.col("idf") * F.col("tf") * (K1 + 1)
+                          / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / avgdl)))
+              .groupBy("doc_id").agg(F.sum("s").alias("score")))
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    heads = ts_fast_headline(
+        docs.join(top, on="doc_id", how="left_semi"), query, "MaxWords=16")
+    return (top.join(heads, on="doc_id", how="left")
+            .select("doc_id", F.round("score", 4).alias("score"), "headline")
+            .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
+# ---------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pg_ts_semantic_headline_spark.functions.textprep import (
+        to_tsp_text_array, tsp_indexable_text, tsp_present_text)
+    from pg_ts_semantic_headline_spark.operators import (
+        attach_binary, cosine_topk, doc_fingerprint, exact_duplicates,
+        lang_id, minhash_lsh_dedup, ngram_jaccard_pairs, quality_score,
+        sample_frames, simhash, token_counts)
+    from pg_ts_semantic_headline_spark.plans.headline import (
+        ts_fast_headline, ts_fast_headline_cover_density, ts_semantic_headline)
+    from pg_ts_semantic_headline_spark.plans.matches import (
+        explode_lexemes, tsp_query_matches)
+    from pg_ts_semantic_headline_spark.plans.query_compiler import (
+        phraseto_tspquery, to_tspquery)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def indexable_udf(s: pd.Series) -> pd.Series:
+        return s.map(tsp_indexable_text)
+
+    @F.pandas_udf(StringType())
+    def present_udf(s: pd.Series) -> pd.Series:
+        return s.map(tsp_present_text)
+
+    def q01(spark, sf):
+        return (_docs(spark, sf)
+                .select("doc_id", indexable_udf(_mutated()).alias("prepared")))
+
+    def q02(spark, sf):
+        return (_docs(spark, sf)
+                .select("doc_id",
+                        present_udf(indexable_udf(_mutated())).alias("presented")))
+
+    def q03(spark, sf):
+        d = _docs(spark, sf).select(
+            "doc_id", F.split("text", " ").alias("l"))
+        return d.select("doc_id", F.posexplode("l").alias("pos0", "token")) \
+                .select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+
+    def q04(spark, sf):
+        docs = _analyzed(spark, sf)
+        return (explode_lexemes(docs)
+                .select("doc_id", "pos", F.col("lex").alias("lexeme")))
+
+    def q05(spark, sf):
+        return (_docs(spark, sf)
+                .select("doc_id",
+                        F.array_join(F.slice(F.split("text", " "), 3, 5), " ")
+                        .alias("sliced")))
+
+    def q06(spark, sf):
+        out = F.col("text")
+        for find, repl in [("spark", "SPARK#"), ("data", "DATA#"),
+                           ("the", "THE#")]:
+            out = F.replace(out, F.lit(find), F.lit(repl))
+        return _docs(spark, sf).select("doc_id", out.alias("replaced"))
+
+    def _phrase_rows(spark, compiled, query_id):
+        rows = [(query_id, pid, lex, pos, length, span)
+                for pid, lex, pos, length, span, _ in compiled.phrase_table()]
+        return spark.createDataFrame(
+            rows, "query_id string, phrase_id int, lexeme string,"
+                  " rel_pos int, phrase_len int, phrase_span int")
+
+    def q07(spark, sf):
+        a = _phrase_rows(spark, to_tspquery("simple", "batch<2>stream|window<->join"), "q_a")
+        b = _phrase_rows(spark, to_tspquery("english", "child-bearing & !discarded"), "q_b")
+        return a.unionByName(b)
+
+    def q08(spark, sf):
+        a = _phrase_rows(spark, phraseto_tspquery("english", "fortune, through the kingdom"), "p_a")
+        b = _phrase_rows(spark, phraseto_tspquery("english", "decide negatively"), "p_b")
+        c = _phrase_rows(spark, phraseto_tspquery("simple", "merge sort JOIN"), "p_c")
+        return a.unionByName(b).unionByName(c)
+
+    def q09(spark, sf):
+        docs = _analyzed(spark, sf)
+        return (explode_lexemes(docs)
+                .where(F.col("lex").isin(["spark", "window", "batch"]))
+                .groupBy("doc_id", F.col("lex").alias("term"))
+                .agg(F.count("*").alias("tf"),
+                     F.min("pos").alias("first_pos")))
+
+    def q10(spark, sf):
+        docs = _analyzed(spark, sf)
+        q = phraseto_tspquery("simple", "batch batch")
+        return tsp_query_matches(docs, q, match_limit=5) \
+            .select("doc_id", "words", "start_pos", "end_pos")
+
+    def q11(spark, sf):
+        docs = _analyzed(spark, sf)
+        q = phraseto_tspquery("simple", "spark")
+        return (ts_fast_headline_cover_density(docs, q, "MaxWords=10,MaxFragments=2")
+                .select("doc_id", F.trim(F.col("headline")).alias("fragment"),
+                        "density", F.col("bucket").cast("long").alias("bucket")))
+
+    def q12(spark, sf):
+        docs = _analyzed(spark, sf)
+        q = phraseto_tspquery("simple", "spark")
+        return ts_fast_headline(docs, q, "MaxWords=10,MaxFragments=2") \
+            .select("doc_id", "headline")
+
+    def q13(spark, sf):
+        raw = _docs(spark, sf).selectExpr("doc_id", "text as content")
+        q = phraseto_tspquery("simple", "merge")
+        return ts_semantic_headline(raw, q, config="simple") \
+            .select("doc_id", "headline")
+
+    def q14(spark, sf):
+        docs = _analyzed(spark, sf)
+        return (explode_lexemes(docs).groupBy("doc_id")
+                .agg(F.count("*").alias("dl")))
+
+    def q15(spark, sf):
+        docs = _analyzed(spark, sf)
+        dl = explode_lexemes(docs).groupBy("doc_id").agg(F.count("*").alias("dl"))
+        return dl.agg(F.count("*").alias("n_docs"),
+                      F.round(F.avg("dl") * 1000000).cast("long").alias("avgdl_e6"))
+
+    def q16(spark, sf):
+        docs = _analyzed(spark, sf)
+        return (explode_lexemes(docs)
+                .groupBy("doc_id", "lex").agg(F.count("*").alias("tf"))
+                .groupBy(F.col("lex").alias("term"))
+                .agg(F.count("*").alias("df"), F.sum("tf").alias("cf")))
+
+    def _bm25_df(spark, sf, terms, k):
+        docs = _analyzed(spark, sf)
+        lex = explode_lexemes(docs)
+        dl = lex.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).first()
+        n_docs, avgdl = int(stats["n"]), float(stats["a"])
+        tf = (lex.where(F.col("lex").isin(terms))
+              .groupBy("lex", "doc_id").agg(F.count("*").alias("tf")))
+        dfreq = tf.groupBy("lex").agg(F.count("*").alias("df"))
+        return (tf.join(F.broadcast(dfreq), on="lex").join(dl, on="doc_id")
+                .withColumn("idf", F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+                .withColumn("s", F.col("idf") * F.col("tf") * (K1 + 1)
+                            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / avgdl)))
+                .groupBy("doc_id").agg(F.sum("s").alias("score"))
+                .withColumn("score_e4", _e4(F.col("score")))
+                .orderBy(F.desc("score_e4"), F.asc("doc_id")).limit(k)
+                .select("doc_id", "score_e4"))
+
+    def q17(spark, sf):
+        return _bm25_df(spark, sf, ["spark", "query", "window"], 20)
+
+    def q18(spark, sf):
+        docs = _analyzed(spark, sf)
+        q = phraseto_tspquery("simple", "batch batch")
+        hits = tsp_query_matches(docs, q, match_limit=1000) \
+            .select("doc_id").distinct()
+        return _bm25_df(spark, sf, ["batch"], 1000) \
+            .join(hits, on="doc_id") \
+            .select("doc_id", "score_e4")
+
+    def q19(spark, sf):
+        return exact_duplicates(_docs(spark, sf))
+
+    def q20(spark, sf):
+        return (minhash_lsh_dedup(_docs(spark, sf), threshold=0.4)
+                .select("a", "b", _e4(F.col("jaccard")).alias("jaccard_e4")))
+
+    def q21(spark, sf):
+        return (ngram_jaccard_pairs(_docs(spark, sf), threshold=0.4)
+                .select("a", "b", _e4(F.col("jaccard")).alias("jaccard_e4")))
+
+    def q22(spark, sf):
+        return simhash(_docs(spark, sf), bits=32)
+
+    def q23(spark, sf):
+        emb = _emb(spark, sf)
+        qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        return (cosine_topk(emb, qv, k=10)
+                .withColumn("cosine_e4", _e4(F.col("cosine")))
+                .select("vec_id", "cosine_e4"))
+
+    def q24(spark, sf):
+        # brute-force cosine over ALL vectors vs vec 0, thresholded —
+        # the near-dup-by-embedding operator (set-valued, order-free)
+        emb = _emb(spark, sf)
+        qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        from pg_ts_semantic_headline_spark.operators.similarity import (
+            cosine_similarity_col)
+        return (emb.select("vec_id",
+                           cosine_similarity_col(F.col("embedding"), qv)
+                           .alias("c"))
+                .where(F.col("c") >= 0.2)
+                .select("vec_id", _e4(F.col("c")).alias("cosine_e4")))
+
+    def q25(spark, sf):
+        return (lang_id(_docs(spark, sf))
+                .select("doc_id", "lang_pred",
+                        _e4(F.col("lang_score")).alias("lang_score_e4")))
+
+    def q26(spark, sf):
+        return (quality_score(_docs(spark, sf))
+                .select("doc_id", "n_tokens",
+                        _e4(F.col("avg_token_len")).alias("avg_token_len_e4"),
+                        _e4(F.col("stop_ratio")).alias("stop_ratio_e4"),
+                        _e4(F.col("unique_ratio")).alias("unique_ratio_e4")))
+
+    def q27(spark, sf):
+        return token_counts(_docs(spark, sf))
+
+    def q28(spark, sf):
+        return doc_fingerprint(_docs(spark, sf))
+
+    def q29(spark, sf):
+        return (attach_binary(_docs(spark, sf))
+                .select("doc_id", "kind", "n_bytes", "sha256"))
+
+    def q30(spark, sf):
+        return (sample_frames(attach_binary(_docs(spark, sf)), n_frames=4)
+                .select("doc_id", "frame_id", "offset",
+                        F.length("frame_bytes").cast("long").alias("frame_len")))
+
+    return {
+        "tsp_indexable_text": q01,
+        "tsp_present_text": q02,
+        "to_tsp_text_array": q03,
+        "tsvector_to_table": q04,
+        "slice_array": q05,
+        "replace_multiple_strings": q06,
+        "to_tspquery": q07,
+        "phraseto_tspquery": q08,
+        "tsp_filter_tsvector": q09,
+        "tsp_query_matches": q10,
+        "ts_fast_headline_cover_density": q11,
+        "ts_fast_headline": q12,
+        "ts_semantic_headline": q13,
+        "docstats": q14,
+        "corpus_stats": q15,
+        "postings_term_stats": q16,
+        "bm25_topk": q17,
+        "bm25_phrase_filtered": q18,
+        "dedup_exact": q19,
+        "dedup_minhash_lsh": q20,
+        "dedup_ngram_jaccard": q21,
+        "dedup_simhash": q22,
+        "embedding_cosine_topk": q23,
+        "embedding_near_dup": q24,
+        "lang_id": q25,
+        "quality_score": q26,
+        "token_counts": q27,
+        "doc_fingerprint": q28,
+        "multimodal_metadata": q29,
+        "multimodal_frame_sample": q30,
+    }
+
+
+# ---------------------------------------------------------------- oracles
+
+def _phrase_values(pairs) -> str:
+    rows = []
+    for qid, pid, lex, pos, plen, pspan in pairs:
+        rows.append(f"('{qid}', {pid}, '{lex}', {pos}, {plen}, {pspan})")
+    return ("SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(query_id,"
+            " phrase_id, lexeme, rel_pos, phrase_len, phrase_span)")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pg_ts_semantic_headline_spark.plans.query_compiler import (
+        phraseto_tspquery, to_tspquery)
+
+    def phrase_rows(compiled, qid):
+        return [(qid, pid, lex, pos, plen, pspan)
+                for pid, lex, pos, plen, pspan, _ in compiled.phrase_table()]
+
+    q07_rows = (phrase_rows(to_tspquery("simple", "batch<2>stream|window<->join"), "q_a")
+                + phrase_rows(to_tspquery("english", "child-bearing & !discarded"), "q_b"))
+    q08_rows = (phrase_rows(phraseto_tspquery("english", "fortune, through the kingdom"), "p_a")
+                + phrase_rows(phraseto_tspquery("english", "decide negatively"), "p_b")
+                + phrase_rows(phraseto_tspquery("simple", "merge sort JOIN"), "p_c"))
+
+    matches_cte = f"""
+WITH {TOKS_CTE.strip()},
+m AS (
+  SELECT t1.doc_id, t1.pos AS start_pos, t2.pos AS end_pos,
+         t1.token || ' ' || t2.token AS words
+  FROM toks t1 JOIN toks t2
+    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.token = 'batch' AND t2.token = 'batch'
+),
+lim AS (
+  SELECT * FROM (
+    SELECT m.*, row_number() OVER (PARTITION BY doc_id ORDER BY start_pos) AS rn
+    FROM m) WHERE rn <= 5
+)
+"""
+
+    # cover-density for single-term 'spark', MaxWords=10, MaxFragments=2
+    cover_cte = f"""
+WITH {TOKS_CTE.strip()},
+m AS (
+  SELECT doc_id, pos AS start_pos, pos AS end_pos, token AS words
+  FROM toks WHERE token = 'spark'
+),
+lim AS (
+  SELECT * FROM (
+    SELECT m.*, row_number() OVER (PARTITION BY doc_id ORDER BY start_pos) AS rn
+    FROM m) WHERE rn <= 8
+),
+grp AS (
+  SELECT doc_id, (start_pos // 11) * 11 AS bucket,
+         count(*) AS density, min(start_pos) AS s, max(end_pos) AS e
+  FROM lim GROUP BY doc_id, (start_pos // 11) * 11
+),
+pads AS (
+  SELECT g.*, greatest(6 - (e - (s // 2) + 1), 10) AS pad
+  FROM grp g
+),
+frag AS (
+  SELECT p.doc_id, p.bucket, p.density,
+         ' ' || array_to_string(l[greatest(s - pad, 1):(e + pad)], ' ') || ' ' AS body
+  FROM pads p JOIN (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+    ON d.doc_id = p.doc_id
+),
+hl AS (
+  SELECT doc_id, bucket, density,
+         regexp_replace(body, ' (spark) ', ' <b>\\1</b> ', 'g') AS headline
+  FROM frag
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY density DESC, bucket) AS rnk
+  FROM hl
+)
+"""
+
+    emb_cos = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id,
+         unnest(e.embedding)::DOUBLE AS x,
+         unnest((SELECT qe FROM q))::DOUBLE AS y
+  FROM embeddings e
+),
+cos AS (
+  SELECT vec_id,
+         SUM(x*y) / (sqrt(SUM(x*x)) * sqrt(SUM(y*y))) AS c
+  FROM pairs GROUP BY vec_id
+)
+"""
+
+    lang_case = []
+    from pg_ts_semantic_headline_spark.operators.textstats import LANG_PROFILES
+    for lang, words in LANG_PROFILES.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        lang_case.append(
+            f"CAST(ROUND(CAST(len(list_filter(l, t -> t IN ({inlist}))) AS DOUBLE)"
+            f" / greatest(len(l), 1) * 1000000) AS BIGINT) / 1000000.0 AS s_{lang}")
+    lang_scores = ",\n  ".join(lang_case)
+    langs = list(LANG_PROFILES)
+    best_expr = "CASE "
+    cond = []
+    # argmax with first-profile-wins tie-break, mirroring the Spark loop
+    # (strictly-greater replaces, so the FIRST max in profile order wins)
+    for i, lang in enumerate(langs):
+        others_before = langs[:i]
+        others_after = langs[i + 1:]
+        conds = [f"s_{lang} > s_{o}" for o in others_before] + \
+                [f"s_{lang} >= s_{o}" for o in others_after]
+        cond.append(f"WHEN {' AND '.join(conds) if conds else 'TRUE'} THEN '{lang}'")
+    best_expr += " ".join(cond) + " ELSE 'und' END"
+    best_score = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+
+    stop6 = "', '".join(("the", "of", "and", "a", "to", "in"))
+
+    return {
+        "tsp_indexable_text": f"""
+SELECT doc_id, {_build_indexable_sql(MUT_SQL)} AS prepared FROM documents
+""",
+        "tsp_present_text": f"""
+SELECT doc_id, {_build_present_sql(_build_indexable_sql(MUT_SQL))} AS presented
+FROM documents
+""",
+        "to_tsp_text_array": f"WITH {TOKS_CTE.strip()} SELECT doc_id, pos, token FROM toks",
+        "tsvector_to_table": f"WITH {TOKS_CTE.strip()} SELECT doc_id, pos, lower(token) AS lexeme FROM toks",
+        "slice_array": """
+SELECT doc_id,
+       array_to_string((string_split(text, ' '))[3:7], ' ') AS sliced
+FROM documents
+""",
+        "replace_multiple_strings": """
+SELECT doc_id,
+       replace(replace(replace(text, 'spark', 'SPARK#'), 'data', 'DATA#'),
+               'the', 'THE#') AS replaced
+FROM documents
+""",
+        "to_tspquery": _phrase_values(q07_rows),
+        "phraseto_tspquery": _phrase_values(q08_rows),
+        "tsp_filter_tsvector": f"""
+WITH {TOKS_CTE.strip()}
+SELECT doc_id, token AS term, count(*) AS tf, min(pos) AS first_pos
+FROM toks WHERE token IN ('spark', 'window', 'batch')
+GROUP BY doc_id, token
+""",
+        "tsp_query_matches": matches_cte + "SELECT doc_id, words, start_pos, end_pos FROM lim",
+        "ts_fast_headline_cover_density": cover_cte + """
+SELECT doc_id, trim(headline) AS fragment, density, CAST(bucket AS BIGINT) AS bucket
+FROM ranked WHERE rnk <= 2
+""",
+        "ts_fast_headline": cover_cte + """
+SELECT doc_id,
+       trim(string_agg(headline, '...' ORDER BY density DESC, bucket)) AS headline
+FROM ranked WHERE rnk <= 2
+GROUP BY doc_id
+""",
+        "ts_semantic_headline": f"""
+WITH {TOKS_CTE.strip()},
+m AS (
+  SELECT doc_id, pos AS start_pos, pos AS end_pos FROM toks WHERE token = 'merge'
+),
+lim AS (
+  SELECT * FROM (
+    SELECT m.*, row_number() OVER (PARTITION BY doc_id ORDER BY start_pos) AS rn
+    FROM m) WHERE rn <= 36
+),
+grp AS (
+  SELECT doc_id, (start_pos // 65) * 65 AS bucket,
+         count(*) AS density, min(start_pos) AS s, max(end_pos) AS e
+  FROM lim GROUP BY doc_id, (start_pos // 65) * 65
+),
+pads AS (SELECT g.*, greatest(33 - (e - (s // 2) + 1), 32) AS pad FROM grp g),
+frag AS (
+  SELECT p.doc_id, p.bucket, p.density,
+         ' ' || array_to_string(l[greatest(s - pad, 1):(e + pad)], ' ') || ' ' AS body
+  FROM pads p JOIN (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
+    ON d.doc_id = p.doc_id
+),
+hl AS (
+  SELECT doc_id, bucket, density,
+         regexp_replace(body, ' (merge) ', ' <b>\\1</b> ', 'g') AS headline
+  FROM frag
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY density DESC, bucket) AS rnk
+  FROM hl
+),
+agg AS (
+  SELECT doc_id,
+         trim(string_agg(headline, '...' ORDER BY density DESC, bucket)) AS headline
+  FROM ranked WHERE rnk <= 30 GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.headline,
+                array_to_string((string_split(trim(d.text), ' '))[1:15], ' ')) AS headline
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+""",
+        "docstats": f"WITH {TOKS_CTE.strip()} SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id",
+        "corpus_stats": f"""
+WITH {TOKS_CTE.strip()},
+d AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id)
+SELECT count(*) AS n_docs,
+       CAST(ROUND(avg(dl) * 1000000) AS BIGINT) AS avgdl_e6
+FROM d
+""",
+        "postings_term_stats": f"""
+WITH {TOKS_CTE.strip()},
+tf AS (SELECT doc_id, token AS term, count(*) AS tf FROM toks GROUP BY doc_id, token)
+SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term
+""",
+        "bm25_topk": _bm25_score_sql(["spark", "query", "window"]) + """
+SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4
+FROM scored
+ORDER BY CAST(ROUND(score * 10000) AS BIGINT) DESC, doc_id
+LIMIT 20
+""",
+        "bm25_phrase_filtered": _bm25_score_sql(["batch"]) + """
+, hits AS (
+  SELECT DISTINCT t1.doc_id
+  FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.token = 'batch' AND t2.token = 'batch'
+)
+SELECT s.doc_id, CAST(ROUND(s.score * 10000) AS BIGINT) AS score_e4
+FROM scored s JOIN hits USING (doc_id)
+""",
+        "dedup_exact": """
+WITH h AS (SELECT doc_id, md5(text) AS fingerprint FROM documents),
+c AS (SELECT fingerprint, count(*) AS cluster_size, min(doc_id) AS canonical_id
+      FROM h GROUP BY fingerprint)
+SELECT h.doc_id, h.fingerprint, c.cluster_size, c.canonical_id,
+       h.doc_id <> c.canonical_id AS is_duplicate
+FROM h JOIN c USING (fingerprint)
+""",
+        "dedup_minhash_lsh": _minhash_sql(16, 4, 0.4),
+        "dedup_ngram_jaccard": f"""
+WITH {SHINGLE_CTE.strip()},
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+SELECT p.a, p.b,
+       CAST(ROUND(CAST(p.inter AS DOUBLE) / (za.sz + zb.sz - p.inter) * 10000) AS BIGINT) AS jaccard_e4
+FROM pairs p
+JOIN sizes za ON za.doc_id = p.a
+JOIN sizes zb ON zb.doc_id = p.b
+WHERE CAST(p.inter AS DOUBLE) / (za.sz + zb.sz - p.inter) >= 0.4
+""",
+        "dedup_simhash": _simhash_sql(32),
+        "embedding_cosine_topk": emb_cos + """
+SELECT vec_id, CAST(ROUND(c * 10000) AS BIGINT) AS cosine_e4
+FROM cos
+ORDER BY CAST(ROUND(c * 10000) AS BIGINT) DESC, vec_id
+LIMIT 10
+""",
+        "embedding_near_dup": emb_cos + """
+SELECT vec_id, CAST(ROUND(c * 10000) AS BIGINT) AS cosine_e4
+FROM cos WHERE c >= 0.2
+""",
+        "lang_id": f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+scores AS (
+  SELECT doc_id,
+  {lang_scores}
+  FROM base
+)
+SELECT doc_id, {best_expr} AS lang_pred,
+       CAST(ROUND({best_score} * 10000) AS BIGINT) AS lang_score_e4
+FROM scores
+""",
+        "quality_score": f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+SELECT doc_id,
+       len(l) AS n_tokens,
+       CAST(ROUND(CAST(ROUND(list_sum(list_transform(l, t -> length(t)))
+            / CAST(greatest(len(l), 1) AS DOUBLE) * 1000000) AS BIGINT) / 1000000.0 * 10000) AS BIGINT) AS avg_token_len_e4,
+       CAST(ROUND(CAST(ROUND(CAST(len(list_filter(l, t -> t IN ('{stop6}'))) AS DOUBLE)
+            / greatest(len(l), 1) * 1000000) AS BIGINT) / 1000000.0 * 10000) AS BIGINT) AS stop_ratio_e4,
+       CAST(ROUND(CAST(ROUND(CAST(len(list_distinct(l)) AS DOUBLE)
+            / greatest(len(l), 1) * 1000000) AS BIGINT) / 1000000.0 * 10000) AS BIGINT) AS unique_ratio_e4
+FROM base
+""",
+        "token_counts": r"""
+SELECT doc_id,
+       len(string_split(trim(text), ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS regex_tokens,
+       length(text) AS n_chars_computed
+FROM documents
+""",
+        "doc_fingerprint": f"""
+WITH {SHINGLE_CTE.strip()},
+h AS (SELECT doc_id, md5(shingle) AS h FROM sh)
+SELECT doc_id,
+       min(h) || '-' || max(h) || '-' || count(*) AS fingerprint,
+       count(*) AS n_shingles
+FROM h GROUP BY doc_id
+""",
+        "multimodal_metadata": """
+SELECT doc_id, 'image' AS kind,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+""",
+        "multimodal_frame_sample": """
+WITH base AS (
+  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents
+),
+frames AS (
+  SELECT doc_id, unnest(generate_series(0, 3)) AS frame_id, n_bytes FROM base
+)
+SELECT doc_id, frame_id,
+       frame_id * greatest(n_bytes // 4, 1) AS offset,
+       CAST(least(greatest(n_bytes // 4, 1),
+                  greatest(n_bytes - frame_id * greatest(n_bytes // 4, 1), 0)) AS BIGINT) AS frame_len
+FROM frames
+""",
+    }

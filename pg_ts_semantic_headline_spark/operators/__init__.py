@@ -1,0 +1,14 @@
+from .dedup import (
+    exact_duplicates,
+    jaccard_for_pairs,
+    lsh_candidate_pairs,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_df,
+    simhash,
+    simhash_near_pairs,
+)
+from .multimodal import attach_binary, decode_media, sample_frames
+from .similarity import cosine_topk, cosine_topk_arrow, lsh_ann_topk
+from .textstats import doc_fingerprint, lang_id, quality_score, token_counts

@@ -1,0 +1,179 @@
+"""Deduplication operators for large-scale text corpora.
+
+All hashing is MD5/xxhash-based and engine-portable (the DuckDB oracle
+computes identical values), and every operator is pure DataFrame algebra:
+shingling is an array transform, minhash is a groupBy with string-min
+aggregates (min over md5 hex strings is a valid uniform minhash), LSH
+banding is a groupBy on band signatures, and verification joins only the
+candidate pairs. No driver-side loops, no per-row Python.
+
+Scale notes: the shingle inverted join (`ngram_jaccard_pairs`) is quadratic
+in the worst case per shingle bucket — that is inherent to all-pairs exact
+Jaccard; the MinHash+LSH path is the 100 TB route (candidates only), with
+exact verification as a second stage over the (tiny) candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("_toks", F.split(F.col(text_col), r"\s+"))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fingerprint, cluster_size, canonical_id, is_duplicate):
+    hash-groupBy exact dedup; canonical = lowest doc_id per content hash."""
+    h = df.select(F.col(id_col).alias("doc_id"),
+                  F.md5(F.col(text_col)).alias("fingerprint"))
+    clusters = (h.groupBy("fingerprint")
+                .agg(F.count("*").alias("cluster_size"),
+                     F.min("doc_id").alias("canonical_id")))
+    return (h.join(clusters, on="fingerprint")
+            .select("doc_id", "fingerprint", "cluster_size", "canonical_id",
+                    (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate")))
+
+
+def shingle_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-gram shingles per document."""
+    toks = with_tokens(df, text_col)
+    sh = toks.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(0))),
+            lambda i: F.array_join(F.slice("_toks", i, n), " "),
+        )).alias("shingle"))
+    return sh.distinct()
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(doc_id, h0..h{n-1}) — minhash over seeded md5 of each shingle.
+    String-min over md5(seed|shingle) hex is a uniform permutation minhash."""
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
+            for j in range(num_hashes)]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
+                        rows_per_band: int = 4) -> DataFrame:
+    """(a, b) candidate pairs sharing at least one LSH band signature."""
+    num_hashes = bands * rows_per_band
+    band_rows = None
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        part = signatures.select(
+            F.col("doc_id"),
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_sig"))
+        band_rows = part if band_rows is None else band_rows.unionByName(part)
+    left = band_rows.select("band", "band_sig", F.col("doc_id").alias("a"))
+    right = band_rows.select("band", "band_sig", F.col("doc_id").alias("b"))
+    return (left.join(right, on=["band", "band_sig"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs: |A∩B| / (|A|+|B|-|A∩B|)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = shingles.select(F.col("doc_id").alias("a"), "shingle")
+    sb = shingles.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (pairs.join(sa, on="a").join(sb, on=["b", "shingle"])
+             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a")), on="a")
+            .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b")), on="b")
+            .select("a", "b",
+                    (F.col("inter")
+                     / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+                    .alias("jaccard")))
+
+
+def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      num_hashes: int = 16, bands: int = 4,
+                      threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs (a, b, jaccard) via MinHash LSH + exact verify."""
+    sh = shingle_df(df, text_col, id_col, n)
+    sigs = minhash_signatures(sh, num_hashes)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    return (jaccard_for_pairs(cands, sh)
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """All-pairs exact n-gram Jaccard ≥ threshold via shingle inverted join
+    (the exact baseline the LSH path approximates)."""
+    sh = shingle_df(df, text_col, id_col, n)
+    pairs = (sh.alias("x").join(sh.alias("y"), on="shingle")
+             .where(F.col("x.doc_id") < F.col("y.doc_id"))
+             .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    return (pairs
+            .join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a")), on="a")
+            .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b")), on="b")
+            .withColumn("jaccard",
+                        F.col("inter")
+                        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .where(F.col("jaccard") >= threshold)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def _hex_bit(hash_col, bit: int):
+    """Bit `bit` of an md5 hex string, via portable string arithmetic
+    (identical in Spark SQL and the DuckDB oracle — no hex casts needed)."""
+    nibble = F.substring(hash_col, 1 + bit // 4, 1)
+    digit = F.conv(nibble, 16, 10).cast("int")
+    return F.shiftright(digit, bit % 4) % 2
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """(doc_id, simhash) — per-token md5, majority vote per bit position."""
+    toks = (with_tokens(df, text_col)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode("_toks").alias("tok"))
+            .withColumn("th", F.md5("tok")))
+    votes = [F.sum(_hex_bit(F.col("th"), b) * 2 - 1).alias(f"v{b}")
+             for b in range(bits)]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")
+                           * (2 ** b)).otherwise(0)
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", bits: int = 32,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance (block on high half to
+    avoid the full cross join: hamming ≤ 3 over 32 bits means one half is
+    close; we block on exact-equal halves — the standard pigeonhole trick)."""
+    s = simhash(df, text_col, id_col, bits)
+    half = 2 ** (bits // 2)
+    s = s.withColumn("hi", (F.col("simhash") / half).cast("long")) \
+         .withColumn("lo", F.col("simhash") % half)
+    cands = None
+    for key in ("hi", "lo"):
+        a = s.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"),
+                     F.col(key).alias("k"))
+        b = s.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"),
+                     F.col(key).alias("k"))
+        part = (a.join(b, on="k").where(F.col("a") < F.col("b"))
+                .select("a", "b", "sa", "sb"))
+        cands = part if cands is None else cands.unionByName(part)
+    cands = cands.distinct()
+    cands = cands.withColumn("a_xor_b", F.col("sa").bitwiseXOR(F.col("sb")))
+    ham = F.bit_count(F.col("a_xor_b"))
+    return (cands.withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))

@@ -1,0 +1,109 @@
+"""Similarity search over embedding columns (array<float>).
+
+- `cosine_topk`: brute-force exact top-k, pure JVM column expressions
+  (zip_with dot product) — the correctness baseline, embarrassingly parallel
+  (map + TakeOrdered k; no shuffle of the embedding table).
+- `cosine_topk_arrow`: the same math through a vectorized Arrow UDF using a
+  single numpy matrix-vector product per batch — the throughput path.
+- `lsh_ann_topk`: random-hyperplane LSH bucketing: 100 TB path — candidates
+  share the query's sign-bucket (optionally within hamming radius 1), exact
+  cosine re-rank inside the bucket.
+
+Hyperplanes are generated from a deterministic seed so results are stable
+and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+def _lit_array(vec) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_similarity_col(emb_col, query_vec) -> F.Column:
+    q = _lit_array(query_vec)
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    e = F.transform(emb_col, lambda x: x.cast("double"))
+    return _dot(e, q) / (_norm(e) * F.lit(qn))
+
+
+def cosine_topk(df: DataFrame, query_vec, k: int = 10,
+                emb_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, cosine) exact top-k; deterministic ties by id."""
+    return (df.select(F.col(id_col),
+                      cosine_similarity_col(F.col(emb_col), query_vec)
+                      .alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k))
+
+
+def cosine_topk_arrow(df: DataFrame, query_vec, k: int = 10,
+                      emb_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Same ranking via a numpy-vectorized Arrow UDF (one BLAS matvec per
+    Arrow batch instead of per-element codegen)."""
+    import numpy as np
+
+    q = np.asarray(list(map(float, query_vec)))
+    qn = float(np.linalg.norm(q))
+
+    @F.pandas_udf(DoubleType())
+    def cos(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy())
+        sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * qn)
+        return pd.Series(sims)
+
+    return (df.select(F.col(id_col), cos(F.col(emb_col)).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k))
+
+
+def random_hyperplanes(dim: int, n_planes: int = 8, seed: int = 42):
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket_col(emb_col, planes) -> F.Column:
+    """Sign-bit bucket id from deterministic hyperplanes."""
+    e = F.transform(emb_col, lambda x: x.cast("double"))
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        bit = F.when(_dot(e, _lit_array(plane)) >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_ann_topk(df: DataFrame, query_vec, k: int = 10, n_planes: int = 8,
+                 seed: int = 42, emb_col: str = "embedding",
+                 id_col: str = "vec_id", multiprobe: bool = True) -> DataFrame:
+    """Approximate top-k: candidates from the query's LSH bucket (plus all
+    hamming-1 buckets when multiprobe), exact cosine within."""
+    dim = len(query_vec)
+    planes = random_hyperplanes(dim, n_planes, seed)
+    qbits = 0
+    for i, plane in enumerate(planes):
+        if sum(p * float(x) for p, x in zip(plane, query_vec)) >= 0:
+            qbits |= 1 << i
+    probes = [qbits] + ([qbits ^ (1 << i) for i in range(n_planes)]
+                        if multiprobe else [])
+    bucketed = df.withColumn("_bucket", lsh_bucket_col(F.col(emb_col), planes))
+    cands = bucketed.where(F.col("_bucket").isin(probes))
+    return cosine_topk(cands, query_vec, k, emb_col, id_col)

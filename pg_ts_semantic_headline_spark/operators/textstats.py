@@ -1,0 +1,94 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All pure column algebra (JVM, whole-stage codegen);
+formulas chosen to be deterministic and reproducible in the DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Minimal function-word profiles for a fast n-gram-free language heuristic.
+LANG_PROFILES = {
+    "en": ["the", "of", "and", "to", "in", "is", "was", "it", "for", "with"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "las"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+}
+
+# A BPE-ish tokenizer regex: word pieces, numbers, or single non-space marks.
+TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _tok(text_col):
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def token_counts(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, ws_tokens, regex_tokens, n_chars_computed)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_tok(F.col(text_col))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+        .alias("regex_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_computed"))
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, lang_pred, lang_score): argmax of function-word hit ratio,
+    deterministic tie-break by profile order."""
+    toks = _tok(F.col(text_col))
+    n = F.size(toks)
+    out = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"), n.alias("_n"))
+    best_lang, best_score = F.lit("und"), F.lit(-1.0)
+    for lang, words in LANG_PROFILES.items():
+        hits = F.size(F.filter("_t", lambda t: t.isin(words)))
+        score = F.round(hits / F.greatest(F.col("_n"), F.lit(1)), 6)
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return out.select("doc_id", best_lang.alias("lang_pred"),
+                      best_score.alias("lang_score"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  stop_words: tuple = ("the", "of", "and", "a", "to", "in")
+                  ) -> DataFrame:
+    """(doc_id, n_tokens, avg_token_len, stop_ratio, unique_ratio, quality):
+    classic pre-training quality heuristics combined into one 0..1 score."""
+    toks = _tok(F.col(text_col))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
+    n = F.size(F.col("_t"))
+    uniq = F.size(F.array_distinct(F.col("_t")))
+    stop_hits = F.size(F.filter("_t", lambda t: t.isin(list(stop_words))))
+    avg_len = (F.aggregate(F.col("_t"), F.lit(0),
+                           lambda acc, t: acc + F.length(t))
+               / F.greatest(n, F.lit(1)))
+    stop_ratio = stop_hits / F.greatest(n, F.lit(1))
+    unique_ratio = uniq / F.greatest(n, F.lit(1))
+    # length factor saturates at 100 tokens; penalize all-dup and no-stopword
+    length_f = F.least(n / F.lit(100.0), F.lit(1.0))
+    quality = F.round(
+        (length_f + F.least(stop_ratio * 5, F.lit(1.0)) + unique_ratio) / 3, 6)
+    return base.select(
+        "doc_id", n.alias("n_tokens"), F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(unique_ratio, 6).alias("unique_ratio"),
+        quality.alias("quality"))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(doc_id, fingerprint, n_shingles): order-invariant sketch built from
+    the min/max md5 of the document's word n-gram shingles (a rolling-window
+    content signature robust to local edits outside the extremes)."""
+    from .dedup import shingle_df
+
+    sh = shingle_df(df, text_col, id_col, n)
+    return (sh.withColumn("h", F.md5("shingle"))
+            .groupBy("doc_id")
+            .agg(F.concat_ws("-", F.min("h"), F.max("h"),
+                             F.count("*")).alias("fingerprint"),
+                 F.count("*").alias("n_shingles")))

@@ -84,6 +84,7 @@ def ts_fast_headline_cover_density(
     query: CompiledQuery,
     options: str = "",
     doc_id: str = "doc_id",
+    hay: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, headline, density) — up to MaxFragments fragments per doc,
     highlighted but NOT yet present-text-cleaned (fragments still carry
@@ -101,7 +102,7 @@ def ts_fast_headline_cover_density(
         docs, query,
         match_limit=max_fragments + 6,
         disable_semantic_check=disable_semantics,
-        doc_id=doc_id)
+        doc_id=doc_id, hay=hay)
 
     bucket = (F.floor(F.col("start_pos") / (max_words + 1))
               * (max_words + 1)).alias("bucket")
@@ -150,6 +151,7 @@ def ts_fast_headline(
     query: CompiledQuery,
     options: str = "",
     doc_id: str = "doc_id",
+    hay: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, headline) — fragments joined by FragmentDelimiter in
     (density DESC, bucket ASC) order, then present-text cleanup."""
@@ -157,7 +159,7 @@ def ts_fast_headline(
     delim = opts.get("FragmentDelimiter", "...")
     stop_sel = opts.get("StopSel", "</b>")
 
-    frags = ts_fast_headline_cover_density(docs, query, options, doc_id)
+    frags = ts_fast_headline_cover_density(docs, query, options, doc_id, hay=hay)
     assembled = (frags
                  .groupBy(doc_id)
                  .agg(F.array_join(

@@ -1,0 +1,101 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() in DuckDB over the same sf dir, compare
+row count, column names, and order-insensitive values.
+
+Usage: python scripts/check_oracle.py [sf_dir] [only_query ...]
+"""
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def norm_rows(cols, rows):
+    out = []
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    for r in rows:
+        out.append(tuple(norm_cell(r[i]) for i in order))
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "6g")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    import __spark_entry__ as e
+    qs, osql = e.queries(), e.oracle_sql()
+
+    ok = fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            res = con.execute(osql[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+            sc, sr = norm_rows(scols, srows)
+            dc, dr = norm_rows(dcols, drows)
+            if sc != dc:
+                print(f"FAIL {name}: columns {sc} vs {dc}")
+                fail += 1
+            elif len(sr) != len(dr):
+                print(f"FAIL {name}: rows {len(sr)} vs {len(dr)}")
+                print("  spark-only sample:", [r for r in sr if r not in set(dr)][:2])
+                print("  duck-only sample:", [r for r in dr if r not in set(sr)][:2])
+                fail += 1
+            elif sr != dr:
+                diff = [i for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
+                print(f"FAIL {name}: {len(diff)} differing rows of {len(sr)}")
+                for i in diff[:3]:
+                    print(f"  spark: {sr[i]}")
+                    print(f"  duck : {dr[i]}")
+                fail += 1
+            else:
+                print(f"ok   {name} ({len(sr)} rows)")
+                ok += 1
+        except Exception as ex:
+            print(f"ERROR {name}: {type(ex).__name__}: {str(ex)[:300]}")
+            fail += 1
+    print(f"\n{ok} ok, {fail} failed")
+    spark.stop()
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main()

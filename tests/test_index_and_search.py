@@ -1,0 +1,197 @@
+"""Index build + BM25 search tests against pure-Python oracles."""
+
+import hashlib
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_ts_semantic_headline_spark.functions.lexize import analyze_document
+from pg_ts_semantic_headline_spark.plans.index_build import (
+    B, K1, build_index, load_index)
+from pg_ts_semantic_headline_spark.plans.packing import pack_block, unpack_block
+from pg_ts_semantic_headline_spark.plans.query_compiler import (
+    phraseto_tspquery, to_tspquery)
+from pg_ts_semantic_headline_spark.plans.search import (
+    bm25_topk, matching_docs, phrase_match_docs, search_with_headlines)
+
+CONFIG = "simple"
+VOCAB = ("spark index query batch stream merge sort join filter scan "
+         "window hash shuffle column row table part key value data").split()
+
+
+def make_corpus(n=60):
+    rng = random.Random(42)
+    docs = []
+    for i in range(n):
+        words = [VOCAB[min(int(rng.expovariate(0.35)), len(VOCAB) - 1)]
+                 for _ in range(rng.randint(30, 120))]
+        if i % 7 == 0:
+            words[5:5] = ["needle", "phrase", "target"]
+        if i == 13:
+            words += ["unique", "snowflake"] * 3
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_corpus()
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx"))
+    df = spark.createDataFrame(corpus, ["doc_id", "content"])
+    build_index(spark, df, out, config=CONFIG, n_buckets=8, block_span=8)
+    return load_index(spark, out)
+
+
+def python_postings(corpus):
+    """Oracle: term -> {doc: [positions]} from the same analyzer."""
+    post = {}
+    dls = {}
+    for doc_id, content in corpus:
+        _, lexs = analyze_document(content, CONFIG)
+        dls[doc_id] = sum(1 for x in lexs if x is not None)
+        for pos, lex in enumerate(lexs, start=1):
+            if lex is not None:
+                post.setdefault(lex, {}).setdefault(doc_id, []).append(pos)
+    return post, dls
+
+
+def python_bm25(corpus, terms, k):
+    post, dls = python_postings(corpus)
+    n = len(corpus)
+    avgdl = sum(dls.values()) / n
+    scores = {}
+    for t in terms:
+        df = len(post.get(t, {}))
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for doc, poss in post[t].items():
+            tf = len(poss)
+            s = idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dls[doc] / avgdl))
+            scores[doc] = scores.get(doc, 0.0) + s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
+
+
+class TestPacking:
+    def test_roundtrip(self):
+        docs = [3, 9, 11, 200, 5000]
+        tfs = [1, 4, 2, 1, 9]
+        poss = [[1], [2, 5, 9, 100], [3, 4], [16383], list(range(1, 10))]
+        payload = pack_block(docs, tfs, poss, base_doc=0)
+        assert unpack_block(payload, 0) == (docs, tfs, poss)
+
+    def test_compression_is_compact(self):
+        docs = list(range(1000, 1128))
+        tfs = [1] * 128
+        poss = [[i] for i in range(1, 129)]
+        payload = pack_block(docs, tfs, poss, base_doc=1000)
+        # 128 docs * (1B delta + 1B tf + 1B count + 1-2B pos) ≈ ~600B
+        assert len(payload) < 800
+
+
+class TestIndexBuild:
+    def test_df_cf_match_oracle(self, index, corpus):
+        post, _ = python_postings(corpus)
+        got = {r["term"]: (r["df"], r["cf"])
+               for r in index.terms.collect()}
+        want = {t: (len(d), sum(len(p) for p in d.values()))
+                for t, d in post.items()}
+        assert got == want
+
+    def test_sha256_invariant(self, index, corpus):
+        got = {r["doc_id"]: r["sha256"] for r in index.tokens.collect()}
+        for doc_id, content in corpus:
+            assert got[doc_id] == hashlib.sha256(content.encode()).hexdigest()
+
+    def test_positions_match_oracle(self, index, corpus):
+        post, _ = python_postings(corpus)
+        rows = index.postings.where(F.col("term") == "needle").collect()
+        got = {r["doc_id"]: list(r["positions"]) for r in rows}
+        assert got == post["needle"]
+
+    def test_packed_roundtrip_against_rows(self, index):
+        packed = index.packed.where(F.col("term") == "spark").collect()
+        rows = index.postings.where(F.col("term") == "spark").collect()
+        want = {r["doc_id"]: (r["tf"], list(r["positions"])) for r in rows}
+        got = {}
+        for blk in packed:
+            docs, tfs, poss = unpack_block(bytes(blk["payload"]), blk["base_doc"])
+            for d, tf, ps in zip(docs, tfs, poss):
+                got[d] = (tf, ps)
+        assert got == want
+
+    def test_resume_skips_completed_stages(self, spark, index, corpus):
+        mani = spark.read.parquet(index.paths.manifest)
+        before = mani.count()
+        stages = {r["stage"] for r in mani.select("stage").distinct().collect()}
+        assert stages == {"tokens", "postings", "terms", "packed"}
+        df = spark.createDataFrame(corpus, ["doc_id", "content"])
+        build_index(spark, df, index.paths.root, config=CONFIG,
+                    n_buckets=8, block_span=8)  # same signature: no-op
+        after = spark.read.parquet(index.paths.manifest).count()
+        assert after == before
+
+
+class TestBM25:
+    @pytest.mark.parametrize("terms,k", [
+        (["spark"], 5),
+        (["spark", "query", "window"], 10),
+        (["needle", "phrase"], 7),
+        (["unique"], 3),
+        (["doesnotexist"], 5),
+        (["spark", "index", "batch", "merge"], 200),  # k > n_docs
+    ])
+    def test_exact_matches_python_oracle(self, index, corpus, terms, k):
+        got = [(r["doc_id"], r["score"]) for r in
+               bm25_topk(index, terms, k=k).collect()]
+        want = python_bm25(corpus, terms, k)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9
+
+    @pytest.mark.parametrize("terms,k", [
+        (["spark"], 5),
+        (["spark", "query", "window"], 10),
+        (["needle", "phrase", "target"], 9),
+        (["spark", "index", "batch", "merge"], 200),
+    ])
+    def test_blockmax_rank_identical_to_exact(self, index, terms, k):
+        exact = [(r["doc_id"], round(r["score"], 10)) for r in
+                 bm25_topk(index, terms, k=k, mode="exact").collect()]
+        pruned = [(r["doc_id"], round(r["score"], 10)) for r in
+                  bm25_topk(index, terms, k=k, mode="blockmax").collect()]
+        assert exact == pruned
+
+
+class TestSearch:
+    def test_phrase_match_docs(self, index, corpus):
+        q = phraseto_tspquery(CONFIG, "needle phrase target")
+        got = {r["doc_id"] for r in phrase_match_docs(index, q).collect()}
+        want = {doc_id for doc_id, _ in corpus if doc_id % 7 == 0}
+        assert got == want
+
+    def test_boolean_and_not(self, index, corpus):
+        q = to_tspquery(CONFIG, "needle & !unique")
+        got = {r["doc_id"] for r in matching_docs(index, q).collect()}
+        post, _ = python_postings(corpus)
+        want = set(post.get("needle", {})) - set(post.get("unique", {}))
+        assert got == want
+
+    def test_boolean_or(self, index, corpus):
+        q = to_tspquery(CONFIG, "unique | snowflake")
+        got = {r["doc_id"] for r in matching_docs(index, q).collect()}
+        assert got == {13}
+
+    def test_search_with_headlines(self, index):
+        q = phraseto_tspquery(CONFIG, "needle phrase target")
+        rows = search_with_headlines(index, q, k=3).collect()
+        assert 0 < len(rows) <= 3
+        for r in rows:
+            assert "<b>needle phrase target</b>" in r["headline"]

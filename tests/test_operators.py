@@ -1,0 +1,136 @@
+"""Pipeline operator tests: dedup, similarity, text stats, multimodal."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_ts_semantic_headline_spark.operators import (
+    attach_binary, cosine_topk, cosine_topk_arrow, decode_media,
+    doc_fingerprint, exact_duplicates, lang_id, lsh_ann_topk,
+    minhash_lsh_dedup, ngram_jaccard_pairs, quality_score, sample_frames,
+    simhash_near_pairs, token_counts)
+
+
+@pytest.fixture(scope="module")
+def text_df(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "completely different content about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (4, "der schnelle braune fuchs und die faule katze"),
+        (5, "el rapido zorro marron y el perro perezoso de la casa"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = random.Random(7)
+    rows = []
+    for i in range(50):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    # vec 49 = exact copy of vec 0 (must be its top neighbor)
+    rows[49] = (49, rows[0][1])
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+class TestDedup:
+    def test_exact(self, text_df):
+        got = {r["doc_id"]: (r["canonical_id"], r["is_duplicate"])
+               for r in exact_duplicates(text_df).collect()}
+        assert got[0] == (0, False)
+        assert got[3] == (0, True)
+        assert got[2] == (2, False)
+
+    def test_ngram_jaccard(self, text_df):
+        pairs = {(r["a"], r["b"]): r["jaccard"]
+                 for r in ngram_jaccard_pairs(text_df, threshold=0.3).collect()}
+        assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+        assert (0, 1) in pairs and 0.3 <= pairs[(0, 1)] < 1.0
+        assert (0, 2) not in pairs
+
+    def test_minhash_lsh_finds_exact_and_near(self, text_df):
+        pairs = {(r["a"], r["b"]) for r in
+                 minhash_lsh_dedup(text_df, threshold=0.3).collect()}
+        assert (0, 3) in pairs
+        assert all(a < b for a, b in pairs)
+
+    def test_simhash_near(self, text_df):
+        pairs = {(r["a"], r["b"]): r["hamming"]
+                 for r in simhash_near_pairs(text_df, max_hamming=4).collect()}
+        assert pairs.get((0, 3)) == 0
+
+
+class TestSimilarity:
+    def test_exact_copy_is_top1(self, emb_df):
+        qv = emb_df.where("vec_id = 0").first()["embedding"]
+        top = cosine_topk(emb_df, qv, k=3).collect()
+        ids = [r["vec_id"] for r in top]
+        assert ids[0] == 0 and ids[1] == 49
+        assert abs(top[0]["cosine"] - 1.0) < 1e-9
+        assert abs(top[1]["cosine"] - 1.0) < 1e-9
+
+    def test_arrow_path_matches_builtin(self, emb_df):
+        qv = emb_df.where("vec_id = 7").first()["embedding"]
+        a = [(r["vec_id"], round(r["cosine"], 9))
+             for r in cosine_topk(emb_df, qv, k=10).collect()]
+        b = [(r["vec_id"], round(r["cosine"], 9))
+             for r in cosine_topk_arrow(emb_df, qv, k=10).collect()]
+        assert a == b
+
+    def test_lsh_ann_contains_exact_copy(self, emb_df):
+        qv = emb_df.where("vec_id = 0").first()["embedding"]
+        got = [r["vec_id"] for r in lsh_ann_topk(emb_df, qv, k=5).collect()]
+        assert got[0] == 0 and 49 in got
+
+
+class TestTextStats:
+    def test_token_counts(self, text_df):
+        r = {x["doc_id"]: x for x in token_counts(text_df).collect()}
+        assert r[0]["ws_tokens"] == 9
+        assert r[0]["regex_tokens"] == 9
+
+    def test_lang_id(self, text_df):
+        got = {r["doc_id"]: r["lang_pred"] for r in lang_id(text_df).collect()}
+        assert got[0] == "en"
+        assert got[4] == "de"
+        assert got[5] == "es"
+
+    def test_quality_monotone_in_content(self, text_df):
+        rows = {r["doc_id"]: r for r in quality_score(text_df).collect()}
+        assert 0 < rows[0]["quality"] <= 1
+        assert rows[0]["unique_ratio"] < 1.0  # repeated 'the'
+
+    def test_fingerprint_stable_and_distinct(self, text_df):
+        fp = {r["doc_id"]: r["fingerprint"]
+              for r in doc_fingerprint(text_df).collect()}
+        assert fp[0] == fp[3]
+        assert fp[0] != fp[2]
+
+
+class TestMultimodal:
+    def test_binary_plumbing_roundtrip(self, text_df):
+        media = attach_binary(text_df)
+        r = {x["doc_id"]: x for x in media.collect()}
+        assert r[0]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+        assert len(r[0]["sha256"]) == 64
+
+    def test_decode_stub_deterministic(self, text_df):
+        decoded = decode_media(attach_binary(text_df)).collect()
+        d = {x["doc_id"]: (x["width"], x["height"], x["format"]) for x in decoded}
+        assert d[0] == d[3]               # same payload → same fake metadata
+        assert all(v[0] >= 64 for v in d.values())
+
+    def test_decode_without_codec_raises(self, text_df):
+        with pytest.raises(NotImplementedError):
+            decode_media(attach_binary(text_df), decoder=None)
+
+    def test_frame_sampling_offsets(self, text_df):
+        frames = sample_frames(attach_binary(text_df), n_frames=4)
+        rows = [r for r in frames.collect() if r["doc_id"] == 0]
+        assert len(rows) == 4
+        assert [r["frame_id"] for r in sorted(rows, key=lambda r: r["frame_id"])] == [0, 1, 2, 3]
+        assert rows[0]["frame_bytes"] is not None

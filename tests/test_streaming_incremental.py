@@ -1,0 +1,54 @@
+"""Incremental index maintenance: foreachBatch merge + a real stream run."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_ts_semantic_headline_spark.plans.index_build import build_index, load_index
+from pg_ts_semantic_headline_spark.plans.query_compiler import phraseto_tspquery
+from pg_ts_semantic_headline_spark.plans.search import bm25_topk, phrase_match_docs
+from pg_ts_semantic_headline_spark.streaming import (
+    attach_incremental_indexer, merge_batch)
+
+CONFIG = "simple"
+BASE = [(i, f"alpha beta gamma doc{i} common words here") for i in range(20)]
+NEW = [(100, "alpha beta fresh needle phrase target arrives"),
+       (101, "another fresh document beta gamma")]
+
+
+@pytest.fixture()
+def index_dir(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    df = spark.createDataFrame(BASE, ["doc_id", "content"])
+    build_index(spark, df, out, config=CONFIG, n_buckets=4,
+                block_span=8, build_packed=False)
+    return out
+
+
+def test_merge_batch_updates_index(spark, index_dir):
+    before = load_index(spark, index_dir)
+    assert before.n_docs == 20
+    batch = spark.createDataFrame(NEW, ["doc_id", "content"])
+    merge_batch(spark, index_dir, batch, config=CONFIG)
+
+    after = load_index(spark, index_dir)
+    assert after.n_docs == 22
+    # new docs searchable
+    q = phraseto_tspquery(CONFIG, "needle phrase target")
+    assert {r["doc_id"] for r in phrase_match_docs(after, q).collect()} == {100}
+    top = bm25_topk(after, ["fresh"], k=5).collect()
+    assert {r["doc_id"] for r in top} == {100, 101}
+    # idf shifted: dictionary was re-aggregated over the union
+    df_beta = after.terms.where(F.col("term") == "beta").first()["df"]
+    assert df_beta == 22
+
+
+def test_streaming_foreachbatch(spark, index_dir, tmp_path):
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(NEW, ["doc_id", "content"]).write.parquet(src)
+    stream = (spark.readStream.schema("doc_id long, content string")
+              .parquet(src))
+    q = attach_incremental_indexer(stream, index_dir, ckpt, config=CONFIG)
+    q.awaitTermination(120)
+    after = load_index(spark, index_dir)
+    assert after.n_docs == 22
