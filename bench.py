@@ -1,0 +1,134 @@
+"""Benchmark harness: headline engine metrics at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Covered: index build (files/sec), BM25 top-k exact + block-max, boolean+
+phrase search, whole-phrase headline generation per 1k docs, minhash dedup,
+embedding cosine top-k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main():
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("tsp-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(CPUS), 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pg_ts_semantic_headline_spark.operators import (
+        cosine_topk_arrow, minhash_lsh_dedup)
+    from pg_ts_semantic_headline_spark.plans.headline import ts_fast_headline
+    from pg_ts_semantic_headline_spark.plans.index_build import (
+        build_index, load_index)
+    from pg_ts_semantic_headline_spark.plans.query_compiler import (
+        phraseto_tspquery, to_tspquery)
+    from pg_ts_semantic_headline_spark.plans.search import (
+        bm25_topk, search, search_with_headlines)
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .selectExpr("doc_id", "text as content"))
+    n_files = docs.count()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    timings: dict[str, float] = {}
+    idx_dir = tempfile.mkdtemp(prefix="tsp_bench_idx_")
+    try:
+        t0 = time.time()
+        build_index(spark, docs, idx_dir, config="english",
+                    n_buckets=32, block_span=128, resume=False)
+        timings["index_build"] = time.time() - t0
+        index = load_index(spark, idx_dir)
+
+        queries = [
+            to_tspquery("english", "spark & window"),
+            to_tspquery("english", "batch | stream"),
+            phraseto_tspquery("english", "batch batch"),
+            phraseto_tspquery("english", "merge sort"),
+            to_tspquery("english", "filter<2>scan"),
+            to_tspquery("english", "query & !vector"),
+        ]
+
+        t0 = time.time()
+        for q in queries:
+            bm25_topk(index, q, k=10, mode="exact").collect()
+        timings["bm25_topk_exact_x6"] = time.time() - t0
+
+        t0 = time.time()
+        for q in queries:
+            bm25_topk(index, q, k=10, mode="blockmax").collect()
+        timings["bm25_topk_blockmax_x6"] = time.time() - t0
+
+        t0 = time.time()
+        for q in queries[:3]:
+            search(index, q, k=10).collect()
+        timings["boolean_phrase_search_x3"] = time.time() - t0
+
+        t0 = time.time()
+        rows = search_with_headlines(
+            index, phraseto_tspquery("english", "merge sort"), k=10).collect()
+        timings["search_with_headlines_k10"] = time.time() - t0
+
+        # headline throughput: every matching doc (ad-hoc fast path) —
+        # normalized to per-1k-docs
+        from pg_ts_semantic_headline_spark.plans.analyze import with_analysis
+        sample = docs.limit(1000).cache()
+        sample.count()
+        analyzed = with_analysis(sample, "content", "english")
+        t0 = time.time()
+        n_head = ts_fast_headline(
+            analyzed, phraseto_tspquery("english", "merge")).count()
+        timings["headline_per_1k_docs"] = time.time() - t0
+
+        t0 = time.time()
+        minhash_lsh_dedup(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+            threshold=0.5).count()
+        timings["dedup_minhash_lsh"] = time.time() - t0
+
+        qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        t0 = time.time()
+        cosine_topk_arrow(emb, qv, k=10).collect()
+        timings["embedding_cosine_topk"] = time.time() - t0
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    total = sum(timings.values())
+    out = {
+        "metric": "tsp_spark_bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "n_files": n_files,
+        "index_build_files_per_sec": round(n_files / timings["index_build"], 1),
+        "cpus": int(CPUS),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

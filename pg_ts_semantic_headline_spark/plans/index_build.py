@@ -23,7 +23,10 @@ one index directory:
 
 plus _manifest/ — per-stage, per-partition lineage rows (row counts,
 checksums, wall ms, input signature). A re-run with the same input signature
-skips completed stages: that is the checkpoint-resume contract.
+skips completed stages: that is the checkpoint-resume contract. Lineage
+aggregates are computed from the stage's pre-write DataFrame (cached), not
+by re-scanning written output — at corpus scale a read-back would double
+the build I/O.
 
 Shuffle budget: one shuffle to group (term, doc_id), one to write bucketed
 postings, one (term, block) grouping for packed blocks. Aggregations are all
@@ -170,26 +173,31 @@ def build_index(
     build_packed: bool = True,
 ) -> IndexPaths:
     """Batch index build; idempotent and stage-resumable."""
+    from pyspark import StorageLevel
+
     paths = IndexPaths(out_dir)
-    signature = _input_signature(docs, doc_id)
+    # the signature job exists to key resume decisions; skip it entirely for
+    # fresh (resume=False) builds
+    signature = _input_signature(docs, doc_id) if resume else (0, 0)
     done = _completed_stages(spark, paths, signature) if resume else set()
 
     analyzed = with_analysis(docs, content_col=content_col, config=config)
+    # content is dropped from the cached projection: the expensive tokenize
+    # runs exactly once, and every downstream stage reads the cache
     analyzed = analyzed.select(
         F.col(doc_id).alias("doc_id"),
-        F.col(content_col).alias("content"),
         "tokens", "lexemes",
         F.size(F.filter("lexemes", lambda x: x.isNotNull())).alias("dl"),
-        F.sha2(F.col(content_col), 256).alias("sha256"))
+        F.sha2(F.col(content_col), 256).alias("sha256"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # ---- stage: tokens (recall vectors + invariant column) ----
     if "tokens" not in done:
         t0 = time.time()
         tok = analyzed.select("doc_id", "tokens", "dl", "sha256")
         tok.write.mode("overwrite").parquet(paths.tokens)
-        written = spark.read.parquet(paths.tokens)
         _write_manifest(spark, paths, "tokens", signature,
-                        _lineage(written, F.spark_partition_id(), F.col("doc_id")),
+                        _lineage(tok, F.spark_partition_id(), F.col("doc_id")),
                         int((time.time() - t0) * 1000))
 
     # ---- stage: postings rows, bucketed by term hash ----
@@ -204,7 +212,8 @@ def build_index(
                          F.first("dl").alias("dl"))
                     .withColumn("bucket",
                                 F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-                                .cast("int")))
+                                .cast("int"))
+                    .persist(StorageLevel.MEMORY_AND_DISK))
 
     if "postings" not in done:
         t0 = time.time()
@@ -212,40 +221,45 @@ def build_index(
          .repartition(n_buckets, "bucket")
          .sortWithinPartitions("term", "doc_id")
          .write.mode("overwrite").partitionBy("bucket").parquet(paths.postings))
-        written = spark.read.parquet(paths.postings)
         _write_manifest(spark, paths, "postings", signature,
-                        _lineage(written, F.col("bucket").cast("long"),
+                        _lineage(per_term_doc, F.col("bucket").cast("long"),
                                  F.concat_ws("|", "term", "doc_id")),
                         int((time.time() - t0) * 1000))
 
     # ---- stage: terms dictionary + corpus stats ----
+    terms_mem = None
+    avgdl_mem = None
     if "terms" not in done:
         t0 = time.time()
         stats_row = analyzed.select(
             F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).first()
         n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"])
+        avgdl_mem = avgdl
         terms = (per_term_doc
                  .groupBy("term")
                  .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"),
                       F.first("bucket").alias("bucket"))
                  .withColumn("idf", idf_expr(F.col("df"), n_docs)))
+        terms_mem = terms
         terms.write.mode("overwrite").parquet(paths.terms)
         spark.createDataFrame(
             [(n_docs, avgdl, config, PREP_VERSION, n_buckets, block_span)],
             "n_docs long, avgdl double, config string, prep_version string,"
             " n_buckets int, block_span int",
         ).write.mode("overwrite").parquet(paths.stats)
-        written = spark.read.parquet(paths.terms)
         _write_manifest(spark, paths, "terms", signature,
-                        _lineage(written, F.spark_partition_id(), F.col("term")),
+                        _lineage(terms, F.lit(0).cast("long"), F.col("term")),
                         int((time.time() - t0) * 1000))
 
     # ---- stage: packed blocks (delta+varint, block-max metadata) ----
     if build_packed and "packed" not in done:
         t0 = time.time()
-        stats = spark.read.parquet(paths.stats).first()
-        avgdl = float(stats["avgdl"])
-        terms = spark.read.parquet(paths.terms).select("term", "idf")
+        if avgdl_mem is not None:
+            avgdl = avgdl_mem
+            terms = terms_mem.select("term", "idf")
+        else:
+            avgdl = float(spark.read.parquet(paths.stats).first()["avgdl"])
+            terms = spark.read.parquet(paths.terms).select("term", "idf")
         blocks = (per_term_doc
                   .join(terms, on="term")
                   .withColumn("block_id", F.floor(F.col("doc_id") / block_span))
@@ -261,6 +275,8 @@ def build_index(
                                  F.concat_ws("|", "term", "block_id")),
                         int((time.time() - t0) * 1000))
 
+    analyzed.unpersist()
+    per_term_doc.unpersist()
     return paths
 
 

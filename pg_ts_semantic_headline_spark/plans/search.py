@@ -97,9 +97,13 @@ def bm25_topk(
 
 def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
                         candidate_docs: DataFrame | None) -> DataFrame:
+    # meta and the pruned+scored postings are each touched by multiple
+    # passes (ub, θ seed, surviving-block filter, final rescore): cache them
+    # for the duration of the query.
     meta = (index.packed
             .where(F.col("term").isin(terms))
-            .select("term", "block_id", "max_impact"))
+            .select("term", "block_id", "max_impact")
+            .cache())
     # tiny: per-term global upper bounds
     ub_rows = meta.groupBy("term").agg(F.max("max_impact").alias("ub")).collect()
     ub = {r["term"]: float(r["ub"]) for r in ub_rows}
@@ -113,7 +117,7 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
         scored = scored.join(candidate_docs.select("doc_id"), on="doc_id",
                              how="left_semi")
     scored = scored.withColumn(
-        "block_id", F.floor(F.col("doc_id") / index.block_span))
+        "block_id", F.floor(F.col("doc_id") / index.block_span)).cache()
 
     # θ pass: exact partial scores over each term's densest blocks
     w = Window.partitionBy("term").orderBy(F.desc("max_impact"), "block_id")
@@ -139,10 +143,15 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
     cands = (scored.join(F.broadcast(surviving), ["term", "block_id"],
                          "left_semi")
              .select("doc_id").distinct())
-    return (scored.join(cands, on="doc_id", how="left_semi")
-            .groupBy("doc_id").agg(F.sum("score").alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k))
+    out = (scored.join(cands, on="doc_id", how="left_semi")
+           .groupBy("doc_id").agg(F.sum("score").alias("score"))
+           .orderBy(F.desc("score"), F.asc("doc_id"))
+           .limit(k))
+    rows = out.collect()
+    meta.unpersist()
+    scored.unpersist()
+    spark2 = index.postings.sparkSession
+    return spark2.createDataFrame(rows, "doc_id long, score double")
 
 
 def phrase_match_docs(index: Index, query: CompiledQuery) -> DataFrame:

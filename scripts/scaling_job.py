@@ -1,0 +1,62 @@
+"""Index-build throughput job for the two-parallelism scaling evidence.
+
+Run via spark-submit --py-files (see scripts/run_scaling.sh):
+    spark-submit --master local[N] --py-files pkg.zip \
+        scripts/scaling_job.py <sf_dir> <out_dir> <replicate>
+
+Replicates the documents table `replicate`× with distinct doc_ids
+(deterministic), builds the full index, and prints one JSON line with the
+build wall time and files/sec. JVM/session startup is excluded — the
+measured region is the index build only, which is what scales with
+executors.
+"""
+
+import json
+import shutil
+import sys
+import time
+
+
+def main():
+    sf_dir, out_dir, replicate = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    rep_len = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+
+    from pg_ts_semantic_headline_spark.plans.index_build import build_index
+
+    base = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .selectExpr("doc_id", "text as content"))
+    docs = (base
+            .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
+            .select((F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+                    # lengthen docs so per-doc analysis cost resembles real
+                    # source files rather than 300-char rows
+                    F.repeat(F.concat(F.col("content"), F.lit(" ")), rep_len)
+                    .alias("content"))
+            .repartition(cores * 3)
+            .cache())
+    n_files = docs.count()  # materialize input outside the timed region
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, docs, out_dir, config="english",
+                n_buckets=32, block_span=128, resume=False)
+    wall = time.time() - t0
+
+    print(json.dumps({
+        "cores": cores,
+        "n_files": n_files,
+        "build_sec": round(wall, 3),
+        "files_per_sec": round(n_files / wall, 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
