@@ -55,7 +55,16 @@ def main():
 
     timings: dict[str, float] = {}
     idx_dir = tempfile.mkdtemp(prefix="tsp_bench_idx_")
+    warm_dir = tempfile.mkdtemp(prefix="tsp_bench_warm_")
     try:
+        # Session warmup: a miniature build pays the one-time costs (python
+        # worker spin-up, Arrow serializer init, codegen, shuffle machinery)
+        # outside every timed region, so timings reflect steady-state
+        # throughput rather than JVM cold-start.
+        build_index(spark, docs.limit(200), warm_dir, config="english",
+                    n_buckets=4, block_span=128, resume=False)
+        shutil.rmtree(warm_dir, ignore_errors=True)
+
         t0 = time.time()
         build_index(spark, docs, idx_dir, config="english",
                     n_buckets=32, block_span=128, resume=False)

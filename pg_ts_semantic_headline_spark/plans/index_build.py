@@ -137,25 +137,33 @@ def _lineage(df: DataFrame, part_col, checksum_col) -> list:
 
 
 def _packing_kernel(avgdl: float):
+    """applyInPandas kernel keyed on (bucket, block_id): one pandas group per
+    doc-block per term-bucket (NOT per term — per-term grouping creates
+    vocabulary-many tiny groups and the per-group overhead dominates).
+    Memory per group is bounded by one doc-block's postings for 1/n_buckets
+    of the vocabulary."""
+
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
+        pdf = pdf.sort_values(["term", "doc_id"])
         bucket = int(pdf["bucket"].iloc[0])
         block_id = int(pdf["block_id"].iloc[0])
         base_doc = int(pdf["base_doc"].iloc[0])
-        idf = float(pdf["idf"].iloc[0])
-        tfs = pdf["tf"].tolist()
-        dls = pdf["dl"].tolist()
-        payload = pack_block(pdf["doc_id"].tolist(), tfs,
-                             pdf["positions"].tolist(), base_doc)
-        max_impact = max(
-            bm25_impact(tf, dl, idf, avgdl) for tf, dl in zip(tfs, dls))
-        return pd.DataFrame([{
-            "term": term, "bucket": bucket, "block_id": block_id,
-            "base_doc": base_doc, "n_docs": len(pdf),
-            "max_tf": int(max(tfs)), "max_impact": float(max_impact),
-            "payload": payload,
-        }])
+        out = []
+        for term, g in pdf.groupby("term", sort=False):
+            tfs = g["tf"].tolist()
+            dls = g["dl"].tolist()
+            idf = float(g["idf"].iloc[0])
+            payload = pack_block(g["doc_id"].tolist(), tfs,
+                                 g["positions"].tolist(), base_doc)
+            max_impact = max(
+                bm25_impact(tf, dl, idf, avgdl) for tf, dl in zip(tfs, dls))
+            out.append({
+                "term": term, "bucket": bucket, "block_id": block_id,
+                "base_doc": base_doc, "n_docs": len(g),
+                "max_tf": int(max(tfs)), "max_impact": float(max_impact),
+                "payload": payload,
+            })
+        return pd.DataFrame(out)
 
     return pack
 
@@ -171,8 +179,14 @@ def build_index(
     block_span: int = DEFAULT_BLOCK_SPAN,
     resume: bool = True,
     build_packed: bool = True,
+    min_analyze_partitions: int | None = None,
+    metrics: dict | None = None,
 ) -> IndexPaths:
-    """Batch index build; idempotent and stage-resumable."""
+    """Batch index build; idempotent and stage-resumable.
+
+    `metrics`, if given, is filled with per-stage wall seconds (same numbers
+    the manifest persists) — the build-job observability hook.
+    """
     from pyspark import StorageLevel
 
     paths = IndexPaths(out_dir)
@@ -180,6 +194,23 @@ def build_index(
     # fresh (resume=False) builds
     signature = _input_signature(docs, doc_id) if resume else (0, 0)
     done = _completed_stages(spark, paths, signature) if resume else set()
+    if metrics is None:
+        metrics = {}
+
+    # A small upstream file count must not serialize the expensive tokenize
+    # UDF: spread input across the cluster before analysis. (A 100 TB scan
+    # already arrives in thousands of splits; this guards the small-file /
+    # coalesced-scan case. inputFiles() is a metadata listing — cheap,
+    # unlike df.rdd which forces a full plan-to-RDD conversion.)
+    target_parts = (min_analyze_partitions
+                    if min_analyze_partitions is not None
+                    else spark.sparkContext.defaultParallelism * 2)
+    try:
+        few_splits = len(docs.inputFiles()) < target_parts
+    except Exception:
+        few_splits = True
+    if few_splits:
+        docs = docs.repartition(target_parts)
 
     analyzed = with_analysis(docs, content_col=content_col, config=config)
     # content is dropped from the cached projection: the expensive tokenize
@@ -192,10 +223,17 @@ def build_index(
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # ---- stage: tokens (recall vectors + invariant column) ----
+    corpus_obs = None
     if "tokens" not in done:
+        from pyspark.sql import Observation
         t0 = time.time()
+        corpus_obs = Observation("corpus_stats")
         tok = analyzed.select("doc_id", "tokens", "dl", "sha256")
-        tok.write.mode("overwrite").parquet(paths.tokens)
+        # corpus stats ride the same pass — no separate stats job
+        (tok.observe(corpus_obs, F.count(F.lit(1)).alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+         .write.mode("overwrite").parquet(paths.tokens))
+        metrics["tokens_sec"] = time.time() - t0
         _write_manifest(spark, paths, "tokens", signature,
                         _lineage(tok, F.spark_partition_id(), F.col("doc_id")),
                         int((time.time() - t0) * 1000))
@@ -221,6 +259,7 @@ def build_index(
          .repartition(n_buckets, "bucket")
          .sortWithinPartitions("term", "doc_id")
          .write.mode("overwrite").partitionBy("bucket").parquet(paths.postings))
+        metrics["postings_sec"] = time.time() - t0
         _write_manifest(spark, paths, "postings", signature,
                         _lineage(per_term_doc, F.col("bucket").cast("long"),
                                  F.concat_ws("|", "term", "doc_id")),
@@ -231,9 +270,13 @@ def build_index(
     avgdl_mem = None
     if "terms" not in done:
         t0 = time.time()
-        stats_row = analyzed.select(
-            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).first()
-        n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"])
+        if corpus_obs is not None:
+            got = corpus_obs.get
+            n_docs, avgdl = int(got["n_docs"]), float(got["avgdl"])
+        else:
+            stats_row = analyzed.select(
+                F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).first()
+            n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"])
         avgdl_mem = avgdl
         terms = (per_term_doc
                  .groupBy("term")
@@ -247,6 +290,7 @@ def build_index(
             "n_docs long, avgdl double, config string, prep_version string,"
             " n_buckets int, block_span int",
         ).write.mode("overwrite").parquet(paths.stats)
+        metrics["terms_sec"] = time.time() - t0
         _write_manifest(spark, paths, "terms", signature,
                         _lineage(terms, F.lit(0).cast("long"), F.col("term")),
                         int((time.time() - t0) * 1000))
@@ -264,11 +308,12 @@ def build_index(
                   .join(terms, on="term")
                   .withColumn("block_id", F.floor(F.col("doc_id") / block_span))
                   .withColumn("base_doc", F.col("block_id") * block_span))
-        packed = blocks.groupBy("term", "block_id").applyInPandas(
+        packed = blocks.groupBy("bucket", "block_id").applyInPandas(
             _packing_kernel(avgdl), schema=PACKED_SCHEMA)
         (packed.repartition(n_buckets, "bucket")
          .sortWithinPartitions("term", "block_id")
          .write.mode("overwrite").partitionBy("bucket").parquet(paths.packed))
+        metrics["packed_sec"] = time.time() - t0
         written = spark.read.parquet(paths.packed)
         _write_manifest(spark, paths, "packed", signature,
                         _lineage(written, F.col("bucket").cast("long"),

@@ -47,13 +47,11 @@ def _pruned_postings(index: Index, terms: list[str]) -> DataFrame:
     because bucket = pmod(xxhash64(term), NB) folds to literals."""
     if not terms:
         return index.postings.where(F.lit(False))
-    # bucket literals computed driver-side from the same hash -> parquet
-    # directory-partition pruning on the scan
-    spark = index.postings.sparkSession
-    buckets = sorted({int(r["b"]) for r in spark.createDataFrame(
-        [(t,) for t in terms], "term string")
-        .select(F.pmod(F.xxhash64("term"), F.lit(index.n_buckets))
-                .cast("int").alias("b")).collect()})
+    # bucket literals computed driver-side with a bit-identical Python
+    # xxhash64 (no Spark job) -> parquet directory-partition pruning on the
+    # scan
+    from ..functions.xxhash import term_bucket
+    buckets = sorted({term_bucket(t, index.n_buckets) for t in terms})
     return (index.postings
             .where(F.col("bucket").isin(buckets))
             .where(F.col("term").isin(terms)))
@@ -95,16 +93,24 @@ def bm25_topk(
             .limit(k))
 
 
+def _packed_meta(index: Index, terms: list[str]) -> DataFrame:
+    """Bucket-pruned block metadata scan for the query terms (tiny: three
+    columns, parquet column pruning drops the payload)."""
+    from ..functions.xxhash import term_bucket
+    buckets = sorted({term_bucket(t, index.n_buckets) for t in terms})
+    return (index.packed
+            .where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(terms))
+            .select("term", "block_id", "max_impact"))
+
 def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
                         candidate_docs: DataFrame | None) -> DataFrame:
-    # meta and the pruned+scored postings are each touched by multiple
-    # passes (ub, θ seed, surviving-block filter, final rescore): cache them
-    # for the duration of the query.
-    meta = (index.packed
-            .where(F.col("term").isin(terms))
-            .select("term", "block_id", "max_impact")
-            .cache())
-    # tiny: per-term global upper bounds
+    """Three Spark jobs total: (A) per-term upper bounds, (B) θ seed pass,
+    (C) surviving-block rescore. Everything else stays driver-side — per-job
+    fixed cost dominates interactive query latency, so the job count IS the
+    latency budget."""
+    meta = _packed_meta(index, terms)
+    # job A (tiny): per-term global upper bounds
     ub_rows = meta.groupBy("term").agg(F.max("max_impact").alias("ub")).collect()
     ub = {r["term"]: float(r["ub"]) for r in ub_rows}
     if not ub:
@@ -119,7 +125,7 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
     scored = scored.withColumn(
         "block_id", F.floor(F.col("doc_id") / index.block_span)).cache()
 
-    # θ pass: exact partial scores over each term's densest blocks
+    # job B: θ pass — exact partial scores over each term's densest blocks
     w = Window.partitionBy("term").orderBy(F.desc("max_impact"), "block_id")
     seed_blocks = (meta.withColumn("_rn", F.row_number().over(w))
                    .where(F.col("_rn") <= max(1, (k + index.block_span - 1)
@@ -132,7 +138,8 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
     seed_rows = seed_scores.collect()
     theta = float(seed_rows[-1]["score"]) if len(seed_rows) == k else 0.0
 
-    # survive: blockmax(t,b) + Σ_{t'≠t} ub(t') ≥ θ
+    # job C: survive iff blockmax(t,b) + Σ_{t'≠t} ub(t') ≥ θ, then exact
+    # rescore of every doc in a surviving block
     spark = index.postings.sparkSession
     ub_df = spark.createDataFrame(list(ub.items()), "term string, ub double")
     surviving = (meta.join(F.broadcast(ub_df), on="term")
@@ -148,10 +155,8 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
            .orderBy(F.desc("score"), F.asc("doc_id"))
            .limit(k))
     rows = out.collect()
-    meta.unpersist()
     scored.unpersist()
-    spark2 = index.postings.sparkSession
-    return spark2.createDataFrame(rows, "doc_id long, score double")
+    return spark.createDataFrame(rows, "doc_id long, score double")
 
 
 def phrase_match_docs(index: Index, query: CompiledQuery) -> DataFrame:

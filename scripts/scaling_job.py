@@ -43,6 +43,15 @@ def main():
             .cache())
     n_files = docs.count()  # materialize input outside the timed region
 
+    # Session warmup build: pays one-time python-worker/codegen/shuffle
+    # machinery costs before the timed region — both parallelism levels pay
+    # the same fixed cost, so excluding it isolates the quantity that
+    # actually scales with executors.
+    shutil.rmtree(out_dir + "_warm", ignore_errors=True)
+    build_index(spark, base.limit(200), out_dir + "_warm",
+                config="english", n_buckets=4, block_span=128, resume=False)
+    shutil.rmtree(out_dir + "_warm", ignore_errors=True)
+
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
     build_index(spark, docs, out_dir, config="english",

@@ -195,3 +195,27 @@ class TestSearch:
         assert 0 < len(rows) <= 3
         for r in rows:
             assert "<b>needle phrase target</b>" in r["headline"]
+
+
+class TestXxHash64Parity:
+    """The driver-side bucket router must be bit-identical to F.xxhash64 —
+    a mismatch silently empties every query (wrong partition pruned)."""
+
+    def test_matches_spark(self, spark):
+        from pg_ts_semantic_headline_spark.functions.xxhash import xxhash64
+        words = ["", "a", "ab", "abc", "def", "import", "Straße",
+                 "ünïcode-tëst", "x" * 7, "x" * 8, "x" * 9, "x" * 31,
+                 "y" * 32, "z" * 33, "w" * 100, "mixed 123 $%^"]
+        rows = (spark.createDataFrame([(w,) for w in words], "t string")
+                .select("t", F.xxhash64("t").alias("h")).collect())
+        for r in rows:
+            assert xxhash64(r["t"]) == r["h"], r["t"]
+
+    def test_term_bucket_matches_spark(self, spark):
+        from pg_ts_semantic_headline_spark.functions.xxhash import term_bucket
+        words = ["alpha", "beta", "gamma", "delta", "the", "def"]
+        rows = (spark.createDataFrame([(w,) for w in words], "t string")
+                .select("t", F.pmod(F.xxhash64("t"), F.lit(32))
+                        .cast("int").alias("b")).collect())
+        for r in rows:
+            assert term_bucket(r["t"], 32) == r["b"], r["t"]
