@@ -12,9 +12,9 @@ one index directory:
              query's term lookup prunes to a handful of files; doc length is
              denormalized to kill the docstats join at query time
 - packed/    bucket=<b>/ term, block_id, base_doc, n_docs, max_tf,
-             max_impact, payload binary — delta+varint compressed blocks of
-             128 docs each (doc-contiguous), with per-block max BM25 impact
-             for block-max pruning
+             max_tf_norm, payload binary — delta+varint compressed blocks of
+             128 docs each (doc-contiguous), with the idf-free per-block
+             impact bound for block-max pruning (impact = idf · max_tf_norm)
 - terms/     term, bucket, df, cf, idf — the dictionary
 - stats/     n_docs, avgdl, config, prep_version — corpus stats + the
              engine's analog of the reference's TSPVector marker domain
@@ -24,14 +24,19 @@ one index directory:
 plus _manifest/ — per-stage, per-partition lineage rows (row counts,
 checksums, wall ms, input signature). A re-run with the same input signature
 skips completed stages: that is the checkpoint-resume contract. Lineage
-aggregates are computed from the stage's pre-write DataFrame (cached), not
-by re-scanning written output — at corpus scale a read-back would double
-the build I/O.
+costs no second scan of any stage output: per-file row counts come from
+parquet footers (driver-side metadata read) and the global checksum rides
+the write pass itself via Observation — at corpus scale a read-back would
+double the build I/O.
 
-Shuffle budget: one shuffle to group (term, doc_id), one to write bucketed
-postings, one (term, block) grouping for packed blocks. Aggregations are all
-partial-aggregate-friendly; keys include doc_id or block_id, so hot terms
-("def", "the") spread across reducers instead of hammering one.
+Shuffle budget: the per-(term, doc) aggregation happens doc-locally inside
+the analysis UDF (map-side combine) — no shuffle ever carries one row per
+token occurrence. The shuffles that remain move one compact row per
+(term, doc): ONE bucket repartition whose sorted layout feeds both the
+postings write and (shuffle-free, via mapInPandas over contiguous runs)
+the packed-block stage, plus the small terms-dictionary aggregation
+(partial+final). Sort keys carry doc_id, so hot terms ("def", "the")
+spread across reducers instead of hammering one.
 """
 
 from __future__ import annotations
@@ -45,7 +50,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
                                StringType, StructField, StructType)
 
-from .analyze import with_analysis
 from .packing import pack_block
 
 K1 = 1.2
@@ -60,7 +64,11 @@ PACKED_SCHEMA = StructType([
     StructField("base_doc", LongType(), False),
     StructField("n_docs", IntegerType(), False),
     StructField("max_tf", IntegerType(), False),
-    StructField("max_impact", DoubleType(), False),
+    # idf-free impact bound: max over the block's docs of
+    # tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)). True block-max BM25 impact =
+    # idf(term) · max_tf_norm — the query path multiplies by idf, so the
+    # BUILD never needs the terms dictionary (no join, no broadcast).
+    StructField("max_tf_norm", DoubleType(), False),
     StructField("payload", BinaryType(), False),
 ])
 
@@ -136,34 +144,91 @@ def _lineage(df: DataFrame, part_col, checksum_col) -> list:
     return [(r["p"], r["c"], r["h"]) for r in rows]
 
 
-def _packing_kernel(avgdl: float):
-    """applyInPandas kernel keyed on (bucket, block_id): one pandas group per
-    doc-block per term-bucket (NOT per term — per-term grouping creates
-    vocabulary-many tiny groups and the per-group overhead dominates).
-    Memory per group is bounded by one doc-block's postings for 1/n_buckets
-    of the vocabulary."""
+def _checksum_observation(name: str, checksum_col):
+    """Global (row_count, xor-of-xxhash64) riding the write action itself —
+    lineage without a second scan of the stage output."""
+    from pyspark.sql import Observation
+    obs = Observation(name)
+    return obs, [F.count(F.lit(1)).alias("c"),
+                 F.coalesce(F.bit_xor(F.xxhash64(checksum_col)),
+                            F.lit(0)).alias("h")]
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["term", "doc_id"])
-        bucket = int(pdf["bucket"].iloc[0])
-        block_id = int(pdf["block_id"].iloc[0])
-        base_doc = int(pdf["base_doc"].iloc[0])
-        out = []
-        for term, g in pdf.groupby("term", sort=False):
-            tfs = g["tf"].tolist()
-            dls = g["dl"].tolist()
-            idf = float(g["idf"].iloc[0])
-            payload = pack_block(g["doc_id"].tolist(), tfs,
-                                 g["positions"].tolist(), base_doc)
-            max_impact = max(
-                bm25_impact(tf, dl, idf, avgdl) for tf, dl in zip(tfs, dls))
-            out.append({
-                "term": term, "bucket": bucket, "block_id": block_id,
-                "base_doc": base_doc, "n_docs": len(g),
-                "max_tf": int(max(tfs)), "max_impact": float(max_impact),
-                "payload": payload,
-            })
-        return pd.DataFrame(out)
+
+def _file_lineage(spark: SparkSession, out_path: str, observation,
+                  count_key: str = "c", hash_key: str = "h",
+                  fallback_df: DataFrame = None,
+                  fallback_checksum_col=None) -> list:
+    """Per-partition lineage rows: per-file row counts from parquet FOOTERS
+    (a driver-side metadata read — no data scan, no extra Spark job) plus
+    one global row (partition_id = -1) carrying the observed checksum of the
+    write pass. Falls back to an aggregation job for non-local filesystems."""
+    rows = []
+    try:
+        files = sorted(spark.read.parquet(out_path).inputFiles())
+        import pyarrow.parquet as pq
+        for i, f in enumerate(files):
+            local = f[len("file:"):] if f.startswith("file:") else f
+            rows.append((i, pq.ParquetFile(local).metadata.num_rows, 0))
+    except Exception:
+        if fallback_df is not None:
+            return _lineage(fallback_df, F.spark_partition_id(),
+                            fallback_checksum_col)
+        rows = []
+    got = observation.get
+    rows.append((-1, int(got[count_key]), int(got[hash_key])))
+    return rows
+
+
+def _pack_runs(pdf: pd.DataFrame, avgdl: float, block_span: int) -> pd.DataFrame:
+    """Pack every (term, block) run in a frame already sorted by
+    (term, doc_id). Pure numpy/pandas; no idf needed (max_tf_norm bound)."""
+    import numpy as np
+
+    out = []
+    pdf = pdf.reset_index(drop=True)
+    block_ids = (pdf["doc_id"] // block_span).to_numpy()
+    for (term, block_id), g in pdf.groupby(
+            ["term", block_ids], sort=False):
+        tfs = g["tf"].to_numpy()
+        dls = g["dl"].to_numpy(dtype=float)
+        base_doc = int(block_id) * block_span
+        payload = pack_block(g["doc_id"].to_numpy(), tfs,
+                             g["positions"].tolist(), base_doc)
+        norms = (tfs * (K1 + 1)) / (tfs + K1 * (1 - B + B * dls / avgdl))
+        out.append({
+            "term": term, "bucket": int(g["bucket"].iloc[0]),
+            "block_id": int(block_id), "base_doc": base_doc,
+            "n_docs": len(g), "max_tf": int(tfs.max()),
+            "max_tf_norm": float(np.max(norms)), "payload": payload,
+        })
+    return pd.DataFrame(out, columns=[
+        "term", "bucket", "block_id", "base_doc", "n_docs", "max_tf",
+        "max_tf_norm", "payload"])
+
+
+def _streaming_packer(avgdl: float, block_span: int):
+    """mapInPandas kernel over bucket-partitioned, (term, doc_id)-sorted
+    postings rows — the SAME physical layout the postings write produces, so
+    packing adds ZERO shuffles: every (term, block) run is contiguous within
+    the partition; only the open tail run is carried across Arrow batches."""
+
+    def pack(batches):
+        carry = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            last_term = pdf["term"].iloc[-1]
+            last_block = int(pdf["doc_id"].iloc[-1]) // block_span
+            tail = (pdf["term"] == last_term) & \
+                   (pdf["doc_id"] // block_span == last_block)
+            emit = pdf[~tail]
+            carry = pdf[tail]
+            if not emit.empty:
+                yield _pack_runs(emit, avgdl, block_span)
+        if carry is not None and not carry.empty:
+            yield _pack_runs(carry, avgdl, block_span)
 
     return pack
 
@@ -212,15 +277,21 @@ def build_index(
     if few_splits:
         docs = docs.repartition(target_parts)
 
-    analyzed = with_analysis(docs, content_col=content_col, config=config)
-    # content is dropped from the cached projection: the expensive tokenize
-    # runs exactly once, and every downstream stage reads the cache
-    analyzed = analyzed.select(
-        F.col(doc_id).alias("doc_id"),
-        "tokens", "lexemes",
-        F.size(F.filter("lexemes", lambda x: x.isNotNull())).alias("dl"),
-        F.sha2(F.col(content_col), 256).alias("sha256"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from .analyze import analyze_index_udf
+
+    # Single-pass analysis: tokens + dl + doc-local postings in one Arrow
+    # roundtrip; content is dropped from the cached projection, so the
+    # expensive tokenize runs exactly once and every downstream stage reads
+    # the compact cache (no raw lexeme stream is ever cached or shuffled)
+    analyzed = (docs
+                .withColumn("_a", analyze_index_udf(
+                    F.col(content_col), F.lit(config)))
+                .select(F.col(doc_id).alias("doc_id"),
+                        F.col("_a.tokens").alias("tokens"),
+                        F.col("_a.dl").alias("dl"),
+                        F.col("_a.postings").alias("postings"),
+                        F.sha2(F.col(content_col), 256).alias("sha256"))
+                .persist(StorageLevel.MEMORY_AND_DISK))
 
     # ---- stage: tokens (recall vectors + invariant column) ----
     corpus_obs = None
@@ -229,44 +300,64 @@ def build_index(
         t0 = time.time()
         corpus_obs = Observation("corpus_stats")
         tok = analyzed.select("doc_id", "tokens", "dl", "sha256")
-        # corpus stats ride the same pass — no separate stats job
+        # corpus stats AND the lineage checksum ride the same pass — no
+        # separate stats or lineage scan
         (tok.observe(corpus_obs, F.count(F.lit(1)).alias("n_docs"),
-                     F.avg("dl").alias("avgdl"))
+                     F.avg("dl").alias("avgdl"),
+                     F.coalesce(F.bit_xor(F.xxhash64("doc_id")),
+                                F.lit(0)).alias("h"))
          .write.mode("overwrite").parquet(paths.tokens))
         metrics["tokens_sec"] = time.time() - t0
+        t1 = time.time()
         _write_manifest(spark, paths, "tokens", signature,
-                        _lineage(tok, F.spark_partition_id(), F.col("doc_id")),
+                        _file_lineage(spark, paths.tokens, corpus_obs,
+                                      count_key="n_docs",
+                                      fallback_df=tok,
+                                      fallback_checksum_col=F.col("doc_id")),
                         int((time.time() - t0) * 1000))
+        metrics["tokens_lineage_sec"] = time.time() - t1
 
     # ---- stage: postings rows, bucketed by term hash ----
-    lex = (analyzed
-           .select("doc_id", "dl", F.posexplode("lexemes").alias("pos0", "term"))
-           .where(F.col("term").isNotNull())
-           .select("doc_id", "dl", "term", (F.col("pos0") + 1).alias("pos")))
-    per_term_doc = (lex
-                    .groupBy("term", "doc_id")
-                    .agg(F.count("*").alias("tf"),
-                         F.sort_array(F.collect_list("pos")).alias("positions"),
-                         F.first("dl").alias("dl"))
+    # per-(term, doc) aggregation happened doc-locally inside the analysis
+    # UDF (map-side combine): no shuffle ever carries one-row-per-token —
+    # the downstream shuffles move one compact row per (term, doc)
+    per_term_doc = (analyzed
+                    .select("doc_id", "dl", F.explode("postings").alias("p"))
+                    .select("doc_id", "dl",
+                            F.col("p.term").alias("term"),
+                            F.col("p.tf").alias("tf"),
+                            F.col("p.positions").alias("positions"))
                     .withColumn("bucket",
                                 F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-                                .cast("int"))
-                    .persist(StorageLevel.MEMORY_AND_DISK))
+                                .cast("int")))
+
+    # ONE shuffle produces the physical layout both the postings table and
+    # the packed blocks need (bucket-partitioned, sorted by term, doc_id);
+    # persisting it lets the packed stage run shuffle-free off the same
+    # partitions
+    bucketed = (per_term_doc
+                .repartition(n_buckets, "bucket")
+                .sortWithinPartitions("term", "doc_id")
+                .persist(StorageLevel.MEMORY_AND_DISK))
 
     if "postings" not in done:
         t0 = time.time()
-        (per_term_doc
-         .repartition(n_buckets, "bucket")
-         .sortWithinPartitions("term", "doc_id")
+        post_obs, post_aggs = _checksum_observation(
+            "postings_lineage", F.concat_ws("|", "term", "doc_id"))
+        (bucketed
+         .observe(post_obs, *post_aggs)
          .write.mode("overwrite").partitionBy("bucket").parquet(paths.postings))
         metrics["postings_sec"] = time.time() - t0
+        t1 = time.time()
         _write_manifest(spark, paths, "postings", signature,
-                        _lineage(per_term_doc, F.col("bucket").cast("long"),
-                                 F.concat_ws("|", "term", "doc_id")),
+                        _file_lineage(spark, paths.postings, post_obs,
+                                      fallback_df=per_term_doc,
+                                      fallback_checksum_col=F.concat_ws(
+                                          "|", "term", "doc_id")),
                         int((time.time() - t0) * 1000))
+        metrics["postings_lineage_sec"] = time.time() - t1
 
     # ---- stage: terms dictionary + corpus stats ----
-    terms_mem = None
     avgdl_mem = None
     if "terms" not in done:
         t0 = time.time()
@@ -278,50 +369,57 @@ def build_index(
                 F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).first()
             n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"])
         avgdl_mem = avgdl
-        terms = (per_term_doc
+        terms = (bucketed
                  .groupBy("term")
                  .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"),
                       F.first("bucket").alias("bucket"))
                  .withColumn("idf", idf_expr(F.col("df"), n_docs)))
-        terms_mem = terms
-        terms.write.mode("overwrite").parquet(paths.terms)
+        term_obs, term_aggs = _checksum_observation(
+            "terms_lineage", F.col("term"))
+        terms.observe(term_obs, *term_aggs) \
+            .write.mode("overwrite").parquet(paths.terms)
         spark.createDataFrame(
             [(n_docs, avgdl, config, PREP_VERSION, n_buckets, block_span)],
             "n_docs long, avgdl double, config string, prep_version string,"
             " n_buckets int, block_span int",
         ).write.mode("overwrite").parquet(paths.stats)
         metrics["terms_sec"] = time.time() - t0
+        t1 = time.time()
         _write_manifest(spark, paths, "terms", signature,
-                        _lineage(terms, F.lit(0).cast("long"), F.col("term")),
+                        _file_lineage(spark, paths.terms, term_obs,
+                                      fallback_df=terms,
+                                      fallback_checksum_col=F.col("term")),
                         int((time.time() - t0) * 1000))
+        metrics["terms_lineage_sec"] = time.time() - t1
 
     # ---- stage: packed blocks (delta+varint, block-max metadata) ----
     if build_packed and "packed" not in done:
         t0 = time.time()
         if avgdl_mem is not None:
             avgdl = avgdl_mem
-            terms = terms_mem.select("term", "idf")
         else:
             avgdl = float(spark.read.parquet(paths.stats).first()["avgdl"])
-            terms = spark.read.parquet(paths.terms).select("term", "idf")
-        blocks = (per_term_doc
-                  .join(terms, on="term")
-                  .withColumn("block_id", F.floor(F.col("doc_id") / block_span))
-                  .withColumn("base_doc", F.col("block_id") * block_span))
-        packed = blocks.groupBy("bucket", "block_id").applyInPandas(
-            _packing_kernel(avgdl), schema=PACKED_SCHEMA)
-        (packed.repartition(n_buckets, "bucket")
-         .sortWithinPartitions("term", "block_id")
+        # mapInPandas over the SAME bucket-sorted partitions the postings
+        # write used: every (term, block) run is contiguous — no groupBy
+        # shuffle, no terms join (max_tf_norm is idf-free), no repartition
+        packed = bucketed.select(
+            "term", "bucket", "doc_id", "tf", "dl", "positions"
+        ).mapInPandas(_streaming_packer(avgdl, block_span),
+                      schema=PACKED_SCHEMA)
+        pack_obs, pack_aggs = _checksum_observation(
+            "packed_lineage", F.concat_ws("|", "term", "block_id"))
+        (packed
+         .observe(pack_obs, *pack_aggs)
          .write.mode("overwrite").partitionBy("bucket").parquet(paths.packed))
         metrics["packed_sec"] = time.time() - t0
-        written = spark.read.parquet(paths.packed)
+        t1 = time.time()
         _write_manifest(spark, paths, "packed", signature,
-                        _lineage(written, F.col("bucket").cast("long"),
-                                 F.concat_ws("|", "term", "block_id")),
+                        _file_lineage(spark, paths.packed, pack_obs),
                         int((time.time() - t0) * 1000))
+        metrics["packed_lineage_sec"] = time.time() - t1
 
     analyzed.unpersist()
-    per_term_doc.unpersist()
+    bucketed.unpersist()
     return paths
 
 

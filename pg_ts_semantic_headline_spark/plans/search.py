@@ -95,13 +95,15 @@ def bm25_topk(
 
 def _packed_meta(index: Index, terms: list[str]) -> DataFrame:
     """Bucket-pruned block metadata scan for the query terms (tiny: three
-    columns, parquet column pruning drops the payload)."""
+    columns, parquet column pruning drops the payload). max_tf_norm is the
+    idf-free bound stored at build time; true block-max impact =
+    idf(term) · max_tf_norm, computed here where idf is a tiny lookup."""
     from ..functions.xxhash import term_bucket
     buckets = sorted({term_bucket(t, index.n_buckets) for t in terms})
     return (index.packed
             .where(F.col("bucket").isin(buckets))
             .where(F.col("term").isin(terms))
-            .select("term", "block_id", "max_impact"))
+            .select("term", "block_id", "max_tf_norm"))
 
 def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
                         candidate_docs: DataFrame | None) -> DataFrame:
@@ -110,9 +112,17 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
     fixed cost dominates interactive query latency, so the job count IS the
     latency budget."""
     meta = _packed_meta(index, terms)
-    # job A (tiny): per-term global upper bounds
-    ub_rows = meta.groupBy("term").agg(F.max("max_impact").alias("ub")).collect()
+    idf_df = (index.terms.where(F.col("term").isin(terms))
+              .select("term", "idf"))
+    # job A (tiny): per-term global upper bounds ub = idf · max(max_tf_norm)
+    ub_rows = (meta.groupBy("term")
+               .agg(F.max("max_tf_norm").alias("ubn"))
+               .join(idf_df, on="term")
+               .select("term", (F.col("idf") * F.col("ubn")).alias("ub"),
+                       "idf")
+               .collect())
     ub = {r["term"]: float(r["ub"]) for r in ub_rows}
+    idf_by_term = {r["term"]: float(r["idf"]) for r in ub_rows}
     if not ub:
         spark = index.postings.sparkSession
         return spark.createDataFrame([], "doc_id long, score double")
@@ -126,7 +136,9 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
         "block_id", F.floor(F.col("doc_id") / index.block_span)).cache()
 
     # job B: θ pass — exact partial scores over each term's densest blocks
-    w = Window.partitionBy("term").orderBy(F.desc("max_impact"), "block_id")
+    # per-term ordering by max_tf_norm == ordering by impact (idf is a
+    # per-term constant)
+    w = Window.partitionBy("term").orderBy(F.desc("max_tf_norm"), "block_id")
     seed_blocks = (meta.withColumn("_rn", F.row_number().over(w))
                    .where(F.col("_rn") <= max(1, (k + index.block_span - 1)
                                               // index.block_span + 1))
@@ -141,10 +153,12 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
     # job C: survive iff blockmax(t,b) + Σ_{t'≠t} ub(t') ≥ θ, then exact
     # rescore of every doc in a surviving block
     spark = index.postings.sparkSession
-    ub_df = spark.createDataFrame(list(ub.items()), "term string, ub double")
+    ub_df = spark.createDataFrame(
+        [(t, ub[t], idf_by_term[t]) for t in ub],
+        "term string, ub double, idf double")
     surviving = (meta.join(F.broadcast(ub_df), on="term")
-                 .where(F.col("max_impact") + F.lit(total_ub) - F.col("ub")
-                        >= F.lit(theta))
+                 .where(F.col("idf") * F.col("max_tf_norm")
+                        + F.lit(total_ub) - F.col("ub") >= F.lit(theta))
                  .select("term", "block_id").distinct())
 
     cands = (scored.join(F.broadcast(surviving), ["term", "block_id"],

@@ -23,7 +23,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.analyze import with_analysis
 from ..plans.index_build import IndexPaths, idf_expr
 
 
@@ -40,24 +39,25 @@ def merge_batch(
     stats = spark.read.parquet(paths.stats).first()
     n_buckets = int(stats["n_buckets"])
 
-    analyzed = with_analysis(batch_docs, content_col=content_col, config=config)
-    analyzed = analyzed.select(
-        F.col(doc_id).alias("doc_id"),
-        "tokens", "lexemes",
-        F.size(F.filter("lexemes", lambda x: x.isNotNull())).alias("dl"),
-        F.sha2(F.col(content_col), 256).alias("sha256"))
+    from ..plans.analyze import analyze_index_udf
+    analyzed = (batch_docs
+                .withColumn("_a", analyze_index_udf(
+                    F.col(content_col), F.lit(config)))
+                .select(F.col(doc_id).alias("doc_id"),
+                        F.col("_a.tokens").alias("tokens"),
+                        F.col("_a.dl").alias("dl"),
+                        F.col("_a.postings").alias("postings"),
+                        F.sha2(F.col(content_col), 256).alias("sha256")))
 
     analyzed.select("doc_id", "tokens", "dl", "sha256") \
         .write.mode("append").parquet(paths.tokens)
 
-    lex = (analyzed
-           .select("doc_id", "dl", F.posexplode("lexemes").alias("pos0", "term"))
-           .where(F.col("term").isNotNull())
-           .select("doc_id", "dl", "term", (F.col("pos0") + 1).alias("pos")))
-    batch_postings = (lex.groupBy("term", "doc_id")
-                      .agg(F.count("*").alias("tf"),
-                           F.sort_array(F.collect_list("pos")).alias("positions"),
-                           F.first("dl").alias("dl"))
+    batch_postings = (analyzed
+                      .select("doc_id", "dl", F.explode("postings").alias("p"))
+                      .select("doc_id", "dl",
+                              F.col("p.term").alias("term"),
+                              F.col("p.tf").alias("tf"),
+                              F.col("p.positions").alias("positions"))
                       .withColumn("bucket",
                                   F.pmod(F.xxhash64("term"), F.lit(n_buckets))
                                   .cast("int")))

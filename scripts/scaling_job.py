@@ -17,6 +17,33 @@ import sys
 import time
 
 
+def host_cpu_probe(procs: int, seconds: float = 6.0) -> float:
+    """Aggregate pure-CPU throughput of `procs` busy python processes —
+    measures what the (steal-prone) host can actually deliver at this
+    parallelism in THIS window, independent of Spark. The ratio
+    probe(32)/probe(8) is the physical ceiling any 8→32 scaling
+    measurement must be read against."""
+    import multiprocessing as mp
+
+    def spin(q, t_end):
+        x, n = 0, 0
+        while time.time() < t_end:
+            for _ in range(100000):
+                x = (x * 1103515245 + 12345) % (2 ** 31)
+            n += 1
+        q.put(n)
+
+    q = mp.Queue()
+    t_end = time.time() + seconds
+    ps = [mp.Process(target=spin, args=(q, t_end)) for _ in range(procs)]
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return total / seconds
+
+
 def main():
     sf_dir, out_dir, replicate = sys.argv[1], sys.argv[2], int(sys.argv[3])
     rep_len = int(sys.argv[4]) if len(sys.argv) > 4 else 1
@@ -53,9 +80,11 @@ def main():
     shutil.rmtree(out_dir + "_warm", ignore_errors=True)
 
     shutil.rmtree(out_dir, ignore_errors=True)
+    metrics = {}
     t0 = time.time()
     build_index(spark, docs, out_dir, config="english",
-                n_buckets=32, block_span=128, resume=False)
+                n_buckets=32, block_span=128, resume=False,
+                metrics=metrics)
     wall = time.time() - t0
 
     print(json.dumps({
@@ -63,6 +92,8 @@ def main():
         "n_files": n_files,
         "build_sec": round(wall, 3),
         "files_per_sec": round(n_files / wall, 2),
+        "host_cpu_units_per_sec": round(host_cpu_probe(cores), 1),
+        "stages": {k: round(v, 2) for k, v in metrics.items()},
     }))
     spark.stop()
 

@@ -219,3 +219,95 @@ class TestXxHash64Parity:
                         .cast("int").alias("b")).collect())
         for r in rows:
             assert term_bucket(r["t"], 32) == r["b"], r["t"]
+
+
+class TestVectorizedPackingParity:
+    """The numpy varint encoder must be byte-identical to the scalar
+    reference implementation — payload format is the on-disk contract."""
+
+    def test_pack_block_byte_identity(self):
+        import random
+
+        import numpy as np
+
+        from pg_ts_semantic_headline_spark.plans.packing import (
+            encode_varints, encode_varints_np, pack_block, unpack_block)
+
+        def pack_scalar(doc_ids, tfs, positions_lists, base_doc):
+            out = bytearray()
+            encode_varints([len(doc_ids)], out)
+            prev = base_doc
+            deltas = []
+            for d in doc_ids:
+                deltas.append(d - prev)
+                prev = d
+            encode_varints(deltas, out)
+            encode_varints(tfs, out)
+            for poss in positions_lists:
+                encode_varints([len(poss)], out)
+                prev_p = 0
+                pdeltas = []
+                for p in poss:
+                    pdeltas.append(p - prev_p)
+                    prev_p = p
+                encode_varints(pdeltas, out)
+            return bytes(out)
+
+        rng = random.Random(7)
+        for trial in range(50):
+            base = rng.randrange(0, 10 ** 9) * 128
+            n = rng.randrange(1, 60)
+            ids = sorted(rng.sample(range(base, base + 128), n))
+            tfs = [rng.randrange(1, 300) for _ in range(n)]
+            poss = [sorted(rng.sample(range(1, 20000), tf)) for tf in tfs]
+            assert pack_block(ids, tfs, poss, base) == \
+                pack_scalar(ids, tfs, poss, base), trial
+            assert unpack_block(pack_block(ids, tfs, poss, base), base) == \
+                (ids, tfs, poss), trial
+        for _ in range(20):
+            vals = [rng.randrange(0, 2 ** rng.randrange(1, 63))
+                    for _ in range(rng.randrange(0, 500))]
+            out = bytearray()
+            encode_varints(vals, out)
+            assert bytes(out) == encode_varints_np(np.array(vals, np.int64))
+
+
+class TestFusedAnalysisConsistency:
+    """The index build derives postings from the fused analyze_index_udf;
+    the ad-hoc query path derives positions from with_analysis lexemes.
+    They must agree exactly, or index-path and ad-hoc-path results diverge."""
+
+    def test_postings_match_lexeme_positions(self, spark):
+        from pg_ts_semantic_headline_spark.plans.analyze import (
+            analyze_index_udf, with_analysis)
+
+        rows = [
+            (1, "The quick-brown Fox, jumped over sixteen lazy dogs!"),
+            (2, "Straße über da: naïve café — résumé's test."),
+            (3, ""),
+            (4, "batch batch batch window the window"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, content string")
+        fused = (docs.withColumn("_a", analyze_index_udf(
+            F.col("content"), F.lit("english")))
+            .select("doc_id", F.col("_a.tokens").alias("tokens"),
+                    F.col("_a.dl").alias("dl"),
+                    F.col("_a.postings").alias("postings"))
+            .collect())
+        ref = with_analysis(docs, "content", "english").collect()
+
+        ref_by_id = {r["doc_id"]: r for r in ref}
+        for row in fused:
+            r = ref_by_id[row["doc_id"]]
+            assert row["tokens"] == r["tokens"], row["doc_id"]
+            lexs = r["lexemes"] or []
+            expected = {}
+            for i, lx in enumerate(lexs):
+                if lx is not None:
+                    expected.setdefault(lx, []).append(i + 1)
+            got = {p["term"]: list(p["positions"])
+                   for p in (row["postings"] or [])}
+            assert got == expected, row["doc_id"]
+            tf = {p["term"]: p["tf"] for p in (row["postings"] or [])}
+            assert tf == {t: len(ps) for t, ps in expected.items()}
+            assert row["dl"] == sum(len(ps) for ps in expected.values())
