@@ -731,7 +731,8 @@ FROM d
         "postings_term_stats": f"""
 WITH {TOKS_CTE.strip()},
 tf AS (SELECT doc_id, token AS term, count(*) AS tf FROM toks GROUP BY doc_id, token)
-SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM tf GROUP BY term
 """,
         "bm25_topk": _bm25_score_sql(["spark", "query", "window"]) + """
 SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4
