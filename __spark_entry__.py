@@ -238,29 +238,42 @@ WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= {threshold}
 
 # ---------------------------------------------------------------- entry
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: analyze sf0.001 docs, BM25-rank 'spark window', highlight."""
-    from pg_ts_semantic_headline_spark.plans.headline import ts_fast_headline
+def _bm25_per_doc(spark, sf, terms):
+    """ONE tokenize pass for the whole ad-hoc BM25 path: dl and every
+    query term's tf come out of a single groupBy over the exploded lexeme
+    stream (conditional aggregation), and only the compact per-doc frame
+    (one row per doc, |terms|+1 columns) is cached — corpus stats and the
+    scoring join both read the cache, never re-running the analyze UDF."""
     from pg_ts_semantic_headline_spark.plans.matches import explode_lexemes
-    from pg_ts_semantic_headline_spark.plans.query_compiler import to_tspquery
 
-    sf_dir = "/root/testdata/sf0.001"
-    docs = _analyzed(spark, sf_dir)
-    query = to_tspquery("simple", "spark & window")
-    terms = list(query.lexemes)
-
+    docs = _analyzed(spark, sf)
     lex = explode_lexemes(docs)
-    dl = lex.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).first()
-    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
-    tf = (lex.where(F.col("lex").isin(terms))
-          .groupBy("lex", "doc_id").agg(F.count("*").alias("tf")))
+    aggs = [F.count("*").alias("dl")] + [
+        F.sum(F.when(F.col("lex") == t, 1).otherwise(0)).alias(f"tf_{i}")
+        for i, t in enumerate(terms)]
+    per_doc = lex.groupBy("doc_id").agg(*aggs).cache()
+    stats = per_doc.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).first()
+    n_docs, avgdl = int(stats["n"]), float(stats["a"])
+    stack = "stack({}, {}) as (lex, tf)".format(
+        len(terms), ", ".join(f"'{t}', tf_{i}" for i, t in enumerate(terms)))
+    tf = per_doc.selectExpr("doc_id", "dl", stack).where("tf > 0")
     dfreq = tf.groupBy("lex").agg(F.count("*").alias("df"))
-    scored = (tf.join(F.broadcast(dfreq), on="lex").join(dl, on="doc_id")
+    scored = (tf.join(F.broadcast(dfreq), on="lex")
               .withColumn("idf", F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)))
               .withColumn("s", F.col("idf") * F.col("tf") * (K1 + 1)
                           / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / avgdl)))
               .groupBy("doc_id").agg(F.sum("s").alias("score")))
+    return docs, scored
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: analyze sf0.001 docs, BM25-rank 'spark window', highlight."""
+    from pg_ts_semantic_headline_spark.plans.headline import ts_fast_headline
+    from pg_ts_semantic_headline_spark.plans.query_compiler import to_tspquery
+
+    sf_dir = "/root/testdata/sf0.001"
+    query = to_tspquery("simple", "spark & window")
+    docs, scored = _bm25_per_doc(spark, sf_dir, list(query.lexemes))
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
     heads = ts_fast_headline(
         docs.join(top, on="doc_id", how="left_semi"), query, "MaxWords=16")
@@ -398,19 +411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count("*").alias("df"), F.sum("tf").alias("cf")))
 
     def _bm25_df(spark, sf, terms, k):
-        docs = _analyzed(spark, sf)
-        lex = explode_lexemes(docs)
-        dl = lex.groupBy("doc_id").agg(F.count("*").alias("dl"))
-        stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).first()
-        n_docs, avgdl = int(stats["n"]), float(stats["a"])
-        tf = (lex.where(F.col("lex").isin(terms))
-              .groupBy("lex", "doc_id").agg(F.count("*").alias("tf")))
-        dfreq = tf.groupBy("lex").agg(F.count("*").alias("df"))
-        return (tf.join(F.broadcast(dfreq), on="lex").join(dl, on="doc_id")
-                .withColumn("idf", F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)))
-                .withColumn("s", F.col("idf") * F.col("tf") * (K1 + 1)
-                            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / avgdl)))
-                .groupBy("doc_id").agg(F.sum("s").alias("score"))
+        _, scored = _bm25_per_doc(spark, sf, terms)
+        return (scored
                 .withColumn("score_e4", _e4(F.col("score")))
                 .orderBy(F.desc("score_e4"), F.asc("doc_id")).limit(k)
                 .select("doc_id", "score_e4"))

@@ -91,19 +91,71 @@ def lsh_bucket_col(emb_col, planes) -> F.Column:
     return bucket
 
 
-def lsh_ann_topk(df: DataFrame, query_vec, k: int = 10, n_planes: int = 8,
-                 seed: int = 42, emb_col: str = "embedding",
-                 id_col: str = "vec_id", multiprobe: bool = True) -> DataFrame:
-    """Approximate top-k: candidates from the query's LSH bucket (plus all
-    hamming-1 buckets when multiprobe), exact cosine within."""
-    dim = len(query_vec)
-    planes = random_hyperplanes(dim, n_planes, seed)
+def query_probes(query_vec, planes, multiprobe: bool = True) -> list[int]:
+    """The query's sign bucket plus (multiprobe) every hamming-1 neighbor —
+    computed driver-side so a persisted index scan prunes to these bucket
+    directories with zero Spark jobs."""
     qbits = 0
     for i, plane in enumerate(planes):
         if sum(p * float(x) for p, x in zip(plane, query_vec)) >= 0:
             qbits |= 1 << i
-    probes = [qbits] + ([qbits ^ (1 << i) for i in range(n_planes)]
-                        if multiprobe else [])
+    return [qbits] + ([qbits ^ (1 << i) for i in range(len(planes))]
+                      if multiprobe else [])
+
+
+def lsh_ann_topk(df: DataFrame, query_vec, k: int = 10, n_planes: int = 8,
+                 seed: int = 42, emb_col: str = "embedding",
+                 id_col: str = "vec_id", multiprobe: bool = True) -> DataFrame:
+    """Approximate top-k: candidates from the query's LSH bucket (plus all
+    hamming-1 buckets when multiprobe), exact cosine within.
+
+    Recomputes hyperplane dots over every vector per query — fine ad-hoc,
+    wrong at scale: persist with `build_ann_index` and probe with
+    `ann_query` instead."""
+    planes = random_hyperplanes(len(query_vec), n_planes, seed)
+    probes = query_probes(query_vec, planes, multiprobe)
     bucketed = df.withColumn("_bucket", lsh_bucket_col(F.col(emb_col), planes))
     cands = bucketed.where(F.col("_bucket").isin(probes))
+    return cosine_topk(cands, query_vec, k, emb_col, id_col)
+
+
+def build_ann_index(df: DataFrame, out_dir: str, n_planes: int = 8,
+                    seed: int = 42, emb_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """Persist the LSH-bucketed embedding table, directory-partitioned by
+    bucket: the scale path for ANN. One pass computes every vector's
+    sign-bucket; queries then read only the probed bucket directories
+    (parquet partition pruning from driver-side literals) instead of
+    re-hashing the whole table per query. Plane metadata (n_planes, seed,
+    dim) rides a tiny side table so queries regenerate identical planes."""
+    spark = df.sparkSession
+    dim = len(df.select(emb_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    (df.withColumn("bucket", lsh_bucket_col(F.col(emb_col), planes))
+       .write.mode("overwrite").partitionBy("bucket")
+       .parquet(f"{out_dir}/vectors"))
+    spark.createDataFrame([(n_planes, seed, dim)],
+                          "n_planes int, seed int, dim int") \
+        .write.mode("overwrite").parquet(f"{out_dir}/meta")
+
+
+def ann_candidates(spark, out_dir: str, query_vec,
+                   multiprobe: bool = True) -> DataFrame:
+    """Probe a persisted ANN index: rows whose bucket is the query's sign
+    bucket or (multiprobe) a hamming-1 neighbor. Probes are driver-side
+    literals → the scan prunes to ≤ n_planes+1 bucket directories."""
+    meta = spark.read.parquet(f"{out_dir}/meta").first()
+    planes = random_hyperplanes(int(meta["dim"]), int(meta["n_planes"]),
+                                int(meta["seed"]))
+    probes = query_probes(query_vec, planes, multiprobe)
+    return (spark.read.parquet(f"{out_dir}/vectors")
+            .where(F.col("bucket").isin(probes)))
+
+
+def ann_query(spark, out_dir: str, query_vec, k: int = 10,
+              emb_col: str = "embedding", id_col: str = "vec_id",
+              multiprobe: bool = True) -> DataFrame:
+    """(vec_id, cosine) top-k over a persisted ANN index: bucket-pruned
+    candidate scan, exact cosine re-rank within."""
+    cands = ann_candidates(spark, out_dir, query_vec, multiprobe)
     return cosine_topk(cands, query_vec, k, emb_col, id_col)

@@ -32,11 +32,21 @@ double the build I/O.
 Shuffle budget: the per-(term, doc) aggregation happens doc-locally inside
 the analysis UDF (map-side combine) — no shuffle ever carries one row per
 token occurrence. The shuffles that remain move one compact row per
-(term, doc): ONE bucket repartition whose sorted layout feeds both the
-postings write and (shuffle-free, via mapInPandas over contiguous runs)
-the packed-block stage, plus the small terms-dictionary aggregation
-(partial+final). Sort keys carry doc_id, so hot terms ("def", "the")
-spread across reducers instead of hammering one.
+(term, doc): ONE range repartition on (bucket, term, doc_id) whose sorted
+layout feeds both the postings write and (shuffle-free, via mapInPandas
+over contiguous runs) the packed-block stage, plus the small
+terms-dictionary aggregation (partial+final).
+
+RANGE, not hash-on-bucket: a hash repartition into n_buckets partitions
+caps sort/pack parallelism at n_buckets reducers and sends a hot term's
+entire posting list ("def", "the" — O(n_docs) rows) to ONE reducer. Range
+partitioning on (bucket, term, doc_id) into ~cluster-core partitions
+splits a hot term's run across consecutive reducers at doc_id granularity
+— the skew unit collapses from "hottest term's df" to "rows per range
+chunk". The directory layout is untouched (partitionBy("bucket") at
+write); a (term, block) run split at a range boundary just yields two
+partial packed rows for that block, which the query path treats as
+independent runs (disjoint doc subsets, each with a valid bound).
 """
 
 from __future__ import annotations
@@ -54,7 +64,10 @@ from .packing import pack_block
 
 K1 = 1.2
 B = 0.75
-PREP_VERSION = "tsp-spark-1"
+# v2: packed payloads carry per-doc dl (scoring needs no join) and the
+# idf-free max_tf_norm bound; the version gate in load_index rejects
+# indexes written under the v1 payload layout.
+PREP_VERSION = "tsp-spark-2"
 DEFAULT_BLOCK_SPAN = 128
 
 PACKED_SCHEMA = StructType([
@@ -126,12 +139,15 @@ def _write_manifest(spark: SparkSession, paths: IndexPaths, stage: str,
         StructField("stage", StringType(), False),
         StructField("partition_id", LongType(), False),
         StructField("row_count", LongType(), False),
-        StructField("checksum", LongType(), False),
+        # NULL = "not computed for this row" (per-file footer rows carry
+        # counts only); the global partition_id=-1 row carries the real
+        # observed checksum — distinguishable from a true xor of 0
+        StructField("checksum", LongType(), True),
         StructField("wall_ms", LongType(), False),
         StructField("sig_n", LongType(), False),
         StructField("sig_h", LongType(), False),
     ])
-    rows = [(stage, int(p), int(c), int(h), wall_ms,
+    rows = [(stage, int(p), int(c), None if h is None else int(h), wall_ms,
              signature[0], signature[1]) for p, c, h in partition_rows]
     spark.createDataFrame(rows, schema).write.mode("append").parquet(paths.manifest)
 
@@ -168,7 +184,7 @@ def _file_lineage(spark: SparkSession, out_path: str, observation,
         import pyarrow.parquet as pq
         for i, f in enumerate(files):
             local = f[len("file:"):] if f.startswith("file:") else f
-            rows.append((i, pq.ParquetFile(local).metadata.num_rows, 0))
+            rows.append((i, pq.ParquetFile(local).metadata.num_rows, None))
     except Exception:
         if fallback_df is not None:
             return _lineage(fallback_df, F.spark_partition_id(),
@@ -193,7 +209,8 @@ def _pack_runs(pdf: pd.DataFrame, avgdl: float, block_span: int) -> pd.DataFrame
         dls = g["dl"].to_numpy(dtype=float)
         base_doc = int(block_id) * block_span
         payload = pack_block(g["doc_id"].to_numpy(), tfs,
-                             g["positions"].tolist(), base_doc)
+                             g["dl"].to_numpy(), g["positions"].tolist(),
+                             base_doc)
         norms = (tfs * (K1 + 1)) / (tfs + K1 * (1 - B + B * dls / avgdl))
         out.append({
             "term": term, "bucket": int(g["bucket"].iloc[0]),
@@ -245,12 +262,17 @@ def build_index(
     resume: bool = True,
     build_packed: bool = True,
     min_analyze_partitions: int | None = None,
+    postings_partitions: int | None = None,
     metrics: dict | None = None,
 ) -> IndexPaths:
     """Batch index build; idempotent and stage-resumable.
 
     `metrics`, if given, is filled with per-stage wall seconds (same numbers
     the manifest persists) — the build-job observability hook.
+    `min_analyze_partitions=0` disables the small-input spread guard (pass
+    this when the caller already repartitioned/cached the input).
+    `postings_partitions` overrides the postings sort/pack shuffle width
+    (default: 2× cluster parallelism).
     """
     from pyspark import StorageLevel
 
@@ -270,12 +292,15 @@ def build_index(
     target_parts = (min_analyze_partitions
                     if min_analyze_partitions is not None
                     else spark.sparkContext.defaultParallelism * 2)
-    try:
-        few_splits = len(docs.inputFiles()) < target_parts
-    except Exception:
-        few_splits = True
-    if few_splits:
-        docs = docs.repartition(target_parts)
+    if target_parts > 0:
+        # inputFiles() reflects the SOURCE scan, not the current plan — a
+        # caller that already repartitioned should pass 0 to opt out
+        try:
+            few_splits = len(docs.inputFiles()) < target_parts
+        except Exception:
+            few_splits = True
+        if few_splits:
+            docs = docs.repartition(target_parts)
 
     from .analyze import analyze_index_udf
 
@@ -332,12 +357,19 @@ def build_index(
                                 .cast("int")))
 
     # ONE shuffle produces the physical layout both the postings table and
-    # the packed blocks need (bucket-partitioned, sorted by term, doc_id);
-    # persisting it lets the packed stage run shuffle-free off the same
-    # partitions
+    # the packed blocks need (globally range-ordered by bucket, term,
+    # doc_id); persisting it lets the packed stage run shuffle-free off the
+    # same partitions. Parallelism scales with the cluster, not n_buckets
+    # (see module docstring); the global range order also makes each
+    # per-bucket file a term-ordered chunk, so query scans prune at the
+    # parquet row-group level on term min/max.
+    sort_parts = (postings_partitions
+                  if postings_partitions is not None
+                  else max(spark.sparkContext.defaultParallelism * 2,
+                           n_buckets))
     bucketed = (per_term_doc
-                .repartition(n_buckets, "bucket")
-                .sortWithinPartitions("term", "doc_id")
+                .repartitionByRange(sort_parts, "bucket", "term", "doc_id")
+                .sortWithinPartitions("bucket", "term", "doc_id")
                 .persist(StorageLevel.MEMORY_AND_DISK))
 
     if "postings" not in done:
@@ -376,8 +408,11 @@ def build_index(
                  .withColumn("idf", idf_expr(F.col("df"), n_docs)))
         term_obs, term_aggs = _checksum_observation(
             "terms_lineage", F.col("term"))
+        # bucket-partitioned like postings/packed: a query's idf lookup
+        # prunes to the terms' bucket directories instead of scanning the
+        # whole dictionary
         terms.observe(term_obs, *term_aggs) \
-            .write.mode("overwrite").parquet(paths.terms)
+            .write.mode("overwrite").partitionBy("bucket").parquet(paths.terms)
         spark.createDataFrame(
             [(n_docs, avgdl, config, PREP_VERSION, n_buckets, block_span)],
             "n_docs long, avgdl double, config string, prep_version string,"

@@ -135,8 +135,14 @@ def tsp_query_matches(
                .where((F.col("n_hits") == F.col("q_len"))
                       & (F.col("end_pos") - F.col("start_pos") == F.col("q_span"))))
 
+    # semi-join the recall vectors to the matched docs FIRST: only winners'
+    # token arrays enter the words join — the match stream is usually a
+    # tiny fraction of the corpus, and token arrays are the heavy column
+    matched_ids = grouped.select(doc_id).distinct()
+    matched_tokens = (docs.select(doc_id, "tokens")
+                      .join(matched_ids, on=doc_id, how="left_semi"))
     with_words = (grouped
-                  .join(docs.select(doc_id, "tokens"), on=doc_id)
+                  .join(matched_tokens, on=doc_id)
                   .withColumn(
                       "words",
                       F.array_join(

@@ -12,7 +12,12 @@ Layout of a packed payload (all varint, little 7-bit groups, MSB continue):
     n_docs,
     doc_delta[0..n),          # first is delta from block base doc
     tf[0..n),
+    dl[0..n),                 # per-doc length: BM25 scoring needs no join
     for each doc: n_positions, pos_delta[0..m)   # first is absolute-1
+
+The scoring prefix (first 1+3n values) is decodable without touching the
+position section — `decode_block_scores` does exactly that, vectorized, so
+the block-max query path never pays for positions it does not need.
 """
 
 from __future__ import annotations
@@ -84,11 +89,11 @@ def decode_varints(buf: bytes, pos: int, count: int) -> tuple[list[int], int]:
     return out, pos
 
 
-def pack_block(doc_ids, tfs, positions_lists, base_doc: int) -> bytes:
+def pack_block(doc_ids, tfs, dls, positions_lists, base_doc: int) -> bytes:
     """doc_ids must be sorted ascending and >= base_doc.
 
     Builds the whole payload as ONE integer sequence and varint-encodes it
-    in a single vectorized pass: [n, doc_deltas.., tfs..,
+    in a single vectorized pass: [n, doc_deltas.., tfs.., dls..,
     interleaved(len_i, pos_deltas_i)..] — byte-identical to the scalar
     implementation."""
     doc_arr = np.asarray(doc_ids, dtype=np.int64)
@@ -108,12 +113,13 @@ def pack_block(doc_ids, tfs, positions_lists, base_doc: int) -> bytes:
         pos_seq = lens
     full = np.concatenate([
         np.array([n], dtype=np.int64), doc_deltas,
-        np.asarray(tfs, dtype=np.int64), pos_seq])
+        np.asarray(tfs, dtype=np.int64), np.asarray(dls, dtype=np.int64),
+        pos_seq])
     return encode_varints_np(full)
 
 
 def unpack_block(payload: bytes, base_doc: int):
-    """Returns (doc_ids, tfs, positions_lists)."""
+    """Returns (doc_ids, tfs, dls, positions_lists)."""
     (n,), pos = decode_varints(payload, 0, 1)
     deltas, pos = decode_varints(payload, pos, n)
     doc_ids = []
@@ -122,6 +128,7 @@ def unpack_block(payload: bytes, base_doc: int):
         cur += d
         doc_ids.append(cur)
     tfs, pos = decode_varints(payload, pos, n)
+    dls, pos = decode_varints(payload, pos, n)
     positions_lists = []
     for _ in range(n):
         (m,), pos = decode_varints(payload, pos, 1)
@@ -132,4 +139,36 @@ def unpack_block(payload: bytes, base_doc: int):
             cur_p += p
             poss.append(cur_p)
         positions_lists.append(poss)
-    return doc_ids, tfs, positions_lists
+    return doc_ids, tfs, dls, positions_lists
+
+
+def decode_varints_prefix(buf: bytes, max_values: int | None = None) -> "np.ndarray":
+    """Vectorized decode of the first `max_values` varints (all if None) —
+    one boolean mask + one reduceat over the byte array, no Python loop.
+    The whole buffer is scanned for terminator bytes (a single vectorized
+    pass) but only the requested value groups are materialized."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    term = (b & 0x80) == 0
+    ends = np.flatnonzero(term)
+    if max_values is not None:
+        ends = ends[:max_values]
+    if ends.size == 0:
+        return np.empty(0, np.int64)
+    b = b[: ends[-1] + 1]
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lengths = ends - starts + 1
+    pos_in_group = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lengths)
+    contrib = (b & np.uint8(0x7F)).astype(np.int64) << (7 * pos_in_group)
+    return np.add.reduceat(contrib, starts)
+
+
+def decode_block_scores(payload: bytes, base_doc: int):
+    """(doc_ids, tfs, dls) as int64 ndarrays — decodes ONLY the scoring
+    prefix (1+3n values), never touching the position section. This is the
+    hot decode kernel of the block-max query path."""
+    n = int(decode_varints_prefix(payload, 1)[0])
+    vals = decode_varints_prefix(payload, 1 + 3 * n)
+    doc_ids = np.int64(base_doc) + np.cumsum(vals[1:1 + n])
+    return doc_ids, vals[1 + n:1 + 2 * n], vals[1 + 2 * n:1 + 3 * n]

@@ -13,14 +13,31 @@ Two physical strategies, guaranteed rank-identical (tested):
 - exact: scan postings rows for the query terms (bucket-pruned scan),
   broadcast-join the tiny idf map, hash-aggregate per doc, TakeOrdered k.
   Embarrassingly parallel; the Spark-natural default.
-- blockmax: classic block-max WAND reshaped for a columnar engine.
-  θ = kth best score over the densest blocks (a cheap partial pass, always a
-  lower bound of the true kth score); a block (t, b) survives iff
-  max_impact(t,b) + Σ_{t'≠t} ub(t') ≥ θ; candidates = docs in surviving
-  blocks ∪ the θ pass docs, exactly re-scored. Any doc outside that set has
-  true score ≤ max_t[blockmax(t,b_d) + Σ ub(t')] ≤ θ ≤ true kth, so the true
-  top-k always survives. At 10^12-doc scale this skips decoding the long
-  tail of blocks for stopword-ish code terms ("def", "import").
+- blockmax: classic block-max WAND reshaped for a columnar engine, scoring
+  from the PACKED table only — row postings are never touched. Two actions:
+
+  (A) seed: the top-S blocks per term by impact (window over block
+      metadata) come back to the driver WITH their payloads (a few KB);
+      the driver decodes them (vectorized numpy varint kernel, scoring
+      prefix only — positions are never decoded) and computes
+      θ = kth best partial score, per-term upper bounds ub(t) = idf·max
+      max_tf_norm, and the idf map.
+  (B) prune + rescore: a block survives iff ∃t at that block with
+      idf(t)·max_tf_norm(t,b) + Σ_{t'≠t} ub(t') ≥ θ (ub/θ are driver
+      literals — no join); ALL query terms' payloads at surviving block
+      ids are decoded by an Arrow mapInPandas kernel, scored exactly,
+      hash-aggregated per doc, TakeOrdered k.
+
+  Correctness: for any doc d with true score ≥ θ and any term t it
+  contains, score(d) ≤ idf(t)·max_tf_norm(t, b_d) + Σ_{t'≠t} ub(t'), so
+  every block holding d survives for every term d contains — d is scored
+  EXACTLY in (B). θ is a lower bound of the true kth score (seed partial
+  scores under-estimate k docs' true scores), so the true top-k always
+  survives. Block ids are doc-contiguous (block_id = doc_id // span),
+  which is what makes "decode all terms at surviving block ids" the exact
+  rescore set. At 10^12-doc scale (B) skips decoding the long tail of
+  blocks for stopword-ish code terms ("def", "import"); the payload scan
+  is compressed varints, a fraction of the row-postings bytes.
 
 Phrase verification reuses the *same* pruned postings rows (positions ride
 along), so a phrase query costs no second index scan.
@@ -57,11 +74,22 @@ def _pruned_postings(index: Index, terms: list[str]) -> DataFrame:
             .where(F.col("term").isin(terms)))
 
 
+def _idf_lookup(index: Index, terms: list[str]) -> DataFrame:
+    """(term, idf) for the query terms; the terms dictionary is
+    bucket-partitioned on disk, so the same driver-side bucket routing that
+    prunes postings prunes the dictionary scan."""
+    from ..functions.xxhash import term_bucket
+    buckets = sorted({term_bucket(t, index.n_buckets) for t in terms})
+    return (index.terms
+            .where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(terms))
+            .select("term", "idf"))
+
+
 def _scored(index: Index, terms: list[str]) -> DataFrame:
     """(doc_id, term, tf, dl, positions, score) for query terms."""
-    idf = index.terms.where(F.col("term").isin(terms)).select("term", "idf")
     rows = _pruned_postings(index, terms)
-    return (rows.join(F.broadcast(idf), on="term")
+    return (rows.join(F.broadcast(_idf_lookup(index, terms)), on="term")
                 .withColumn("score", _score_col(index.avgdl)))
 
 
@@ -93,84 +121,134 @@ def bm25_topk(
             .limit(k))
 
 
-def _packed_meta(index: Index, terms: list[str]) -> DataFrame:
-    """Bucket-pruned block metadata scan for the query terms (tiny: three
-    columns, parquet column pruning drops the payload). max_tf_norm is the
-    idf-free bound stored at build time; true block-max impact =
-    idf(term) · max_tf_norm, computed here where idf is a tiny lookup."""
+def _pruned_packed(index: Index, terms: list[str]) -> DataFrame:
+    """Packed-block rows for the query terms (driver-side bucket routing →
+    parquet directory pruning, same trick as `_pruned_postings`). Payload
+    bytes are only materialized by plans that project the column."""
     from ..functions.xxhash import term_bucket
     buckets = sorted({term_bucket(t, index.n_buckets) for t in terms})
     return (index.packed
             .where(F.col("bucket").isin(buckets))
-            .where(F.col("term").isin(terms))
-            .select("term", "block_id", "max_tf_norm"))
+            .where(F.col("term").isin(terms)))
+
+
+def _bm25_part_score(tfs, dls, idf: float, avgdl: float):
+    """Vectorized per-doc partial score for one term (numpy arrays in/out)."""
+    tfs = tfs.astype(float)
+    dls = dls.astype(float)
+    return idf * tfs * (K1 + 1) / (tfs + K1 * (1 - B + B * dls / avgdl))
+
+
+def _score_blocks_kernel(idf_map: dict, avgdl: float):
+    """mapInPandas kernel: decode packed payload scoring prefixes (numpy
+    varint kernel — positions never decoded) and emit exact per-(term, doc)
+    partial BM25 scores. idf is a tiny per-query dict riding the closure,
+    so the executor side needs no dictionary join."""
+    import numpy as np
+    import pandas as pd
+
+    from .packing import decode_block_scores
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            outs_d, outs_s = [], []
+            idfs = pdf["term"].map(idf_map)
+            for payload, base, idf in zip(pdf["payload"], pdf["base_doc"],
+                                          idfs):
+                doc_ids, tfs, dls = decode_block_scores(
+                    bytes(payload), int(base))
+                outs_d.append(doc_ids)
+                outs_s.append(_bm25_part_score(tfs, dls, float(idf), avgdl))
+            yield pd.DataFrame({"doc_id": np.concatenate(outs_d),
+                                "part": np.concatenate(outs_s)})
+
+    return gen
+
 
 def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
-                        candidate_docs: DataFrame | None) -> DataFrame:
-    """Three Spark jobs total: (A) per-term upper bounds, (B) θ seed pass,
-    (C) surviving-block rescore. Everything else stays driver-side — per-job
-    fixed cost dominates interactive query latency, so the job count IS the
+                        candidate_docs: DataFrame | None,
+                        seed_blocks_per_term: int = 4) -> DataFrame:
+    """Two Spark actions total (see module docstring): seed-collect, then
+    prune+rescore. Everything else stays driver-side — per-action fixed
+    cost dominates interactive query latency, so the action count IS the
     latency budget."""
-    meta = _packed_meta(index, terms)
-    idf_df = (index.terms.where(F.col("term").isin(terms))
-              .select("term", "idf"))
-    # job A (tiny): per-term global upper bounds ub = idf · max(max_tf_norm)
-    ub_rows = (meta.groupBy("term")
-               .agg(F.max("max_tf_norm").alias("ubn"))
-               .join(idf_df, on="term")
-               .select("term", (F.col("idf") * F.col("ubn")).alias("ub"),
-                       "idf")
-               .collect())
-    ub = {r["term"]: float(r["ub"]) for r in ub_rows}
-    idf_by_term = {r["term"]: float(r["idf"]) for r in ub_rows}
-    if not ub:
-        spark = index.postings.sparkSession
-        return spark.createDataFrame([], "doc_id long, score double")
-    total_ub = sum(ub.values())
+    from .packing import decode_block_scores
 
-    scored = _scored(index, terms)
-    if candidate_docs is not None:
-        scored = scored.join(candidate_docs.select("doc_id"), on="doc_id",
-                             how="left_semi")
-    scored = scored.withColumn(
-        "block_id", F.floor(F.col("doc_id") / index.block_span)).cache()
-
-    # job B: θ pass — exact partial scores over each term's densest blocks
-    # per-term ordering by max_tf_norm == ordering by impact (idf is a
-    # per-term constant)
-    w = Window.partitionBy("term").orderBy(F.desc("max_tf_norm"), "block_id")
-    seed_blocks = (meta.withColumn("_rn", F.row_number().over(w))
-                   .where(F.col("_rn") <= max(1, (k + index.block_span - 1)
-                                              // index.block_span + 1))
-                   .select("term", "block_id"))
-    seed_scores = (scored.join(F.broadcast(seed_blocks), ["term", "block_id"],
-                               "left_semi")
-                   .groupBy("doc_id").agg(F.sum("score").alias("score"))
-                   .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
-    seed_rows = seed_scores.collect()
-    theta = float(seed_rows[-1]["score"]) if len(seed_rows) == k else 0.0
-
-    # job C: survive iff blockmax(t,b) + Σ_{t'≠t} ub(t') ≥ θ, then exact
-    # rescore of every doc in a surviving block
     spark = index.postings.sparkSession
-    ub_df = spark.createDataFrame(
-        [(t, ub[t], idf_by_term[t]) for t in ub],
-        "term string, ub double, idf double")
-    surviving = (meta.join(F.broadcast(ub_df), on="term")
-                 .where(F.col("idf") * F.col("max_tf_norm")
-                        + F.lit(total_ub) - F.col("ub") >= F.lit(theta))
-                 .select("term", "block_id").distinct())
+    packed = _pruned_packed(index, terms)
+    theta = 0.0
+    idf_map: dict = {}
+    ub: dict = {}
 
-    cands = (scored.join(F.broadcast(surviving), ["term", "block_id"],
-                         "left_semi")
-             .select("doc_id").distinct())
-    out = (scored.join(cands, on="doc_id", how="left_semi")
-           .groupBy("doc_id").agg(F.sum("score").alias("score"))
-           .orderBy(F.desc("score"), F.asc("doc_id"))
-           .limit(k))
-    rows = out.collect()
-    scored.unpersist()
-    return spark.createDataFrame(rows, "doc_id long, score double")
+    if candidate_docs is None:
+        # action A: top-S blocks per term by impact, payloads included
+        # (ordering by max_tf_norm == ordering by impact: idf is a per-term
+        # constant). Rows collected: ≤ S·|terms|, a few KB of payload.
+        w = Window.partitionBy("term").orderBy(
+            F.desc("max_tf_norm"), "block_id")
+        seed_rows = (packed
+                     .withColumn("_rn", F.row_number().over(w))
+                     .where(F.col("_rn") <= seed_blocks_per_term)
+                     .join(F.broadcast(_idf_lookup(index, terms)), on="term")
+                     .select("term", "block_id", "base_doc", "max_tf_norm",
+                             "idf", "payload")
+                     .collect())
+        if not seed_rows:
+            return spark.createDataFrame([], "doc_id long, score double")
+        acc: dict = {}
+        for r in seed_rows:
+            t = r["term"]
+            idf_map[t] = float(r["idf"])
+            impact = idf_map[t] * float(r["max_tf_norm"])
+            ub[t] = max(ub.get(t, 0.0), impact)
+            doc_ids, tfs, dls = decode_block_scores(
+                bytes(r["payload"]), int(r["base_doc"]))
+            parts = _bm25_part_score(tfs, dls, idf_map[t], index.avgdl)
+            for d, s in zip(doc_ids.tolist(), parts.tolist()):
+                acc[d] = acc.get(d, 0.0) + s
+        top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        # θ valid only if k docs seeded; partial seed sums are lower bounds
+        theta = top[-1][1] if len(top) == k else 0.0
+    else:
+        # A boolean/phrase prefilter invalidates a θ seeded from unfiltered
+        # docs (it could exceed the kth FILTERED score and prune true
+        # hits): fall back to exact-from-packed — decode every query-term
+        # block, semi-join candidates, score exactly. Still never touches
+        # row postings.
+        idf_map = {r["term"]: float(r["idf"])
+                   for r in _idf_lookup(index, terms).collect()}
+        if not idf_map:
+            return spark.createDataFrame([], "doc_id long, score double")
+
+    # action B: driver-literal survival filter on block metadata, then
+    # decode ALL query terms' payloads at surviving block ids (the exact
+    # rescore set — blocks are doc-contiguous), aggregate, TakeOrdered k.
+    need = packed
+    if theta > 0.0:
+        total_ub = sum(ub.values())
+        idf_lit = F.create_map(
+            *[F.lit(x) for t in idf_map for x in (t, idf_map[t])])
+        ub_lit = F.create_map(*[F.lit(x) for t in ub for x in (t, ub[t])])
+        surviving = (packed
+                     .select("term", "block_id", "max_tf_norm")
+                     .where(idf_lit[F.col("term")] * F.col("max_tf_norm")
+                            + (F.lit(total_ub) - ub_lit[F.col("term")])
+                            >= F.lit(theta))
+                     .select("block_id").distinct())
+        need = packed.join(surviving, on="block_id", how="left_semi")
+
+    decoded = (need.select("term", "base_doc", "payload")
+               .mapInPandas(_score_blocks_kernel(idf_map, index.avgdl),
+                            schema="doc_id long, part double"))
+    if candidate_docs is not None:
+        decoded = decoded.join(candidate_docs.select("doc_id"),
+                               on="doc_id", how="left_semi")
+    return (decoded.groupBy("doc_id")
+            .agg(F.sum("part").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k))
 
 
 def phrase_match_docs(index: Index, query: CompiledQuery) -> DataFrame:

@@ -12,7 +12,12 @@ deterministic build pipeline over just the batch:
 - terms/stats are re-aggregated from the postings (idf shifts with every N
   change, so the dictionary is recomputed — it is small relative to
   postings; at 100 TB this re-agg is a cheap metadata-scale job),
-- packed blocks are marked stale (rebuilt on demand or by a compaction run).
+- packed blocks are DELETED: merged docs are absent from packed block
+  metadata (they could never become block-max candidates) and the stored
+  max_tf_norm bounds bake the pre-merge avgdl, so a stale packed table
+  silently corrupts block-max results. Deleting forces load_index to
+  return packed=None — block-max mode refuses, exact mode sees everything
+  — until a compaction run (build_index resume over the union) repacks.
 
 `merge_batch` is the foreachBatch body and is directly unit-testable without
 a streaming runtime; `attach_incremental_indexer` wires it to a stream.
@@ -63,6 +68,16 @@ def merge_batch(
                                   .cast("int")))
     (batch_postings.repartition("bucket")
      .write.mode("append").partitionBy("bucket").parquet(paths.postings))
+
+    # invalidate packed blocks BEFORE publishing new stats: a reader that
+    # loads mid-merge sees either the old consistent index or packed=None,
+    # never new stats over stale blocks (Hadoop FS API — works on HDFS/S3A
+    # too, not just local disk)
+    jvm = spark._jvm
+    packed_path = jvm.org.apache.hadoop.fs.Path(paths.packed)
+    fs = packed_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(packed_path):
+        fs.delete(packed_path, True)
 
     # dictionary + stats re-aggregation (metadata-scale)
     all_tokens = spark.read.parquet(paths.tokens)

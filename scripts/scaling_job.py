@@ -82,9 +82,12 @@ def main():
     shutil.rmtree(out_dir, ignore_errors=True)
     metrics = {}
     t0 = time.time()
+    # min_analyze_partitions=0: input is already repartitioned+cached above;
+    # the small-input guard keys off source inputFiles and would add a
+    # shuffle that REDUCES parallelism here
     build_index(spark, docs, out_dir, config="english",
                 n_buckets=32, block_span=128, resume=False,
-                metrics=metrics)
+                min_analyze_partitions=0, metrics=metrics)
     wall = time.time() - t0
 
     print(json.dumps({

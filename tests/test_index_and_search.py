@@ -83,17 +83,37 @@ class TestPacking:
     def test_roundtrip(self):
         docs = [3, 9, 11, 200, 5000]
         tfs = [1, 4, 2, 1, 9]
+        dls = [30, 55, 12, 400, 99]
         poss = [[1], [2, 5, 9, 100], [3, 4], [16383], list(range(1, 10))]
-        payload = pack_block(docs, tfs, poss, base_doc=0)
-        assert unpack_block(payload, 0) == (docs, tfs, poss)
+        payload = pack_block(docs, tfs, dls, poss, base_doc=0)
+        assert unpack_block(payload, 0) == (docs, tfs, dls, poss)
 
     def test_compression_is_compact(self):
         docs = list(range(1000, 1128))
         tfs = [1] * 128
+        dls = [64] * 128
         poss = [[i] for i in range(1, 129)]
-        payload = pack_block(docs, tfs, poss, base_doc=1000)
-        # 128 docs * (1B delta + 1B tf + 1B count + 1-2B pos) ≈ ~600B
-        assert len(payload) < 800
+        payload = pack_block(docs, tfs, dls, poss, base_doc=1000)
+        # 128 docs * (1B delta + 1B tf + 1B dl + 1B count + 1-2B pos) ≈ ~750B
+        assert len(payload) < 1000
+
+    def test_score_prefix_decode_matches_full(self):
+        import numpy as np
+
+        from pg_ts_semantic_headline_spark.plans.packing import (
+            decode_block_scores)
+
+        docs = [128, 130, 200, 255]
+        tfs = [7, 1, 300, 2]
+        dls = [1000, 3, 70000, 128]
+        poss = [[1, 5, 9, 10, 11, 30, 31], [2], sorted(
+            np.random.RandomState(0).choice(
+                range(1, 100000), 300, replace=False).tolist()), [5, 7]]
+        payload = pack_block(docs, tfs, dls, poss, base_doc=128)
+        d, t, l = decode_block_scores(payload, 128)
+        assert d.tolist() == docs
+        assert t.tolist() == tfs
+        assert l.tolist() == dls
 
 
 class TestIndexBuild:
@@ -119,12 +139,14 @@ class TestIndexBuild:
     def test_packed_roundtrip_against_rows(self, index):
         packed = index.packed.where(F.col("term") == "spark").collect()
         rows = index.postings.where(F.col("term") == "spark").collect()
-        want = {r["doc_id"]: (r["tf"], list(r["positions"])) for r in rows}
+        want = {r["doc_id"]: (r["tf"], r["dl"], list(r["positions"]))
+                for r in rows}
         got = {}
         for blk in packed:
-            docs, tfs, poss = unpack_block(bytes(blk["payload"]), blk["base_doc"])
-            for d, tf, ps in zip(docs, tfs, poss):
-                got[d] = (tf, ps)
+            docs, tfs, dls, poss = unpack_block(
+                bytes(blk["payload"]), blk["base_doc"])
+            for d, tf, dl, ps in zip(docs, tfs, dls, poss):
+                got[d] = (tf, dl, ps)
         assert got == want
 
     def test_resume_skips_completed_stages(self, spark, index, corpus):
@@ -233,7 +255,7 @@ class TestVectorizedPackingParity:
         from pg_ts_semantic_headline_spark.plans.packing import (
             encode_varints, encode_varints_np, pack_block, unpack_block)
 
-        def pack_scalar(doc_ids, tfs, positions_lists, base_doc):
+        def pack_scalar(doc_ids, tfs, dls, positions_lists, base_doc):
             out = bytearray()
             encode_varints([len(doc_ids)], out)
             prev = base_doc
@@ -243,6 +265,7 @@ class TestVectorizedPackingParity:
                 prev = d
             encode_varints(deltas, out)
             encode_varints(tfs, out)
+            encode_varints(dls, out)
             for poss in positions_lists:
                 encode_varints([len(poss)], out)
                 prev_p = 0
@@ -259,11 +282,12 @@ class TestVectorizedPackingParity:
             n = rng.randrange(1, 60)
             ids = sorted(rng.sample(range(base, base + 128), n))
             tfs = [rng.randrange(1, 300) for _ in range(n)]
+            dls = [rng.randrange(1, 100000) for _ in range(n)]
             poss = [sorted(rng.sample(range(1, 20000), tf)) for tf in tfs]
-            assert pack_block(ids, tfs, poss, base) == \
-                pack_scalar(ids, tfs, poss, base), trial
-            assert unpack_block(pack_block(ids, tfs, poss, base), base) == \
-                (ids, tfs, poss), trial
+            assert pack_block(ids, tfs, dls, poss, base) == \
+                pack_scalar(ids, tfs, dls, poss, base), trial
+            assert unpack_block(pack_block(ids, tfs, dls, poss, base),
+                                base) == (ids, tfs, dls, poss), trial
         for _ in range(20):
             vals = [rng.randrange(0, 2 ** rng.randrange(1, 63))
                     for _ in range(rng.randrange(0, 500))]

@@ -42,6 +42,28 @@ def test_merge_batch_updates_index(spark, index_dir):
     assert df_beta == 22
 
 
+def test_merge_invalidates_packed_blocks(spark, tmp_path):
+    """A merge must not leave stale block-max metadata behind: merged docs
+    are absent from packed meta (never block-max candidates) and stored
+    bounds bake the pre-merge avgdl. After a merge, packed is gone —
+    blockmax refuses, exact sees the new docs; a resume build repacks."""
+    out = str(tmp_path / "idx_packed")
+    df = spark.createDataFrame(BASE, ["doc_id", "content"])
+    build_index(spark, df, out, config=CONFIG, n_buckets=4,
+                block_span=8, build_packed=True)
+    assert load_index(spark, out).packed is not None
+
+    batch = spark.createDataFrame(NEW, ["doc_id", "content"])
+    merge_batch(spark, out, batch, config=CONFIG)
+
+    after = load_index(spark, out)
+    assert after.packed is None
+    with pytest.raises(ValueError, match="packed"):
+        bm25_topk(after, ["fresh"], k=5, mode="blockmax")
+    top = bm25_topk(after, ["fresh"], k=5, mode="exact").collect()
+    assert {r["doc_id"] for r in top} == {100, 101}
+
+
 def test_streaming_foreachbatch(spark, index_dir, tmp_path):
     src = str(tmp_path / "incoming")
     ckpt = str(tmp_path / "ckpt")
