@@ -139,6 +139,34 @@ def _bm25_part_score(tfs, dls, idf: float, avgdl: float):
     return idf * tfs * (K1 + 1) / (tfs + K1 * (1 - B + B * dls / avgdl))
 
 
+def _score_blocks_col_kernel(avgdl: float):
+    """mapInPandas kernel: decode packed scoring prefixes into
+    (doc_id, part) rows with idf arriving as a COLUMN (pre-joined onto the
+    handful of packed rows — far cheaper than joining the exploded per-doc
+    stream). Needs no driver-side dictionary lookup: used by the
+    single-action small-segment and candidate-filtered paths."""
+    import numpy as np
+    import pandas as pd
+
+    from .packing import decode_block_scores
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            outs_d, outs_s = [], []
+            for payload, base, idf in zip(pdf["payload"], pdf["base_doc"],
+                                          pdf["idf"]):
+                doc_ids, tfs, dls = decode_block_scores(
+                    bytes(payload), int(base))
+                outs_d.append(doc_ids)
+                outs_s.append(_bm25_part_score(tfs, dls, float(idf), avgdl))
+            yield pd.DataFrame({"doc_id": np.concatenate(outs_d),
+                                "part": np.concatenate(outs_s)})
+
+    return gen
+
+
 def _score_blocks_kernel(idf_map: dict, avgdl: float):
     """mapInPandas kernel: decode packed payload scoring prefixes (numpy
     varint kernel — positions never decoded) and emit exact per-(term, doc)
@@ -167,81 +195,36 @@ def _score_blocks_kernel(idf_map: dict, avgdl: float):
     return gen
 
 
-def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
-                        candidate_docs: DataFrame | None,
-                        seed_blocks_per_term: int = 4) -> DataFrame:
-    """Two Spark actions total (see module docstring): seed-collect, then
-    prune+rescore. Everything else stays driver-side — per-action fixed
-    cost dominates interactive query latency, so the action count IS the
-    latency budget."""
-    from .packing import decode_block_scores
+# Driver-side meta fast path bound: below this many (term, block) rows the
+# whole survival computation runs on collected metadata (one bounded
+# collect, zero joins); above it the survival filter stays distributed.
+META_COLLECT_LIMIT = 20_000
 
-    spark = index.postings.sparkSession
-    packed = _pruned_packed(index, terms)
-    theta = 0.0
-    idf_map: dict = {}
-    ub: dict = {}
+# When len(terms)·ceil(n_docs/block_span) — the maximum possible block
+# count for the query — is at or below this, pruning cannot beat simply
+# decoding every block in ONE action (per-action fixed cost exceeds the
+# decode saved). Known driver-side with zero jobs, so small segments take
+# the single-action path and big segments take the 2-action WAND path.
+SMALL_SEGMENT_BLOCKS = 20_000
 
-    if candidate_docs is None:
-        # action A: top-S blocks per term by impact, payloads included
-        # (ordering by max_tf_norm == ordering by impact: idf is a per-term
-        # constant). Rows collected: ≤ S·|terms|, a few KB of payload.
-        w = Window.partitionBy("term").orderBy(
-            F.desc("max_tf_norm"), "block_id")
-        seed_rows = (packed
-                     .withColumn("_rn", F.row_number().over(w))
-                     .where(F.col("_rn") <= seed_blocks_per_term)
-                     .join(F.broadcast(_idf_lookup(index, terms)), on="term")
-                     .select("term", "block_id", "base_doc", "max_tf_norm",
-                             "idf", "payload")
-                     .collect())
-        if not seed_rows:
-            return spark.createDataFrame([], "doc_id long, score double")
-        acc: dict = {}
-        for r in seed_rows:
-            t = r["term"]
-            idf_map[t] = float(r["idf"])
-            impact = idf_map[t] * float(r["max_tf_norm"])
-            ub[t] = max(ub.get(t, 0.0), impact)
-            doc_ids, tfs, dls = decode_block_scores(
-                bytes(r["payload"]), int(r["base_doc"]))
-            parts = _bm25_part_score(tfs, dls, idf_map[t], index.avgdl)
-            for d, s in zip(doc_ids.tolist(), parts.tolist()):
-                acc[d] = acc.get(d, 0.0) + s
-        top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-        # θ valid only if k docs seeded; partial seed sums are lower bounds
-        theta = top[-1][1] if len(top) == k else 0.0
+
+def _topk_from_packed(index: Index, need: DataFrame, terms: list[str],
+                      k: int, candidate_docs: DataFrame | None = None,
+                      idf_map: dict | None = None) -> DataFrame:
+    """Decode `need`'s payloads, score, aggregate per doc, TakeOrdered k.
+    With idf_map (known driver-side, e.g. free from the seed collect) the
+    kernel bakes idf into partial scores; without it, idf joins in-plan
+    (broadcast of the bucket-pruned dictionary) — no extra action."""
+    if idf_map is not None:
+        decoded = (need.select("term", "base_doc", "payload")
+                   .mapInPandas(_score_blocks_kernel(idf_map, index.avgdl),
+                                schema="doc_id long, part double"))
     else:
-        # A boolean/phrase prefilter invalidates a θ seeded from unfiltered
-        # docs (it could exceed the kth FILTERED score and prune true
-        # hits): fall back to exact-from-packed — decode every query-term
-        # block, semi-join candidates, score exactly. Still never touches
-        # row postings.
-        idf_map = {r["term"]: float(r["idf"])
-                   for r in _idf_lookup(index, terms).collect()}
-        if not idf_map:
-            return spark.createDataFrame([], "doc_id long, score double")
-
-    # action B: driver-literal survival filter on block metadata, then
-    # decode ALL query terms' payloads at surviving block ids (the exact
-    # rescore set — blocks are doc-contiguous), aggregate, TakeOrdered k.
-    need = packed
-    if theta > 0.0:
-        total_ub = sum(ub.values())
-        idf_lit = F.create_map(
-            *[F.lit(x) for t in idf_map for x in (t, idf_map[t])])
-        ub_lit = F.create_map(*[F.lit(x) for t in ub for x in (t, ub[t])])
-        surviving = (packed
-                     .select("term", "block_id", "max_tf_norm")
-                     .where(idf_lit[F.col("term")] * F.col("max_tf_norm")
-                            + (F.lit(total_ub) - ub_lit[F.col("term")])
-                            >= F.lit(theta))
-                     .select("block_id").distinct())
-        need = packed.join(surviving, on="block_id", how="left_semi")
-
-    decoded = (need.select("term", "base_doc", "payload")
-               .mapInPandas(_score_blocks_kernel(idf_map, index.avgdl),
-                            schema="doc_id long, part double"))
+        decoded = (need.join(F.broadcast(_idf_lookup(index, terms)),
+                             on="term")
+                   .select("base_doc", "payload", "idf")
+                   .mapInPandas(_score_blocks_col_kernel(index.avgdl),
+                                schema="doc_id long, part double"))
     if candidate_docs is not None:
         decoded = decoded.join(candidate_docs.select("doc_id"),
                                on="doc_id", how="left_semi")
@@ -249,6 +232,117 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
             .agg(F.sum("part").alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k))
+
+
+def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
+                        candidate_docs: DataFrame | None,
+                        seed_blocks_per_term: int = 4) -> DataFrame:
+    """Scale-adaptive (see module docstring). Small segments and
+    candidate-filtered queries: ONE action, decode-everything. Large
+    segments: TWO actions — seed-collect (θ, ub, idf, full meta in one
+    bounded collect), then prune+rescore. Everything else stays
+    driver-side — per-action fixed cost dominates interactive query
+    latency, so the action count IS the latency budget."""
+    from .packing import decode_block_scores
+
+    spark = index.postings.sparkSession
+    packed = _pruned_packed(index, terms)
+    theta = 0.0
+    idf_map: dict = {}
+    ub: dict = {}
+    surviving_ids: list | None = None
+
+    if candidate_docs is not None:
+        # A boolean/phrase prefilter invalidates a θ seeded from unfiltered
+        # docs (it could exceed the kth FILTERED score and prune true
+        # hits): exact-from-packed in one action — decode every query-term
+        # block, semi-join candidates, score exactly.
+        return _topk_from_packed(index, packed, terms, k, candidate_docs)
+
+    max_blocks = len(terms) * (
+        (index.n_docs + index.block_span - 1) // index.block_span)
+    if max_blocks <= SMALL_SEGMENT_BLOCKS:
+        # pruning cannot pay here: one action decodes everything
+        return _topk_from_packed(index, packed, terms, k)
+
+    # action A: ONE bounded collect returns (a) every (term, block) meta
+    # row for the query terms, (b) payloads for the top-S blocks per term
+    # (ordering by max_tf_norm == ordering by impact: idf is a per-term
+    # constant), (c) the idf dictionary rows — appended via unionByName so
+    # no broadcast-exchange sub-job runs. The LIMIT is the overflow guard:
+    # hot terms whose meta exceeds it fall back to the distributed
+    # survival filter below.
+    w = Window.partitionBy("term").orderBy(
+        F.desc("max_tf_norm"), "block_id")
+    meta = (packed
+            .select("term", "block_id", "base_doc", "max_tf_norm",
+                    "payload")
+            .withColumn("_rn", F.row_number().over(w))
+            .select("term", "block_id", "base_doc", "max_tf_norm",
+                    F.when(F.col("_rn") <= seed_blocks_per_term,
+                           F.col("payload")).alias("payload"))
+            .limit(META_COLLECT_LIMIT))
+    rows = meta.unionByName(
+        _idf_lookup(index, terms)
+        .withColumn("block_id", F.lit(None).cast("long")),
+        allowMissingColumns=True).collect()
+    idf_map = {r["term"]: float(r["idf"]) for r in rows
+               if r["block_id"] is None}
+    meta_rows = [r for r in rows if r["block_id"] is not None]
+    if not meta_rows or not idf_map:
+        return spark.createDataFrame([], "doc_id long, score double")
+    overflowed = len(meta_rows) >= META_COLLECT_LIMIT
+
+    acc: dict = {}
+    for r in meta_rows:
+        t = r["term"]
+        impact = idf_map[t] * float(r["max_tf_norm"])
+        ub[t] = max(ub.get(t, 0.0), impact)
+        if r["payload"] is None:
+            continue
+        doc_ids, tfs, dls = decode_block_scores(
+            bytes(r["payload"]), int(r["base_doc"]))
+        parts = _bm25_part_score(tfs, dls, idf_map[t], index.avgdl)
+        for d, s in zip(doc_ids.tolist(), parts.tolist()):
+            acc[d] = acc.get(d, 0.0) + s
+    top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    # θ valid only if k docs seeded; partial seed sums are lower bounds
+    theta = top[-1][1] if len(top) == k else 0.0
+
+    if theta > 0.0 and not overflowed:
+        # survival entirely driver-side → action B is a pure
+        # scan+decode+aggregate with literal block ids, no joins
+        total_ub = sum(ub.values())
+        surviving_ids = sorted({
+            r["block_id"] for r in meta_rows
+            if idf_map[r["term"]] * float(r["max_tf_norm"])
+            + (total_ub - ub[r["term"]]) >= theta})
+
+    # action B: decode ALL query terms' payloads at surviving block ids
+    # (the exact rescore set — blocks are doc-contiguous), aggregate,
+    # TakeOrdered k.
+    need = packed
+    if surviving_ids is not None:
+        need = packed.where(F.col("block_id").isin(surviving_ids))
+    elif theta > 0.0:
+        # meta overflowed the driver bound: distributed survival filter,
+        # per-term upper bounds recomputed IN-PLAN over the full metadata
+        # (driver ub from truncated meta would under-estimate and could
+        # prune true top-k). idf stays a driver literal map — the
+        # dictionary rows were never truncated.
+        idf_lit = F.create_map(
+            *[F.lit(x) for t in idf_map for x in (t, idf_map[t])])
+        m = (packed.select("term", "block_id", "max_tf_norm")
+             .withColumn("imp", idf_lit[F.col("term")] * F.col("max_tf_norm")))
+        ubs = m.groupBy("term").agg(F.max("imp").alias("ub"))
+        tot = ubs.agg(F.sum("ub").alias("tot"))
+        surviving = (m.join(F.broadcast(ubs), on="term").crossJoin(tot)
+                     .where(F.col("imp") + F.col("tot") - F.col("ub")
+                            >= F.lit(theta))
+                     .select("block_id").distinct())
+        need = packed.join(surviving, on="block_id", how="left_semi")
+
+    return _topk_from_packed(index, need, terms, k, idf_map=idf_map)
 
 
 def phrase_match_docs(index: Index, query: CompiledQuery) -> DataFrame:

@@ -191,6 +191,34 @@ class TestBM25:
                   bm25_topk(index, terms, k=k, mode="blockmax").collect()]
         assert exact == pruned
 
+    def _assert_blockmax_matches_exact(self, index, terms, k):
+        exact = [(r["doc_id"], round(r["score"], 10)) for r in
+                 bm25_topk(index, terms, k=k, mode="exact").collect()]
+        pruned = [(r["doc_id"], round(r["score"], 10)) for r in
+                  bm25_topk(index, terms, k=k, mode="blockmax").collect()]
+        assert exact == pruned
+
+    def test_blockmax_seed_prune_path_rank_identical(self, index, monkeypatch):
+        """Force the large-segment 2-action WAND path (the test corpus is
+        small enough to normally take the single-action decode path)."""
+        from pg_ts_semantic_headline_spark.plans import search as searchmod
+        monkeypatch.setattr(searchmod, "SMALL_SEGMENT_BLOCKS", 0)
+        self._assert_blockmax_matches_exact(
+            index, ["spark", "query", "window"], 5)
+        self._assert_blockmax_matches_exact(index, ["needle", "phrase"], 7)
+        self._assert_blockmax_matches_exact(index, ["unique"], 3)
+
+    def test_blockmax_meta_overflow_fallback_rank_identical(
+            self, index, monkeypatch):
+        """Hot-term meta past the driver collect bound must take the
+        distributed survival path and still be rank-identical (the in-plan
+        ub recompute guards against truncated-meta under-estimates)."""
+        from pg_ts_semantic_headline_spark.plans import search as searchmod
+        monkeypatch.setattr(searchmod, "SMALL_SEGMENT_BLOCKS", 0)
+        monkeypatch.setattr(searchmod, "META_COLLECT_LIMIT", 4)
+        self._assert_blockmax_matches_exact(
+            index, ["spark", "query", "window"], 10)
+
 
 class TestSearch:
     def test_phrase_match_docs(self, index, corpus):
