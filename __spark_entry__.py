@@ -162,6 +162,76 @@ scored AS (
 """
 
 
+def _ann_sql(n_planes: int = 8, seed: int = 42, dim: int = 64,
+             k: int = 10) -> str:
+    """Persisted-ANN oracle: the deterministic hyperplanes are inlined as
+    double literals, so DuckDB reproduces the exact sign-buckets (min
+    |dot| over this data is ~6e-4 — far above cross-engine float noise)."""
+    from pg_ts_semantic_headline_spark.operators.similarity import (
+        random_hyperplanes)
+    planes = random_hyperplanes(dim, n_planes, seed)
+
+    def arr(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(ed, {arr(p)}) >= 0"
+        f" THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    powers = ", ".join(str(2 ** i) for i in range(n_planes))
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> x::DOUBLE) AS ed
+  FROM embeddings
+),
+bb AS (SELECT vec_id, embedding, ({bucket_expr}) AS bucket FROM b),
+qb AS (SELECT bucket AS qbucket, embedding AS qe FROM bb WHERE vec_id = 0),
+cand AS (
+  SELECT bb.vec_id, bb.embedding FROM bb, qb
+  WHERE xor(CAST(bb.bucket AS BIGINT), CAST(qb.qbucket AS BIGINT))
+        IN (0, {powers})
+),
+pairs AS (
+  SELECT c.vec_id, unnest(c.embedding)::DOUBLE AS x,
+         unnest((SELECT qe FROM qb))::DOUBLE AS y
+  FROM cand c
+),
+cos AS (
+  SELECT vec_id, SUM(x*y) / (sqrt(SUM(x*x)) * sqrt(SUM(y*y))) AS c
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, CAST(ROUND(c * 10000) AS BIGINT) AS cosine_e4
+FROM cos
+ORDER BY cosine_e4 DESC, vec_id
+LIMIT {k}
+"""
+
+
+def _simhash_near_pairs_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    """Same pigeonhole candidate generation as the Spark operator (equal
+    high OR low half), then exact hamming — the blocked candidate set is
+    part of the operator's contract, so the oracle mirrors it."""
+    half = 2 ** (bits // 2)
+    sim = _simhash_sql(bits).strip()
+    return f"""
+WITH sims AS ({sim}),
+h AS (SELECT doc_id, simhash, simhash // {half} AS hi,
+             simhash % {half} AS lo FROM sims),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         x.simhash AS sa, y.simhash AS sb
+  FROM h x JOIN h y
+    ON (x.hi = y.hi OR x.lo = y.lo) AND x.doc_id < y.doc_id
+)
+SELECT a, b,
+       CAST(bit_count(xor(CAST(sa AS BIGINT), CAST(sb AS BIGINT))) AS INT)
+       AS hamming
+FROM cand
+WHERE bit_count(xor(CAST(sa AS BIGINT), CAST(sb AS BIGINT))) <= {max_hamming}
+"""
+
+
 def _simhash_sql(bits: int = 32) -> str:
     votes = []
     for b in range(bits):
@@ -490,6 +560,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "frame_id", "offset",
                         F.length("frame_bytes").cast("long").alias("frame_len")))
 
+    def q31(spark, sf):
+        # persisted-ANN path: build the LSH-bucketed table, then probe it
+        # (bucket-pruned scan) and exact-cosine re-rank the candidates
+        from pg_ts_semantic_headline_spark.operators.similarity import (
+            ann_candidates, build_ann_index, cosine_similarity_col)
+        emb = _emb(spark, sf)
+        sf_tag = sf.rstrip("/").replace("/", "_")
+        ann_dir = f"/tmp/tsp_ann_idx{sf_tag}"
+        build_ann_index(emb, ann_dir, n_planes=8, seed=42)
+        qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        cands = ann_candidates(spark, ann_dir, qv, multiprobe=True)
+        return (cands
+                .select("vec_id",
+                        cosine_similarity_col(F.col("embedding"), qv)
+                        .alias("c"))
+                .withColumn("cosine_e4", _e4(F.col("c")))
+                .orderBy(F.desc("cosine_e4"), F.asc("vec_id")).limit(10)
+                .select("vec_id", "cosine_e4"))
+
+    def q32(spark, sf):
+        from pg_ts_semantic_headline_spark.operators.dedup import (
+            simhash_near_pairs)
+        return simhash_near_pairs(_docs(spark, sf), bits=32, max_hamming=3)
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -521,6 +615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q28,
         "multimodal_metadata": q29,
         "multimodal_frame_sample": q30,
+        "lsh_ann_topk": q31,
+        "simhash_near_pairs": q32,
     }
 
 
@@ -681,46 +777,44 @@ SELECT doc_id,
 FROM ranked WHERE rnk <= 2
 GROUP BY doc_id
 """,
-        "ts_semantic_headline": f"""
-WITH {TOKS_CTE.strip()},
-m AS (
-  SELECT doc_id, pos AS start_pos, pos AS end_pos FROM toks WHERE token = 'merge'
+        # pg-style default passage selection (MinWords=15, MaxWords=35,
+        # ShortWord=3): start at the first 'merge' cover (or the document
+        # head when absent), extend forward to >=15 words ending on a word
+        # longer than 3 chars (capped at 35 / the doc end, extending
+        # backward when the doc ends first), then highlight every exact
+        # match inside the passage — mirrors plans/headline.py phase 1+2.
+        "ts_semantic_headline": """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+dims AS (SELECT doc_id, l, len(l) AS n,
+                NULLIF(list_position(l, 'merge'), 0) AS p FROM base),
+start AS (SELECT doc_id, l, n, p, COALESCE(p, 1) AS s FROM dims),
+scan AS (
+  SELECT st.doc_id,
+         min(CASE WHEN j >= st.s + 14 AND j <= st.s + 34
+                   AND length(st.l[j]) > 3 THEN j END) AS fwd_e,
+         max(CASE WHEN j <= least(st.s, st.n - 14)
+                   AND length(st.l[j]) > 3 THEN j END) AS back_b
+  FROM start st, LATERAL (SELECT unnest(generate_series(1, st.n)) AS j) t
+  GROUP BY st.doc_id
 ),
-lim AS (
-  SELECT * FROM (
-    SELECT m.*, row_number() OVER (PARTITION BY doc_id ORDER BY start_pos) AS rn
-    FROM m) WHERE rn <= 36
+win AS (
+  SELECT st.doc_id, st.l, st.n, st.p,
+         CASE WHEN st.n - st.s + 1 >= 15 THEN st.s
+              ELSE COALESCE(sc.back_b, 1) END AS b,
+         CASE WHEN sc.fwd_e IS NOT NULL THEN sc.fwd_e
+              WHEN st.s + 34 <= st.n THEN st.s + 34
+              ELSE st.n END AS e
+  FROM start st JOIN scan sc USING (doc_id)
 ),
-grp AS (
-  SELECT doc_id, (start_pos // 65) * 65 AS bucket,
-         count(*) AS density, min(start_pos) AS s, max(end_pos) AS e
-  FROM lim GROUP BY doc_id, (start_pos // 65) * 65
-),
-pads AS (SELECT g.*, greatest(33 - (e - (s // 2) + 1), 32) AS pad FROM grp g),
-frag AS (
-  SELECT p.doc_id, p.bucket, p.density,
-         ' ' || array_to_string(l[greatest(s - pad, 1):(e + pad)], ' ') || ' ' AS body
-  FROM pads p JOIN (SELECT doc_id, string_split(text, ' ') AS l FROM documents) d
-    ON d.doc_id = p.doc_id
-),
-hl AS (
-  SELECT doc_id, bucket, density,
-         regexp_replace(body, ' (merge) ', ' <b>\\1</b> ', 'g') AS headline
-  FROM frag
-),
-ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY density DESC, bucket) AS rnk
-  FROM hl
-),
-agg AS (
-  SELECT doc_id,
-         trim(string_agg(headline, '...' ORDER BY density DESC, bucket)) AS headline
-  FROM ranked WHERE rnk <= 30 GROUP BY doc_id
+passage AS (
+  SELECT doc_id, p, array_to_string(l[b:e], ' ') AS ptxt FROM win
 )
-SELECT d.doc_id,
-       COALESCE(a.headline,
-                array_to_string((string_split(trim(d.text), ' '))[1:15], ' ')) AS headline
-FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+SELECT doc_id,
+       CASE WHEN p IS NULL THEN ptxt
+            ELSE trim(regexp_replace(' ' || ptxt || ' ', ' (merge) ',
+                                     ' <b>\\1</b> ', 'g'))
+       END AS headline
+FROM passage
 """,
         "docstats": f"WITH {TOKS_CTE.strip()} SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id",
         "corpus_stats": f"""
@@ -843,4 +937,6 @@ SELECT doc_id, frame_id,
                   greatest(n_bytes - frame_id * greatest(n_bytes // 4, 1), 0)) AS BIGINT) AS frame_len
 FROM frames
 """,
+        "lsh_ann_topk": _ann_sql(8, 42, 64, 10),
+        "simhash_near_pairs": _simhash_near_pairs_sql(32, 3),
     }

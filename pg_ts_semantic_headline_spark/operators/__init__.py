@@ -10,5 +10,12 @@ from .dedup import (
     simhash_near_pairs,
 )
 from .multimodal import attach_binary, decode_media, sample_frames
-from .similarity import cosine_topk, cosine_topk_arrow, lsh_ann_topk
+from .similarity import (
+    ann_candidates,
+    ann_query,
+    build_ann_index,
+    cosine_topk,
+    cosine_topk_arrow,
+    lsh_ann_topk,
+)
 from .textstats import doc_fingerprint, lang_id, quality_score, token_counts

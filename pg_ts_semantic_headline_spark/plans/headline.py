@@ -8,13 +8,17 @@
 - `ts_fast_headline` (/root/reference/sql/ts_fast_headline.sql:51-66): join
   fragments with the delimiter and strip indexing tokens.
 - `ts_semantic_headline` (/root/reference/sql/ts_semantic_headline.sql:52-70):
-  ad-hoc path over raw content. The reference pre-fragments with PostgreSQL's
-  *built-in* ts_headline (whose C cover-selection quirks we deliberately do
-  not port); in Spark there is no per-call reparse penalty, so we analyze the
-  full document on the fly and run the fast path directly. Known deviation:
-  fragment word-window boundaries can differ from the reference's ad-hoc
-  (not fast-path) output; the highlighted phrase spans are identical. The
-  no-match fallback (first words of the document, :69) is reproduced.
+  the 1:1 ts_headline replacement. Faithful two-phase flow: phase 1
+  reimplements PostgreSQL's built-in ts_headline default (non-fragment)
+  passage selection — minimal covers containing every distinct query
+  lexeme, best cover by query-word count (first wins ties), window
+  extended forward to MinWords words skipping ShortWord-or-shorter end
+  words, backward at document end, document-head passage when no cover —
+  then phase 2 runs TS_FAST_HEADLINE over the selected passage with the
+  reference's forced MaxFragments=30,MinWords=64,MaxWords=64 overlay
+  (:64-68), COALESCE to the trimmed passage on no exact phrase match
+  (:69). Verified string-exact against every ad-hoc pgTAP assertion in
+  english_lang_test.sql:33-95 and german_lang_test.sql:111-149.
 
 All arithmetic (option parsing defaults, integer division, the pad formula,
 bucket key, density ordering) follows the reference line for line.
@@ -175,6 +179,136 @@ def ts_fast_headline(
         doc_id, present(F.col("raw_headline")).alias("headline"))
 
 
+_RE_STRIP_LEAD = re.compile(r"^\W+", re.UNICODE)
+_RE_STRIP_TAIL = re.compile(r"\W+$", re.UNICODE)
+
+
+def _select_passage(toks: list, match_sets: list, required: frozenset,
+                    min_words: int, max_words: int,
+                    short_word: int) -> tuple[int, int]:
+    """PostgreSQL default (non-fragment) ts_headline passage selection over
+    whitespace tokens: enumerate minimal covers holding every distinct
+    query lexeme, pick the cover with the most query-item words (first
+    wins ties), then size the window — forward to >= min_words ending on a
+    word longer than ShortWord, capped at max_words; backward when the
+    document ends first; document head when no cover exists."""
+    n = len(toks)
+    # pg's hlCover needs EVERY distinct query item in the window — a query
+    # lexeme absent from the whole document means NO cover (fallback to the
+    # document head), even when the other lexemes all occur
+    seen = set()
+    for s in match_sets:
+        seen |= s
+    if not required <= seen:
+        required = frozenset()
+
+    def wlen(tok: str) -> int:
+        return len(_RE_STRIP_TAIL.sub("", _RE_STRIP_LEAD.sub("", tok)))
+
+    def grow(p: int, q: int) -> tuple[int, int]:
+        curlen = q - p + 1
+        if curlen >= max_words:
+            return p, p + max_words - 1
+        e, i = q, q + 1
+        while i < n and curlen < max_words:
+            curlen += 1
+            e = i
+            if curlen >= min_words and wlen(toks[i]) > short_word:
+                break
+            i += 1
+        b = p
+        while curlen < min_words and b > 0:
+            b -= 1
+            curlen += 1
+        while b > 0 and curlen < max_words and wlen(toks[b]) <= short_word:
+            b -= 1
+            curlen += 1
+        return b, e
+
+    covers = []
+    if required:
+        # minimal windows containing all required lexemes (two pointers)
+        from collections import Counter
+        cnt: Counter = Counter()
+        have, left = 0, 0
+        for right in range(n):
+            for x in match_sets[right]:
+                cnt[x] += 1
+                if cnt[x] == 1:
+                    have += 1
+            while have == len(required):
+                if any(cnt[x] == 1 for x in match_sets[left]):
+                    break
+                for x in match_sets[left]:
+                    cnt[x] -= 1
+                left += 1
+            if have == len(required):
+                covers.append((left, right))
+                for x in match_sets[left]:
+                    cnt[x] -= 1
+                    if cnt[x] == 0:
+                        have -= 1
+                left += 1
+
+    if not covers:
+        # no cover: document-head passage (pg's NOCOVER behavior)
+        return grow(0, 0) if n else (0, -1)
+
+    best, bestlen = None, -1
+    for p, q in covers:
+        hi = min(q, p + max_words - 1)
+        poslen = sum(1 for i in range(p, hi + 1) if match_sets[i])
+        if poslen > bestlen:
+            best, bestlen = (p, q), poslen
+    return grow(*best)
+
+
+def _pg_passage_udf(query: CompiledQuery, cfg: str, min_words: int,
+                    max_words: int, short_word: int):
+    """Arrow UDF: raw content -> the pg-selected passage string. Token
+    emission matches pg's generateHeadline: the passage ends at the last
+    WORD (trailing punctuation stripped) unless it reaches the document
+    edge, where the raw edge token is kept verbatim (english_lang golden 4
+    keeps 'hill.' at document end; german golden 1 drops the comma after
+    'Mädchen' mid-document)."""
+    from ..functions.lexize import analyze_text_simple
+
+    qlex = frozenset(query.lexemes)
+
+    def one(content: str) -> str:
+        if content is None:
+            return None
+        toks = content.split()
+        if not toks:
+            return ""
+        memo: dict = {}
+
+        def mset(tok: str) -> frozenset:
+            got = memo.get(tok)
+            if got is None:
+                lexs = analyze_text_simple(tok, cfg)
+                got = qlex.intersection(x for x in lexs if x is not None)
+                memo[tok] = got
+            return got
+
+        match_sets = [mset(t) for t in toks] if qlex else [frozenset()] * len(toks)
+        b, e = _select_passage(toks, match_sets, qlex, min_words, max_words,
+                               short_word)
+        if e < b:
+            return ""
+        window = list(toks[b:e + 1])
+        if b > 0:
+            window[0] = _RE_STRIP_LEAD.sub("", window[0])
+        if e < len(toks) - 1:
+            window[-1] = _RE_STRIP_TAIL.sub("", window[-1])
+        return " ".join(window)
+
+    def run(content: pd.Series) -> pd.Series:
+        return content.map(one)
+
+    return F.pandas_udf(run, returnType=StringType())
+
+
 def ts_semantic_headline(
     docs: DataFrame,
     query: CompiledQuery,
@@ -182,21 +316,28 @@ def ts_semantic_headline(
     content_col: str = "content",
     config: str | None = None,
     doc_id: str = "doc_id",
-    fallback_words: int = 15,
 ) -> DataFrame:
-    """Ad-hoc path over raw content: analyze on the fly, fast headline with
-    the reference's forced MaxFragments=30,MinWords=64,MaxWords=64 overlay
-    (ts_semantic_headline.sql:64-68), COALESCE to the document head on no
-    match (:69)."""
+    """Ad-hoc 1:1 ts_headline replacement (see module docstring): pg-style
+    passage selection over raw content, then the fast path over ONLY the
+    selected passage — the re-analysis phase 2 pays for ~MaxWords words
+    per doc, not the whole document."""
     cfg = config or query.config
-    analyzed = with_analysis(docs, content_col=content_col, config=cfg)
+    opts = parse_headline_options(options)
+    min_words = int(opts.get("MinWords", 15))
+    max_words = int(opts.get("MaxWords", 35))
+    short_word = int(opts.get("ShortWord", 3))
+
+    passage = _pg_passage_udf(query, cfg, min_words, max_words, short_word)
+    passages = (docs
+                .select(doc_id, F.col(content_col))
+                .withColumn("_passage", passage(F.col(content_col)))
+                .drop(content_col))
+    analyzed = with_analysis(passages, content_col="_passage", config=cfg)
     effective = (options + ("," if options else "")
                  + "MaxFragments=30,MinWords=64,MaxWords=64")
     headlines = ts_fast_headline(analyzed, query, effective, doc_id)
-    fallback = F.array_join(
-        F.slice(F.split(F.trim(F.col(content_col)), r"\s+"),
-                1, fallback_words), " ")
-    return (docs
+    return (passages
             .join(headlines, on=doc_id, how="left")
             .select(doc_id,
-                    F.coalesce(F.col("headline"), fallback).alias("headline")))
+                    F.coalesce(F.col("headline"),
+                               F.trim(F.col("_passage"))).alias("headline")))

@@ -5,11 +5,12 @@ STRING-EXACT — the reference documents every step of that arithmetic, so our
 output must be identical (english_lang_test.sql:56-58,
 jswift_modest_proposal_test.sql:370-401).
 
-Ad-hoc ts_semantic_headline assertions embed PostgreSQL's built-in
-C ts_headline fragment-selection, which we deliberately do not port; for
-those we assert the *highlighted span* is identical (the semantically hard
-part: exact source recall, whole-phrase wrap, accent preservation) plus the
-no-match fallback behavior (german_lang_test.sql:139-141).
+Ad-hoc ts_semantic_headline assertions are ALSO checked string-exact: the
+engine reimplements PostgreSQL's built-in non-fragment passage selection
+(cover choice, MinWords/MaxWords/ShortWord window rules, document-edge
+behavior), so every ad-hoc pgTAP expectation in english_lang_test.sql:33-95
+and german_lang_test.sql:111-149 reproduces byte-for-byte, including the
+no-match fallback (german_lang_test.sql:139-141).
 """
 
 import pytest
@@ -85,56 +86,78 @@ class TestFastHeadlineGoldenExact:
                        "the mother to let them suck plentifully in")
 
 
-class TestSemanticHeadlineSpans:
-    """Highlighted span parity for the ad-hoc path."""
+class TestSemanticHeadlineGoldenExact:
+    """String-exact golden parity for the ad-hoc 1:1 ts_headline path."""
 
+    # english_lang_test.sql:35-53 (Tests 1-5; Tests 6-15 repeat the same
+    # expectations through the phraseto/arity-3 overloads)
     CASES_EN = [
-        ("decide negatively", "<b>decided negative,</b>"),
-        ("hurried adjuration, he cocked his blunderbuss",
-         "<b>hurried adjuration, he cocked his blunderbuss,</b>"),
-        ("gallop came fast and furiously up the hill",
-         "<b>gallop came fast and furiously up the hill.</b>"),
-        ("time", "<b>times,</b>"),
+        ("query", "best<2>time|worst<2>time",
+         "<b>best of times,</b> it was the <b>worst of times,</b> it was "
+         "the age of wisdom"),
+        ("phrase", "decide negatively",
+         "<b>decided negative,</b> made a decided scramble for it, and the "
+         "three other horses followed suit"),
+        ("phrase", "hurried adjuration, he cocked his blunderbuss",
+         "<b>hurried adjuration, he cocked his blunderbuss,</b> and stood "
+         "on the offensive. The stillness consequent on the cessation"),
+        ("phrase", "gallop came fast and furiously up the hill",
+         "expectati The sound of a horse at a <b>gallop came fast and "
+         "furiously up the hill.</b>"),
+        ("phrase", "time",
+         "<b>times,</b> it was the worst of <b>times,</b> it was the age "
+         "of wisdom, it was the age of foolishness"),
     ]
 
-    @pytest.mark.parametrize("phrase,span", CASES_EN)
-    def test_english_spans(self, spark, corpora, phrase, span):
-        q = phraseto_tspquery("english", phrase)
+    @pytest.mark.parametrize("kind,qs,want", CASES_EN)
+    def test_english_exact(self, spark, corpora, kind, qs, want):
+        q = (phraseto_tspquery("english", qs) if kind == "phrase"
+             else to_tspquery("english", qs))
         got = _semantic_headline(spark, corpora["english"], "english", q)
-        assert got is not None and span in got, got
+        assert got == want
 
+    # german_lang_test.sql:111-129 (german config) and :131-149 (simple)
     CASES_DE = [
-        ("Dzünschten ihm ungeniert alles Üble",
-         "<b>Dzünschten ihm ungeniert alles Üble.</b>"),
-        ("Schutzdache des Wagenschuppens aufgestellt",
-         "<b>Schutzdache des Wagenschuppens aufgestellt.</b>"),
-        ("bleibenden Gäste zecht", "<b>bleibenden Gäste zechten</b>"),
-        ("Kutschen, Landauern, Einspännern",
-         "<b>Kutschen, Landauern, Einspännern,</b>"),
-        ("Hochzeitsgeschenk", "<b>Hochzeitsgeschenk</b>"),
+        ("german", "Dzünschten ihm ungeniert alles Üble",
+         "<b>Dzünschten ihm ungeniert alles Üble.</b> der witzenheimer zur "
+         "Seite gewahrte man vierzehn- bis sechzehnjährige Mädchen"),
+        ("german", "Schutzdache des Wagenschuppens aufgestellt",
+         "<b>Schutzdache des Wagenschuppens aufgestellt.</b> Es prangten "
+         "darauf vier Lendenbraten, sechs Schüsseln mit Hühnerfrikassee, "
+         "eine Platte"),
+        ("german", "bleibenden Gäste zecht",
+         "<b>bleibenden Gäste zechten</b> am Küchentische bis zum frühen "
+         "Morgen weiter, während die Kinder unter den Bänken"),
+        ("german", "Kutschen, Landauern, Einspännern",
+         "<b>Kutschen, Landauern, Einspännern,</b> Gigs, Kremsern mit "
+         "Ledervorhängen, in allerlei Fuhrwerk moderner und "
+         "vorsintflutlicher Art. Das junge"),
+        ("german", "Hochzeitsgeschenk",
+         "<b>Hochzeitsgeschenk</b> selbstverständlich ein paar Seezungen "
+         "gestiftet hatte doch daran, einen Mund voll Wasser durch"),
+        ("simple", "Dzünschten ihm ungeniert alles Üble",
+         "<b>Dzünschten ihm ungeniert alles Üble.</b> der witzenheimer zur "
+         "Seite gewahrte man vierzehn- bis sechzehnjährige Mädchen"),
+        ("simple", "Schutzdache des Wagenschuppens aufgestellt",
+         "<b>Schutzdache des Wagenschuppens aufgestellt.</b> Es prangten "
+         "darauf vier Lendenbraten, sechs Schüsseln mit Hühnerfrikassee, "
+         "eine Platte"),
+        # 'zecht' cannot match 'zechten' without German stemming: the
+        # simple config falls back to the document-head passage
+        ("simple", "bleibenden Gäste zecht",
+         "Alles ward wieder ruhig. Die Köpfe versanken in den Heften, und "
+         "der Neuling verharrte zwei"),
+        ("simple", "Kutschen, Landauern, Einspännern",
+         "<b>Kutschen, Landauern, Einspännern,</b> Gigs, Kremsern mit "
+         "Ledervorhängen, in allerlei Fuhrwerk moderner und "
+         "vorsintflutlicher Art. Das junge"),
+        ("simple", "Hochzeitsgeschenk",
+         "<b>Hochzeitsgeschenk</b> selbstverständlich ein paar Seezungen "
+         "gestiftet hatte doch daran, einen Mund voll Wasser durch"),
     ]
 
-    @pytest.mark.parametrize("phrase,span", CASES_DE)
-    def test_german_spans(self, spark, corpora, phrase, span):
-        q = phraseto_tspquery("german", phrase)
-        got = _semantic_headline(spark, corpora["german"], "german", q)
-        assert got is not None and span in got, got
-
-    def test_english_or_query_spans(self, spark, corpora):
-        q = to_tspquery("english", "best<2>time|worst<2>time")
-        got = _semantic_headline(spark, corpora["english"], "english", q)
-        assert "<b>best of times,</b>" in got
-        assert "<b>worst of times,</b>" in got
-
-    def test_simple_config_stemming_fallback(self, spark, corpora):
-        # 'zecht' does not match 'zechten' without German stemming: the
-        # simple config must fall back to the document head.
-        q = phraseto_tspquery("simple", "bleibenden Gäste zecht")
-        got = _semantic_headline(spark, corpora["german"], "simple", q)
-        assert got == ("Alles ward wieder ruhig. Die Köpfe versanken in den "
-                       "Heften, und der Neuling verharrte zwei")
-
-    def test_simple_config_exact_match_works(self, spark, corpora):
-        q = phraseto_tspquery("simple", "Dzünschten ihm ungeniert alles Üble")
-        got = _semantic_headline(spark, corpora["german"], "simple", q)
-        assert "<b>Dzünschten ihm ungeniert alles Üble.</b>" in got
+    @pytest.mark.parametrize("config,phrase,want", CASES_DE)
+    def test_german_exact(self, spark, corpora, config, phrase, want):
+        q = phraseto_tspquery(config, phrase)
+        got = _semantic_headline(spark, corpora["german"], config, q)
+        assert got == want

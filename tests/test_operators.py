@@ -86,6 +86,28 @@ class TestSimilarity:
         got = [r["vec_id"] for r in lsh_ann_topk(emb_df, qv, k=5).collect()]
         assert got[0] == 0 and 49 in got
 
+    def test_persisted_ann_matches_adhoc(self, emb_df, tmp_path):
+        """ann_query over the persisted bucket-partitioned table must equal
+        the ad-hoc recompute path (same planes, same probes, same rerank),
+        and its scan must prune to the probed bucket directories."""
+        from pg_ts_semantic_headline_spark.operators.similarity import (
+            ann_candidates, ann_query, build_ann_index)
+        out = str(tmp_path / "ann_idx")
+        build_ann_index(emb_df, out, n_planes=8, seed=42)
+        qv = emb_df.where("vec_id = 3").first()["embedding"]
+        spark = emb_df.sparkSession
+        adhoc = [(r["vec_id"], round(r["cosine"], 9)) for r in
+                 lsh_ann_topk(emb_df, qv, k=5).collect()]
+        persisted = [(r["vec_id"], round(r["cosine"], 9)) for r in
+                     ann_query(spark, out, qv, k=5).collect()]
+        assert adhoc == persisted
+        # partition pruning: the probe filter must reach the scan as a
+        # partition filter (inputFiles() reflects the pre-pruning listing,
+        # so inspect the physical plan)
+        cands = ann_candidates(spark, out, qv)
+        plan = cands._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [bucket" in plan
+
 
 class TestTextStats:
     def test_token_counts(self, text_df):
