@@ -272,8 +272,29 @@ def _dedupe(phrases: list[Phrase]) -> tuple[Phrase, ...]:
     return tuple(out)
 
 
-def to_tspquery(config: str, query_string: str) -> CompiledQuery:
-    """Compile tsquery-syntax text ('best<2>time|worst<2>time')."""
+# Session default config — the engine's analog of PostgreSQL's
+# default_text_search_config GUC, backing the reference's arity-reduced
+# overloads (/root/reference/sql/to_tspquery.sql:36-45,
+# ts_fast_headline.sql:75-88): call to_tspquery("term") / a one-arg
+# phraseto_tspquery and the session default applies.
+_DEFAULT_CONFIG = "english"
+
+
+def set_default_text_search_config(config: str) -> None:
+    global _DEFAULT_CONFIG
+    _DEFAULT_CONFIG = config
+
+
+def get_default_text_search_config() -> str:
+    return _DEFAULT_CONFIG
+
+
+def to_tspquery(config: str, query_string: str | None = None) -> CompiledQuery:
+    """Compile tsquery-syntax text ('best<2>time|worst<2>time'). With one
+    argument, the session default config applies (the reference's arity-2
+    overload, to_tspquery.sql:36-45)."""
+    if query_string is None:
+        config, query_string = _DEFAULT_CONFIG, config
     s = " " + unaccent(query_string) + " "
     # twice, to catch terms with multiple delimited substrings (seek-ing-ly)
     s = _RE_INTRAWORD_DELIM.sub(r"\1\2<1>\3", s)
@@ -284,8 +305,11 @@ def to_tspquery(config: str, query_string: str) -> CompiledQuery:
     return CompiledQuery(config, query_string, root, phrases)
 
 
-def phraseto_tspquery(config: str, phrase_text: str) -> CompiledQuery:
-    """Compile a plain human phrase; stopwords drop but keep their gaps."""
+def phraseto_tspquery(config: str, phrase_text: str | None = None) -> CompiledQuery:
+    """Compile a plain human phrase; stopwords drop but keep their gaps.
+    With one argument, the session default config applies."""
+    if phrase_text is None:
+        config, phrase_text = _DEFAULT_CONFIG, config
     lexemes = analyze_text_simple(phrase_text, config)
     items = tuple(
         (lex, pos) for pos, lex in enumerate(lexemes, start=1) if lex is not None

@@ -1,7 +1,27 @@
 from pg_ts_semantic_headline_spark.plans.query_compiler import (
+    get_default_text_search_config,
     phraseto_tspquery,
+    set_default_text_search_config,
     to_tspquery,
 )
+
+
+def test_default_config_arity_overloads():
+    """The reference's arity-reduced overloads infer the session default
+    config (to_tspquery.sql:36-45, ts_semantic_headline.sql:77-90)."""
+    assert get_default_text_search_config() == "english"
+    one = to_tspquery("running & jumps")
+    two = to_tspquery("english", "running & jumps")
+    assert one.phrases == two.phrases and one.config == "english"
+    p1 = phraseto_tspquery("the running dogs")
+    p2 = phraseto_tspquery("english", "the running dogs")
+    assert p1.phrases == p2.phrases
+
+    set_default_text_search_config("simple")
+    try:
+        assert to_tspquery("running").phrases[0].items == (("running", 1),)
+    finally:
+        set_default_text_search_config("english")
 
 
 class TestToTspquery:
