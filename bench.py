@@ -121,6 +121,32 @@ def main():
         t0 = time.time()
         cosine_topk_arrow(emb, qv, k=10).collect()
         timings["embedding_cosine_topk"] = time.time() - t0
+
+        # persisted-ANN path: one-time bucket build, then 5 probed queries
+        from pg_ts_semantic_headline_spark.operators.similarity import (
+            ann_query, build_ann_index)
+        ann_dir = tempfile.mkdtemp(prefix="tsp_bench_ann_")
+        try:
+            t0 = time.time()
+            build_ann_index(emb, ann_dir, n_planes=8, seed=42)
+            timings["ann_index_build"] = time.time() - t0
+            qvs = [r["embedding"] for r in emb.limit(5).collect()]
+            t0 = time.time()
+            for v in qvs:
+                ann_query(spark, ann_dir, v, k=10).collect()
+            timings["ann_query_x5"] = time.time() - t0
+        finally:
+            shutil.rmtree(ann_dir, ignore_errors=True)
+
+        # ad-hoc 1:1 ts_headline replacement (pg-style passage selection +
+        # fast path over the passage only), normalized per 1k docs
+        from pg_ts_semantic_headline_spark.plans.headline import (
+            ts_semantic_headline)
+        t0 = time.time()
+        ts_semantic_headline(
+            sample, phraseto_tspquery("english", "merge"),
+            config="english").count()
+        timings["semantic_headline_per_1k_docs"] = time.time() - t0
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
