@@ -64,6 +64,42 @@ def test_merge_invalidates_packed_blocks(spark, tmp_path):
     assert {r["doc_id"] for r in top} == {100, 101}
 
 
+def test_windowed_term_counts_stream(spark, tmp_path):
+    """Watermarked windowed term counts over a real (availableNow) stream
+    must equal the batch aggregation of the same rows."""
+    import datetime as dt
+
+    from pg_ts_semantic_headline_spark.streaming import windowed_term_counts
+
+    src = str(tmp_path / "stream_src")
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (base, "alpha beta alpha"),
+        (base + dt.timedelta(seconds=30), "beta gamma"),
+        (base + dt.timedelta(minutes=1, seconds=10), "alpha alpha"),
+    ]
+    spark.createDataFrame(rows, "event_time timestamp, content string") \
+        .write.parquet(src)
+
+    stream = (spark.readStream
+              .schema("event_time timestamp, content string").parquet(src))
+    counts = windowed_term_counts(stream, config="simple",
+                                  window="1 minute", watermark="2 minutes")
+    # complete mode: append-mode windows only flush once the watermark
+    # passes them, which a finite availableNow run never reaches
+    q = (counts.writeStream.format("memory").queryName("wtc")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r["window"]["start"].minute, r["term"]):
+           (r["n_docs"], r["n_occurrences"])
+           for r in spark.sql("SELECT * FROM wtc").collect()}
+    assert got[(0, "alpha")] == (1, 2)
+    assert got[(0, "beta")] == (2, 2)
+    assert got[(0, "gamma")] == (1, 1)
+    assert got[(1, "alpha")] == (1, 2)
+
+
 def test_streaming_foreachbatch(spark, index_dir, tmp_path):
     src = str(tmp_path / "incoming")
     ckpt = str(tmp_path / "ckpt")
