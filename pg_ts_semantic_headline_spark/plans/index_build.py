@@ -263,6 +263,7 @@ def build_index(
     build_packed: bool = True,
     min_analyze_partitions: int | None = None,
     postings_partitions: int | None = None,
+    row_positions: bool | None = None,
     metrics: dict | None = None,
 ) -> IndexPaths:
     """Batch index build; idempotent and stage-resumable.
@@ -273,6 +274,14 @@ def build_index(
     this when the caller already repartitioned/cached the input).
     `postings_partitions` overrides the postings sort/pack shuffle width
     (default: 2× cluster parallelism).
+    `row_positions`: store position arrays in the postings ROW table.
+    Default (None) = only when no packed store is built: positions
+    dominate row-postings bytes (~30× the packed equivalent on the
+    measured corpus), so when the delta-varint packed store exists it is
+    the single positional copy — phrase verification and headlines decode
+    positions from it — and the row table shrinks to a compact scoring
+    projection (doc_id, dl, term, tf). Pass True to keep both (e.g. for
+    JVM-only phrase paths or row-level positional debugging).
     """
     from pyspark import StorageLevel
 
@@ -372,11 +381,14 @@ def build_index(
                 .sortWithinPartitions("bucket", "term", "doc_id")
                 .persist(StorageLevel.MEMORY_AND_DISK))
 
+    if row_positions is None:
+        row_positions = not build_packed
     if "postings" not in done:
         t0 = time.time()
         post_obs, post_aggs = _checksum_observation(
             "postings_lineage", F.concat_ws("|", "term", "doc_id"))
-        (bucketed
+        post_out = bucketed if row_positions else bucketed.drop("positions")
+        (post_out
          .observe(post_obs, *post_aggs)
          .write.mode("overwrite").partitionBy("bucket").parquet(paths.postings))
         metrics["postings_sec"] = time.time() - t0

@@ -172,3 +172,31 @@ def decode_block_scores(payload: bytes, base_doc: int):
     vals = decode_varints_prefix(payload, 1 + 3 * n)
     doc_ids = np.int64(base_doc) + np.cumsum(vals[1:1 + n])
     return doc_ids, vals[1 + n:1 + 2 * n], vals[1 + 2 * n:1 + 3 * n]
+
+
+def decode_block_positions(payload: bytes, base_doc: int):
+    """(doc_ids, flat_positions, per_doc_counts) — full vectorized decode
+    of the position section: ONE varint pass over the whole payload, then
+    numpy segment ops to undelta each doc's position run. Feeds the
+    phrase-verification and headline paths when row postings carry no
+    positions column (the packed store is then the only positional copy).
+
+    flat_positions is the concatenation of every doc's absolute positions;
+    np.repeat(doc_ids, per_doc_counts) aligns a doc id to each one."""
+    vals = decode_varints_prefix(payload)
+    n = int(vals[0])
+    doc_ids = np.int64(base_doc) + np.cumsum(vals[1:1 + n])
+    pos_section = vals[1 + 3 * n:]
+    # layout per doc: [len_i, delta_0..delta_{len_i-1}] — the varint pass
+    # above already decoded everything; this loop (≤128 docs) only slices
+    # and undeltas each run
+    counts = np.empty(n, np.int64)
+    runs = []
+    idx = 0
+    for i in range(n):
+        m = int(pos_section[idx])
+        counts[i] = m
+        runs.append(np.cumsum(pos_section[idx + 1: idx + 1 + m]))
+        idx += 1 + m
+    flat = np.concatenate(runs) if runs else np.empty(0, np.int64)
+    return doc_ids, flat, counts

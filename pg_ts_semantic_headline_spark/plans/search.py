@@ -345,6 +345,47 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
     return _topk_from_packed(index, need, terms, k, idf_map=idf_map)
 
 
+def _positions_hay(index: Index, terms: list[str]) -> DataFrame:
+    """(doc_id, term, pos) rows for the query terms — exploded from row
+    postings when they carry a positions column, else decoded from the
+    packed store (which is then the index's single positional copy; see
+    build_index(row_positions=...))."""
+    if "positions" in index.postings.columns:
+        return (_pruned_postings(index, terms)
+                .select("doc_id", "term",
+                        F.explode("positions").alias("pos")))
+    if index.packed is None:
+        raise ValueError(
+            "index stores no positions: row postings lack the positions "
+            "column and no packed store is present (rebuild with "
+            "row_positions=True or build_packed=True)")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .packing import decode_block_positions
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_d, out_t, out_p = [], [], []
+            for term, payload, base in zip(pdf["term"], pdf["payload"],
+                                           pdf["base_doc"]):
+                doc_ids, flat, counts = decode_block_positions(
+                    bytes(payload), int(base))
+                out_d.append(np.repeat(doc_ids, counts))
+                out_t.append(np.repeat(term, int(counts.sum())))
+                out_p.append(flat)
+            yield pd.DataFrame({"doc_id": np.concatenate(out_d),
+                                "term": np.concatenate(out_t),
+                                "pos": np.concatenate(out_p)})
+
+    return (_pruned_packed(index, terms)
+            .select("term", "base_doc", "payload")
+            .mapInPandas(gen, schema="doc_id long, term string, pos int"))
+
+
 def phrase_match_docs(index: Index, query: CompiledQuery) -> DataFrame:
     """(doc_id, phrase_id, n_matches) via positional intersection on the
     pruned postings — the indexed form of the matches plan."""
@@ -353,9 +394,7 @@ def phrase_match_docs(index: Index, query: CompiledQuery) -> DataFrame:
         return spark.createDataFrame([], "doc_id long, phrase_id int, n_matches long")
     from .matches import phrase_table_df
     qdf = phrase_table_df(spark, query)
-    rows = _pruned_postings(index, list(query.lexemes))
-    hay = rows.select("doc_id", "term",
-                      F.explode("positions").alias("pos"))
+    hay = _positions_hay(index, list(query.lexemes))
     joined = hay.join(F.broadcast(qdf), hay.term == qdf.q_lexeme)
     aligned = joined.withColumn("range_start",
                                 F.col("pos") - F.col("q_pos") + F.lit(1))
@@ -463,13 +502,12 @@ def search_with_headlines(
     winners = hits.select("doc_id")
     docs = (index.tokens.join(winners, on="doc_id", how="left_semi")
             .select("doc_id", "tokens"))
-    # haystack rows come straight from the already-pruned postings: the
-    # precomputed-TSV trick as a persisted position-lookup joined to content
-    hay = (_pruned_postings(index, list(query.lexemes))
+    # haystack rows come straight from the already-pruned positional store:
+    # the precomputed-TSV trick as a persisted position-lookup joined to
+    # content (row postings when they carry positions, packed decode else)
+    hay = (_positions_hay(index, list(query.lexemes))
            .join(winners, on="doc_id", how="left_semi")
-           .select("doc_id", F.col("term").alias("lex"),
-                   F.explode("positions").alias("pos"))
-           .select("doc_id", "pos", "lex"))
+           .select("doc_id", "pos", F.col("term").alias("lex")))
     headlines = ts_fast_headline(docs, query, options, hay=hay)
     return (hits.join(headlines, on="doc_id", how="left")
             .orderBy(F.desc("score"), F.asc("doc_id")))

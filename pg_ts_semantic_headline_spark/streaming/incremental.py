@@ -66,6 +66,14 @@ def merge_batch(
                       .withColumn("bucket",
                                   F.pmod(F.xxhash64("term"), F.lit(n_buckets))
                                   .cast("int")))
+    # match the base table's schema: a positions-free scoring projection
+    # (row_positions=False builds) stays positions-free — after the packed
+    # delete below, positional queries on such an index require a
+    # compaction rebuild (and say so), while BM25 sees merged docs
+    # immediately
+    existing_cols = spark.read.parquet(paths.postings).columns
+    if "positions" not in existing_cols:
+        batch_postings = batch_postings.drop("positions")
     (batch_postings.repartition("bucket")
      .write.mode("append").partitionBy("bucket").parquet(paths.postings))
 

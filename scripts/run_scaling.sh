@@ -7,6 +7,10 @@ cd "$(dirname "$0")/.."
 SF_DIR=${1:-/root/testdata/sf0.1}
 REP=${2:-96}
 REPLEN=${3:-4}
+# OUT_BASE=/dev/shm isolates CPU scaling from single-disk write contention
+# (this sandbox shares one ~600 MB/s virtual disk across all "executors";
+# a real 4N-executor cluster brings 4N× disks). Shuffle spill dirs follow.
+OUT_BASE=${OUT_BASE:-/tmp}
 
 rm -f /tmp/tsp_pkg.zip
 (cd . && zip -qr /tmp/tsp_pkg.zip pg_ts_semantic_headline_spark)
@@ -17,10 +21,11 @@ run_once() {
     --conf spark.sql.shuffle.partitions=$((cores * 2)) \
     --conf spark.sql.adaptive.enabled=true \
     --conf spark.driver.memory=24g \
+    --conf spark.local.dir="$OUT_BASE/tsp_spark_local" \
     --conf spark.sql.execution.arrow.maxRecordsPerBatch=2000 \
     --conf spark.ui.enabled=false \
     --py-files /tmp/tsp_pkg.zip \
-    scripts/scaling_job.py "$SF_DIR" "/tmp/tsp_scale_idx_$cores" "$REP" "$REPLEN" \
+    scripts/scaling_job.py "$SF_DIR" "$OUT_BASE/tsp_scale_idx_$cores" "$REP" "$REPLEN" \
     2>/dev/null | tail -1
 }
 

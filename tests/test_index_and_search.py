@@ -42,7 +42,20 @@ def corpus():
 
 @pytest.fixture(scope="module")
 def index(spark, corpus, tmp_path_factory):
+    # row_positions=True: several tests assert the row-level positional
+    # projection directly (the dual-store debugging mode)
     out = str(tmp_path_factory.mktemp("idx"))
+    df = spark.createDataFrame(corpus, ["doc_id", "content"])
+    build_index(spark, df, out, config=CONFIG, n_buckets=8, block_span=8,
+                row_positions=True)
+    return load_index(spark, out)
+
+
+@pytest.fixture(scope="module")
+def lean_index(spark, corpus, tmp_path_factory):
+    # the scale default: packed store is the ONLY positional copy; row
+    # postings are a compact (doc_id, dl, term, tf) scoring projection
+    out = str(tmp_path_factory.mktemp("idx_lean"))
     df = spark.createDataFrame(corpus, ["doc_id", "content"])
     build_index(spark, df, out, config=CONFIG, n_buckets=8, block_span=8)
     return load_index(spark, out)
@@ -218,6 +231,45 @@ class TestBM25:
         monkeypatch.setattr(searchmod, "META_COLLECT_LIMIT", 4)
         self._assert_blockmax_matches_exact(
             index, ["spark", "query", "window"], 10)
+
+
+class TestLeanIndexPositionsFromPacked:
+    """With the default build, row postings carry NO positions column —
+    phrase verification and headlines decode the packed store and must be
+    indistinguishable from the dual-store index."""
+
+    def test_row_projection_is_lean(self, lean_index):
+        assert "positions" not in lean_index.postings.columns
+
+    def test_phrase_docs_match_dual_store(self, index, lean_index, corpus):
+        q = phraseto_tspquery(CONFIG, "needle phrase target")
+        lean = {(r["doc_id"], r["n_matches"])
+                for r in phrase_match_docs(lean_index, q).collect()}
+        dual = {(r["doc_id"], r["n_matches"])
+                for r in phrase_match_docs(index, q).collect()}
+        assert lean == dual
+        assert lean  # non-trivial
+
+    def test_boolean_filter_matches(self, index, lean_index):
+        q = to_tspquery(CONFIG, "needle & !unique")
+        lean = {r["doc_id"] for r in matching_docs(lean_index, q).collect()}
+        dual = {r["doc_id"] for r in matching_docs(index, q).collect()}
+        assert lean == dual
+
+    def test_headlines_match(self, index, lean_index):
+        q = phraseto_tspquery(CONFIG, "needle phrase target")
+        lean = {r["doc_id"]: r["headline"] for r in
+                search_with_headlines(lean_index, q, k=3).collect()}
+        dual = {r["doc_id"]: r["headline"] for r in
+                search_with_headlines(index, q, k=3).collect()}
+        assert lean == dual and lean
+
+    def test_bm25_identical(self, index, lean_index):
+        a = [(r["doc_id"], round(r["score"], 10)) for r in
+             bm25_topk(lean_index, ["spark", "window"], k=10).collect()]
+        b = [(r["doc_id"], round(r["score"], 10)) for r in
+             bm25_topk(index, ["spark", "window"], k=10).collect()]
+        assert a == b
 
 
 class TestSearch:
