@@ -356,7 +356,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from pg_ts_semantic_headline_spark.functions.textprep import (
-        to_tsp_text_array, tsp_indexable_text, tsp_present_text)
+        to_tsp_text_array, tsp_indexable_series, tsp_indexable_text,
+        tsp_present_series, tsp_present_text)
     from pg_ts_semantic_headline_spark.operators import (
         attach_binary, cosine_topk, doc_fingerprint, exact_duplicates,
         lang_id, minhash_lsh_dedup, ngram_jaccard_pairs, quality_score,
@@ -372,11 +373,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     @F.pandas_udf(StringType())
     def indexable_udf(s: pd.Series) -> pd.Series:
-        return s.map(tsp_indexable_text)
+        return tsp_indexable_series(s)
 
     @F.pandas_udf(StringType())
     def present_udf(s: pd.Series) -> pd.Series:
-        return s.map(tsp_present_text)
+        return tsp_present_series(s)
 
     def q01(spark, sf):
         return (_docs(spark, sf)

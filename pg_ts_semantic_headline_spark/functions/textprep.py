@@ -67,6 +67,31 @@ def tsp_present_text(text: str, end_delimiter: str = "</b>") -> str:
     return s.strip()
 
 
+def tsp_indexable_series(s):
+    """Vectorized `tsp_indexable_text` over a pandas Series: the same
+    compiled patterns applied via str.replace chains (C-loop per pattern
+    instead of a Python call per row). Null-safe: NaN/None propagate."""
+    out = s.str.replace(_RE_NEWLINES, " ", regex=True)
+    out = out.str.replace(_RE_LEADING_NONWORD, "", regex=True)
+    out = out.str.replace(_RE_SMC_BEFORE_SPACE, f"\\1{BELL} ", regex=True)
+    out = out.str.replace(_RE_SMC_RUN, f"\\1{BELL} ", regex=True)
+    out = out.str.replace(_RE_SPACE_SMC_SPACE, r"\1\2", regex=True)
+    out = out.str.replace(_RE_PURE_SYMBOL_TOKEN, " ", regex=True)
+    out = out.str.replace(_RE_WS_RUN, " ", regex=True)
+    return out.str.strip()
+
+
+def tsp_present_series(s, end_delimiter: str = "</b>"):
+    """Vectorized `tsp_present_text` over a pandas Series."""
+    delim = re.escape(end_delimiter)
+    out = s.str.replace(f"{BELL}{BELL}({delim}) ", r"\1 ", regex=True)
+    out = out.str.replace(f"{BELL}({delim}) ", r"\1", regex=True)
+    out = out.str.replace(f"{BELL}{BELL} ", " ", regex=False)
+    out = out.str.replace(f"{BELL} ", "", regex=False)
+    out = out.str.replace(BELL, "", regex=False)
+    return out.str.strip()
+
+
 def to_tsp_text_array(text: str) -> list[str]:
     """Recall vector: whitespace-split canonicalized text, 0-indexed list
     whose element i-1 aligns with lexeme position i. Accent-PRESERVING

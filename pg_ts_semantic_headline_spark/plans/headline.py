@@ -74,11 +74,10 @@ def _highlight_udf(start_sel: str, stop_sel: str):
 
 
 def _present_udf(stop_sel: str):
-    from ..functions.textprep import tsp_present_text
+    from ..functions.textprep import tsp_present_series
 
     def run(text: pd.Series) -> pd.Series:
-        return text.map(lambda s: tsp_present_text(s, stop_sel)
-                        if s is not None else None)
+        return tsp_present_series(text, stop_sel)
 
     return F.pandas_udf(run, returnType=StringType())
 

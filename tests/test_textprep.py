@@ -1,5 +1,37 @@
 """Unit tests for the pure text kernels (no Spark needed)."""
 
+
+def test_series_kernels_match_scalar():
+    """The vectorized pandas kernels must be byte-identical to the scalar
+    reference implementations on adversarial inputs."""
+    import pandas as pd
+
+    from pg_ts_semantic_headline_spark.functions.textprep import (
+        tsp_indexable_series, tsp_present_series)
+
+    samples = [
+        "Wo-ho! so-then -- stop, now: the end.",
+        "  leading spaces and\nnewlines\r\nhere ",
+        "don't re-enter; (parens) [brackets] {braces}!",
+        "Straße über — naïve café, résumé's test…",
+        "a-b-c-d e--f g'h'i",
+        "", "plain words only", "!!!", "a",
+        "hyphen-ated word<b>tag</b> mix",
+    ]
+    s = pd.Series(samples + [None])
+    ind_vec = tsp_indexable_series(s)
+    for raw, got in zip(samples, ind_vec):
+        assert got == tsp_indexable_text(raw), raw
+    assert pd.isna(ind_vec.iloc[-1])
+
+    prepared = pd.Series([tsp_indexable_text(x) for x in samples])
+    highlighted = prepared.str.replace("stop", "<b>stop</b>", regex=False)
+    for series_in in (prepared, highlighted):
+        pres_vec = tsp_present_series(series_in)
+        for raw, got in zip(series_in, pres_vec):
+            assert got == tsp_present_text(raw), raw
+
+
 from pg_ts_semantic_headline_spark.functions import (
     BELL,
     analyze_document,
