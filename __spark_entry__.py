@@ -585,6 +585,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             simhash_near_pairs)
         return simhash_near_pairs(_docs(spark, sf), bits=32, max_hamming=3)
 
+    def q33(spark, sf):
+        # the cluster-then-keep-canonical step: connected components over
+        # the MinHash-LSH near-dup pairs (iterative min-label propagation)
+        from pg_ts_semantic_headline_spark.operators.dedup import (
+            duplicate_components)
+        docs = _docs(spark, sf)
+        pairs = minhash_lsh_dedup(docs, threshold=0.4)
+        return duplicate_components(docs, pairs)
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -618,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q30,
         "lsh_ann_topk": q31,
         "simhash_near_pairs": q32,
+        "dedup_components": q33,
     }
 
 
@@ -940,4 +950,26 @@ FROM frames
 """,
         "lsh_ann_topk": _ann_sql(8, 42, 64, 10),
         "simhash_near_pairs": _simhash_near_pairs_sql(32, 3),
+        # connected components over the minhash near-dup pairs: transitive
+        # closure via recursive CTE, component id = min reachable doc_id
+        "dedup_components": f"""
+WITH RECURSIVE mh AS (
+  {_minhash_sql(16, 4, 0.4)}
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM mh
+  UNION
+  SELECT b AS src, a AS dst FROM mh
+),
+reach AS (
+  SELECT src AS n, dst AS m FROM edges
+  UNION
+  SELECT r.n, e.dst AS m FROM reach r JOIN edges e ON r.m = e.src
+),
+mins AS (SELECT n, min(m) AS mn FROM reach GROUP BY n)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS component_id,
+       d.doc_id = LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS is_canonical
+FROM documents d LEFT JOIN mins m ON m.n = d.doc_id
+""",
     }

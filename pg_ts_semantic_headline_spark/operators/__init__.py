@@ -1,4 +1,5 @@
 from .dedup import (
+    duplicate_components,
     exact_duplicates,
     jaccard_for_pairs,
     lsh_candidate_pairs,

@@ -106,6 +106,55 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
             .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def duplicate_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, component_id, is_canonical) — connected components over a
+    near-duplicate pair stream (e.g. `minhash_lsh_dedup` output), the
+    cluster-then-keep-canonical step of a real dedup pipeline.
+
+    Iterative min-label propagation: every node starts labeled with its
+    own id; each round replaces a label with the minimum over itself and
+    its neighbors' labels; converges in O(diameter) rounds (near-dup
+    clusters are shallow — a handful of rounds in practice, `max_iter`
+    bounds pathology). Each round is ONE join + ONE aggregation; the label
+    frame is localCheckpoint-ed so lineage stays flat and the convergence
+    check is an O(1)-row action. Driver loops over ITERATIONS, never over
+    rows."""
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    edges = (edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct().localCheckpoint(eager=False))
+
+    labels = docs.select(F.col(id_col).alias("node"),
+                         F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        nbr_min = (edges
+                   .join(labels.withColumnRenamed("node", "dst"), on="dst")
+                   .groupBy("src").agg(F.min("label").alias("nbr_label"))
+                   .withColumnRenamed("src", "node"))
+        new_labels = (labels.join(nbr_min, on="node", how="left")
+                      .select("node",
+                              F.least("label", F.coalesce("nbr_label",
+                                                          "label"))
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), on="node")
+                   .where(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5) -> DataFrame:

@@ -63,6 +63,25 @@ class TestDedup:
                  for r in simhash_near_pairs(text_df, max_hamming=4).collect()}
         assert pairs.get((0, 3)) == 0
 
+    def test_duplicate_components_chain(self, spark):
+        """A chain a-b, b-c must collapse into ONE component even though
+        (a, c) was never a direct pair — the transitive step plain pair
+        filtering misses."""
+        from pg_ts_semantic_headline_spark.operators import (
+            duplicate_components)
+        docs = spark.createDataFrame(
+            [(i,) for i in range(6)], ["doc_id"])
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (4, 5)], ["a", "b"])
+        got = {r["doc_id"]: (r["component_id"], r["is_canonical"])
+               for r in duplicate_components(docs, pairs).collect()}
+        assert got[0] == (0, True)
+        assert got[1] == (0, False)
+        assert got[2] == (0, False)   # transitive via 1
+        assert got[3] == (3, True)    # singleton
+        assert got[4] == (4, True)
+        assert got[5] == (4, False)
+
 
 class TestSimilarity:
     def test_exact_copy_is_top1(self, emb_df):
