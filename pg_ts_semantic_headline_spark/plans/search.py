@@ -345,15 +345,22 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
     return _topk_from_packed(index, need, terms, k, idf_map=idf_map)
 
 
-def _positions_hay(index: Index, terms: list[str]) -> DataFrame:
+def _positions_hay(index: Index, terms: list[str],
+                   candidate_docs: DataFrame | None = None) -> DataFrame:
     """(doc_id, term, pos) rows for the query terms — exploded from row
     postings when they carry a positions column, else decoded from the
     packed store (which is then the index's single positional copy; see
-    build_index(row_positions=...))."""
+    build_index(row_positions=...)). With `candidate_docs` (e.g. the
+    top-k winners), the source prunes BEFORE explode/decode: row mode
+    semi-joins doc ids, packed mode semi-joins the candidates' block ids
+    so only a handful of payloads are ever decoded."""
     if "positions" in index.postings.columns:
-        return (_pruned_postings(index, terms)
-                .select("doc_id", "term",
-                        F.explode("positions").alias("pos")))
+        rows = _pruned_postings(index, terms)
+        if candidate_docs is not None:
+            rows = rows.join(F.broadcast(candidate_docs.select("doc_id")),
+                             on="doc_id", how="left_semi")
+        return rows.select("doc_id", "term",
+                           F.explode("positions").alias("pos"))
     if index.packed is None:
         raise ValueError(
             "index stores no positions: row postings lack the positions "
@@ -381,7 +388,15 @@ def _positions_hay(index: Index, terms: list[str]) -> DataFrame:
                                 "term": np.concatenate(out_t),
                                 "pos": np.concatenate(out_p)})
 
-    return (_pruned_packed(index, terms)
+    packed = _pruned_packed(index, terms)
+    if candidate_docs is not None:
+        blocks = (candidate_docs
+                  .select(F.floor(F.col("doc_id") / index.block_span)
+                          .cast("long").alias("block_id"))
+                  .distinct())
+        packed = packed.join(F.broadcast(blocks), on="block_id",
+                             how="left_semi")
+    return (packed
             .select("term", "base_doc", "payload")
             .mapInPandas(gen, schema="doc_id long, term string, pos int"))
 
@@ -504,8 +519,10 @@ def search_with_headlines(
             .select("doc_id", "tokens"))
     # haystack rows come straight from the already-pruned positional store:
     # the precomputed-TSV trick as a persisted position-lookup joined to
-    # content (row postings when they carry positions, packed decode else)
-    hay = (_positions_hay(index, list(query.lexemes))
+    # content (row postings when they carry positions, packed decode else),
+    # pre-pruned to the winners' docs/blocks before any explode or decode
+    hay = (_positions_hay(index, list(query.lexemes),
+                          candidate_docs=winners)
            .join(winners, on="doc_id", how="left_semi")
            .select("doc_id", "pos", F.col("term").alias("lex")))
     headlines = ts_fast_headline(docs, query, options, hay=hay)
