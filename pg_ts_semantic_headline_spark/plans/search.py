@@ -20,24 +20,25 @@ Two physical strategies, guaranteed rank-identical (tested):
       metadata) come back to the driver WITH their payloads (a few KB);
       the driver decodes them (vectorized numpy varint kernel, scoring
       prefix only — positions are never decoded) and computes
-      θ = kth best partial score, per-term upper bounds ub(t) = idf·max
-      max_tf_norm, and the idf map.
-  (B) prune + rescore: a block survives iff ∃t at that block with
-      idf(t)·max_tf_norm(t,b) + Σ_{t'≠t} ub(t') ≥ θ (ub/θ are driver
-      literals — no join); ALL query terms' payloads at surviving block
-      ids are decoded by an Arrow mapInPandas kernel, scored exactly,
-      hash-aggregated per doc, TakeOrdered k.
+      θ = kth best partial score, the per-block bound sums S(b), and the
+      idf map.
+  (B) prune + rescore: blocks are doc-ALIGNED across terms (block_id =
+      doc_id // span for every term), so the survival test is the tight
+      per-block SUM S(b) = Σ_t idf(t)·max_tf_norm(t, b) ≥ θ — far
+      stronger than classic WAND's global-upper-bound test: a block where
+      only a low-idf common term occurs is pruned even though the rare
+      term's global bound is huge. ALL query terms' payloads at surviving
+      block ids are decoded by an Arrow mapInPandas kernel, scored
+      exactly, hash-aggregated per doc, TakeOrdered k.
 
-  Correctness: for any doc d with true score ≥ θ and any term t it
-  contains, score(d) ≤ idf(t)·max_tf_norm(t, b_d) + Σ_{t'≠t} ub(t'), so
-  every block holding d survives for every term d contains — d is scored
-  EXACTLY in (B). θ is a lower bound of the true kth score (seed partial
-  scores under-estimate k docs' true scores), so the true top-k always
-  survives. Block ids are doc-contiguous (block_id = doc_id // span),
-  which is what makes "decode all terms at surviving block ids" the exact
-  rescore set. At 10^12-doc scale (B) skips decoding the long tail of
-  blocks for stopword-ish code terms ("def", "import"); the payload scan
-  is compressed varints, a fraction of the row-postings bytes.
+  Correctness: every posting of doc d lives in block b_d = d // span for
+  EVERY term, so score(d) = Σ_t idf_t·tf_norm(t, d) ≤ S(b_d). If
+  score(d) ≥ θ then b_d survives and d is scored EXACTLY in (B). θ is a
+  lower bound of the true kth score (seed partial scores under-estimate k
+  docs' true scores), so the true top-k always survives. At 10^12-doc
+  scale (B) skips decoding the long tail of blocks for stopword-ish code
+  terms ("def", "import"); the payload scan is compressed varints, a
+  fraction of the row-postings bytes.
 
 Phrase verification reuses the *same* pruned postings rows (positions ride
 along), so a phrase query costs no second index scan.
@@ -239,8 +240,9 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
                         seed_blocks_per_term: int = 4) -> DataFrame:
     """Scale-adaptive (see module docstring). Small segments and
     candidate-filtered queries: ONE action, decode-everything. Large
-    segments: TWO actions — seed-collect (θ, ub, idf, full meta in one
-    bounded collect), then prune+rescore. Everything else stays
+    segments: TWO actions — seed-collect (θ, per-block bound sums, idf,
+    full meta in one bounded collect), then prune+rescore. Everything
+    else stays
     driver-side — per-action fixed cost dominates interactive query
     latency, so the action count IS the latency budget."""
     from .packing import decode_block_scores
@@ -249,7 +251,6 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
     packed = _pruned_packed(index, terms)
     theta = 0.0
     idf_map: dict = {}
-    ub: dict = {}
     surviving_ids: list | None = None
 
     if candidate_docs is not None:
@@ -294,10 +295,12 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
     overflowed = len(meta_rows) >= META_COLLECT_LIMIT
 
     acc: dict = {}
+    block_sum: dict = {}
     for r in meta_rows:
         t = r["term"]
         impact = idf_map[t] * float(r["max_tf_norm"])
-        ub[t] = max(ub.get(t, 0.0), impact)
+        b = r["block_id"]
+        block_sum[b] = block_sum.get(b, 0.0) + impact
         if r["payload"] is None:
             continue
         doc_ids, tfs, dls = decode_block_scores(
@@ -310,36 +313,42 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
     theta = top[-1][1] if len(top) == k else 0.0
 
     if theta > 0.0 and not overflowed:
-        # survival entirely driver-side → action B is a pure
-        # scan+decode+aggregate with literal block ids, no joins
-        total_ub = sum(ub.values())
-        surviving_ids = sorted({
-            r["block_id"] for r in meta_rows
-            if idf_map[r["term"]] * float(r["max_tf_norm"])
-            + (total_ub - ub[r["term"]]) >= theta})
+        # survival entirely driver-side: blocks are doc-ALIGNED across
+        # terms, so block b survives iff S(b) = Σ_t idf·mtn(t, b) ≥ θ —
+        # the tight per-block sum, not classic WAND's loose global bound
+        surviving_ids = sorted(
+            b for b, s in block_sum.items() if s >= theta)
+        if len(surviving_ids) >= max(1, int(0.8 * len(block_sum))):
+            surviving_ids = None  # pruning buys nothing; skip the filter
 
     # action B: decode ALL query terms' payloads at surviving block ids
-    # (the exact rescore set — blocks are doc-contiguous), aggregate,
+    # (the exact rescore set — blocks are doc-aligned), aggregate,
     # TakeOrdered k.
     need = packed
     if surviving_ids is not None:
-        need = packed.where(F.col("block_id").isin(surviving_ids))
-    elif theta > 0.0:
-        # meta overflowed the driver bound: distributed survival filter,
-        # per-term upper bounds recomputed IN-PLAN over the full metadata
-        # (driver ub from truncated meta would under-estimate and could
-        # prune true top-k). idf stays a driver literal map — the
-        # dictionary rows were never truncated.
+        if len(surviving_ids) <= 4096:
+            need = packed.where(F.col("block_id").isin(surviving_ids))
+        else:
+            # a huge literal IN list costs more to plan than it saves;
+            # ship the ids as a broadcast semi-join instead
+            ids_df = spark.createDataFrame(
+                [(int(b),) for b in surviving_ids], "block_id long")
+            need = packed.join(F.broadcast(ids_df), on="block_id",
+                               how="left_semi")
+    elif theta > 0.0 and overflowed:
+        # meta overflowed the driver bound: the SAME per-block-sum
+        # survival computed in-plan (θ stays valid — fewer seeds only
+        # lowers it). idf is a driver literal map; the dictionary rows
+        # were never truncated.
         idf_lit = F.create_map(
             *[F.lit(x) for t in idf_map for x in (t, idf_map[t])])
-        m = (packed.select("term", "block_id", "max_tf_norm")
-             .withColumn("imp", idf_lit[F.col("term")] * F.col("max_tf_norm")))
-        ubs = m.groupBy("term").agg(F.max("imp").alias("ub"))
-        tot = ubs.agg(F.sum("ub").alias("tot"))
-        surviving = (m.join(F.broadcast(ubs), on="term").crossJoin(tot)
-                     .where(F.col("imp") + F.col("tot") - F.col("ub")
-                            >= F.lit(theta))
-                     .select("block_id").distinct())
+        surviving = (packed
+                     .select("term", "block_id", "max_tf_norm")
+                     .groupBy("block_id")
+                     .agg(F.sum(idf_lit[F.col("term")]
+                                * F.col("max_tf_norm")).alias("s"))
+                     .where(F.col("s") >= F.lit(theta))
+                     .select("block_id"))
         need = packed.join(surviving, on="block_id", how="left_semi")
 
     return _topk_from_packed(index, need, terms, k, idf_map=idf_map)
