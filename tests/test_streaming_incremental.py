@@ -99,6 +99,18 @@ def test_windowed_term_counts_stream(spark, tmp_path):
     assert got[(0, "gamma")] == (1, 1)
     assert got[(1, "alpha")] == (1, 2)
 
+    from pg_ts_semantic_headline_spark.streaming import doc_arrival_rates
+    stream2 = (spark.readStream
+               .schema("event_time timestamp, content string").parquet(src))
+    rates = doc_arrival_rates(stream2, window="1 minute")
+    q2 = (rates.writeStream.format("memory").queryName("dar")
+          .outputMode("complete").trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    r = {row["window"]["start"].minute: (row["n_docs"], row["total_bytes"])
+         for row in spark.sql("SELECT * FROM dar").collect()}
+    assert r[0][0] == 2 and r[1][0] == 1
+    assert r[0][1] == len("alpha beta alpha") + len("beta gamma")
+
 
 def test_streaming_foreachbatch(spark, index_dir, tmp_path):
     src = str(tmp_path / "incoming")
