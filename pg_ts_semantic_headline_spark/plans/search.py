@@ -14,15 +14,19 @@ Two physical strategies, guaranteed rank-identical (tested):
   broadcast-join the tiny idf map, hash-aggregate per doc, TakeOrdered k.
   Embarrassingly parallel; the Spark-natural default.
 - blockmax: classic block-max WAND reshaped for a columnar engine, scoring
-  from the PACKED table only — row postings are never touched. Two actions:
+  from the PACKED table only — row postings are never touched. Large
+  segments run three lean actions:
 
-  (A) seed: the top-S blocks per term by impact (window over block
-      metadata) come back to the driver WITH their payloads (a few KB);
-      the driver decodes them (vectorized numpy varint kernel, scoring
-      prefix only — positions are never decoded) and computes
-      θ = kth best partial score, the per-block bound sums S(b), and the
-      idf map.
-  (B) prune + rescore: blocks are doc-ALIGNED across terms (block_id =
+  (A) meta: one bounded collect of the SKINNY block metadata
+      (term, block_id, max_tf_norm — the payload column is never
+      projected, so the columnar scan skips it) plus the idf rows; the
+      driver selects the top-S seed blocks per term and the per-block
+      bound sums S(b).
+  (B) seed: point-lookup decode of the seed payloads (block_id literals →
+      row-group pruning; a few KB), scored driver-side with the
+      vectorized numpy varint kernel (scoring prefix only — positions are
+      never decoded) → θ = kth best partial score.
+  (C) prune + rescore: blocks are doc-ALIGNED across terms (block_id =
       doc_id // span for every term), so the survival test is the tight
       per-block SUM S(b) = Σ_t idf(t)·max_tf_norm(t, b) ≥ θ — far
       stronger than classic WAND's global-upper-bound test: a block where
@@ -33,7 +37,7 @@ Two physical strategies, guaranteed rank-identical (tested):
 
   Correctness: every posting of doc d lives in block b_d = d // span for
   EVERY term, so score(d) = Σ_t idf_t·tf_norm(t, d) ≤ S(b_d). If
-  score(d) ≥ θ then b_d survives and d is scored EXACTLY in (B). θ is a
+  score(d) ≥ θ then b_d survives and d is scored EXACTLY in (C). θ is a
   lower bound of the true kth score (seed partial scores under-estimate k
   docs' true scores), so the true top-k always survives. At 10^12-doc
   scale (B) skips decoding the long tail of blocks for stopword-ish code
@@ -46,7 +50,7 @@ along), so a phrase query costs no second index scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .index_build import B, K1, Index
@@ -240,11 +244,10 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
                         seed_blocks_per_term: int = 4) -> DataFrame:
     """Scale-adaptive (see module docstring). Small segments and
     candidate-filtered queries: ONE action, decode-everything. Large
-    segments: TWO actions — seed-collect (θ, per-block bound sums, idf,
-    full meta in one bounded collect), then prune+rescore. Everything
-    else stays
-    driver-side — per-action fixed cost dominates interactive query
-    latency, so the action count IS the latency budget."""
+    segments: THREE lean actions — skinny-meta collect, point-lookup seed
+    decode (→ θ), pruned rescore. Everything else stays driver-side —
+    per-action fixed cost dominates interactive query latency, so the
+    action count IS the latency budget."""
     from .packing import decode_block_scores
 
     spark = index.postings.sparkSession
@@ -266,22 +269,15 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
         # pruning cannot pay here: one action decodes everything
         return _topk_from_packed(index, packed, terms, k)
 
-    # action A: ONE bounded collect returns (a) every (term, block) meta
-    # row for the query terms, (b) payloads for the top-S blocks per term
-    # (ordering by max_tf_norm == ordering by impact: idf is a per-term
-    # constant), (c) the idf dictionary rows — appended via unionByName so
-    # no broadcast-exchange sub-job runs. The LIMIT is the overflow guard:
+    # action A: ONE bounded collect of (a) the SKINNY block metadata for
+    # the query terms — the payload column is never projected, so the
+    # columnar scan reads only (term, block_id, max_tf_norm) — and (b)
+    # the idf dictionary rows, appended via unionByName so no
+    # broadcast-exchange sub-job runs. The LIMIT is the overflow guard:
     # hot terms whose meta exceeds it fall back to the distributed
     # survival filter below.
-    w = Window.partitionBy("term").orderBy(
-        F.desc("max_tf_norm"), "block_id")
     meta = (packed
-            .select("term", "block_id", "base_doc", "max_tf_norm",
-                    "payload")
-            .withColumn("_rn", F.row_number().over(w))
-            .select("term", "block_id", "base_doc", "max_tf_norm",
-                    F.when(F.col("_rn") <= seed_blocks_per_term,
-                           F.col("payload")).alias("payload"))
+            .select("term", "block_id", "max_tf_norm")
             .limit(META_COLLECT_LIMIT))
     rows = meta.unionByName(
         _idf_lookup(index, terms)
@@ -294,18 +290,33 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
         return spark.createDataFrame([], "doc_id long, score double")
     overflowed = len(meta_rows) >= META_COLLECT_LIMIT
 
-    acc: dict = {}
+    # driver-side seed selection: top-S blocks per term by impact
+    # (ordering by max_tf_norm == ordering by impact — idf is a per-term
+    # constant) plus the per-block bound sums S(b)
     block_sum: dict = {}
+    per_term: dict = {}
     for r in meta_rows:
         t = r["term"]
         impact = idf_map[t] * float(r["max_tf_norm"])
         b = r["block_id"]
         block_sum[b] = block_sum.get(b, 0.0) + impact
-        if r["payload"] is None:
-            continue
+        per_term.setdefault(t, []).append((-float(r["max_tf_norm"]), b))
+    seed_ids = sorted({
+        b for heap in per_term.values()
+        for _, b in sorted(heap)[:seed_blocks_per_term]})
+
+    # action B: point-lookup decode of the seed payloads (a handful of
+    # block ids → parquet row-group pruning on block_id; payload bytes
+    # read ONLY for these rows), scored driver-side → θ
+    seed_rows = (packed
+                 .where(F.col("block_id").isin(seed_ids))
+                 .select("term", "base_doc", "payload")
+                 .collect())
+    acc: dict = {}
+    for r in seed_rows:
         doc_ids, tfs, dls = decode_block_scores(
             bytes(r["payload"]), int(r["base_doc"]))
-        parts = _bm25_part_score(tfs, dls, idf_map[t], index.avgdl)
+        parts = _bm25_part_score(tfs, dls, idf_map[r["term"]], index.avgdl)
         for d, s in zip(doc_ids.tolist(), parts.tolist()):
             acc[d] = acc.get(d, 0.0) + s
     top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
