@@ -337,11 +337,13 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
     # TakeOrdered k.
     need = packed
     if surviving_ids is not None:
-        if len(surviving_ids) <= 4096:
+        # literal IN planning/codegen cost grows steeply with list size
+        # (measured: ~5 s per query at 2,000 literals on this Spark) —
+        # beyond a few dozen ids a broadcast semi-join plans in constant
+        # time
+        if len(surviving_ids) <= 64:
             need = packed.where(F.col("block_id").isin(surviving_ids))
         else:
-            # a huge literal IN list costs more to plan than it saves;
-            # ship the ids as a broadcast semi-join instead
             ids_df = spark.createDataFrame(
                 [(int(b),) for b in surviving_ids], "block_id long")
             need = packed.join(F.broadcast(ids_df), on="block_id",
