@@ -177,6 +177,7 @@ def ann_query(spark, out_dir: str, query_vec, k: int = 10,
               emb_col: str = "embedding", id_col: str = "vec_id",
               multiprobe: bool = True) -> DataFrame:
     """(vec_id, cosine) top-k over a persisted ANN index: bucket-pruned
-    candidate scan, exact cosine re-rank within."""
+    candidate scan, exact cosine re-rank within (Arrow matvec — the
+    nested-fold column expression costs ~1 s of codegen per query)."""
     cands = ann_candidates(spark, out_dir, query_vec, multiprobe)
-    return cosine_topk(cands, query_vec, k, emb_col, id_col)
+    return cosine_topk_arrow(cands, query_vec, k, emb_col, id_col)
