@@ -62,6 +62,12 @@ def test_merge_invalidates_packed_blocks(spark, tmp_path):
         bm25_topk(after, ["fresh"], k=5, mode="blockmax")
     top = bm25_topk(after, ["fresh"], k=5, mode="exact").collect()
     assert {r["doc_id"] for r in top} == {100, 101}
+    # default (lean) layout: packed was the only positional copy, so a
+    # positional query after the merge must direct to compaction instead
+    # of silently returning partial results
+    q = phraseto_tspquery(CONFIG, "needle phrase target")
+    with pytest.raises(ValueError, match="positions"):
+        phrase_match_docs(after, q).collect()
 
 
 def test_windowed_term_counts_stream(spark, tmp_path):
