@@ -12,9 +12,11 @@ from .dedup import (
 )
 from .multimodal import attach_binary, decode_media, sample_frames
 from .similarity import (
+    AnnIndex,
     ann_candidates,
     ann_query,
     build_ann_index,
+    load_ann_index,
     cosine_topk,
     cosine_topk_arrow,
     lsh_ann_topk,

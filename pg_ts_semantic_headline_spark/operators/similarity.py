@@ -160,17 +160,38 @@ def build_ann_index(df: DataFrame, out_dir: str, n_planes: int = 8,
         .write.mode("overwrite").parquet(f"{out_dir}/meta")
 
 
+class AnnIndex:
+    """Loaded handle over a persisted ANN index: plane metadata is read
+    ONCE, so each query is a single bucket-pruned scan action."""
+
+    def __init__(self, vectors: DataFrame, planes):
+        self.vectors = vectors
+        self.planes = planes
+
+    def candidates(self, query_vec, multiprobe: bool = True) -> DataFrame:
+        probes = query_probes(query_vec, self.planes, multiprobe)
+        return self.vectors.where(F.col("bucket").isin(probes))
+
+    def query(self, query_vec, k: int = 10, emb_col: str = "embedding",
+              id_col: str = "vec_id", multiprobe: bool = True) -> DataFrame:
+        return cosine_topk_arrow(self.candidates(query_vec, multiprobe),
+                                 query_vec, k, emb_col, id_col)
+
+
+def load_ann_index(spark, out_dir: str) -> AnnIndex:
+    meta = spark.read.parquet(f"{out_dir}/meta").first()
+    planes = random_hyperplanes(int(meta["dim"]), int(meta["n_planes"]),
+                                int(meta["seed"]))
+    return AnnIndex(spark.read.parquet(f"{out_dir}/vectors"), planes)
+
+
 def ann_candidates(spark, out_dir: str, query_vec,
                    multiprobe: bool = True) -> DataFrame:
     """Probe a persisted ANN index: rows whose bucket is the query's sign
     bucket or (multiprobe) a hamming-1 neighbor. Probes are driver-side
-    literals → the scan prunes to ≤ n_planes+1 bucket directories."""
-    meta = spark.read.parquet(f"{out_dir}/meta").first()
-    planes = random_hyperplanes(int(meta["dim"]), int(meta["n_planes"]),
-                                int(meta["seed"]))
-    probes = query_probes(query_vec, planes, multiprobe)
-    return (spark.read.parquet(f"{out_dir}/vectors")
-            .where(F.col("bucket").isin(probes)))
+    literals → the scan prunes to ≤ n_planes+1 bucket directories.
+    (One-shot form; load_ann_index amortizes the metadata read.)"""
+    return load_ann_index(spark, out_dir).candidates(query_vec, multiprobe)
 
 
 def ann_query(spark, out_dir: str, query_vec, k: int = 10,

@@ -120,6 +120,10 @@ class TestSimilarity:
         persisted = [(r["vec_id"], round(r["cosine"], 9)) for r in
                      ann_query(spark, out, qv, k=5).collect()]
         assert adhoc == persisted
+        from pg_ts_semantic_headline_spark.operators import load_ann_index
+        handle = [(r["vec_id"], round(r["cosine"], 9)) for r in
+                  load_ann_index(spark, out).query(qv, k=5).collect()]
+        assert handle == persisted
         # partition pruning: the probe filter must reach the scan as a
         # partition filter (inputFiles() reflects the pre-pruning listing,
         # so inspect the physical plan)
