@@ -209,26 +209,20 @@ LIMIT {k}
 
 
 def _simhash_near_pairs_sql(bits: int = 32, max_hamming: int = 3) -> str:
-    """Same pigeonhole candidate generation as the Spark operator (equal
-    high OR low half), then exact hamming — the blocked candidate set is
-    part of the operator's contract, so the oracle mirrors it."""
-    half = 2 ** (bits // 2)
+    """BRUTE-FORCE all-pairs hamming oracle. The Spark operator's chunked
+    pigeonhole blocking (max_hamming+1 equal chunks) is complete for
+    hamming ≤ max_hamming, so its output must equal the unblocked
+    all-pairs result — this oracle certifies recall, not just the shared
+    candidate set (the r2 oracle mirrored the then-incomplete blocking)."""
     sim = _simhash_sql(bits).strip()
     return f"""
-WITH sims AS ({sim}),
-h AS (SELECT doc_id, simhash, simhash // {half} AS hi,
-             simhash % {half} AS lo FROM sims),
-cand AS (
-  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-         x.simhash AS sa, y.simhash AS sb
-  FROM h x JOIN h y
-    ON (x.hi = y.hi OR x.lo = y.lo) AND x.doc_id < y.doc_id
-)
-SELECT a, b,
-       CAST(bit_count(xor(CAST(sa AS BIGINT), CAST(sb AS BIGINT))) AS INT)
-       AS hamming
-FROM cand
-WHERE bit_count(xor(CAST(sa AS BIGINT), CAST(sb AS BIGINT))) <= {max_hamming}
+WITH sims AS ({sim})
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(CAST(x.simhash AS BIGINT),
+                          CAST(y.simhash AS BIGINT))) AS INT) AS hamming
+FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(CAST(x.simhash AS BIGINT),
+                    CAST(y.simhash AS BIGINT))) <= {max_hamming}
 """
 
 
@@ -308,15 +302,18 @@ WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= {threshold}
 
 # ---------------------------------------------------------------- entry
 
-def _bm25_per_doc(spark, sf, terms):
+def _bm25_per_doc(spark, sf, terms, docs=None):
     """ONE tokenize pass for the whole ad-hoc BM25 path: dl and every
     query term's tf come out of a single groupBy over the exploded lexeme
     stream (conditional aggregation), and only the compact per-doc frame
     (one row per doc, |terms|+1 columns) is cached — corpus stats and the
-    scoring join both read the cache, never re-running the analyze UDF."""
+    scoring join both read the cache, never re-running the analyze UDF.
+    Pass `docs` (an already-analyzed frame) to share one analysis pass
+    with a sibling subplan (q18 does)."""
     from pg_ts_semantic_headline_spark.plans.matches import explode_lexemes
 
-    docs = _analyzed(spark, sf)
+    if docs is None:
+        docs = _analyzed(spark, sf)
     lex = explode_lexemes(docs)
     aggs = [F.count("*").alias("dl")] + [
         F.sum(F.when(F.col("lex") == t, 1).otherwise(0)).alias(f"tf_{i}")
@@ -492,13 +489,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _bm25_df(spark, sf, ["spark", "query", "window"], 20)
 
     def q18(spark, sf):
-        docs = _analyzed(spark, sf)
+        # ONE analyze pass feeds both the phrase-hit subplan and BM25:
+        # the analyzed frame is cached and both sides read the cache
+        docs = _analyzed(spark, sf).cache()
         q = phraseto_tspquery("simple", "batch batch")
         hits = tsp_query_matches(docs, q, match_limit=1000) \
             .select("doc_id").distinct()
-        return _bm25_df(spark, sf, ["batch"], 1000) \
-            .join(hits, on="doc_id") \
-            .select("doc_id", "score_e4")
+        _, scored = _bm25_per_doc(spark, sf, ["batch"], docs=docs)
+        top = (scored
+               .withColumn("score_e4", _e4(F.col("score")))
+               .orderBy(F.desc("score_e4"), F.asc("doc_id")).limit(1000)
+               .select("doc_id", "score_e4"))
+        return top.join(hits, on="doc_id").select("doc_id", "score_e4")
 
     def q19(spark, sf):
         return exact_duplicates(_docs(spark, sf))
@@ -566,9 +568,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (bucket-pruned scan) and exact-cosine re-rank the candidates
         from pg_ts_semantic_headline_spark.operators.similarity import (
             ann_candidates, build_ann_index, cosine_similarity_col)
+        # per-run temp dir: concurrent runs on the same sf must not race on
+        # a shared fixed path, and a crashed run must not leave a partial
+        # index a later run probes
+        import tempfile
         emb = _emb(spark, sf)
-        sf_tag = sf.rstrip("/").replace("/", "_")
-        ann_dir = f"/tmp/tsp_ann_idx{sf_tag}"
+        ann_dir = tempfile.mkdtemp(prefix="tsp_ann_idx_")
         build_ann_index(emb, ann_dir, n_planes=8, seed=42)
         qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
         cands = ann_candidates(spark, ann_dir, qv, multiprobe=True)

@@ -59,8 +59,21 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
 
 
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
-                        rows_per_band: int = 4) -> DataFrame:
-    """(a, b) candidate pairs sharing at least one LSH band signature."""
+                        rows_per_band: int = 4,
+                        max_band_size: int | None = None,
+                        drop_stats: dict | None = None) -> DataFrame:
+    """(a, b) candidate pairs sharing at least one LSH band signature.
+
+    `max_band_size` guards the self-join against degenerate band buckets:
+    a band signature shared by B documents (boilerplate headers, empty
+    files — guaranteed at corpus scale) emits B² pairs. Buckets larger
+    than the cap are dropped from candidate generation, bounding the pair
+    count at O(N·cap). The drop is observable, never silent: pass a
+    `drop_stats` dict and after the first action on the result,
+    `drop_stats["observation"].get` yields {"dropped_buckets": …,
+    "dropped_rows": …} (a Spark Observation riding the main plan — no
+    extra job). Docs in a dropped bucket can still pair through their
+    other, non-degenerate bands."""
     num_hashes = bands * rows_per_band
     band_rows = None
     for b in range(bands):
@@ -70,6 +83,23 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
             F.lit(b).alias("band"),
             F.md5(F.concat_ws("|", *cols)).alias("band_sig"))
         band_rows = part if band_rows is None else band_rows.unionByName(part)
+    if max_band_size is not None:
+        counts = (band_rows.groupBy("band", "band_sig")
+                  .agg(F.count("*").alias("_n")))
+        if drop_stats is not None:
+            from pyspark.sql import Observation
+            obs = Observation("lsh_band_drops")
+            counts = counts.observe(
+                obs,
+                F.sum(F.when(F.col("_n") > max_band_size, 1)
+                      .otherwise(0)).alias("dropped_buckets"),
+                F.sum(F.when(F.col("_n") > max_band_size, F.col("_n"))
+                      .otherwise(0)).alias("dropped_rows"))
+            drop_stats["observation"] = obs
+        ok = (counts.where(F.col("_n") <= max_band_size)
+              .select("band", "band_sig"))
+        band_rows = band_rows.join(ok, on=["band", "band_sig"],
+                                   how="left_semi")
     left = band_rows.select("band", "band_sig", F.col("doc_id").alias("a"))
     right = band_rows.select("band", "band_sig", F.col("doc_id").alias("b"))
     return (left.join(right, on=["band", "band_sig"])
@@ -96,11 +126,19 @@ def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       num_hashes: int = 16, bands: int = 4,
-                      threshold: float = 0.5) -> DataFrame:
-    """Near-duplicate pairs (a, b, jaccard) via MinHash LSH + exact verify."""
+                      threshold: float = 0.5,
+                      max_band_size: int | None = 1000,
+                      drop_stats: dict | None = None) -> DataFrame:
+    """Near-duplicate pairs (a, b, jaccard) via MinHash LSH + exact verify.
+
+    `max_band_size` (default 1000) bounds degenerate band buckets — see
+    `lsh_candidate_pairs`; pass None to disable the cap, `drop_stats` to
+    observe how much the cap dropped."""
     sh = shingle_df(df, text_col, id_col, n)
     sigs = minhash_signatures(sh, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes // bands,
+                                max_band_size=max_band_size,
+                                drop_stats=drop_stats)
     return (jaccard_for_pairs(cands, sh)
             .where(F.col("jaccard") >= threshold)
             .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
@@ -111,37 +149,62 @@ def duplicate_components(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """(doc_id, component_id, is_canonical) — connected components over a
     near-duplicate pair stream (e.g. `minhash_lsh_dedup` output), the
     cluster-then-keep-canonical step of a real dedup pipeline.
 
-    Iterative min-label propagation: every node starts labeled with its
-    own id; each round replaces a label with the minimum over itself and
-    its neighbors' labels; converges in O(diameter) rounds (near-dup
-    clusters are shallow — a handful of rounds in practice, `max_iter`
-    bounds pathology). Each round is ONE join + ONE aggregation; the label
-    frame is localCheckpoint-ed so lineage stays flat and the convergence
-    check is an O(1)-row action. Driver loops over ITERATIONS, never over
-    rows."""
+    Iterative min-label propagation WITH pointer jumping: every node
+    starts labeled with its own id; each round takes the min over itself,
+    its neighbors' labels, AND its label's label (path halving) — so long
+    chains converge in O(log diameter) rounds, not O(diameter). Each
+    round is TWO joins + ONE aggregation; the label frame is
+    checkpointed so lineage stays flat and the convergence check is an
+    O(1)-row action. Driver loops over ITERATIONS, never over rows.
+
+    `checkpoint`: "local" (localCheckpoint — fast, but blocks are not
+    replicated, so an executor loss mid-run fails the job; right for
+    interactive/single-node) or "reliable" (`DataFrame.checkpoint` —
+    persists to `spark.sparkContext.setCheckpointDir(...)` storage and
+    survives executor loss; use on real clusters).
+
+    Raises RuntimeError if labels have not converged after `max_iter`
+    rounds (never silently returns split components)."""
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(f"checkpoint must be 'local' or 'reliable', "
+                         f"got {checkpoint!r}")
+
+    def ckpt(df: DataFrame, eager: bool) -> DataFrame:
+        if checkpoint == "reliable":
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
+
     edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-    edges = (edges.unionByName(
+    edges = ckpt(edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct().localCheckpoint(eager=False))
+        .distinct(), eager=False)
 
     labels = docs.select(F.col(id_col).alias("node"),
                          F.col(id_col).alias("label"))
+    changed = 1
     for _ in range(max_iter):
         nbr_min = (edges
                    .join(labels.withColumnRenamed("node", "dst"), on="dst")
                    .groupBy("src").agg(F.min("label").alias("nbr_label"))
                    .withColumnRenamed("src", "node"))
-        new_labels = (labels.join(nbr_min, on="node", how="left")
+        # pointer jumping: label-of-label, computed from the same frame
+        lbl2 = labels.select(F.col("node").alias("label"),
+                             F.col("label").alias("jump_label"))
+        new_labels = (labels
+                      .join(nbr_min, on="node", how="left")
+                      .join(lbl2, on="label", how="left")
                       .select("node",
-                              F.least("label", F.coalesce("nbr_label",
-                                                          "label"))
-                              .alias("label"))
-                      .localCheckpoint(eager=True))
+                              F.least("label",
+                                      F.coalesce("nbr_label", "label"),
+                                      F.coalesce("jump_label", "label"))
+                              .alias("label")))
+        new_labels = ckpt(new_labels, eager=True)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), on="node")
                    .where(F.col("n.label") != F.col("o.label"))
@@ -149,6 +212,10 @@ def duplicate_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iter} rounds; "
+            f"raise max_iter (components would otherwise silently split)")
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("component_id"),
@@ -204,19 +271,33 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 32,
                        max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance (block on high half to
-    avoid the full cross join: hamming ≤ 3 over 32 bits means one half is
-    close; we block on exact-equal halves — the standard pigeonhole trick)."""
+    """Near-dup pairs by simhash hamming distance, COMPLETE pigeonhole
+    blocking: the fingerprint is split into `max_hamming + 1` equal-width
+    chunks; ≤ max_hamming differing bits spread over max_hamming + 1
+    chunks leave at least one chunk with ZERO differing bits, so blocking
+    on exact-equal chunks (one equi-join per chunk, unioned) misses no
+    qualifying pair — no cross join. (Two-half blocking is only complete
+    for hamming ≤ 1; completeness vs brute force is pinned in
+    tests/test_operators.py.) Exact hamming then filters candidates."""
+    n_chunks = max_hamming + 1
+    # near-equal chunk widths (pigeonhole needs any partition into
+    # max_hamming+1 chunks, not equal ones)
+    base, rem = divmod(bits, n_chunks)
+    widths = [base + (1 if j < rem else 0) for j in range(n_chunks)]
+    offsets = [sum(widths[:j]) for j in range(n_chunks)]
     s = simhash(df, text_col, id_col, bits)
-    half = 2 ** (bits // 2)
-    s = s.withColumn("hi", (F.col("simhash") / half).cast("long")) \
-         .withColumn("lo", F.col("simhash") % half)
+    for j in range(n_chunks):
+        mask = (1 << widths[j]) - 1
+        s = s.withColumn(
+            f"c{j}",
+            F.shiftright(F.col("simhash"), offsets[j])
+            .bitwiseAND(F.lit(mask)))
     cands = None
-    for key in ("hi", "lo"):
+    for j in range(n_chunks):
         a = s.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"),
-                     F.col(key).alias("k"))
+                     F.col(f"c{j}").alias("k"))
         b = s.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"),
-                     F.col(key).alias("k"))
+                     F.col(f"c{j}").alias("k"))
         part = (a.join(b, on="k").where(F.col("a") < F.col("b"))
                 .select("a", "b", "sa", "sb"))
         cands = part if cands is None else cands.unionByName(part)

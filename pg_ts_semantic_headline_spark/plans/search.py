@@ -323,12 +323,19 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
     # θ valid only if k docs seeded; partial seed sums are lower bounds
     theta = top[-1][1] if len(top) == k else 0.0
 
+    # ULP slack: S(b) and θ are floats computed with different operation
+    # orders (driver sum-of-products vs build-time norm × query kernel); an
+    # exact tie pruned by a 1-ULP shortfall would break rank identity, so
+    # survival tests compare against θ minus a tiny slack (weakens pruning
+    # infinitesimally, never correctness)
+    theta_slack = theta - 1e-9 - abs(theta) * 1e-12
+
     if theta > 0.0 and not overflowed:
         # survival entirely driver-side: blocks are doc-ALIGNED across
         # terms, so block b survives iff S(b) = Σ_t idf·mtn(t, b) ≥ θ —
         # the tight per-block sum, not classic WAND's loose global bound
         surviving_ids = sorted(
-            b for b, s in block_sum.items() if s >= theta)
+            b for b, s in block_sum.items() if s >= theta_slack)
         if len(surviving_ids) >= max(1, int(0.8 * len(block_sum))):
             surviving_ids = None  # pruning buys nothing; skip the filter
 
@@ -360,7 +367,7 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
                      .groupBy("block_id")
                      .agg(F.sum(idf_lit[F.col("term")]
                                 * F.col("max_tf_norm")).alias("s"))
-                     .where(F.col("s") >= F.lit(theta))
+                     .where(F.col("s") >= F.lit(theta_slack))
                      .select("block_id"))
         need = packed.join(surviving, on="block_id", how="left_semi")
 
@@ -425,25 +432,54 @@ def _positions_hay(index: Index, terms: list[str],
 
 def phrase_match_docs(index: Index, query: CompiledQuery) -> DataFrame:
     """(doc_id, phrase_id, n_matches) via positional intersection on the
-    pruned postings — the indexed form of the matches plan."""
+    pruned postings — the indexed form of the matches plan.
+
+    Length-1 "phrases" (plain boolean leaves like the `a` in `a & !b`)
+    never touch positions: occurrence == tf > 0, so they resolve from the
+    compact row-postings scoring projection (n_matches = tf). Only real
+    multi-lexeme phrases pay for positional decode — on a lean (packed-
+    positions-only) index that is the difference between a row-projection
+    scan and decoding packed payloads."""
     spark = index.postings.sparkSession
     if not query.phrases:
         return spark.createDataFrame([], "doc_id long, phrase_id int, n_matches long")
-    from .matches import phrase_table_df
-    qdf = phrase_table_df(spark, query)
-    hay = _positions_hay(index, list(query.lexemes))
-    joined = hay.join(F.broadcast(qdf), hay.term == qdf.q_lexeme)
-    aligned = joined.withColumn("range_start",
-                                F.col("pos") - F.col("q_pos") + F.lit(1))
-    return (aligned
-            .groupBy("doc_id", "phrase_id", "range_start")
-            .agg(F.count("*").alias("n_hits"),
-                 F.min("pos").alias("first"), F.max("pos").alias("last"),
-                 F.first("q_len").alias("q_len"), F.first("q_span").alias("q_span"))
-            .where((F.col("n_hits") == F.col("q_len"))
-                   & (F.col("last") - F.col("first") == F.col("q_span")))
-            .groupBy("doc_id", "phrase_id")
-            .agg(F.count("*").alias("n_matches")))
+
+    singles = [(pid, ph.items[0][0])
+               for pid, ph in enumerate(query.phrases) if ph.length == 1]
+    multi_lexemes = sorted({lex for ph in query.phrases if ph.length > 1
+                            for lex, _ in ph.items})
+
+    single_hits = None
+    if singles:
+        sdf = spark.createDataFrame(
+            [(t, pid) for pid, t in singles], "term string, phrase_id int")
+        rows = _pruned_postings(index, sorted({t for _, t in singles}))
+        single_hits = (rows.join(F.broadcast(sdf), on="term")
+                       .select("doc_id", "phrase_id",
+                               F.col("tf").cast("long").alias("n_matches")))
+
+    multi_hits = None
+    if multi_lexemes:
+        from .matches import phrase_table_df
+        qdf = (phrase_table_df(spark, query)
+               .where(F.col("q_len") > 1))
+        hay = _positions_hay(index, multi_lexemes)
+        joined = hay.join(F.broadcast(qdf), hay.term == qdf.q_lexeme)
+        aligned = joined.withColumn("range_start",
+                                    F.col("pos") - F.col("q_pos") + F.lit(1))
+        multi_hits = (aligned
+                      .groupBy("doc_id", "phrase_id", "range_start")
+                      .agg(F.count("*").alias("n_hits"),
+                           F.min("pos").alias("first"), F.max("pos").alias("last"),
+                           F.first("q_len").alias("q_len"), F.first("q_span").alias("q_span"))
+                      .where((F.col("n_hits") == F.col("q_len"))
+                             & (F.col("last") - F.col("first") == F.col("q_span")))
+                      .groupBy("doc_id", "phrase_id")
+                      .agg(F.count("*").alias("n_matches")))
+
+    if single_hits is not None and multi_hits is not None:
+        return single_hits.unionByName(multi_hits)
+    return single_hits if single_hits is not None else multi_hits
 
 
 def _all_phrases(node: Node | None) -> list:

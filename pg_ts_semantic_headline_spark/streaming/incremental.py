@@ -96,7 +96,10 @@ def merge_batch(
              .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"),
                   F.first("bucket").alias("bucket"))
              .withColumn("idf", idf_expr(F.col("df"), n_docs)))
-    terms.write.mode("overwrite").parquet(paths.terms)
+    # bucket-partitioned like build_index writes it: the on-disk dictionary
+    # layout must stay identical across merges or _idf_lookup's directory
+    # pruning silently degrades after the first merge
+    terms.write.mode("overwrite").partitionBy("bucket").parquet(paths.terms)
     spark.createDataFrame(
         [(n_docs, avgdl, stats["config"], stats["prep_version"],
           n_buckets, int(stats["block_span"]))],

@@ -63,6 +63,103 @@ class TestDedup:
                  for r in simhash_near_pairs(text_df, max_hamming=4).collect()}
         assert pairs.get((0, 3)) == 0
 
+    def test_simhash_near_pairs_complete_vs_bruteforce(self, spark):
+        """The chunked pigeonhole blocking (max_hamming+1 chunks) must find
+        EVERY pair with hamming <= max_hamming — including pairs whose
+        differing bits straddle both 16-bit halves, which the r2 two-half
+        blocking silently missed."""
+        from pg_ts_semantic_headline_spark.operators.dedup import simhash
+        rng = random.Random(11)
+        words = ["alpha", "beta", "gamma", "delta", "merge", "sort",
+                 "spark", "query", "window", "batch", "stream", "scan"]
+        rows = [(i, " ".join(rng.choices(words, k=rng.randint(3, 12))))
+                for i in range(100)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        sims = {r["doc_id"]: r["simhash"]
+                for r in simhash(df, bits=32).collect()}
+        want = set()
+        ids = sorted(sims)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                if bin(sims[a] ^ sims[b]).count("1") <= 3:
+                    want.add((a, b))
+        got = {(r["a"], r["b"])
+               for r in simhash_near_pairs(df, max_hamming=3).collect()}
+        assert got == want
+        assert want, "corpus produced no near pairs; test is vacuous"
+        # and at least one found pair differs in BOTH 16-bit halves
+        # (the case two-half blocking could not catch unless hamming<=1)
+        straddling = [(a, b) for a, b in want
+                      if (sims[a] ^ sims[b]) & 0xFFFF
+                      and (sims[a] ^ sims[b]) >> 16
+                      and bin(sims[a] ^ sims[b]).count("1") > 1]
+        assert straddling, "no half-straddling pair; add more docs"
+
+    def test_lsh_band_cap_bounds_degenerate_buckets(self, spark):
+        """A pathological corpus where 1k docs share every band signature
+        must not emit 1k² candidate pairs: with the cap the degenerate
+        buckets are dropped (observably), and distinct docs still dedup
+        through their own non-degenerate buckets."""
+        from pg_ts_semantic_headline_spark.operators.dedup import (
+            lsh_candidate_pairs, minhash_signatures, shingle_df)
+        rows = [(i, "same boilerplate header text repeated everywhere")
+                for i in range(1000)]
+        rows += [(2000, "a genuinely different document about spark"),
+                 (2001, "a genuinely different document about spark")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        sh = shingle_df(df)
+        sigs = minhash_signatures(sh, 16)
+        stats: dict = {}
+        cands = lsh_candidate_pairs(sigs, 4, 4, max_band_size=50,
+                                    drop_stats=stats)
+        pairs = {(r["a"], r["b"]) for r in cands.collect()}
+        # O(N·cap) bound: the 1000-dup cluster contributes nothing, the
+        # small genuine cluster still pairs
+        assert (2000, 2001) in pairs
+        assert len(pairs) <= 50 * 1002
+        assert not any(a < 1000 and b < 1000 for a, b in pairs)
+        got = stats["observation"].get
+        assert got["dropped_buckets"] == 4          # one per band
+        assert got["dropped_rows"] == 4 * 1000
+
+    def test_duplicate_components_long_chain_pointer_jumping(self, spark):
+        """A 120-node path graph has diameter 119; plain min-label
+        propagation needs 119 rounds — pointer jumping must converge well
+        inside max_iter=20 (O(log n) rounds)."""
+        from pg_ts_semantic_headline_spark.operators import (
+            duplicate_components)
+        n = 120
+        docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], ["a", "b"])
+        got = {r["doc_id"]: r["component_id"]
+               for r in duplicate_components(docs, pairs,
+                                             max_iter=20).collect()}
+        assert all(v == 0 for v in got.values())
+
+    def test_duplicate_components_nonconvergence_raises(self, spark):
+        from pg_ts_semantic_headline_spark.operators import (
+            duplicate_components)
+        n = 40
+        docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], ["a", "b"])
+        with pytest.raises(RuntimeError, match="did not converge"):
+            duplicate_components(docs, pairs, max_iter=1)
+
+    def test_duplicate_components_reliable_checkpoint(self, spark, tmp_path):
+        """The cluster-safe checkpoint mode: persists label rounds to the
+        checkpoint dir instead of executor-local blocks."""
+        from pg_ts_semantic_headline_spark.operators import (
+            duplicate_components)
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+        pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], ["a", "b"])
+        got = {r["doc_id"]: r["component_id"]
+               for r in duplicate_components(
+                   docs, pairs, checkpoint="reliable").collect()}
+        assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+
     def test_duplicate_components_chain(self, spark):
         """A chain a-b, b-c must collapse into ONE component even though
         (a, c) was never a direct pair — the transitive step plain pair
