@@ -65,10 +65,19 @@ def main():
                     n_buckets=4, block_span=128, resume=False)
         shutil.rmtree(warm_dir, ignore_errors=True)
 
+        # min-of-2 on the build too (the r2 single-shot number was 2.5x off
+        # run-to-run on this VM): build into a scratch dir, time it, then
+        # build the real index and keep the min
+        scratch = tempfile.mkdtemp(prefix="tsp_bench_idx2_")
+        t0 = time.time()
+        build_index(spark, docs, scratch, config="english",
+                    n_buckets=32, block_span=128, resume=False)
+        build_a = time.time() - t0
+        shutil.rmtree(scratch, ignore_errors=True)
         t0 = time.time()
         build_index(spark, docs, idx_dir, config="english",
                     n_buckets=32, block_span=128, resume=False)
-        timings["index_build"] = time.time() - t0
+        timings["index_build"] = min(build_a, time.time() - t0)
         index = load_index(spark, idx_dir)
 
         queries = [
@@ -104,10 +113,10 @@ def main():
 
         timings["boolean_phrase_search_x3"] = min_of(run_search)
 
-        t0 = time.time()
-        rows = search_with_headlines(
-            index, phraseto_tspquery("english", "merge sort"), k=10).collect()
-        timings["search_with_headlines_k10"] = time.time() - t0
+        timings["search_with_headlines_k10"] = min_of(
+            lambda: search_with_headlines(
+                index, phraseto_tspquery("english", "merge sort"),
+                k=10).collect())
 
         # headline throughput: every matching doc (ad-hoc fast path) —
         # normalized to per-1k-docs

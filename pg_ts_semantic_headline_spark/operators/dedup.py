@@ -84,22 +84,28 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
             F.md5(F.concat_ws("|", *cols)).alias("band_sig"))
         band_rows = part if band_rows is None else band_rows.unionByName(part)
     if max_band_size is not None:
-        counts = (band_rows.groupBy("band", "band_sig")
-                  .agg(F.count("*").alias("_n")))
+        # bucket sizes via ONE window over (band, band_sig) — the same
+        # shuffle key the candidate self-join needs, so the exchange is
+        # reused; no separate count-aggregate + semi-join pass
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "band_sig")
+        band_rows = (band_rows
+                     .withColumn("_n", F.count("*").over(w))
+                     .withColumn("_rn", F.row_number().over(
+                         w.orderBy("doc_id"))))
         if drop_stats is not None:
             from pyspark.sql import Observation
             obs = Observation("lsh_band_drops")
-            counts = counts.observe(
+            band_rows = band_rows.observe(
                 obs,
-                F.sum(F.when(F.col("_n") > max_band_size, 1)
+                F.sum(F.when((F.col("_n") > max_band_size)
+                             & (F.col("_rn") == 1), 1)
                       .otherwise(0)).alias("dropped_buckets"),
-                F.sum(F.when(F.col("_n") > max_band_size, F.col("_n"))
+                F.sum(F.when(F.col("_n") > max_band_size, 1)
                       .otherwise(0)).alias("dropped_rows"))
             drop_stats["observation"] = obs
-        ok = (counts.where(F.col("_n") <= max_band_size)
-              .select("band", "band_sig"))
-        band_rows = band_rows.join(ok, on=["band", "band_sig"],
-                                   how="left_semi")
+        band_rows = (band_rows.where(F.col("_n") <= max_band_size)
+                     .drop("_n", "_rn"))
     left = band_rows.select("band", "band_sig", F.col("doc_id").alias("a"))
     right = band_rows.select("band", "band_sig", F.col("doc_id").alias("b"))
     return (left.join(right, on=["band", "band_sig"])

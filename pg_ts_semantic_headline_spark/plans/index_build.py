@@ -182,9 +182,16 @@ def _file_lineage(spark: SparkSession, out_path: str, observation,
     try:
         files = sorted(spark.read.parquet(out_path).inputFiles())
         import pyarrow.parquet as pq
-        for i, f in enumerate(files):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def n_rows(f):
             local = f[len("file:"):] if f.startswith("file:") else f
-            rows.append((i, pq.ParquetFile(local).metadata.num_rows, None))
+            return pq.ParquetFile(local).metadata.num_rows
+        # footer opens are independent ~ms-scale IO calls; a serial loop
+        # over a few hundred files was costing whole seconds of build wall
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            counts = list(pool.map(n_rows, files))
+        rows = list(zip(range(len(files)), counts, [None] * len(files)))
     except Exception:
         if fallback_df is not None:
             return _lineage(fallback_df, F.spark_partition_id(),
