@@ -65,10 +65,19 @@ from .packing import pack_block
 K1 = 1.2
 B = 0.75
 # v2: packed payloads carry per-doc dl (scoring needs no join) and the
-# idf-free max_tf_norm bound; the version gate in load_index rejects
-# indexes written under the v1 payload layout.
-PREP_VERSION = "tsp-spark-2"
+# idf-free max_tf_norm bound. v3: tokens/postings rows carry a `gen`
+# (generation) column so doc replaces/deletes resolve by tombstone
+# (doc_id, before_gen) without rewriting the append-only tables, and
+# stats carries (gen, avgdl_packed) — the avgdl the surviving packed
+# bounds were computed with, which the query path scales against the
+# current avgdl to keep bounds valid across incremental merges. The
+# version gate in load_index rejects indexes written under older layouts.
+PREP_VERSION = "tsp-spark-3"
 DEFAULT_BLOCK_SPAN = 128
+
+STATS_SCHEMA = ("n_docs long, avgdl double, config string, "
+                "prep_version string, n_buckets int, block_span int, "
+                "avgdl_packed double, gen int")
 
 PACKED_SCHEMA = StructType([
     StructField("term", StringType(), False),
@@ -111,6 +120,20 @@ class IndexPaths:
     def stats(self): return f"{self.root}/stats"
     @property
     def manifest(self): return f"{self.root}/_manifest"
+    # incremental-maintenance state (see streaming/incremental.py):
+    # pending/    merged-batch postings WITH positions (lean layouts only)
+    #             awaiting compaction into packed blocks
+    # _stale/     marker rows (one per merged batch): packed/ is stale —
+    #             loaders must treat the index as packed=None until
+    #             compact_index repacks the touched buckets
+    # _tombstones (doc_id, before_gen): rows of doc_id with gen <
+    #             before_gen are dead (doc replace/delete)
+    @property
+    def pending(self): return f"{self.root}/pending"
+    @property
+    def stale(self): return f"{self.root}/_stale"
+    @property
+    def tombstones(self): return f"{self.root}/_tombstones"
 
 
 def _input_signature(docs: DataFrame, doc_id: str) -> tuple[int, int]:
@@ -340,7 +363,8 @@ def build_index(
         from pyspark.sql import Observation
         t0 = time.time()
         corpus_obs = Observation("corpus_stats")
-        tok = analyzed.select("doc_id", "tokens", "dl", "sha256")
+        tok = (analyzed.select("doc_id", "tokens", "dl", "sha256")
+               .withColumn("gen", F.lit(0)))
         # corpus stats AND the lineage checksum ride the same pass — no
         # separate stats or lineage scan
         (tok.observe(corpus_obs, F.count(F.lit(1)).alias("n_docs"),
@@ -395,6 +419,7 @@ def build_index(
         post_obs, post_aggs = _checksum_observation(
             "postings_lineage", F.concat_ws("|", "term", "doc_id"))
         post_out = bucketed if row_positions else bucketed.drop("positions")
+        post_out = post_out.withColumn("gen", F.lit(0))
         (post_out
          .observe(post_obs, *post_aggs)
          .write.mode("overwrite").partitionBy("bucket").parquet(paths.postings))
@@ -433,9 +458,9 @@ def build_index(
         terms.observe(term_obs, *term_aggs) \
             .write.mode("overwrite").partitionBy("bucket").parquet(paths.terms)
         spark.createDataFrame(
-            [(n_docs, avgdl, config, PREP_VERSION, n_buckets, block_span)],
-            "n_docs long, avgdl double, config string, prep_version string,"
-            " n_buckets int, block_span int",
+            [(n_docs, avgdl, config, PREP_VERSION, n_buckets, block_span,
+              avgdl, 0)],
+            STATS_SCHEMA,
         ).write.mode("overwrite").parquet(paths.stats)
         metrics["terms_sec"] = time.time() - t0
         t1 = time.time()
@@ -489,6 +514,30 @@ class Index:
     n_buckets: int = 32
     block_span: int = DEFAULT_BLOCK_SPAN
     packed: DataFrame | None = None
+    # avgdl the packed max_tf_norm bounds were computed with; blockmax
+    # scales bounds by max(1, avgdl/avgdl_packed) so they stay valid
+    # upper bounds after incremental merges shift avgdl
+    avgdl_packed: float = 0.0
+    gen: int = 0
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def _apply_tombstones(df: DataFrame, tombs: DataFrame) -> DataFrame:
+    """Drop rows shadowed by a (doc_id, before_gen) tombstone. The
+    tombstone list is replace/delete metadata — tiny — so this is a
+    broadcast join, never a shuffle of the base table."""
+    t = (tombs.groupBy("doc_id")
+         .agg(F.max("before_gen").alias("_before_gen")))
+    return (df.join(F.broadcast(t), on="doc_id", how="left")
+            .where(F.col("_before_gen").isNull()
+                   | (F.col("gen") >= F.col("_before_gen")))
+            .drop("_before_gen"))
 
 
 def load_index(spark: SparkSession, out_dir: str) -> Index:
@@ -498,14 +547,26 @@ def load_index(spark: SparkSession, out_dir: str) -> Index:
         raise ValueError(
             f"index built with prep {stats['prep_version']!r}, "
             f"engine expects {PREP_VERSION!r}")
-    try:
-        packed = spark.read.parquet(paths.packed)
-    except Exception:
+    # a _stale marker (written by merge_batch/delete_docs BEFORE any other
+    # mutation) means packed/ no longer reflects the row tables: loaders
+    # must behave as if no packed store exists until compact_index repacks
+    if _path_exists(spark, paths.stale):
         packed = None
+    else:
+        try:
+            packed = spark.read.parquet(paths.packed)
+        except Exception:
+            packed = None
+    tokens = spark.read.parquet(paths.tokens)
+    postings = spark.read.parquet(paths.postings)
+    if _path_exists(spark, paths.tombstones):
+        tombs = spark.read.parquet(paths.tombstones)
+        tokens = _apply_tombstones(tokens, tombs)
+        postings = _apply_tombstones(postings, tombs)
     return Index(
         paths=paths,
-        tokens=spark.read.parquet(paths.tokens),
-        postings=spark.read.parquet(paths.postings),
+        tokens=tokens,
+        postings=postings,
         terms=spark.read.parquet(paths.terms),
         n_docs=int(stats["n_docs"]),
         avgdl=float(stats["avgdl"]),
@@ -513,4 +574,6 @@ def load_index(spark: SparkSession, out_dir: str) -> Index:
         n_buckets=int(stats["n_buckets"]),
         block_span=int(stats["block_span"]),
         packed=packed,
+        avgdl_packed=float(stats["avgdl_packed"]),
+        gen=int(stats["gen"]),
     )

@@ -255,6 +255,13 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
     theta = 0.0
     idf_map: dict = {}
     surviving_ids: list | None = None
+    # stored max_tf_norm bounds were computed with avgdl_packed; if merges
+    # have raised avgdl since, true norms can exceed them by at most
+    # avgdl/avgdl_packed (sup over tf, dl of the norm ratio) — scaling
+    # keeps every bound a valid upper bound. Scoring itself always uses
+    # the exact per-doc (tf, dl) with the CURRENT avgdl.
+    bound_scale = (max(1.0, index.avgdl / index.avgdl_packed)
+                   if index.avgdl_packed else 1.0)
 
     if candidate_docs is not None:
         # A boolean/phrase prefilter invalidates a θ seeded from unfiltered
@@ -297,7 +304,7 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
     per_term: dict = {}
     for r in meta_rows:
         t = r["term"]
-        impact = idf_map[t] * float(r["max_tf_norm"])
+        impact = idf_map[t] * float(r["max_tf_norm"]) * bound_scale
         b = r["block_id"]
         block_sum[b] = block_sum.get(b, 0.0) + impact
         per_term.setdefault(t, []).append((-float(r["max_tf_norm"]), b))
@@ -366,7 +373,8 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
                      .select("term", "block_id", "max_tf_norm")
                      .groupBy("block_id")
                      .agg(F.sum(idf_lit[F.col("term")]
-                                * F.col("max_tf_norm")).alias("s"))
+                                * F.col("max_tf_norm")
+                                * F.lit(bound_scale)).alias("s"))
                      .where(F.col("s") >= F.lit(theta_slack))
                      .select("block_id"))
         need = packed.join(surviving, on="block_id", how="left_semi")

@@ -4,20 +4,40 @@ The reference keeps content_tsv/content_arr fresh with a BEFORE INSERT/UPDATE
 trigger (/root/reference/development_schema.sql:18-34). The Spark-native
 analog is Structured Streaming: a stream of new documents is folded into the
 persisted index with `foreachBatch`, each micro-batch running the same
-deterministic build pipeline over just the batch:
+deterministic build pipeline over just the batch — plus a targeted
+compaction job that restores block-max mode without a full rebuild.
 
-- tokens rows are appended (doc_id-keyed; replaces require compaction),
-- postings rows for the batch are appended under the same term-bucket
-  directory layout (readers see the union),
-- terms/stats are re-aggregated from the postings (idf shifts with every N
-  change, so the dictionary is recomputed — it is small relative to
-  postings; at 100 TB this re-agg is a cheap metadata-scale job),
-- packed blocks are DELETED: merged docs are absent from packed block
-  metadata (they could never become block-max candidates) and the stored
-  max_tf_norm bounds bake the pre-merge avgdl, so a stale packed table
-  silently corrupts block-max results. Deleting forces load_index to
-  return packed=None — block-max mode refuses, exact mode sees everything
-  — until a compaction run (build_index resume over the union) repacks.
+Merge protocol (`merge_batch`):
+
+1. a `_stale` marker row is written FIRST: from that instant loaders treat
+   the index as packed=None (block-max refuses, exact mode sees
+   everything), because merged docs are absent from packed metadata and
+   the stored bounds bake the pre-merge avgdl. The packed files themselves
+   are KEPT on disk — on lean layouts they are the only positional copy of
+   the pre-merge corpus, and compaction reads them back.
+2. tokens/postings rows for the batch are appended under the existing
+   layouts, stamped with the new generation number; on lean layouts the
+   batch postings WITH positions also land in `pending/` (compaction
+   input).
+3. with `replace=True`, a (doc_id, before_gen) tombstone is appended per
+   batch doc: loaders drop shadowed older-generation rows via a broadcast
+   join, so a re-ingested doc is visible exactly once without rewriting
+   the append-only tables.
+4. terms/stats are re-aggregated from the (tombstone-filtered) postings;
+   `avgdl_packed` is carried forward unchanged — it keys the bound scale
+   the query path applies until the next compaction.
+
+`delete_docs` is the pure-delete variant (tombstones + wildcard marker).
+
+`compact_index` is the targeted repack: it rebuilds packed blocks for ONLY
+the buckets the markers name (decoding the old packed payloads + pending
+rows, dropping tombstoned docs), physically rewrites tokens/postings only
+when tombstones exist, then clears pending/markers/tombstones — block-max
+mode is restored without re-analyzing a single document. `full=True`
+repacks every bucket with the current avgdl (resetting the bound scale
+to 1). Compaction is an offline maintenance job (the reference analog of
+VACUUM): concurrent readers keep seeing packed=None until the marker is
+removed last, but the tokens/postings swap is not snapshot-isolated.
 
 `merge_batch` is the foreachBatch body and is directly unit-testable without
 a streaming runtime; `attach_incremental_indexer` wires it to a stream.
@@ -25,10 +45,87 @@ a streaming runtime; `attach_incremental_indexer` wires it to a stream.
 
 from __future__ import annotations
 
+import time
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.index_build import IndexPaths, idf_expr
+from ..plans.index_build import (STATS_SCHEMA, IndexPaths, _file_lineage,
+                                 _path_exists, _streaming_packer,
+                                 _write_manifest, idf_expr, PACKED_SCHEMA)
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    fs, p, _ = _fs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def _rename_path(spark: SparkSession, src: str, dst: str) -> None:
+    fs, p_src, jvm = _fs(spark, src)
+    fs.rename(p_src, jvm.org.apache.hadoop.fs.Path(dst))
+
+
+def _try_parquet(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet dir that may not exist or may be empty (e.g. pending/
+    after all its bucket subdirs were consumed)."""
+    if not _path_exists(spark, path):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def _write_stats(spark: SparkSession, paths: IndexPaths, n_docs: int,
+                 avgdl: float, stats_row, *, avgdl_packed: float,
+                 gen: int) -> None:
+    spark.createDataFrame(
+        [(n_docs, avgdl, stats_row["config"], stats_row["prep_version"],
+          int(stats_row["n_buckets"]), int(stats_row["block_span"]),
+          float(avgdl_packed), int(gen))],
+        STATS_SCHEMA,
+    ).write.mode("overwrite").parquet(paths.stats)
+
+
+def _reaggregate(spark: SparkSession, paths: IndexPaths, stats_row,
+                 new_gen: int) -> None:
+    """Dictionary + corpus stats from the current (tombstone-filtered) row
+    tables — metadata-scale relative to postings."""
+    from ..plans.index_build import _apply_tombstones
+
+    tokens = spark.read.parquet(paths.tokens)
+    postings = spark.read.parquet(paths.postings)
+    if _path_exists(spark, paths.tombstones):
+        tombs = spark.read.parquet(paths.tombstones)
+        tokens = _apply_tombstones(tokens, tombs)
+        postings = _apply_tombstones(postings, tombs)
+    srow = tokens.select(F.count("*").alias("n"),
+                         F.avg("dl").alias("a")).first()
+    n_docs, avgdl = int(srow["n"]), float(srow["a"] or 0.0)
+    terms = (postings.groupBy("term")
+             .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"),
+                  F.first("bucket").alias("bucket"))
+             .withColumn("idf", idf_expr(F.col("df"), n_docs)))
+    terms.write.mode("overwrite").partitionBy("bucket").parquet(paths.terms)
+    _write_stats(spark, paths, n_docs, avgdl, stats_row,
+                 avgdl_packed=float(stats_row["avgdl_packed"]),
+                 gen=new_gen)
+
+
+def _write_stale_marker(spark: SparkSession, paths: IndexPaths,
+                        buckets: list[int], gen: int) -> None:
+    """bucket = -1 is the wildcard ("all buckets touched")."""
+    spark.createDataFrame(
+        [(int(b), int(gen)) for b in buckets], "bucket int, gen int"
+    ).write.mode("append").parquet(paths.stale)
 
 
 def merge_batch(
@@ -38,11 +135,17 @@ def merge_batch(
     content_col: str = "content",
     config: str = "english",
     doc_id: str = "doc_id",
+    replace: bool = False,
 ) -> None:
-    """Fold one batch of new documents into the persisted index."""
+    """Fold one batch of new documents into the persisted index.
+
+    `replace=True` tombstones prior generations of the batch's doc_ids
+    (doc update); without it a re-ingested doc_id is duplicated until a
+    caller-driven cleanup — the append-only contract."""
     paths = IndexPaths(index_dir)
     stats = spark.read.parquet(paths.stats).first()
     n_buckets = int(stats["n_buckets"])
+    new_gen = int(stats["gen"]) + 1
 
     from ..plans.analyze import analyze_index_udf
     analyzed = (batch_docs
@@ -52,10 +155,8 @@ def merge_batch(
                         F.col("_a.tokens").alias("tokens"),
                         F.col("_a.dl").alias("dl"),
                         F.col("_a.postings").alias("postings"),
-                        F.sha2(F.col(content_col), 256).alias("sha256")))
-
-    analyzed.select("doc_id", "tokens", "dl", "sha256") \
-        .write.mode("append").parquet(paths.tokens)
+                        F.sha2(F.col(content_col), 256).alias("sha256"))
+                .cache())
 
     batch_postings = (analyzed
                       .select("doc_id", "dl", F.explode("postings").alias("p"))
@@ -65,47 +166,278 @@ def merge_batch(
                               F.col("p.positions").alias("positions"))
                       .withColumn("bucket",
                                   F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-                                  .cast("int")))
+                                  .cast("int"))
+                      .withColumn("gen", F.lit(new_gen)))
+
+    # the batch is small (a micro-batch); one action finds its touched
+    # buckets so the marker — and later the compaction — stays targeted
+    touched = sorted(r["bucket"] for r in
+                     batch_postings.select("bucket").distinct().collect())
+    if replace:
+        # replaced docs' OLD postings live in arbitrary buckets; the
+        # wildcard makes compaction rebuild everything they could shadow
+        touched = [-1]
+
+    # marker FIRST: any reader from here on sees packed=None, never new
+    # rows scored against stale block metadata
+    _write_stale_marker(spark, paths, touched, new_gen)
+
+    analyzed.select("doc_id", "tokens", "dl", "sha256") \
+        .withColumn("gen", F.lit(new_gen)) \
+        .write.mode("append").parquet(paths.tokens)
+
     # match the base table's schema: a positions-free scoring projection
-    # (row_positions=False builds) stays positions-free — after the packed
-    # delete below, positional queries on such an index require a
-    # compaction rebuild (and say so), while BM25 sees merged docs
-    # immediately
+    # (lean layout) stays positions-free in postings/, and the positional
+    # copy of the batch goes to pending/ for compaction to pack
     existing_cols = spark.read.parquet(paths.postings).columns
     if "positions" not in existing_cols:
-        batch_postings = batch_postings.drop("positions")
-    (batch_postings.repartition("bucket")
+        (batch_postings.repartition("bucket")
+         .write.mode("append").partitionBy("bucket").parquet(paths.pending))
+        row_out = batch_postings.drop("positions")
+    else:
+        row_out = batch_postings
+    (row_out.repartition("bucket")
      .write.mode("append").partitionBy("bucket").parquet(paths.postings))
 
-    # invalidate packed blocks BEFORE publishing new stats: a reader that
-    # loads mid-merge sees either the old consistent index or packed=None,
-    # never new stats over stale blocks (Hadoop FS API — works on HDFS/S3A
-    # too, not just local disk)
-    jvm = spark._jvm
-    packed_path = jvm.org.apache.hadoop.fs.Path(paths.packed)
-    fs = packed_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(packed_path):
-        fs.delete(packed_path, True)
+    if replace:
+        # tombstones land AFTER the new rows: a mid-merge reader sees a
+        # transient duplicate (old+new), never a transiently-missing doc
+        ids = [r["doc_id"] for r in
+               analyzed.select("doc_id").distinct().collect()]
+        spark.createDataFrame(
+            [(int(i), new_gen) for i in ids], "doc_id long, before_gen int"
+        ).write.mode("append").parquet(paths.tombstones)
 
-    # dictionary + stats re-aggregation (metadata-scale)
-    all_tokens = spark.read.parquet(paths.tokens)
-    srow = all_tokens.select(F.count("*").alias("n"), F.avg("dl").alias("a")).first()
-    n_docs, avgdl = int(srow["n"]), float(srow["a"])
-    all_postings = spark.read.parquet(paths.postings)
-    terms = (all_postings.groupBy("term")
+    _reaggregate(spark, paths, stats, new_gen)
+    analyzed.unpersist()
+
+
+def delete_docs(spark: SparkSession, index_dir: str,
+                doc_ids: list[int]) -> None:
+    """Tombstone-delete documents: queries stop seeing them immediately
+    (broadcast tombstone filter in load_index); compact_index physically
+    drops their rows and repacks."""
+    paths = IndexPaths(index_dir)
+    stats = spark.read.parquet(paths.stats).first()
+    new_gen = int(stats["gen"]) + 1
+    # deleted docs' postings span arbitrary term buckets → wildcard marker
+    _write_stale_marker(spark, paths, [-1], new_gen)
+    spark.createDataFrame(
+        [(int(i), new_gen) for i in doc_ids], "doc_id long, before_gen int"
+    ).write.mode("append").parquet(paths.tombstones)
+    _reaggregate(spark, paths, stats, new_gen)
+
+
+def _decode_packed_rows(tomb_ids: set):
+    """mapInPandas kernel: packed payloads → positional postings rows
+    (term, bucket, doc_id, tf, dl, positions). Tombstoned docs are dropped
+    during decode: every live tombstone postdates the last pack, so ALL
+    packed rows of a tombstoned doc are shadowed."""
+
+    def gen(batches):
+        import numpy as np
+
+        from ..plans.packing import decode_block_positions, decode_block_scores
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for term, bucket, payload, base in zip(
+                    pdf["term"], pdf["bucket"], pdf["payload"],
+                    pdf["base_doc"]):
+                payload = bytes(payload)
+                doc_ids, tfs, dls = decode_block_scores(payload, int(base))
+                _, flat, counts = decode_block_positions(payload, int(base))
+                splits = np.split(flat, np.cumsum(counts)[:-1])
+                for d, tf, dl, poss in zip(doc_ids.tolist(), tfs.tolist(),
+                                           dls.tolist(), splits):
+                    if int(d) in tomb_ids:
+                        continue
+                    out.append((term, int(bucket), int(d), int(tf), int(dl),
+                                [int(p) for p in poss]))
+            yield pd.DataFrame(out, columns=[
+                "term", "bucket", "doc_id", "tf", "dl", "positions"])
+
+    return gen
+
+
+def compact_index(spark: SparkSession, index_dir: str,
+                  full: bool = False,
+                  postings_partitions: int | None = None) -> list[int]:
+    """Targeted repack: restore block-max mode after merges/deletes by
+    rebuilding packed blocks for ONLY the buckets the stale markers name
+    (no document is re-analyzed), physically dropping tombstoned rows,
+    then clearing pending/markers/tombstones. Returns the repacked bucket
+    list. `full=True` repacks every bucket with the CURRENT avgdl,
+    resetting the query-side bound scale to 1 (do this when avgdl has
+    drifted far enough that the scale hurts pruning)."""
+    t0 = time.time()
+    paths = IndexPaths(index_dir)
+    stats = spark.read.parquet(paths.stats).first()
+    n_buckets = int(stats["n_buckets"])
+    block_span = int(stats["block_span"])
+    has_stale = _path_exists(spark, paths.stale)
+    has_tombs = _path_exists(spark, paths.tombstones)
+    if not has_stale and not full:
+        return []
+
+    wildcard = full
+    touched: set[int] = set()
+    if has_stale:
+        for r in spark.read.parquet(paths.stale).collect():
+            if int(r["bucket"]) < 0:
+                wildcard = True
+            else:
+                touched.add(int(r["bucket"]))
+    buckets = sorted(range(n_buckets)) if wildcard else sorted(touched)
+
+    tomb_ids: set = set()
+    if has_tombs:
+        tomb_ids = {int(r["doc_id"]) for r in
+                    spark.read.parquet(paths.tombstones)
+                    .select("doc_id").distinct().collect()}
+
+    # ---- gather positional rows for the buckets being repacked ----
+    lean = "positions" not in spark.read.parquet(paths.postings).columns
+    if lean:
+        src = None
+        if _path_exists(spark, paths.packed):
+            packed_old = (spark.read.parquet(paths.packed)
+                          .where(F.col("bucket").isin(buckets)))
+            src = (packed_old
+                   .select("term", "bucket", "base_doc", "payload")
+                   .mapInPandas(
+                       _decode_packed_rows(tomb_ids),
+                       schema="term string, bucket int, doc_id long, "
+                              "tf int, dl int, positions array<int>"))
+        pending_df = _try_parquet(spark, paths.pending)
+        if pending_df is not None:
+            pending = pending_df.where(F.col("bucket").isin(buckets))
+            if tomb_ids:
+                from ..plans.index_build import _apply_tombstones
+                pending = _apply_tombstones(
+                    pending, spark.read.parquet(paths.tombstones))
+            pending = pending.select("term", "bucket", "doc_id", "tf", "dl",
+                                     "positions")
+            src = pending if src is None else src.unionByName(pending)
+        if src is None:
+            src = spark.createDataFrame(
+                [], "term string, bucket int, doc_id long, tf int, dl int, "
+                    "positions array<int>")
+    else:
+        rows = (spark.read.parquet(paths.postings)
+                .where(F.col("bucket").isin(buckets)))
+        if tomb_ids:
+            from ..plans.index_build import _apply_tombstones
+            rows = _apply_tombstones(
+                rows, spark.read.parquet(paths.tombstones))
+        src = rows.select("term", "bucket", "doc_id", "tf", "dl", "positions")
+
+    # the bounds of untouched buckets keep their original avgdl_packed, so
+    # targeted repacks MUST use the same avgdl (one global scale stays a
+    # valid upper-bound correction); a full repack re-baselines
+    avgdl_packed = float(stats["avgdl_packed"])
+    if full:
+        tokens = spark.read.parquet(paths.tokens)
+        if tomb_ids:
+            from ..plans.index_build import _apply_tombstones
+            tokens = _apply_tombstones(
+                tokens, spark.read.parquet(paths.tombstones))
+        row = tokens.select(F.avg("dl").alias("a")).first()
+        avgdl_packed = float(row["a"] or 0.0)
+
+    sort_parts = (postings_partitions if postings_partitions is not None
+                  else spark.sparkContext.defaultParallelism * 2)
+    repacked = (src
+                .repartitionByRange(sort_parts, "bucket", "term", "doc_id")
+                .sortWithinPartitions("bucket", "term", "doc_id")
+                .mapInPandas(_streaming_packer(avgdl_packed, block_span),
+                             schema=PACKED_SCHEMA))
+    # stage to a temp dir (the job READS paths.packed — Spark rightly
+    # refuses a self-overwrite), then swap ONLY the repacked buckets'
+    # directories; untouched bucket dirs are left byte-identical
+    packed_tmp = paths.packed + "_compact_tmp"
+    _delete_path(spark, packed_tmp)
+    repacked.write.mode("overwrite").partitionBy("bucket").parquet(packed_tmp)
+    for b in buckets:
+        _delete_path(spark, f"{paths.packed}/bucket={b}")
+        if _path_exists(spark, f"{packed_tmp}/bucket={b}"):
+            _rename_path(spark, f"{packed_tmp}/bucket={b}",
+                         f"{paths.packed}/bucket={b}")
+    if not _path_exists(spark, paths.packed):
+        # fresh/empty index edge: ensure the directory exists so loaders
+        # see an (empty) packed store rather than an error
+        fs, p, _ = _fs(spark, paths.packed)
+        fs.mkdirs(p)
+    _delete_path(spark, packed_tmp)
+
+    # ---- physical tombstone apply (only when tombstones exist) ----
+    if tomb_ids:
+        from ..plans.index_build import _apply_tombstones
+        tombs = spark.read.parquet(paths.tombstones)
+        for tbl, part_by in ((paths.tokens, None),
+                             (paths.postings, "bucket"),
+                             (paths.pending if lean else None, "bucket")):
+            if tbl is None or _try_parquet(spark, tbl) is None:
+                continue
+            filtered = _apply_tombstones(spark.read.parquet(tbl), tombs)
+            tmp = tbl + "_compact_tmp"
+            w = filtered.write.mode("overwrite")
+            if part_by:
+                w = w.partitionBy(part_by)
+            w.parquet(tmp)
+            _delete_path(spark, tbl)
+            _rename_path(spark, tmp, tbl)
+
+    # pending rows for the repacked buckets are now IN packed; with a
+    # wildcard everything pending was consumed
+    if lean and _path_exists(spark, paths.pending):
+        if wildcard:
+            _delete_path(spark, paths.pending)
+        else:
+            for b in buckets:
+                _delete_path(spark, f"{paths.pending}/bucket={b}")
+            if _try_parquet(spark, paths.pending) is None:
+                _delete_path(spark, paths.pending)  # nothing left in it
+
+    _delete_path(spark, paths.tombstones)
+
+    # refresh stats/dictionary (n_docs/avgdl exclude dropped docs; gen is
+    # preserved; avgdl_packed per the repack baseline above)
+    tokens = spark.read.parquet(paths.tokens)
+    srow = tokens.select(F.count("*").alias("n"),
+                         F.avg("dl").alias("a")).first()
+    postings = spark.read.parquet(paths.postings)
+    n_docs = int(srow["n"])
+    terms = (postings.groupBy("term")
              .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"),
                   F.first("bucket").alias("bucket"))
              .withColumn("idf", idf_expr(F.col("df"), n_docs)))
-    # bucket-partitioned like build_index writes it: the on-disk dictionary
-    # layout must stay identical across merges or _idf_lookup's directory
-    # pruning silently degrades after the first merge
     terms.write.mode("overwrite").partitionBy("bucket").parquet(paths.terms)
-    spark.createDataFrame(
-        [(n_docs, avgdl, stats["config"], stats["prep_version"],
-          n_buckets, int(stats["block_span"]))],
-        "n_docs long, avgdl double, config string, prep_version string,"
-        " n_buckets int, block_span int",
-    ).write.mode("overwrite").parquet(paths.stats)
+    _write_stats(spark, paths, n_docs, float(srow["a"] or 0.0), stats,
+                 avgdl_packed=avgdl_packed, gen=int(stats["gen"]))
+
+    # marker removed LAST: readers keep seeing packed=None until every
+    # write above is complete
+    _delete_path(spark, paths.stale)
+
+    # lineage: one manifest row per repacked bucket (compaction is keyed
+    # by wall time, not input signature — it consumes merge state)
+    import pyarrow.parquet as pq
+    rows = []
+    for b in buckets:
+        try:
+            files = spark.read.parquet(f"{paths.packed}/bucket={b}").inputFiles()
+            n = sum(pq.ParquetFile(
+                f[len("file:"):] if f.startswith("file:") else f
+            ).metadata.num_rows for f in files)
+        except Exception:
+            n = 0
+        rows.append((b, n, None))
+    _write_manifest(spark, paths, "compact", (0, 0), rows,
+                    int((time.time() - t0) * 1000))
+    return buckets
 
 
 def attach_incremental_indexer(

@@ -70,6 +70,134 @@ def test_merge_invalidates_packed_blocks(spark, tmp_path):
         phrase_match_docs(after, q).collect()
 
 
+class TestCompaction:
+    """Targeted repack: merges/deletes/replaces are folded back into
+    block-max form without re-analyzing any document."""
+
+    def _build(self, spark, tmp_path, n_buckets=16):
+        out = str(tmp_path / "idxc")
+        df = spark.createDataFrame(BASE, ["doc_id", "content"])
+        build_index(spark, df, out, config=CONFIG, n_buckets=n_buckets,
+                    block_span=8, build_packed=True)
+        return out
+
+    def _assert_rank_identical(self, index, terms, k=10):
+        exact = [(r["doc_id"], round(r["score"], 10)) for r in
+                 bm25_topk(index, terms, k=k, mode="exact").collect()]
+        pruned = [(r["doc_id"], round(r["score"], 10)) for r in
+                  bm25_topk(index, terms, k=k, mode="blockmax").collect()]
+        assert exact == pruned
+        return exact
+
+    def test_compact_restores_blockmax_with_merged_docs(self, spark, tmp_path):
+        from pg_ts_semantic_headline_spark.streaming import compact_index
+        out = self._build(spark, tmp_path)
+        merge_batch(spark, out, spark.createDataFrame(NEW, ["doc_id", "content"]),
+                    config=CONFIG)
+        assert load_index(spark, out).packed is None
+
+        repacked = compact_index(spark, out)
+        # targeted: only the batch terms' buckets were rebuilt
+        assert repacked and len(repacked) < 16
+
+        after = load_index(spark, out)
+        assert after.packed is not None and after.n_docs == 22
+        got = self._assert_rank_identical(after, ["fresh"], k=5)
+        assert {d for d, _ in got} == {100, 101}
+        # positions were repacked too: phrase search finds the merged doc
+        q = phraseto_tspquery(CONFIG, "needle phrase target")
+        assert {r["doc_id"] for r in
+                phrase_match_docs(after, q).collect()} == {100}
+        # manifest records exactly the repacked buckets
+        m = spark.read.parquet(f"{out}/_manifest")
+        rows = m.where(F.col("stage") == "compact").collect()
+        assert sorted(int(r["partition_id"]) for r in rows) == repacked
+
+        # a second merge+compact cycle keeps working
+        merge_batch(spark, out, spark.createDataFrame(
+            [(200, "cycle two zeta document")], ["doc_id", "content"]),
+            config=CONFIG)
+        compact_index(spark, out)
+        final = load_index(spark, out)
+        assert final.n_docs == 23
+        got = self._assert_rank_identical(final, ["zeta"], k=3)
+        assert {d for d, _ in got} == {200}
+
+    def test_replace_doc(self, spark, tmp_path):
+        from pg_ts_semantic_headline_spark.streaming import compact_index
+        out = self._build(spark, tmp_path)
+        merge_batch(spark, out, spark.createDataFrame(
+            [(5, "replaced brandnew content alpha shiny")],
+            ["doc_id", "content"]), config=CONFIG, replace=True)
+
+        mid = load_index(spark, out)
+        assert mid.n_docs == 20  # replace, not insert
+        # the old doc5-only term is gone, the new one resolves to doc 5
+        assert bm25_topk(mid, ["doc5"], k=5).count() == 0
+        got = {r["doc_id"] for r in
+               bm25_topk(mid, ["brandnew"], k=5).collect()}
+        assert got == {5}
+        # and doc 5 appears exactly once through shared terms
+        alpha = bm25_topk(mid, ["alpha"], k=25).collect()
+        assert [r["doc_id"] for r in alpha].count(5) == 1
+
+        compact_index(spark, out)
+        after = load_index(spark, out)
+        assert after.n_docs == 20 and after.packed is not None
+        got = self._assert_rank_identical(after, ["brandnew"], k=5)
+        assert {d for d, _ in got} == {5}
+        # physical apply: shadowed generations are gone from the tables
+        assert spark.read.parquet(f"{out}/tokens").count() == 20
+        assert (spark.read.parquet(f"{out}/postings")
+                .where(F.col("term") == "doc5").count()) == 0
+
+    def test_delete_docs_tombstone_then_compact(self, spark, tmp_path):
+        from pg_ts_semantic_headline_spark.streaming import (
+            compact_index, delete_docs)
+        out = self._build(spark, tmp_path)
+        delete_docs(spark, out, [3])
+
+        mid = load_index(spark, out)
+        assert mid.n_docs == 19 and mid.packed is None
+        assert bm25_topk(mid, ["doc3"], k=5).count() == 0
+        assert 3 not in {r["doc_id"] for r in
+                         bm25_topk(mid, ["alpha"], k=25).collect()}
+
+        compact_index(spark, out)
+        after = load_index(spark, out)
+        assert after.n_docs == 19 and after.packed is not None
+        got = self._assert_rank_identical(after, ["alpha"], k=25)
+        assert 3 not in {d for d, _ in got}
+        assert spark.read.parquet(f"{out}/tokens").count() == 19
+
+    def test_bound_scale_keeps_rank_identity_after_avgdl_shift(
+            self, spark, tmp_path, monkeypatch):
+        """A targeted compact keeps the OLD avgdl baked into every bound;
+        merging much longer docs raises the corpus avgdl, so true norms
+        can exceed stored bounds — the query-side scale must keep the
+        forced-prune path rank-identical."""
+        from pg_ts_semantic_headline_spark.plans import search as searchmod
+        from pg_ts_semantic_headline_spark.streaming import compact_index
+        out = self._build(spark, tmp_path)
+        long_docs = [(300 + i,
+                      "alpha beta " + " ".join(f"filler{j}" for j in range(80)))
+                     for i in range(4)]
+        merge_batch(spark, out, spark.createDataFrame(
+            long_docs, ["doc_id", "content"]), config=CONFIG)
+        compact_index(spark, out)
+        after = load_index(spark, out)
+        assert after.avgdl > after.avgdl_packed  # scale is actually > 1
+        monkeypatch.setattr(searchmod, "SMALL_SEGMENT_BLOCKS", 0)
+        self._assert_rank_identical(after, ["alpha", "beta"], k=24)
+        self._assert_rank_identical(after, ["alpha"], k=10)
+
+        # full compact re-baselines the bounds to the current avgdl
+        compact_index(spark, out, full=True)
+        rebased = load_index(spark, out)
+        assert abs(rebased.avgdl_packed - rebased.avgdl) < 1e-9
+        self._assert_rank_identical(rebased, ["alpha", "beta"], k=24)
+
+
 def test_windowed_term_counts_stream(spark, tmp_path):
     """Watermarked windowed term counts over a real (availableNow) stream
     must equal the batch aggregation of the same rows."""
