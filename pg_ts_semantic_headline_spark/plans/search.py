@@ -79,8 +79,9 @@ def _pruned_postings(index: Index, terms: list[str]) -> DataFrame:
             .where(F.col("term").isin(terms)))
 
 
-def _idf_lookup(index: Index, terms: list[str]) -> DataFrame:
-    """(term, idf) for the query terms; the terms dictionary is
+def _idf_lookup(index: Index, terms: list[str],
+                cols: tuple = ("term", "idf")) -> DataFrame:
+    """Dictionary columns for the query terms; the terms dictionary is
     bucket-partitioned on disk, so the same driver-side bucket routing that
     prunes postings prunes the dictionary scan."""
     from ..functions.xxhash import term_bucket
@@ -88,7 +89,7 @@ def _idf_lookup(index: Index, terms: list[str]) -> DataFrame:
     return (index.terms
             .where(F.col("bucket").isin(buckets))
             .where(F.col("term").isin(terms))
-            .select("term", "idf"))
+            .select(*cols))
 
 
 def _scored(index: Index, terms: list[str]) -> DataFrame:
@@ -211,6 +212,34 @@ META_COLLECT_LIMIT = 20_000
 # decode saved). Known driver-side with zero jobs, so small segments take
 # the single-action path and big segments take the 2-action WAND path.
 SMALL_SEGMENT_BLOCKS = 20_000
+# candidate-filtered queries: max candidate doc ids the direct
+# block-targeted plan will collect (a bounded ~8-byte-per-doc driver
+# transfer) before falling back to θ-seeded pruning; negative disables
+FILTERED_DIRECT_DOC_CAP = 16_384
+
+
+def _bounded_collect(df: DataFrame, limit: int) -> list:
+    """collect() of `df.limit(limit)` in ONE job round.
+
+    Spark's executeTake runs limit-collects incrementally — 1 partition,
+    then 4×, then 16×… — each round a separate job. When the rows are
+    spread thin across many partitions (761 candidate ids over 64
+    partitions, or 25k skinny meta rows), that's 4-6 sequential job
+    round-trips of pure scheduling latency on an interactive query path.
+    Raising spark.sql.limit.initialNumPartitions for just this collect
+    makes round one scan every partition: same bounded result, one job.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.limit.initialNumPartitions"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "1000000")
+    try:
+        return df.limit(limit).collect()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def _topk_from_packed(index: Index, need: DataFrame, terms: list[str],
@@ -242,12 +271,21 @@ def _topk_from_packed(index: Index, need: DataFrame, terms: list[str],
 def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
                         candidate_docs: DataFrame | None,
                         seed_blocks_per_term: int = 4) -> DataFrame:
-    """Scale-adaptive (see module docstring). Small segments and
-    candidate-filtered queries: ONE action, decode-everything. Large
-    segments: THREE lean actions — skinny-meta collect, point-lookup seed
-    decode (→ θ), pruned rescore. Everything else stays driver-side —
-    per-action fixed cost dominates interactive query latency, so the
-    action count IS the latency budget."""
+    """Scale-adaptive (see module docstring). Small segments: ONE action,
+    decode-everything. Large segments: THREE lean actions — skinny-meta
+    collect, point-lookup seed decode (→ θ), pruned rescore. A boolean/
+    phrase prefilter picks between two plans by the filter's selectivity:
+    a SELECTIVE filter's own block ids bound the decode set exactly
+    (blocks are doc-aligned, so every packed row touching a candidate doc
+    lives at a candidate block id) — decode just those blocks, no θ
+    needed, scoring stays exact. A NON-selective filter (e.g. a negation
+    keeping most docs) falls back to θ seeding: seeds are scored in-plan
+    semi-joined to the candidates (the kth candidate-intersected seed
+    partial is a valid filtered θ), and the unfiltered per-block bounds
+    remain upper bounds for filtered docs, so the same survival pruning
+    applies. Everything else stays driver-side — per-action fixed cost
+    dominates interactive query latency, so the action count IS the
+    latency budget."""
     from .packing import decode_block_scores
 
     spark = index.postings.sparkSession
@@ -263,18 +301,55 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
     bound_scale = (max(1.0, index.avgdl / index.avgdl_packed)
                    if index.avgdl_packed else 1.0)
 
-    if candidate_docs is not None:
-        # A boolean/phrase prefilter invalidates a θ seeded from unfiltered
-        # docs (it could exceed the kth FILTERED score and prune true
-        # hits): exact-from-packed in one action — decode every query-term
-        # block, semi-join candidates, score exactly.
-        return _topk_from_packed(index, packed, terms, k, candidate_docs)
-
+    cand = (candidate_docs.select("doc_id")
+            if candidate_docs is not None else None)
     max_blocks = len(terms) * (
         (index.n_docs + index.block_span - 1) // index.block_span)
     if max_blocks <= SMALL_SEGMENT_BLOCKS:
-        # pruning cannot pay here: one action decodes everything
-        return _topk_from_packed(index, packed, terms, k)
+        # pruning cannot pay here: one action decodes everything (with a
+        # candidate semi-join when a boolean/phrase prefilter applies)
+        return _topk_from_packed(index, packed, terms, k, cand)
+    if cand is not None:
+        # selective-filter fast path: collect the candidate doc ids
+        # themselves under a bounded limit (ONE evaluation of the
+        # boolean/phrase subplan, nothing persisted). Within budget →
+        # decode ONLY the candidates' blocks (exact scores for every
+        # candidate by doc-aligned block construction: doc d's packed row
+        # for ANY term lives at block ⌊d/span⌋), semi-join the collected
+        # ids, aggregate — a fully-literal point-lookup action with no
+        # meta collect and no θ. Overflow → the filter keeps too many
+        # docs for block-targeting to pay; persist the candidates and
+        # fall through to θ-seeded pruning (the ContextCleaner unpersists
+        # when the result plan is released).
+        cap = FILTERED_DIRECT_DOC_CAP
+        doc_ids = ([int(r["doc_id"])
+                    for r in _bounded_collect(cand, cap + 1)]
+                   if cap >= 0 else [])
+        if cap >= 0 and len(doc_ids) <= cap:
+            cand_lit = spark.createDataFrame(
+                [(d,) for d in sorted(doc_ids)], "doc_id long")
+            blocks = sorted({d // index.block_span for d in doc_ids})
+            if len(blocks) <= 64:
+                # point-lookup: literal block ids reach the parquet scan
+                # as pushed filters → row-group pruning; only the
+                # candidates' payload bytes are ever read
+                need = packed.where(F.col("block_id").isin(blocks))
+                return _topk_from_packed(index, need, terms, k,
+                                         candidate_docs=F.broadcast(cand_lit))
+            # candidates scattered across too many blocks for a literal
+            # point lookup (isin planning cost cliffs, and a semi-join
+            # can't push block ids into the parquet scan, so every
+            # payload byte would be read to decode a few): the skinny
+            # row-postings projection (no positions, no payloads) is the
+            # cheaper scoring source — one JVM-side action
+            scored = (_scored(index, terms)
+                      .join(F.broadcast(cand_lit), on="doc_id",
+                            how="left_semi"))
+            return (scored.groupBy("doc_id")
+                    .agg(F.sum("score").alias("score"))
+                    .orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(k))
+        cand = cand.persist()
 
     # action A: ONE bounded collect of (a) the SKINNY block metadata for
     # the query terms — the payload column is never projected, so the
@@ -314,21 +389,33 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
 
     # action B: point-lookup decode of the seed payloads (a handful of
     # block ids → parquet row-group pruning on block_id; payload bytes
-    # read ONLY for these rows), scored driver-side → θ
-    seed_rows = (packed
-                 .where(F.col("block_id").isin(seed_ids))
-                 .select("term", "base_doc", "payload")
-                 .collect())
-    acc: dict = {}
-    for r in seed_rows:
-        doc_ids, tfs, dls = decode_block_scores(
-            bytes(r["payload"]), int(r["base_doc"]))
-        parts = _bm25_part_score(tfs, dls, idf_map[r["term"]], index.avgdl)
-        for d, s in zip(doc_ids.tolist(), parts.tolist()):
-            acc[d] = acc.get(d, 0.0) + s
-    top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-    # θ valid only if k docs seeded; partial seed sums are lower bounds
-    theta = top[-1][1] if len(top) == k else 0.0
+    # read ONLY for these rows) → θ. Unfiltered queries score the seeds
+    # driver-side (tiny collect, numpy kernel); candidate-filtered queries
+    # score them IN-PLAN semi-joined to the candidates — a θ seeded from
+    # unfiltered docs could exceed the kth FILTERED score and prune true
+    # hits, but the kth best candidate-intersected seed partial score is a
+    # valid lower bound of the kth filtered true score.
+    if cand is None:
+        seed_rows = (packed
+                     .where(F.col("block_id").isin(seed_ids))
+                     .select("term", "base_doc", "payload")
+                     .collect())
+        acc: dict = {}
+        for r in seed_rows:
+            doc_ids, tfs, dls = decode_block_scores(
+                bytes(r["payload"]), int(r["base_doc"]))
+            parts = _bm25_part_score(tfs, dls, idf_map[r["term"]], index.avgdl)
+            for d, s in zip(doc_ids.tolist(), parts.tolist()):
+                acc[d] = acc.get(d, 0.0) + s
+        top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        # θ valid only if k docs seeded; partial seed sums are lower bounds
+        theta = top[-1][1] if len(top) == k else 0.0
+    else:
+        seed_need = packed.where(F.col("block_id").isin(seed_ids))
+        seed_top = _topk_from_packed(index, seed_need, terms, k,
+                                     candidate_docs=cand,
+                                     idf_map=idf_map).collect()
+        theta = float(seed_top[-1]["score"]) if len(seed_top) == k else 0.0
 
     # ULP slack: S(b) and θ are floats computed with different operation
     # orders (driver sum-of-products vs build-time norm × query kernel); an
@@ -379,7 +466,8 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
                      .select("block_id"))
         need = packed.join(surviving, on="block_id", how="left_semi")
 
-    return _topk_from_packed(index, need, terms, k, idf_map=idf_map)
+    return _topk_from_packed(index, need, terms, k, candidate_docs=cand,
+                             idf_map=idf_map)
 
 
 def _positions_hay(index: Index, terms: list[str],
@@ -438,7 +526,8 @@ def _positions_hay(index: Index, terms: list[str],
             .mapInPandas(gen, schema="doc_id long, term string, pos int"))
 
 
-def phrase_match_docs(index: Index, query: CompiledQuery) -> DataFrame:
+def phrase_match_docs(index: Index, query: CompiledQuery,
+                      anchor_docs: DataFrame | None = None) -> DataFrame:
     """(doc_id, phrase_id, n_matches) via positional intersection on the
     pruned postings — the indexed form of the matches plan.
 
@@ -447,7 +536,12 @@ def phrase_match_docs(index: Index, query: CompiledQuery) -> DataFrame:
     compact row-postings scoring projection (n_matches = tf). Only real
     multi-lexeme phrases pay for positional decode — on a lean (packed-
     positions-only) index that is the difference between a row-projection
-    scan and decoding packed payloads."""
+    scan and decoding packed payloads.
+
+    `anchor_docs` (a SUPERSET of every doc that can satisfy the boolean
+    query — see matching_docs) semi-joins each scan before any shuffle or
+    decode: a common term AND-ed with a rare one shuffles only the rare
+    term's docs into the per-doc aggregation, not its own millions."""
     spark = index.postings.sparkSession
     if not query.phrases:
         return spark.createDataFrame([], "doc_id long, phrase_id int, n_matches long")
@@ -462,6 +556,8 @@ def phrase_match_docs(index: Index, query: CompiledQuery) -> DataFrame:
         sdf = spark.createDataFrame(
             [(t, pid) for pid, t in singles], "term string, phrase_id int")
         rows = _pruned_postings(index, sorted({t for _, t in singles}))
+        if anchor_docs is not None:
+            rows = rows.join(anchor_docs, on="doc_id", how="left_semi")
         single_hits = (rows.join(F.broadcast(sdf), on="term")
                        .select("doc_id", "phrase_id",
                                F.col("tf").cast("long").alias("n_matches")))
@@ -472,6 +568,8 @@ def phrase_match_docs(index: Index, query: CompiledQuery) -> DataFrame:
         qdf = (phrase_table_df(spark, query)
                .where(F.col("q_len") > 1))
         hay = _positions_hay(index, multi_lexemes)
+        if anchor_docs is not None:
+            hay = hay.join(anchor_docs, on="doc_id", how="left_semi")
         joined = hay.join(F.broadcast(qdf), hay.term == qdf.q_lexeme)
         aligned = joined.withColumn("range_start",
                                     F.col("pos") - F.col("q_pos") + F.lit(1))
@@ -503,9 +601,40 @@ def _all_phrases(node: Node | None) -> list:
     return out
 
 
+def _required_lexemes(node: Node | None) -> set[str]:
+    """Lexemes EVERY satisfying doc must contain: a phrase requires all its
+    lexemes, AND requires the union of its children's requirements, OR the
+    intersection (a lexeme required by every branch is required), NOT
+    nothing."""
+    if node is None:
+        return set()
+    if node.op == "phrase":
+        return {lex for lex, _ in node.phrase.items}
+    if node.op == "and":
+        out: set[str] = set()
+        for c in node.children:
+            out |= _required_lexemes(c)
+        return out
+    if node.op == "or" and node.children:
+        out = _required_lexemes(node.children[0])
+        for c in node.children[1:]:
+            out &= _required_lexemes(c)
+        return out
+    return set()
+
+
 def matching_docs(index: Index, query: CompiledQuery) -> DataFrame:
     """Boolean @@ filter: docs satisfying the query's AND/OR/NOT tree, with
-    phrase nodes requiring exact positional adjacency."""
+    phrase nodes requiring exact positional adjacency.
+
+    Selective-term-first evaluation: when the tree REQUIRES some lexeme
+    (see _required_lexemes) the rarest required one — df from a tiny
+    bucket-pruned dictionary lookup — anchors the plan: every other
+    term's scan is semi-joined down to the anchor's docs before the
+    per-doc aggregation, so `rare & common` shuffles O(df_rare) rows
+    instead of the common term's millions. A required lexeme absent from
+    the dictionary short-circuits to an empty result with no corpus
+    scan."""
     from dataclasses import replace
 
     spark = index.postings.sparkSession
@@ -515,7 +644,23 @@ def matching_docs(index: Index, query: CompiledQuery) -> DataFrame:
             seen.add(ph.items)
             phrases.append(ph)
     full_query = replace(query, phrases=tuple(phrases))
-    phrase_docs = phrase_match_docs(index, full_query)
+
+    anchor = None
+    required = _required_lexemes(query.root)
+    if required:
+        dfs = {r["term"]: int(r["df"]) for r in
+               _idf_lookup(index, sorted(required), cols=("term", "df"))
+               .collect()}
+        missing = required - set(dfs)
+        if missing:
+            return spark.createDataFrame([], "doc_id long")
+        rarest = min(sorted(required), key=lambda t: dfs[t])
+        # anchoring only pays when it actually shrinks the doc stream
+        if len(query.lexemes) > 1 and dfs[rarest] * 4 <= index.n_docs:
+            anchor = (_pruned_postings(index, [rarest])
+                      .select("doc_id"))
+
+    phrase_docs = phrase_match_docs(index, full_query, anchor_docs=anchor)
     flags = (phrase_docs.groupBy("doc_id")
              .agg(F.collect_set("phrase_id").alias("ok_phrases")))
 
@@ -537,8 +682,11 @@ def matching_docs(index: Index, query: CompiledQuery) -> DataFrame:
 
     has_negation = "not" in _ops(query.root)
     if has_negation:
-        # NOT semantics need the full doc universe, not just phrase hitters
-        universe = index.tokens.select("doc_id")
+        # NOT semantics need the full doc universe, not just phrase
+        # hitters — unless an anchor exists, in which case the anchor's
+        # docs ARE the universe of possible matches
+        universe = (anchor if anchor is not None
+                    else index.tokens.select("doc_id"))
         flags = universe.join(flags, on="doc_id", how="left").withColumn(
             "ok_phrases", F.coalesce(F.col("ok_phrases"), F.array().cast("array<int>")))
     return flags.where(to_expr(query.root)).select("doc_id")

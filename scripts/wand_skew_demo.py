@@ -59,11 +59,16 @@ def main():
                         * float(__import__("math").log(V))))
                     .cast("int"))), " ")))
 
+    # TSP_SKEW_KEEP=1 keeps the index dir and resumes an existing build
+    # (same input signature → no-op) so probe iterations skip the ~7-min
+    # corpus build
+    keep = os.environ.get("TSP_SKEW_KEEP") == "1"
     import shutil
-    shutil.rmtree(out_dir, ignore_errors=True)
+    if not keep:
+        shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
     build_index(spark, docs, out_dir, config="simple", n_buckets=32,
-                block_span=128, resume=False, min_analyze_partitions=0)
+                block_span=128, resume=keep, min_analyze_partitions=0)
     build_sec = time.time() - t0
     index = load_index(spark, out_dir)
 
@@ -113,9 +118,40 @@ def main():
     assert da == pr == ex, (da[:3], pr[:3], ex[:3])
     out["rank_identical"] = True
 
+    # candidate-filtered path: boolean AND of the same terms — the filter
+    # (a postings-row semi plan on both sides) is identical work, so the
+    # delta is the scoring strategy. Times all three filtered plans:
+    # exact row-scan, direct candidate-block decode (default — the AND is
+    # selective), θ-seeded prune (direct path force-disabled).
+    from pg_ts_semantic_headline_spark.plans.query_compiler import to_tspquery
+    fq = to_tspquery("simple", f"{rare} & {common}")
+    S.search(index, fq, k=10, mode="exact").collect()      # warm
+    S.search(index, fq, k=10, mode="blockmax").collect()
+    out["filtered_exact_s"] = timed(
+        lambda: S.search(index, fq, k=10, mode="exact").collect())
+    out["filtered_blockmax_direct_s"] = timed(
+        lambda: S.search(index, fq, k=10, mode="blockmax").collect())
+    fex = [(r["doc_id"], round(r["score"], 9)) for r in
+           S.search(index, fq, k=10, mode="exact").collect()]
+    fpr = [(r["doc_id"], round(r["score"], 9)) for r in
+           S.search(index, fq, k=10, mode="blockmax").collect()]
+    direct_cap = S.FILTERED_DIRECT_DOC_CAP
+    S.FILTERED_DIRECT_DOC_CAP = -1     # force θ-seeded filtered pruning
+    try:
+        S.search(index, fq, k=10, mode="blockmax").collect()
+        out["filtered_blockmax_theta_s"] = timed(
+            lambda: S.search(index, fq, k=10, mode="blockmax").collect())
+        fth = [(r["doc_id"], round(r["score"], 9)) for r in
+               S.search(index, fq, k=10, mode="blockmax").collect()]
+    finally:
+        S.FILTERED_DIRECT_DOC_CAP = direct_cap
+    assert fex == fpr == fth and fex, (fex[:3], fpr[:3], fth[:3])
+    out["filtered_rank_identical"] = True
+
     print(json.dumps(out))
-    shutil.rmtree(out_dir, ignore_errors=True)
-    shutil.rmtree("/dev/shm/tsp_skew_local", ignore_errors=True)
+    if not keep:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree("/dev/shm/tsp_skew_local", ignore_errors=True)
     spark.stop()
 
 

@@ -291,6 +291,29 @@ class TestSearch:
         got = {r["doc_id"] for r in matching_docs(index, q).collect()}
         assert got == {13}
 
+    @pytest.mark.parametrize("direct_cap", [16_384, -1],
+                             ids=["direct-blocks", "theta-seeded"])
+    def test_filtered_blockmax_rank_identical(self, lean_index, monkeypatch,
+                                              direct_cap):
+        """Candidate-filtered queries on the forced large-segment path must
+        stay rank-identical to filtered exact on BOTH physical plans: the
+        selective-filter direct block-targeted decode (default cap) and
+        the θ-seeded prune route (cap forced to -1 so every candidate set
+        overflows it — seeds scored in-plan ∩ candidates)."""
+        from pg_ts_semantic_headline_spark.plans import search as searchmod
+        from pg_ts_semantic_headline_spark.plans.search import search
+        monkeypatch.setattr(searchmod, "SMALL_SEGMENT_BLOCKS", 0)
+        monkeypatch.setattr(searchmod, "FILTERED_DIRECT_DOC_CAP", direct_cap)
+        for raw, k in [("spark & query", 10), ("needle & !unique", 7),
+                       ("batch & !unique", 25)]:
+            q = to_tspquery(CONFIG, raw)
+            ex = [(r["doc_id"], round(r["score"], 10)) for r in
+                  search(lean_index, q, k=k, mode="exact").collect()]
+            bm = [(r["doc_id"], round(r["score"], 10)) for r in
+                  search(lean_index, q, k=k, mode="blockmax").collect()]
+            assert ex == bm
+            assert ex, raw  # non-vacuous
+
     def test_search_with_headlines(self, index):
         q = phraseto_tspquery(CONFIG, "needle phrase target")
         rows = search_with_headlines(index, q, k=3).collect()
