@@ -585,6 +585,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("cosine_e4"), F.asc("vec_id")).limit(10)
                 .select("vec_id", "cosine_e4"))
 
+    def _built_index(spark, sf):
+        # persisted-index path under the oracle gate: build the real
+        # inverted index (tokens/postings/terms/packed) into a per-run
+        # temp dir and load it — the indexed engine must reproduce the
+        # ad-hoc SQL-oracle BM25 exactly (same formula, same avgdl)
+        import tempfile
+        from pg_ts_semantic_headline_spark.plans.index_build import (
+            build_index, load_index)
+        idx_dir = tempfile.mkdtemp(prefix="tsp_gate_idx_")
+        build_index(spark, _docs(spark, sf).selectExpr(
+            "doc_id", "text as content"), idx_dir, config="simple",
+            n_buckets=8, block_span=128, resume=False)
+        return load_index(spark, idx_dir)
+
+    def q34(spark, sf):
+        # k covers the whole corpus at gate scale: comparing the FULL
+        # scored set avoids a top-k boundary where an e4-rounding tie
+        # could order differently than the float-exact engine rank
+        from pg_ts_semantic_headline_spark.plans.search import bm25_topk
+        index = _built_index(spark, sf)
+        return (bm25_topk(index, ["spark", "query", "window"], k=100000,
+                          mode="blockmax")
+                .withColumn("score_e4", _e4(F.col("score")))
+                .select("doc_id", "score_e4"))
+
+    def q35(spark, sf):
+        # boolean+phrase filtered retrieval over the persisted index
+        # (matching_docs anchor + filtered block-max planner); k covers
+        # the whole corpus at gate scale so the row set equals the
+        # unranked phrase-filter oracle
+        from pg_ts_semantic_headline_spark.plans.search import search
+        index = _built_index(spark, sf)
+        q = phraseto_tspquery("simple", "batch batch")
+        return (search(index, q, k=100000, mode="blockmax")
+                .withColumn("score_e4", _e4(F.col("score")))
+                .select("doc_id", "score_e4"))
+
     def q32(spark, sf):
         from pg_ts_semantic_headline_spark.operators.dedup import (
             simhash_near_pairs)
@@ -633,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q31,
         "simhash_near_pairs": q32,
         "dedup_components": q33,
+        "bm25_topk_indexed": q34,
+        "search_filtered_indexed": q35,
     }
 
 
@@ -853,6 +892,22 @@ ORDER BY CAST(ROUND(score * 10000) AS BIGINT) DESC, doc_id
 LIMIT 20
 """,
         "bm25_phrase_filtered": _bm25_score_sql(["batch"]) + """
+, hits AS (
+  SELECT DISTINCT t1.doc_id
+  FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.token = 'batch' AND t2.token = 'batch'
+)
+SELECT s.doc_id, CAST(ROUND(s.score * 10000) AS BIGINT) AS score_e4
+FROM scored s JOIN hits USING (doc_id)
+""",
+        # the persisted-index engine must reproduce the ad-hoc oracle
+        # exactly: same BM25 formula, same avgdl, packed-store decode +
+        # block-max planner on the Spark side
+        "bm25_topk_indexed": _bm25_score_sql(["spark", "query", "window"]) + """
+SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4
+FROM scored
+""",
+        "search_filtered_indexed": _bm25_score_sql(["batch"]) + """
 , hits AS (
   SELECT DISTINCT t1.doc_id
   FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1

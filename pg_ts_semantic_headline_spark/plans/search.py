@@ -527,7 +527,8 @@ def _positions_hay(index: Index, terms: list[str],
 
 
 def phrase_match_docs(index: Index, query: CompiledQuery,
-                      anchor_docs: DataFrame | None = None) -> DataFrame:
+                      anchor_docs: DataFrame | None = None,
+                      anchor_small: bool = False) -> DataFrame:
     """(doc_id, phrase_id, n_matches) via positional intersection on the
     pruned postings — the indexed form of the matches plan.
 
@@ -541,7 +542,12 @@ def phrase_match_docs(index: Index, query: CompiledQuery,
     `anchor_docs` (a SUPERSET of every doc that can satisfy the boolean
     query — see matching_docs) semi-joins each scan before any shuffle or
     decode: a common term AND-ed with a rare one shuffles only the rare
-    term's docs into the per-doc aggregation, not its own millions."""
+    term's docs into the per-doc aggregation, not its own millions. With
+    `anchor_small` (the caller KNOWS the anchor's df is bounded) the
+    anchor also prunes the packed POSITION decode to the anchor's block
+    ids before any payload is touched — a phrase containing a common
+    lexeme decodes a handful of blocks instead of the lexeme's whole
+    posting range."""
     spark = index.postings.sparkSession
     if not query.phrases:
         return spark.createDataFrame([], "doc_id long, phrase_id int, n_matches long")
@@ -567,9 +573,16 @@ def phrase_match_docs(index: Index, query: CompiledQuery,
         from .matches import phrase_table_df
         qdf = (phrase_table_df(spark, query)
                .where(F.col("q_len") > 1))
-        hay = _positions_hay(index, multi_lexemes)
-        if anchor_docs is not None:
-            hay = hay.join(anchor_docs, on="doc_id", how="left_semi")
+        if anchor_docs is not None and anchor_small:
+            # pre-decode pruning: packed mode semi-joins the anchor's
+            # block ids before decoding any payload; row mode semi-joins
+            # doc ids before the explode
+            hay = _positions_hay(index, multi_lexemes,
+                                 candidate_docs=anchor_docs)
+        else:
+            hay = _positions_hay(index, multi_lexemes)
+            if anchor_docs is not None:
+                hay = hay.join(anchor_docs, on="doc_id", how="left_semi")
         joined = hay.join(F.broadcast(qdf), hay.term == qdf.q_lexeme)
         aligned = joined.withColumn("range_start",
                                     F.col("pos") - F.col("q_pos") + F.lit(1))
@@ -646,6 +659,7 @@ def matching_docs(index: Index, query: CompiledQuery) -> DataFrame:
     full_query = replace(query, phrases=tuple(phrases))
 
     anchor = None
+    anchor_small = False
     required = _required_lexemes(query.root)
     if required:
         dfs = {r["term"]: int(r["df"]) for r in
@@ -659,8 +673,12 @@ def matching_docs(index: Index, query: CompiledQuery) -> DataFrame:
         if len(query.lexemes) > 1 and dfs[rarest] * 4 <= index.n_docs:
             anchor = (_pruned_postings(index, [rarest])
                       .select("doc_id"))
+            # a provably-bounded anchor can also prune the packed
+            # position decode (broadcast of ≤cap doc/block ids)
+            anchor_small = dfs[rarest] <= FILTERED_DIRECT_DOC_CAP
 
-    phrase_docs = phrase_match_docs(index, full_query, anchor_docs=anchor)
+    phrase_docs = phrase_match_docs(index, full_query, anchor_docs=anchor,
+                                    anchor_small=anchor_small)
     flags = (phrase_docs.groupBy("doc_id")
              .agg(F.collect_set("phrase_id").alias("ok_phrases")))
 

@@ -81,6 +81,11 @@ def main():
 
     shutil.rmtree(out_dir, ignore_errors=True)
     metrics = {}
+    # bracket the timed region with host probes: steal varies on ~minute
+    # windows, so a single post-hoc probe can miss a spike that hit the
+    # build; the before/after mean is the window estimate the efficiency
+    # ratio is normalized against
+    probe_before = host_cpu_probe(cores)
     t0 = time.time()
     # min_analyze_partitions=0: input is already repartitioned+cached above;
     # the small-input guard keys off source inputFiles and would add a
@@ -95,7 +100,8 @@ def main():
         "n_files": n_files,
         "build_sec": round(wall, 3),
         "files_per_sec": round(n_files / wall, 2),
-        "host_cpu_units_per_sec": round(host_cpu_probe(cores), 1),
+        "host_cpu_units_per_sec": round(
+            (probe_before + host_cpu_probe(cores)) / 2, 1),
         "stages": {k: round(v, 2) for k, v in metrics.items()},
     }))
     spark.stop()

@@ -322,6 +322,56 @@ class TestSearch:
             assert "<b>needle phrase target</b>" in r["headline"]
 
 
+class TestAnchoredBoolean:
+    """Anchored boolean evaluation (semi-join every scan by the rarest
+    REQUIRED lexeme's docs) must be a pure physical optimization: same
+    matching set as the unanchored plan on every query shape."""
+
+    QUERIES = [
+        "spark & query",
+        "needle & !unique",
+        "batch & !unique",
+        "unique | snowflake",
+        "needle & phrase & target",
+        "unique & needle | unique & spark",   # OR-intersection anchor
+        "needle<->phrase & spark",            # multi-lexeme phrase anchor
+        "zzznotfound & spark",                # required term absent: empty
+    ]
+
+    def test_required_lexemes_algebra(self):
+        from pg_ts_semantic_headline_spark.plans.search import (
+            _required_lexemes)
+        want = {
+            "needle & !unique": {"needle"},
+            "unique | snowflake": set(),
+            "unique & needle | unique & spark": {"unique"},
+            "needle<->phrase & spark": {"needle", "phrase", "spark"},
+            "!unique": set(),
+        }
+        for raw, req in want.items():
+            q = to_tspquery(CONFIG, raw)
+            assert _required_lexemes(q.root) == req, raw
+
+    def test_anchor_equivalence(self, lean_index, monkeypatch):
+        from pg_ts_semantic_headline_spark.plans import search as searchmod
+        anchored = {}
+        for raw in self.QUERIES:
+            q = to_tspquery(CONFIG, raw)
+            anchored[raw] = {r["doc_id"] for r in
+                             matching_docs(lean_index, q).collect()}
+        # at least one query must actually exercise a non-empty anchored
+        # result (guard against vacuous equivalence)
+        assert any(anchored.values())
+        assert anchored["zzznotfound & spark"] == set()
+        monkeypatch.setattr(searchmod, "_required_lexemes",
+                            lambda node: set())
+        for raw in self.QUERIES:
+            q = to_tspquery(CONFIG, raw)
+            plain = {r["doc_id"] for r in
+                     matching_docs(lean_index, q).collect()}
+            assert plain == anchored[raw], raw
+
+
 class TestXxHash64Parity:
     """The driver-side bucket router must be bit-identical to F.xxhash64 —
     a mismatch silently empties every query (wrong partition pruned)."""
