@@ -585,6 +585,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("cosine_e4"), F.asc("vec_id")).limit(10)
                 .select("vec_id", "cosine_e4"))
 
+    def q36(spark, sf):
+        # IVF ANN: trained-coarse-quantizer path. Probing ALL lists scans
+        # every row, so the result is EXACTLY the brute-force top-k — the
+        # contract the oracle checks (recall at nprobe<n_lists is pinned
+        # by pytest instead; it has no SQL-expressible form)
+        from pg_ts_semantic_headline_spark.operators.similarity import (
+            build_ivf_index, load_ivf_index, cosine_similarity_col)
+        import tempfile
+        emb = _emb(spark, sf)
+        ivf_dir = tempfile.mkdtemp(prefix="tsp_ivf_idx_")
+        build_ivf_index(emb, ivf_dir, n_lists=8, seed=42)
+        idx = load_ivf_index(spark, ivf_dir)
+        qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        cands = idx.candidates(qv, nprobe=idx.n_lists)
+        return (cands
+                .select("vec_id",
+                        cosine_similarity_col(F.col("embedding"), qv)
+                        .alias("c"))
+                .withColumn("cosine_e4", _e4(F.col("c")))
+                .orderBy(F.desc("cosine_e4"), F.asc("vec_id")).limit(10)
+                .select("vec_id", "cosine_e4"))
+
     def _built_index(spark, sf):
         # persisted-index path under the oracle gate: build the real
         # inverted index (tokens/postings/terms/packed) into a per-run
@@ -672,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q33,
         "bm25_topk_indexed": q34,
         "search_filtered_indexed": q35,
+        "ivf_ann_topk": q36,
     }
 
 
@@ -1009,6 +1032,13 @@ SELECT doc_id, frame_id,
 FROM frames
 """,
         "lsh_ann_topk": _ann_sql(8, 42, 64, 10),
+        # IVF at nprobe = n_lists scans every row ⇒ brute-force equality
+        "ivf_ann_topk": emb_cos + """
+SELECT vec_id, CAST(ROUND(c * 10000) AS BIGINT) AS cosine_e4
+FROM cos
+ORDER BY CAST(ROUND(c * 10000) AS BIGINT) DESC, vec_id
+LIMIT 10
+""",
         "simhash_near_pairs": _simhash_near_pairs_sql(32, 3),
         # connected components over the minhash near-dup pairs: transitive
         # closure via recursive CTE, component id = min reachable doc_id

@@ -17,12 +17,13 @@ Per-config behavior mirrors PostgreSQL's regconfigs:
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 from .chars import BELL, SMC_CLASS
 from .stemmer_de import stem_german
 from .stemmer_en import stem_english
 from .stopwords import STOPWORDS_BY_CONFIG
-from .textprep import to_tsp_text_array, tsp_indexable_text
+from .textprep import tsp_indexable_text
 from .unaccent import unaccent
 
 # A chunk of canonicalized text is word-core + optional trailing run of
@@ -40,8 +41,15 @@ _STEMMERS = {
 SUPPORTED_CONFIGS = tuple(_STEMMERS)
 
 
+@lru_cache(maxsize=131_072)
 def lexize_chunk(chunk: str, config: str) -> str | None:
-    """Lexeme for one whitespace-delimited chunk, or None (stopword/empty)."""
+    """Lexeme for one whitespace-delimited chunk, or None (stopword/empty).
+
+    Memoized per process: token frequencies are Zipf-distributed, so in a
+    long-lived executor the stemmer (90% of kernel time, measured) runs
+    once per distinct surface form and every repeat is a C-level dict hit.
+    The bound caps executor memory at a few tens of MB; eviction is LRU so
+    a multi-tenant worker degrades gracefully, never wrongly."""
     core = _RE_STRIP.sub("", chunk)
     if not core:
         return None
@@ -72,8 +80,16 @@ def analyze_document(content: str, config: str) -> tuple[list[str], list[str | N
     """
     if content is None:
         return [], []
-    tokens = to_tsp_text_array(content)
-    indexed = tsp_indexable_text(unaccent(content))
+    canon = tsp_indexable_text(content)
+    tokens = canon.split(" ") if canon else []
+    # ASCII fast path: unaccent is the identity, so the unaccented
+    # canonicalization IS `canon` — skip the second regex-chain pass
+    # (the chain is the post-memoization kernel hotspot; most source
+    # code and English text is pure ASCII)
+    if content.isascii():
+        indexed = canon
+    else:
+        indexed = tsp_indexable_text(unaccent(content))
     chunks = indexed.split(" ") if indexed else []
     lexemes = [lexize_chunk(c, config) for c in chunks]
     # Unaccenting almost never changes chunk boundaries; guard the invariant
@@ -88,6 +104,7 @@ def analyze_document(content: str, config: str) -> tuple[list[str], list[str | N
 
 def analyze_text_simple(content: str, config: str) -> list[str | None]:
     """Lexeme array only (used by the semantic re-check on tiny slices)."""
-    indexed = tsp_indexable_text(unaccent(content))
+    indexed = tsp_indexable_text(
+        content if content.isascii() else unaccent(content))
     chunks = indexed.split(" ") if indexed else []
     return [lexize_chunk(c, config) for c in chunks]

@@ -13,12 +13,16 @@ from .dedup import (
 from .multimodal import attach_binary, decode_media, sample_frames
 from .similarity import (
     AnnIndex,
+    IvfIndex,
     ann_candidates,
     ann_query,
     build_ann_index,
+    build_ivf_index,
     load_ann_index,
+    load_ivf_index,
     cosine_topk,
     cosine_topk_arrow,
     lsh_ann_topk,
+    train_ivf_centroids,
 )
 from .textstats import doc_fingerprint, lang_id, quality_score, token_counts

@@ -47,10 +47,13 @@ def cosine_similarity_col(emb_col, query_vec) -> F.Column:
 
 def cosine_topk(df: DataFrame, query_vec, k: int = 10,
                 emb_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """(vec_id, cosine) exact top-k; deterministic ties by id."""
+    """(vec_id, cosine) exact top-k; deterministic ties by id. Zero-norm
+    vectors (cosine NaN — which Spark would sort FIRST under desc) are
+    excluded: an undefined similarity never ranks."""
     return (df.select(F.col(id_col),
                       cosine_similarity_col(F.col(emb_col), query_vec)
                       .alias("cosine"))
+            .where(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
             .orderBy(F.desc("cosine"), F.asc(id_col))
             .limit(k))
 
@@ -72,6 +75,7 @@ def cosine_topk_arrow(df: DataFrame, query_vec, k: int = 10,
         return pd.Series(sims)
 
     return (df.select(F.col(id_col), cos(F.col(emb_col)).alias("cosine"))
+            .where(F.col("cosine").isNotNull() & ~F.isnan("cosine"))
             .orderBy(F.desc("cosine"), F.asc(id_col))
             .limit(k))
 
@@ -202,3 +206,166 @@ def ann_query(spark, out_dir: str, query_vec, k: int = 10,
     nested-fold column expression costs ~1 s of codegen per query)."""
     cands = ann_candidates(spark, out_dir, query_vec, multiprobe)
     return cosine_topk_arrow(cands, query_vec, k, emb_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: trained coarse quantizer instead of random
+# hyperplanes. LSH buckets are data-oblivious — on clustered real-world
+# embeddings most buckets are empty and a few are huge; IVF centroids
+# follow the data, so list sizes are balanced and recall-per-probed-row is
+# higher. Training runs driver-side on a bounded deterministic sample
+# (the standard IVF recipe: the quantizer needs thousands of points, not
+# the corpus), assignment is one Arrow matmul pass over the table, and a
+# query prunes to the `nprobe` nearest lists' directories. With
+# nprobe = n_lists the scan covers every row, so the result is EXACTLY the
+# brute-force top-k — the oracle-checkable contract.
+# ---------------------------------------------------------------------------
+
+
+def _hash_sample(df: DataFrame, id_col: str, max_rows: int,
+                 approx_total: int | None = None):
+    """Deterministic sample: keep rows where xxhash64(id) lands in a
+    modulus slice. Unlike df.sample(), independent of partitioning/order.
+    `approx_total` (when the caller knows the table size cheaply) sizes
+    the modulus without an extra count() action."""
+    total = approx_total if approx_total is not None else df.count()
+    if total <= max_rows:
+        return df
+    mod = max(2, total // max_rows + 1)
+    return df.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+
+
+def train_ivf_centroids(df: DataFrame, n_lists: int, seed: int = 42,
+                        emb_col: str = "embedding", id_col: str = "vec_id",
+                        sample_rows: int = 65_536, n_iter: int = 25,
+                        approx_total: int | None = None):
+    """Spherical k-means on a driver-side sample: k-means++ seeded init,
+    Lloyd iterations with re-normalized centroids (cosine geometry).
+    Returns a (n_lists, dim) float64 ndarray of unit centroids. Collects
+    at most `sample_rows` vectors — bounded driver memory by contract."""
+    import numpy as np
+
+    rows = (_hash_sample(df.select(id_col, emb_col), id_col, sample_rows,
+                         approx_total=approx_total)
+            .limit(sample_rows).collect())
+    x = np.vstack([np.asarray(r[emb_col], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(x, axis=1)
+    x = x[norms > 0] / norms[norms > 0, None]
+    n = x.shape[0]
+    k = min(n_lists, n)
+    rng = np.random.default_rng(seed)
+
+    # k-means++ seeding on squared chord distance (2 - 2cos on the sphere)
+    centroids = np.empty((k, x.shape[1]))
+    centroids[0] = x[rng.integers(n)]
+    d2 = np.maximum(2.0 - 2.0 * (x @ centroids[0]), 0.0)
+    for i in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centroids[i] = x[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, np.maximum(2.0 - 2.0 * (x @ centroids[i]), 0.0))
+
+    for _ in range(n_iter):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        moved = False
+        for c in range(k):
+            members = x[assign == c]
+            if len(members) == 0:
+                continue  # empty list keeps its centroid (FAISS behavior)
+            m = members.mean(axis=0)
+            mn = np.linalg.norm(m)
+            if mn > 0:
+                m = m / mn
+            if not np.allclose(m, centroids[c]):
+                centroids[c] = m
+                moved = True
+        if not moved:
+            break
+    return centroids
+
+
+def ivf_assign_arrow(centroids):
+    """Arrow kernel: nearest-centroid list id per vector — one normalized
+    matmul + argmax per batch. Zero vectors go to list 0."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType
+
+    ct = np.asarray(centroids, dtype=np.float64).T  # (dim, k)
+
+    @F.pandas_udf(IntegerType())
+    def assign(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms[:, None]) @ ct
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return assign
+
+
+def build_ivf_index(df: DataFrame, out_dir: str, n_lists: int = 64,
+                    seed: int = 42, emb_col: str = "embedding",
+                    id_col: str = "vec_id", sample_rows: int = 65_536,
+                    approx_total: int | None = None) -> None:
+    """Persist an IVF-partitioned embedding table: train the coarse
+    quantizer on a bounded sample, assign every vector in one Arrow pass,
+    write directory-partitioned by list_id, store centroids as a tiny side
+    table (one row per list). At 100 TB: n_lists grows to O(sqrt(N)); the
+    centroid table stays kilobytes and rides broadcast."""
+    spark = df.sparkSession
+    centroids = train_ivf_centroids(df, n_lists, seed, emb_col, id_col,
+                                    sample_rows, approx_total=approx_total)
+    (df.withColumn("list_id", ivf_assign_arrow(centroids)(F.col(emb_col)))
+       .write.mode("overwrite").partitionBy("list_id")
+       .parquet(f"{out_dir}/vectors"))
+    spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "list_id int, centroid array<double>") \
+        .write.mode("overwrite").parquet(f"{out_dir}/centroids")
+
+
+class IvfIndex:
+    """Loaded handle: centroids read once into a numpy matrix; each query
+    is one bucket-pruned scan action over the nprobe nearest lists."""
+
+    def __init__(self, vectors: DataFrame, centroids):
+        self.vectors = vectors
+        self.centroids = centroids  # (k, dim) unit float64
+
+    @property
+    def n_lists(self) -> int:
+        return self.centroids.shape[0]
+
+    def probe_lists(self, query_vec, nprobe: int):
+        """The nprobe list ids nearest the query — driver-side literals,
+        so the scan prunes to nprobe directories with zero Spark jobs."""
+        import numpy as np
+
+        q = np.asarray(list(map(float, query_vec)))
+        qn = np.linalg.norm(q)
+        if qn > 0:
+            q = q / qn
+        sims = self.centroids @ q
+        order = np.argsort(-sims, kind="stable")
+        return [int(i) for i in order[:max(1, min(nprobe, self.n_lists))]]
+
+    def candidates(self, query_vec, nprobe: int = 8) -> DataFrame:
+        return self.vectors.where(
+            F.col("list_id").isin(self.probe_lists(query_vec, nprobe)))
+
+    def query(self, query_vec, k: int = 10, nprobe: int = 8,
+              emb_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+        """(vec_id, cosine) top-k from the nprobe nearest lists, exact
+        Arrow re-rank within. nprobe == n_lists ⇒ identical to brute-force
+        cosine_topk (every row scanned) — the exactness contract."""
+        return cosine_topk_arrow(self.candidates(query_vec, nprobe),
+                                 query_vec, k, emb_col, id_col)
+
+
+def load_ivf_index(spark, out_dir: str) -> IvfIndex:
+    import numpy as np
+
+    rows = spark.read.parquet(f"{out_dir}/centroids").collect()
+    rows.sort(key=lambda r: r["list_id"])
+    centroids = np.vstack([np.asarray(r["centroid"], dtype=np.float64)
+                           for r in rows])
+    return IvfIndex(spark.read.parquet(f"{out_dir}/vectors"), centroids)

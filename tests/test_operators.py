@@ -229,6 +229,68 @@ class TestSimilarity:
         assert "PartitionFilters: [bucket" in plan
 
 
+class TestIvfAnn:
+    """IVF coarse-quantizer ANN: trained spherical-k-means lists instead of
+    data-oblivious hyperplanes."""
+
+    def test_training_deterministic(self, emb_df):
+        import numpy as np
+        from pg_ts_semantic_headline_spark.operators import (
+            train_ivf_centroids)
+        a = train_ivf_centroids(emb_df, n_lists=8, seed=42)
+        b = train_ivf_centroids(emb_df, n_lists=8, seed=42)
+        assert np.allclose(a, b)
+        assert a.shape == (8, 16)
+        # unit centroids (cosine geometry)
+        assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+    def test_full_probe_is_exact(self, emb_df, tmp_path):
+        """nprobe == n_lists scans every row ⇒ identical to brute force —
+        the exactness contract that backs the oracle entry."""
+        from pg_ts_semantic_headline_spark.operators import (
+            build_ivf_index, load_ivf_index)
+        out = str(tmp_path / "ivf_idx")
+        build_ivf_index(emb_df, out, n_lists=8, seed=42)
+        idx = load_ivf_index(emb_df.sparkSession, out)
+        qv = emb_df.where("vec_id = 7").first()["embedding"]
+        exact = [(r["vec_id"], round(r["cosine"], 9)) for r in
+                 cosine_topk(emb_df, qv, k=10).collect()]
+        full = [(r["vec_id"], round(r["cosine"], 9)) for r in
+                idx.query(qv, k=10, nprobe=idx.n_lists).collect()]
+        assert full == exact
+
+    def test_probe_pruning_and_self_recall(self, emb_df, tmp_path):
+        """A vector queried against the index must land in its own list's
+        probe set at nprobe=1 (assignment and probing use the same argmax),
+        and the candidate scan must prune to the probed directories."""
+        from pg_ts_semantic_headline_spark.operators import (
+            build_ivf_index, load_ivf_index)
+        out = str(tmp_path / "ivf_idx2")
+        build_ivf_index(emb_df, out, n_lists=8, seed=42)
+        idx = load_ivf_index(emb_df.sparkSession, out)
+        qv = emb_df.where("vec_id = 0").first()["embedding"]
+        got = [r["vec_id"] for r in idx.query(qv, k=5, nprobe=1).collect()]
+        assert got[0] == 0 and 49 in got  # 49 is the exact copy of 0
+        plan = (idx.candidates(qv, nprobe=2)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "PartitionFilters: [list_id" in plan
+
+    def test_zero_vector_robust(self, spark):
+        from pg_ts_semantic_headline_spark.operators import (
+            build_ivf_index, load_ivf_index)
+        import tempfile
+        rows = [(0, [0.0] * 8), (1, [1.0] + [0.0] * 7),
+                (2, [0.0, 1.0] + [0.0] * 6), (3, [1.0] * 8)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = tempfile.mkdtemp(prefix="tsp_ivf_zero_")
+        build_ivf_index(df, out, n_lists=2, seed=1)
+        idx = load_ivf_index(spark, out)
+        got = idx.query([1.0] + [0.0] * 7, k=4, nprobe=idx.n_lists).collect()
+        ids = [r["vec_id"] for r in got]
+        assert ids[0] == 1     # exact match first
+        assert 0 not in ids    # zero vector: cosine undefined, never ranks
+
+
 class TestTextStats:
     def test_token_counts(self, text_df):
         r = {x["doc_id"]: x for x in token_counts(text_df).collect()}
