@@ -607,6 +607,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("cosine_e4"), F.asc("vec_id")).limit(10)
                 .select("vec_id", "cosine_e4"))
 
+    def q37(spark, sf):
+        # percolation: 4 standing queries (AND / adjacency phrase / NOT /
+        # OR) evaluated against the corpus in ONE broadcast-join plan;
+        # the oracle re-states each query as set algebra over the token
+        # stream (INTERSECT / self-join adjacency / EXCEPT / IN)
+        from pg_ts_semantic_headline_spark.streaming import percolate
+        qs = {
+            "pq_and": to_tspquery("simple", "spark & window"),
+            "pq_phrase": phraseto_tspquery("simple", "batch batch"),
+            "pq_not": to_tspquery("simple", "merge & !join"),
+            "pq_or": to_tspquery("simple", "stream | sort"),
+        }
+        return (percolate(_docs(spark, sf).selectExpr(
+                    "doc_id", "text as content"), qs, config="simple")
+                .select("doc_id", "query_id"))
+
     def _built_index(spark, sf):
         # persisted-index path under the oracle gate: build the real
         # inverted index (tokens/postings/terms/packed) into a per-run
@@ -695,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indexed": q34,
         "search_filtered_indexed": q35,
         "ivf_ann_topk": q36,
+        "percolate_standing": q37,
     }
 
 
@@ -1032,6 +1049,31 @@ SELECT doc_id, frame_id,
 FROM frames
 """,
         "lsh_ann_topk": _ann_sql(8, 42, 64, 10),
+        # each standing query restated as independent set algebra over the
+        # token stream: AND=INTERSECT, phrase=adjacency self-join,
+        # NOT=EXCEPT, OR=IN — none of it shares the engine's alignment plan
+        "percolate_standing": f"""
+WITH {TOKS_CTE.strip()},
+lex AS (SELECT doc_id, pos, lower(token) AS lex FROM toks),
+pq_and AS (
+  SELECT doc_id FROM lex WHERE lex = 'spark'
+  INTERSECT SELECT doc_id FROM lex WHERE lex = 'window'
+),
+pq_phrase AS (
+  SELECT DISTINCT t1.doc_id
+  FROM lex t1 JOIN lex t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.lex = 'batch' AND t2.lex = 'batch'
+),
+pq_not AS (
+  SELECT doc_id FROM lex WHERE lex = 'merge'
+  EXCEPT SELECT doc_id FROM lex WHERE lex = 'join'
+),
+pq_or AS (SELECT DISTINCT doc_id FROM lex WHERE lex IN ('stream', 'sort'))
+SELECT doc_id, 'pq_and' AS query_id FROM pq_and
+UNION ALL SELECT doc_id, 'pq_phrase' FROM pq_phrase
+UNION ALL SELECT doc_id, 'pq_not' FROM pq_not
+UNION ALL SELECT doc_id, 'pq_or' FROM pq_or
+""",
         # IVF at nprobe = n_lists scans every row ⇒ brute-force equality
         "ivf_ann_topk": emb_cos + """
 SELECT vec_id, CAST(ROUND(c * 10000) AS BIGINT) AS cosine_e4

@@ -158,6 +158,24 @@ def main():
         finally:
             shutil.rmtree(ann_dir, ignore_errors=True)
 
+        # IVF ANN: trained coarse quantizer — build (sample + k-means +
+        # one assignment pass + partitioned write), then 5 probed queries
+        from pg_ts_semantic_headline_spark.operators.similarity import (
+            build_ivf_index, load_ivf_index)
+        ivf_dir = tempfile.mkdtemp(prefix="tsp_bench_ivf_")
+        try:
+            t0 = time.time()
+            build_ivf_index(emb, ivf_dir, n_lists=16, seed=42)
+            timings["ivf_index_build"] = time.time() - t0
+            ivf = load_ivf_index(spark, ivf_dir)
+            ivf.query(qvs[0], k=10, nprobe=4).collect()   # warm
+            t0 = time.time()
+            for v in qvs:
+                ivf.query(v, k=10, nprobe=4).collect()
+            timings["ivf_query_x5"] = time.time() - t0
+        finally:
+            shutil.rmtree(ivf_dir, ignore_errors=True)
+
         # ad-hoc 1:1 ts_headline replacement (pg-style passage selection +
         # fast path over the passage only), normalized per 1k docs
         from pg_ts_semantic_headline_spark.plans.headline import (

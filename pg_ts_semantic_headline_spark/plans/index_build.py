@@ -295,6 +295,7 @@ def build_index(
     postings_partitions: int | None = None,
     row_positions: bool | None = None,
     metrics: dict | None = None,
+    cache_level: str = "DISK_ONLY",
 ) -> IndexPaths:
     """Batch index build; idempotent and stage-resumable.
 
@@ -312,8 +313,21 @@ def build_index(
     positions from it — and the row table shrinks to a compact scoring
     projection (doc_id, dl, term, tf). Pass True to keep both (e.g. for
     JVM-only phrase paths or row-level positional debugging).
+    `cache_level`: StorageLevel name for the two inter-stage caches
+    (analyzed docs, range-sorted postings); see the note at `storage`
+    below for why DISK_ONLY is the scale-safe default.
     """
     from pyspark import StorageLevel
+
+    # `cache_level` names any pyspark StorageLevel constant. DISK_ONLY is
+    # the default because each inter-stage cache is read a bounded number
+    # of times by exactly the next stages, while the ON-HEAP columnar
+    # cache of tokens+postings at corpus scale drives the JVM into GC
+    # thrash (measured: 2.6x whole-build slowdown at 480k docs in a 24 GB
+    # heap, bimodal stage times as the heap crossed the collection
+    # threshold). On executor-local disks the serialized re-read streams
+    # at page-cache speed and the heap stays flat.
+    storage = getattr(StorageLevel, cache_level)
 
     paths = IndexPaths(out_dir)
     # the signature job exists to key resume decisions; skip it entirely for
@@ -355,7 +369,7 @@ def build_index(
                         F.col("_a.dl").alias("dl"),
                         F.col("_a.postings").alias("postings"),
                         F.sha2(F.col(content_col), 256).alias("sha256"))
-                .persist(StorageLevel.MEMORY_AND_DISK))
+                .persist(storage))
 
     # ---- stage: tokens (recall vectors + invariant column) ----
     corpus_obs = None
@@ -410,7 +424,7 @@ def build_index(
     bucketed = (per_term_doc
                 .repartitionByRange(sort_parts, "bucket", "term", "doc_id")
                 .sortWithinPartitions("bucket", "term", "doc_id")
-                .persist(StorageLevel.MEMORY_AND_DISK))
+                .persist(storage))
 
     if row_positions is None:
         row_positions = not build_packed

@@ -1,0 +1,201 @@
+"""Percolation: standing queries matched against a document stream.
+
+The inverse of search — instead of one query probing a persisted corpus
+index, a (small) registry of standing TSPQueries probes every ARRIVING
+document. The reference has no analog (its trigger upkeep,
+/root/reference/development_schema.sql:18-34, only maintains index columns);
+at ingest scale this is the alerting/routing primitive: "which saved
+searches does this new document satisfy?".
+
+Spark-first design, one plan for ALL standing queries:
+
+1. all queries' phrase patterns flatten into ONE broadcastable table
+   (query_id, phrase_id, q_lexeme, q_pos, q_len, q_span) — phrase_id is
+   globally unique across queries, so one alignment join serves every
+   query at once;
+2. each batch's docs analyze once (the same fused Arrow UDF as the index
+   build), explode to (doc_id, pos, lex) pruned to the UNION of all query
+   lexemes before the join;
+3. the self-alignment trick (pos - rel_pos) + groupBy HAVING count==len
+   and exact span finds every exact phrase occurrence — identical
+   semantics to tsp_query_matches (/root/reference/sql/tsp_query_matches.sql:85-94);
+4. per (doc, query) the satisfied phrase set folds through that query's
+   boolean AST, compiled to ONE JVM CASE expression keyed on query_id —
+   no per-row Python, no per-query pass.
+
+NOT semantics: a query whose tree contains a negation can match a document
+that satisfies NO phrase at all, so negated queries are evaluated against
+the full (batch_docs × negated_queries) frame — bounded by the micro-batch
+size times the number of negated standing queries; pure-positive queries
+stay on the sparse phrase-hit stream.
+
+Scale: the standing-query table is broadcast (registries are small: even
+10^5 phrases is a few MB); the only shuffle is the alignment groupBy on a
+near-unique key. Per micro-batch the work is O(batch tokens matching any
+query lexeme), independent of corpus history. The aggregation is
+batch-local by construction (a document never splits across batches), so
+the streaming form runs in foreachBatch — the same pattern as
+`streaming/incremental.py` — not as an unbounded stateful aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (IntegerType, StringType, StructField,
+                               StructType)
+
+from ..plans.query_compiler import CompiledQuery, Node
+
+STANDING_TABLE_SCHEMA = StructType([
+    StructField("query_id", StringType(), False),
+    StructField("phrase_id", IntegerType(), False),
+    StructField("q_lexeme", StringType(), False),
+    StructField("q_pos", IntegerType(), False),
+    StructField("q_len", IntegerType(), False),
+    StructField("q_span", IntegerType(), False),
+])
+
+
+def _flatten_queries(queries: dict[str, CompiledQuery]):
+    """Rows for the unified phrase table + per-query (tree, phrase->gid map,
+    has_negation). phrase_id is globally unique across standing queries.
+    Phrases come from the TREE (negated phrases need match sets too —
+    same reason as plans/search._all_phrases), not the highlight list."""
+    from ..plans.search import _all_phrases
+
+    rows, meta = [], {}
+    gid = 0
+    for qid, q in queries.items():
+        pid_by_items = {}
+        for ph in _all_phrases(q.root):
+            if ph.items in pid_by_items:
+                continue
+            pid_by_items[ph.items] = gid
+            for lex, pos in ph.items:
+                rows.append((qid, gid, lex, pos, ph.length, ph.span))
+            gid += 1
+        meta[qid] = (q.root, pid_by_items, "not" in _tree_ops(q.root))
+    return rows, meta
+
+
+def _tree_ops(node: Node | None) -> set[str]:
+    if node is None:
+        return set()
+    out = {node.op}
+    for c in node.children:
+        out |= _tree_ops(c)
+    return out
+
+
+def _tree_expr(node: Node | None, pid_by_items) -> F.Column:
+    """Boolean AST -> JVM column expression over the ok_phrases array."""
+    if node is None:
+        return F.lit(False)
+    if node.op == "phrase":
+        return F.array_contains(F.col("ok_phrases"),
+                                pid_by_items[node.phrase.items])
+    if node.op == "not":
+        return ~_tree_expr(node.children[0], pid_by_items)
+    sub = [_tree_expr(c, pid_by_items) for c in node.children]
+    out = sub[0]
+    for s in sub[1:]:
+        out = (out & s) if node.op == "and" else (out | s)
+    return out
+
+
+def percolate(
+    docs: DataFrame,
+    queries: dict[str, CompiledQuery],
+    doc_id: str = "doc_id",
+    content_col: str = "content",
+    config: str | None = None,
+) -> DataFrame:
+    """(doc_id, query_id) — every standing query each document satisfies.
+
+    `docs` either already carries a `lexemes` column (analyzed form) or raw
+    `content_col` + `config` naming the text search config to analyze with
+    (defaults to the first standing query's config).
+    """
+    spark = docs.sparkSession
+    out_schema = f"{doc_id} long, query_id string"
+    if not queries:
+        return spark.createDataFrame([], out_schema)
+    rows, meta = _flatten_queries(queries)
+
+    if "lexemes" not in docs.columns:
+        from ..plans.analyze import with_analysis
+        cfg = config or next(iter(queries.values())).config
+        docs = with_analysis(docs, content_col, cfg)
+    docs = docs.select(doc_id, "lexemes")
+
+    all_lex = sorted({r[2] for r in rows})
+    hay = (docs
+           .select(doc_id, F.posexplode("lexemes").alias("pos0", "lex"))
+           .where(F.col("lex").isNotNull() & F.col("lex").isin(all_lex))
+           .select(doc_id, (F.col("pos0") + 1).alias("pos"), "lex"))
+
+    if rows:
+        qdf = spark.createDataFrame(rows, STANDING_TABLE_SCHEMA)
+        joined = hay.join(F.broadcast(qdf), hay.lex == qdf.q_lexeme)
+        aligned = joined.withColumn(
+            "range_start", F.col("pos") - F.col("q_pos") + F.lit(1))
+        hits = (aligned
+                .groupBy(doc_id, "query_id", "phrase_id", "range_start")
+                .agg(F.count("*").alias("n_hits"),
+                     F.min("pos").alias("p0"), F.max("pos").alias("p1"),
+                     F.first("q_len").alias("q_len"),
+                     F.first("q_span").alias("q_span"))
+                .where((F.col("n_hits") == F.col("q_len"))
+                       & (F.col("p1") - F.col("p0") == F.col("q_span"))))
+        flags = (hits.groupBy(doc_id, "query_id")
+                 .agg(F.collect_set("phrase_id").alias("ok_phrases")))
+    else:
+        # registry of purely-negated queries: no phrase table at all
+        flags = spark.createDataFrame(
+            [], f"{doc_id} long, query_id string, ok_phrases array<int>")
+
+    neg_qids = [qid for qid, (_, _, neg) in meta.items() if neg]
+    if neg_qids:
+        # negated queries must see every batch doc, even phraseless ones
+        universe = (docs.select(doc_id)
+                    .crossJoin(F.broadcast(
+                        spark.createDataFrame([(q,) for q in neg_qids],
+                                              "query_id string"))))
+        flags = (universe.join(flags, on=[doc_id, "query_id"], how="full")
+                 .withColumn("ok_phrases",
+                             F.coalesce(F.col("ok_phrases"),
+                                        F.array().cast("array<int>"))))
+
+    expr = F.lit(False)
+    for qid, (root, pid_by_items, _) in meta.items():
+        expr = F.when(F.col("query_id") == qid,
+                      _tree_expr(root, pid_by_items)).otherwise(expr)
+    return (flags.where(expr)
+            .select(F.col(doc_id).cast("long").alias(doc_id), "query_id"))
+
+
+def percolate_stream(
+    stream_docs: DataFrame,
+    queries: dict[str, CompiledQuery],
+    on_batch,
+    doc_id: str = "doc_id",
+    content_col: str = "content",
+    config: str | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Run the percolator over a streaming DataFrame via foreachBatch.
+
+    `on_batch(matches_df, batch_id)` receives each micro-batch's
+    (doc_id, query_id) matches — route them to a sink/alert bus there.
+    Returns the StreamingQuery handle (caller owns trigger/await).
+    """
+    def _handle(batch_df, batch_id):
+        on_batch(percolate(batch_df, queries, doc_id=doc_id,
+                           content_col=content_col, config=config),
+                 batch_id)
+
+    writer = stream_docs.writeStream.foreachBatch(_handle)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

@@ -7,6 +7,11 @@ cd "$(dirname "$0")/.."
 SF_DIR=${1:-/root/testdata/sf0.1}
 REP=${2:-96}
 REPLEN=${3:-4}
+# DISK_ONLY keeps the build's working set OUT of the JVM heap (the on-heap
+# columnar cache of tokens+postings at this corpus size drives the 24g heap
+# into GC thrash — measured: 120.6s -> 47.0s at local[32] in the same
+# window); with spark.local.dir on tmpfs the re-read is page-cache speed
+CACHE_LEVEL=${CACHE_LEVEL:-DISK_ONLY}
 # OUT_BASE=/dev/shm isolates CPU scaling from single-disk write contention
 # (this sandbox shares one ~600 MB/s virtual disk across all "executors";
 # a real 4N-executor cluster brings 4N× disks). Shuffle spill dirs follow.
@@ -25,7 +30,7 @@ run_once() {
     --conf spark.sql.execution.arrow.maxRecordsPerBatch=2000 \
     --conf spark.ui.enabled=false \
     --py-files /tmp/tsp_pkg.zip \
-    scripts/scaling_job.py "$SF_DIR" "$OUT_BASE/tsp_scale_idx_$cores" "$REP" "$REPLEN" \
+    scripts/scaling_job.py "$SF_DIR" "$OUT_BASE/tsp_scale_idx_$cores" "$REP" "$REPLEN" "$CACHE_LEVEL" \
     2>/dev/null | tail -1
 }
 

@@ -47,6 +47,7 @@ def host_cpu_probe(procs: int, seconds: float = 6.0) -> float:
 def main():
     sf_dir, out_dir, replicate = sys.argv[1], sys.argv[2], int(sys.argv[3])
     rep_len = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    cache_level = sys.argv[5] if len(sys.argv) > 5 else "DISK_ONLY"
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -61,13 +62,15 @@ def main():
             .selectExpr("doc_id", "text as content"))
     docs = (base
             .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
-            .select((F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            .select((F.col("doc_id").cast("long")
+                     + F.col("rep").cast("long") * 10_000_000).alias("doc_id"),
                     # lengthen docs so per-doc analysis cost resembles real
                     # source files rather than 300-char rows
                     F.repeat(F.concat(F.col("content"), F.lit(" ")), rep_len)
                     .alias("content"))
             .repartition(cores * 3)
-            .cache())
+            .persist(getattr(__import__("pyspark").StorageLevel,
+                             cache_level)))
     n_files = docs.count()  # materialize input outside the timed region
 
     # Session warmup build: pays one-time python-worker/codegen/shuffle
@@ -92,7 +95,8 @@ def main():
     # shuffle that REDUCES parallelism here
     build_index(spark, docs, out_dir, config="english",
                 n_buckets=32, block_span=128, resume=False,
-                min_analyze_partitions=0, metrics=metrics)
+                min_analyze_partitions=0, metrics=metrics,
+                cache_level=cache_level)
     wall = time.time() - t0
 
     print(json.dumps({

@@ -1,0 +1,142 @@
+"""Percolation: standing queries over document batches and streams.
+
+The expected sets come from an INDEPENDENT pure-Python evaluator
+(re-implemented here from the alignment semantics, not shared with the
+engine), so a bug in the plan cannot hide in its own oracle.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_ts_semantic_headline_spark.functions.lexize import analyze_document
+from pg_ts_semantic_headline_spark.plans.query_compiler import (
+    phraseto_tspquery, to_tspquery)
+from pg_ts_semantic_headline_spark.streaming import (percolate,
+                                                     percolate_stream)
+
+CONFIG = "english"
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "a needle hidden in the haystack near the spark engine"),
+    (3, "spark queries run fast when the needle is indexed"),
+    (4, "the lazy dog sleeps all day"),
+    (5, "quick brown foxes are rare in these parts"),
+    (6, "nothing relevant here at all"),
+    (7, "fox hunting was banned years ago"),
+    (8, "the spark of an idea, hidden like a needle"),
+    (9, "brown bears and quick rabbits share the forest"),
+    (10, "fox and dog play but the dog is not lazy today"),
+]
+
+QUERIES = {
+    "q_and": lambda: to_tspquery(CONFIG, "needle & spark"),
+    "q_phrase": lambda: phraseto_tspquery(CONFIG, "quick brown fox"),
+    "q_not": lambda: to_tspquery(CONFIG, "fox & !lazy"),
+    "q_or": lambda: to_tspquery(CONFIG, "haystack | forest"),
+    "q_none": lambda: to_tspquery(CONFIG, "zebra & quagga"),
+}
+
+
+def _has_phrase(lexemes, items):
+    """Exact positional occurrence test, 1-based positions, stopword gaps
+    unchecked — independent re-statement of the alignment contract."""
+    for start in range(1, len(lexemes) + 2):
+        ok = True
+        for lex, rel in items:
+            idx = start + rel - 2          # both 1-based -> 0-based doc idx
+            if idx < 0 or idx >= len(lexemes) or lexemes[idx] != lex:
+                ok = False
+                break
+        if ok:
+            return True
+    return False
+
+
+def _eval_tree(node, lexemes):
+    if node is None:
+        return False
+    if node.op == "phrase":
+        return _has_phrase(lexemes, node.phrase.items)
+    if node.op == "not":
+        return not _eval_tree(node.children[0], lexemes)
+    vals = [_eval_tree(c, lexemes) for c in node.children]
+    return all(vals) if node.op == "and" else any(vals)
+
+
+def expected_matches(queries):
+    out = set()
+    for doc_id, text in DOCS:
+        _, lexemes = analyze_document(text, CONFIG)
+        for qid, q in queries.items():
+            if _eval_tree(q.root, lexemes):
+                out.add((doc_id, qid))
+    return out
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return {qid: make() for qid, make in QUERIES.items()}
+
+
+class TestPercolateBatch:
+    def test_matches_independent_evaluator(self, spark, queries):
+        docs = spark.createDataFrame(DOCS, ["doc_id", "content"])
+        got = {(r["doc_id"], r["query_id"])
+               for r in percolate(docs, queries, config=CONFIG).collect()}
+        want = expected_matches(queries)
+        assert got == want
+        # the fixture corpus must actually exercise every operator shape
+        assert any(q == "q_and" for _, q in want)
+        assert any(q == "q_phrase" for _, q in want)
+        assert any(q == "q_not" for _, q in want)
+        assert any(q == "q_or" for _, q in want)
+        assert not any(q == "q_none" for _, q in want)
+
+    def test_not_matches_phraseless_doc(self, spark, queries):
+        """A pure negation must match a doc containing NO query lexeme."""
+        qs = {"q_neg_only": to_tspquery(CONFIG, "!fox")}
+        docs = spark.createDataFrame(DOCS, ["doc_id", "content"])
+        got = {r["doc_id"] for r in
+               percolate(docs, qs, config=CONFIG).collect()}
+        want = {d for d, text in DOCS
+                if _eval_tree(qs["q_neg_only"].root,
+                              analyze_document(text, CONFIG)[1])}
+        assert got == want
+        assert 6 in got  # the no-relevant-lexeme doc
+
+    def test_pre_analyzed_input(self, spark, queries):
+        from pg_ts_semantic_headline_spark.plans.analyze import with_analysis
+        docs = with_analysis(
+            spark.createDataFrame(DOCS, ["doc_id", "content"]),
+            "content", CONFIG)
+        got = {(r["doc_id"], r["query_id"])
+               for r in percolate(docs, queries).collect()}
+        assert got == expected_matches(queries)
+
+    def test_empty_registry(self, spark):
+        docs = spark.createDataFrame(DOCS, ["doc_id", "content"])
+        assert percolate(docs, {}, config=CONFIG).count() == 0
+
+
+class TestPercolateStream:
+    def test_stream_equals_batch(self, spark, queries, tmp_path):
+        src = str(tmp_path / "incoming")
+        half = len(DOCS) // 2
+        spark.createDataFrame(DOCS[:half], ["doc_id", "content"]) \
+            .write.mode("append").parquet(src)
+        spark.createDataFrame(DOCS[half:], ["doc_id", "content"]) \
+            .write.mode("append").parquet(src)
+        stream = (spark.readStream.schema("doc_id long, content string")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        seen = []
+
+        def on_batch(matches, batch_id):
+            seen.extend((r["doc_id"], r["query_id"])
+                        for r in matches.collect())
+
+        q = (percolate_stream(stream, queries, on_batch, config=CONFIG)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert set(seen) == expected_matches(queries)
+        assert len(seen) == len(set(seen))  # no doc double-percolated
