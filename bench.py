@@ -176,6 +176,18 @@ def main():
         finally:
             shutil.rmtree(ivf_dir, ignore_errors=True)
 
+        # percolation: 4 standing queries against 1k docs in one plan
+        from pg_ts_semantic_headline_spark.streaming import percolate
+        standing = {
+            "pq_and": to_tspquery("simple", "spark & window"),
+            "pq_phrase": phraseto_tspquery("simple", "batch batch"),
+            "pq_not": to_tspquery("simple", "merge & !join"),
+            "pq_or": to_tspquery("simple", "stream | sort"),
+        }
+        t0 = time.time()
+        percolate(sample, standing, config="simple").count()
+        timings["percolate_1k_docs_4q"] = time.time() - t0
+
         # ad-hoc 1:1 ts_headline replacement (pg-style passage selection +
         # fast path over the passage only), normalized per 1k docs
         from pg_ts_semantic_headline_spark.plans.headline import (

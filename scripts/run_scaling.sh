@@ -50,11 +50,17 @@ print(json.dumps(best))
 EOF
 }
 
-echo "== local[8] =="
-R8=$(run 8)
+# N and 4N parallelism levels (env-overridable: N_CORES=4 measures 4->16,
+# which keeps the TOP level under half the box — the 8->32 pair saturates
+# the VM's shared memory bandwidth at its top level, which a real 4N-
+# executor cluster, bringing 4N x the bandwidth, does not)
+N_CORES=${N_CORES:-8}
+N4_CORES=$((N_CORES * 4))
+echo "== local[$N_CORES] =="
+R8=$(run "$N_CORES")
 echo "$R8"
-echo "== local[32] =="
-R32=$(run 32)
+echo "== local[$N4_CORES] =="
+R32=$(run "$N4_CORES")
 echo "$R32"
 
 python - "$R8" "$R32" <<'EOF'
