@@ -607,6 +607,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("cosine_e4"), F.asc("vec_id")).limit(10)
                 .select("vec_id", "cosine_e4"))
 
+    def q38(spark, sf):
+        # IVF-PQ ANN: product-quantized ADC shortlist + full-precision
+        # re-rank. At nprobe = n_lists with rerank=None every probed row is
+        # re-ranked at full precision, so the result is EXACTLY the
+        # brute-force top-k (same oracle as ivf_ann_topk); ADC shortlist
+        # quality at realistic (nprobe, rerank) is pinned by pytest — the
+        # trained codebooks have no SQL-expressible form
+        from pg_ts_semantic_headline_spark.operators.similarity import (
+            build_ivfpq_index, load_ivfpq_index)
+        import tempfile
+        emb = _emb(spark, sf)
+        from pg_ts_semantic_headline_spark.operators.similarity import (
+            cosine_similarity_col, pq_adc_arrow)
+        pq_dir = tempfile.mkdtemp(prefix="tsp_ivfpq_idx_")
+        build_ivfpq_index(emb, pq_dir, n_lists=8, m=8, nbits=8, seed=42)
+        idx = load_ivfpq_index(spark, pq_dir)
+        qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        probes = idx.probe_lists(qv, idx.n_lists)
+        adc = pq_adc_arrow(idx.codebooks, idx.splits, qv)
+        # rerank cap far above the gate corpus size ⇒ the ADC shortlist
+        # passes every probed row through to full-precision re-rank, and
+        # ordering happens in the oracle's e4 space
+        short = (idx.codes.where(F.col("list_id").isin(probes))
+                 .select("vec_id", adc(F.col("code")).alias("_adc"))
+                 .orderBy(F.desc("_adc"), F.asc("vec_id"))
+                 .limit(1_000_000).select("vec_id"))
+        cands = (idx.vectors.where(F.col("list_id").isin(probes))
+                 .join(F.broadcast(short), on="vec_id", how="left_semi"))
+        return (cands
+                .select("vec_id",
+                        cosine_similarity_col(F.col("embedding"), qv)
+                        .alias("c"))
+                .withColumn("cosine_e4", _e4(F.col("c")))
+                .orderBy(F.desc("cosine_e4"), F.asc("vec_id")).limit(10)
+                .select("vec_id", "cosine_e4"))
+
     def q37(spark, sf):
         # percolation: 4 standing queries (AND / adjacency phrase / NOT /
         # OR) evaluated against the corpus in ONE broadcast-join plan;
@@ -712,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_filtered_indexed": q35,
         "ivf_ann_topk": q36,
         "percolate_standing": q37,
+        "ivfpq_ann_topk": q38,
     }
 
 
@@ -1076,6 +1113,14 @@ UNION ALL SELECT doc_id, 'pq_or' FROM pq_or
 """,
         # IVF at nprobe = n_lists scans every row ⇒ brute-force equality
         "ivf_ann_topk": emb_cos + """
+SELECT vec_id, CAST(ROUND(c * 10000) AS BIGINT) AS cosine_e4
+FROM cos
+ORDER BY CAST(ROUND(c * 10000) AS BIGINT) DESC, vec_id
+LIMIT 10
+""",
+        # IVF-PQ at nprobe = n_lists with an ADC shortlist larger than the
+        # corpus re-ranks every row at full precision ⇒ brute-force equality
+        "ivfpq_ann_topk": emb_cos + """
 SELECT vec_id, CAST(ROUND(c * 10000) AS BIGINT) AS cosine_e4
 FROM cos
 ORDER BY CAST(ROUND(c * 10000) AS BIGINT) DESC, vec_id

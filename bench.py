@@ -176,6 +176,25 @@ def main():
         finally:
             shutil.rmtree(ivf_dir, ignore_errors=True)
 
+        # IVF-PQ ANN: codebook training + one encode pass + two
+        # partitioned writes, then 5 ADC-shortlist + re-rank queries
+        from pg_ts_semantic_headline_spark.operators.similarity import (
+            build_ivfpq_index, load_ivfpq_index)
+        pq_dir = tempfile.mkdtemp(prefix="tsp_bench_ivfpq_")
+        try:
+            t0 = time.time()
+            build_ivfpq_index(emb, pq_dir, n_lists=16, m=8, nbits=8,
+                              seed=42)
+            timings["ivfpq_index_build"] = time.time() - t0
+            pq = load_ivfpq_index(spark, pq_dir)
+            pq.query(qvs[0], k=10, nprobe=4, rerank=100).collect()  # warm
+            t0 = time.time()
+            for v in qvs:
+                pq.query(v, k=10, nprobe=4, rerank=100).collect()
+            timings["ivfpq_query_x5"] = time.time() - t0
+        finally:
+            shutil.rmtree(pq_dir, ignore_errors=True)
+
         # percolation: 4 standing queries against 1k docs in one plan
         from pg_ts_semantic_headline_spark.streaming import percolate
         standing = {

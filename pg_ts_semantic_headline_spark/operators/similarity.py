@@ -251,36 +251,7 @@ def train_ivf_centroids(df: DataFrame, n_lists: int, seed: int = 42,
     x = np.vstack([np.asarray(r[emb_col], dtype=np.float64) for r in rows])
     norms = np.linalg.norm(x, axis=1)
     x = x[norms > 0] / norms[norms > 0, None]
-    n = x.shape[0]
-    k = min(n_lists, n)
-    rng = np.random.default_rng(seed)
-
-    # k-means++ seeding on squared chord distance (2 - 2cos on the sphere)
-    centroids = np.empty((k, x.shape[1]))
-    centroids[0] = x[rng.integers(n)]
-    d2 = np.maximum(2.0 - 2.0 * (x @ centroids[0]), 0.0)
-    for i in range(1, k):
-        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
-        centroids[i] = x[rng.choice(n, p=probs)]
-        d2 = np.minimum(d2, np.maximum(2.0 - 2.0 * (x @ centroids[i]), 0.0))
-
-    for _ in range(n_iter):
-        assign = np.argmax(x @ centroids.T, axis=1)
-        moved = False
-        for c in range(k):
-            members = x[assign == c]
-            if len(members) == 0:
-                continue  # empty list keeps its centroid (FAISS behavior)
-            m = members.mean(axis=0)
-            mn = np.linalg.norm(m)
-            if mn > 0:
-                m = m / mn
-            if not np.allclose(m, centroids[c]):
-                centroids[c] = m
-                moved = True
-        if not moved:
-            break
-    return centroids
+    return _kmeans_spherical(x, n_lists, seed, n_iter)
 
 
 def ivf_assign_arrow(centroids):
@@ -369,3 +340,281 @@ def load_ivf_index(spark, out_dir: str) -> IvfIndex:
     centroids = np.vstack([np.asarray(r["centroid"], dtype=np.float64)
                            for r in rows])
     return IvfIndex(spark.read.parquet(f"{out_dir}/vectors"), centroids)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized codes inside the IVF lists. The 100 TB memory
+# story: a float32 embedding column is dim*4 bytes/vector (256 B at dim=64,
+# 3 KB at dim=768); PQ stores m bytes (one uint8 code per subspace), a
+# 32-384x smaller scan. A query reads ONLY the probed lists' codes
+# directories, scores them with an ADC lookup table (m gathers + a row sum
+# per vector — no float math against the raw vectors), keeps the top
+# `rerank` ids, and re-ranks just those against the full-precision vectors
+# (id semi-join into the same probed directories). Codebooks are classic
+# per-subspace L2 k-means (Jegou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011) trained driver-side on the same bounded
+# deterministic sample as the coarse quantizer; vectors are unit-normalized
+# first so the ADC inner product estimates cosine directly.
+# With rerank=None every probed candidate is re-ranked at full precision,
+# so nprobe=n_lists reproduces brute-force exactly (the oracle contract);
+# recall at realistic (nprobe, rerank) is pinned by pytest.
+# ---------------------------------------------------------------------------
+
+
+def _pq_splits(dim: int, m: int):
+    """Subspace boundaries: np.array_split semantics, computed once so the
+    encoder and the ADC table agree on uneven splits."""
+    import numpy as np
+
+    sizes = [s.shape[0] for s in np.array_split(np.empty(dim), m)]
+    bounds, off = [], 0
+    for s in sizes:
+        bounds.append((off, off + s))
+        off += s
+    return bounds
+
+
+def train_pq_codebooks(x, m: int = 8, nbits: int = 8, seed: int = 42,
+                       n_iter: int = 25):
+    """Per-subspace L2 k-means over a (n, dim) unit-normalized sample.
+    Returns a list of m (2^nbits, sub_dim) float64 codebooks (k clamped to
+    the sample size). Pure numpy, driver-side, deterministic."""
+    import numpy as np
+
+    dim = x.shape[1]
+    books = []
+    for j, (lo, hi) in enumerate(_pq_splits(dim, m)):
+        sub = np.ascontiguousarray(x[:, lo:hi])
+        n = sub.shape[0]
+        k = min(1 << nbits, n)
+        rng = np.random.default_rng(seed + 1000 * j)
+        # k-means++ seeding on L2
+        cents = np.empty((k, sub.shape[1]))
+        cents[0] = sub[rng.integers(n)]
+        d2 = ((sub - cents[0]) ** 2).sum(axis=1)
+        for i in range(1, k):
+            probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+            cents[i] = sub[rng.choice(n, p=probs)]
+            d2 = np.minimum(d2, ((sub - cents[i]) ** 2).sum(axis=1))
+        for _ in range(n_iter):
+            # assign by min L2: argmax(c.x - |c|^2/2)
+            sims = sub @ cents.T - 0.5 * (cents ** 2).sum(axis=1)
+            assign = np.argmax(sims, axis=1)
+            moved = False
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members) == 0:
+                    continue
+                mean = members.mean(axis=0)
+                if not np.allclose(mean, cents[c]):
+                    cents[c] = mean
+                    moved = True
+            if not moved:
+                break
+        books.append(cents)
+    return books
+
+
+def pq_encode_arrow(codebooks, splits):
+    """Arrow kernel: (normalized) vector -> m-byte PQ code. One matmul +
+    argmin per subspace per batch; emits binary (m uint8s per row)."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    half_sq = [0.5 * (b ** 2).sum(axis=1) for b in books]
+
+    @F.pandas_udf(BinaryType())
+    def encode(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        codes = np.empty((mat.shape[0], len(books)), dtype=np.uint8)
+        for j, (lo, hi) in enumerate(splits):
+            sims = mat[:, lo:hi] @ books[j].T - half_sq[j]
+            codes[:, j] = np.argmax(sims, axis=1).astype(np.uint8)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return encode
+
+
+def pq_adc_arrow(codebooks, splits, query_vec):
+    """Arrow kernel: PQ code -> approximate cosine vs the (normalized)
+    query via an ADC lookup table computed ONCE driver-side: m uint8
+    gathers + a row sum per vector. The scan never touches float
+    embeddings."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType
+
+    q = np.asarray(list(map(float, query_vec)), dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    # lut[j][c] = q_j . codebook_j[c]; pad ragged books to one 2-D table
+    kmax = max(b.shape[0] for b in codebooks)
+    lut = np.full((len(codebooks), kmax), -np.inf)
+    for j, (lo, hi) in enumerate(splits):
+        lut[j, :codebooks[j].shape[0]] = codebooks[j] @ q[lo:hi]
+    m = len(codebooks)
+
+    @F.pandas_udf(DoubleType())
+    def adc(code: pd.Series) -> pd.Series:
+        mat = np.frombuffer(b"".join(code.to_numpy()),
+                            dtype=np.uint8).reshape(-1, m)
+        return pd.Series(lut[np.arange(m), mat].sum(axis=1))
+
+    return adc
+
+
+def build_ivfpq_index(df: DataFrame, out_dir: str, n_lists: int = 64,
+                      m: int = 8, nbits: int = 8, seed: int = 42,
+                      emb_col: str = "embedding", id_col: str = "vec_id",
+                      sample_rows: int = 65_536,
+                      approx_total: int | None = None) -> None:
+    """Persist an IVF-PQ index: `codes/` (vec_id + m-byte PQ code,
+    directory-partitioned by list_id — the small scan), `vectors/` (full
+    precision, same partitioning — the re-rank side), `centroids/` and
+    `pq/` (codebooks, kilobytes). Training collects ONE bounded sample for
+    both quantizers; assignment+encoding is one Arrow pass over the table,
+    written once per side."""
+    import numpy as np
+
+    spark = df.sparkSession
+    dim = len(df.select(emb_col).first()[0])
+    rows = (_hash_sample(df.select(id_col, emb_col), id_col, sample_rows,
+                         approx_total=approx_total)
+            .limit(sample_rows).collect())
+    x = np.vstack([np.asarray(r[emb_col], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(x, axis=1)
+    x = x[norms > 0] / norms[norms > 0, None]
+    coarse = _kmeans_spherical(x, n_lists, seed)
+    splits = _pq_splits(dim, m)
+    books = train_pq_codebooks(x, m=m, nbits=nbits, seed=seed)
+
+    enc = (df.withColumn("list_id", ivf_assign_arrow(coarse)(F.col(emb_col)))
+             .withColumn("code",
+                         pq_encode_arrow(books, splits)(F.col(emb_col))))
+    enc.persist()
+    try:
+        (enc.select(id_col, "code", "list_id")
+            .write.mode("overwrite").partitionBy("list_id")
+            .parquet(f"{out_dir}/codes"))
+        (enc.drop("code")
+            .write.mode("overwrite").partitionBy("list_id")
+            .parquet(f"{out_dir}/vectors"))
+    finally:
+        enc.unpersist()
+    spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(coarse)],
+        "list_id int, centroid array<double>") \
+        .write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    spark.createDataFrame(
+        [(j, ci, [float(v) for v in books[j][ci]])
+         for j in range(len(books)) for ci in range(books[j].shape[0])],
+        "subspace int, code int, centroid array<double>") \
+        .write.mode("overwrite").parquet(f"{out_dir}/pq")
+
+
+class IvfPqIndex:
+    """Loaded handle: coarse centroids + PQ codebooks read once; each query
+    is one ADC scan over the probed lists' codes plus one bounded re-rank
+    join against the full vectors."""
+
+    def __init__(self, codes: DataFrame, vectors: DataFrame, centroids,
+                 codebooks, dim: int):
+        self.codes = codes
+        self.vectors = vectors
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.splits = _pq_splits(dim, len(codebooks))
+
+    @property
+    def n_lists(self) -> int:
+        return self.centroids.shape[0]
+
+    def probe_lists(self, query_vec, nprobe: int):
+        import numpy as np
+
+        q = np.asarray(list(map(float, query_vec)))
+        qn = np.linalg.norm(q)
+        if qn > 0:
+            q = q / qn
+        sims = self.centroids @ q
+        order = np.argsort(-sims, kind="stable")
+        return [int(i) for i in order[:max(1, min(nprobe, self.n_lists))]]
+
+    def query(self, query_vec, k: int = 10, nprobe: int = 8,
+              rerank: int | None = 100, emb_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+        """(vec_id, cosine) top-k. ADC-score the probed lists' codes, keep
+        the top `rerank` ids (None = every probed candidate — exactness
+        mode), re-rank those at full precision. The shortlist rides a
+        broadcast semi-join, so the full-vector read is pruned to the same
+        nprobe directories AND the ~rerank winning row groups."""
+        probes = self.probe_lists(query_vec, nprobe)
+        cands = self.vectors.where(F.col("list_id").isin(probes))
+        if rerank is not None:
+            adc = pq_adc_arrow(self.codebooks, self.splits, query_vec)
+            short = (self.codes.where(F.col("list_id").isin(probes))
+                     .select(id_col, adc(F.col("code")).alias("_adc"))
+                     .orderBy(F.desc("_adc"), F.asc(id_col))
+                     .limit(int(rerank)).select(id_col))
+            cands = cands.join(F.broadcast(short), on=id_col,
+                               how="left_semi")
+        return cosine_topk_arrow(cands, query_vec, k, emb_col, id_col)
+
+
+def _kmeans_spherical(x, n_lists: int, seed: int, n_iter: int = 25):
+    """Spherical k-means over an in-memory unit sample (shared by
+    train_ivf_centroids and build_ivfpq_index)."""
+    import numpy as np
+
+    n = x.shape[0]
+    k = min(n_lists, n)
+    rng = np.random.default_rng(seed)
+    centroids = np.empty((k, x.shape[1]))
+    centroids[0] = x[rng.integers(n)]
+    d2 = np.maximum(2.0 - 2.0 * (x @ centroids[0]), 0.0)
+    for i in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centroids[i] = x[rng.choice(n, p=probs)]
+        d2 = np.minimum(d2, np.maximum(2.0 - 2.0 * (x @ centroids[i]), 0.0))
+    for _ in range(n_iter):
+        assign = np.argmax(x @ centroids.T, axis=1)
+        moved = False
+        for c in range(k):
+            members = x[assign == c]
+            if len(members) == 0:
+                continue
+            mu = members.mean(axis=0)
+            mn = np.linalg.norm(mu)
+            if mn > 0:
+                mu = mu / mn
+            if not np.allclose(mu, centroids[c]):
+                centroids[c] = mu
+                moved = True
+        if not moved:
+            break
+    return centroids
+
+
+def load_ivfpq_index(spark, out_dir: str) -> IvfPqIndex:
+    import numpy as np
+
+    crows = spark.read.parquet(f"{out_dir}/centroids").collect()
+    crows.sort(key=lambda r: r["list_id"])
+    centroids = np.vstack([np.asarray(r["centroid"], dtype=np.float64)
+                           for r in crows])
+    prows = spark.read.parquet(f"{out_dir}/pq").collect()
+    n_sub = max(r["subspace"] for r in prows) + 1
+    books = []
+    for j in range(n_sub):
+        sub = sorted((r for r in prows if r["subspace"] == j),
+                     key=lambda r: r["code"])
+        books.append(np.vstack([np.asarray(r["centroid"], dtype=np.float64)
+                                for r in sub]))
+    dim = sum(b.shape[1] for b in books)
+    return IvfPqIndex(spark.read.parquet(f"{out_dir}/codes"),
+                      spark.read.parquet(f"{out_dir}/vectors"),
+                      centroids, books, dim)

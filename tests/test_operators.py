@@ -291,6 +291,87 @@ class TestIvfAnn:
         assert 0 not in ids    # zero vector: cosine undefined, never ranks
 
 
+class TestIvfPq:
+    """IVF-PQ: product-quantized codes inside the IVF lists — ADC shortlist
+    scan + full-precision re-rank."""
+
+    def test_full_probe_full_rerank_is_exact(self, emb_df, tmp_path):
+        """nprobe=n_lists + rerank=None re-ranks every row at full
+        precision ⇒ identical to brute force (the oracle contract)."""
+        from pg_ts_semantic_headline_spark.operators.similarity import (
+            build_ivfpq_index, load_ivfpq_index)
+        out = str(tmp_path / "ivfpq_idx")
+        build_ivfpq_index(emb_df, out, n_lists=4, m=4, nbits=4, seed=42)
+        idx = load_ivfpq_index(emb_df.sparkSession, out)
+        qv = emb_df.where("vec_id = 7").first()["embedding"]
+        exact = [(r["vec_id"], round(r["cosine"], 9)) for r in
+                 cosine_topk(emb_df, qv, k=10).collect()]
+        full = [(r["vec_id"], round(r["cosine"], 9)) for r in
+                idx.query(qv, k=10, nprobe=idx.n_lists,
+                          rerank=None).collect()]
+        assert full == exact
+
+    def test_adc_shortlist_recall_and_code_size(self, emb_df, tmp_path):
+        """The ADC path (rerank bounded) must still surface the exact
+        duplicate pair, codes must be exactly m bytes, and the ADC score
+        must approximate true cosine for the self-match."""
+        from pg_ts_semantic_headline_spark.operators.similarity import (
+            build_ivfpq_index, load_ivfpq_index, pq_adc_arrow)
+        out = str(tmp_path / "ivfpq_idx2")
+        build_ivfpq_index(emb_df, out, n_lists=4, m=4, nbits=4, seed=42)
+        spark = emb_df.sparkSession
+        idx = load_ivfpq_index(spark, out)
+        assert all(len(r["code"]) == 4 for r in idx.codes.collect())
+        qv = emb_df.where("vec_id = 0").first()["embedding"]
+        got = [r["vec_id"] for r in
+               idx.query(qv, k=5, nprobe=idx.n_lists, rerank=10).collect()]
+        assert set(got[:2]) == {0, 49}   # exact copies, full-precision tie
+        # ADC self-score: quantized cosine of vec 0 vs itself ≈ 1
+        adc = pq_adc_arrow(idx.codebooks, idx.splits, qv)
+        row = (idx.codes.where("vec_id = 0")
+               .select(adc(F.col("code")).alias("s")).first())
+        assert row["s"] > 0.8
+
+    def test_build_deterministic_and_pruned(self, emb_df, tmp_path):
+        """Same seed ⇒ byte-identical codes; the codes scan prunes to the
+        probed list directories (ADC reads codes only, never vectors)."""
+        from pg_ts_semantic_headline_spark.operators.similarity import (
+            build_ivfpq_index, load_ivfpq_index)
+        spark = emb_df.sparkSession
+        out_a, out_b = str(tmp_path / "pq_a"), str(tmp_path / "pq_b")
+        build_ivfpq_index(emb_df, out_a, n_lists=4, m=4, nbits=4, seed=9)
+        build_ivfpq_index(emb_df, out_b, n_lists=4, m=4, nbits=4, seed=9)
+        a = {r["vec_id"]: r["code"] for r in
+             load_ivfpq_index(spark, out_a).codes.collect()}
+        b = {r["vec_id"]: r["code"] for r in
+             load_ivfpq_index(spark, out_b).codes.collect()}
+        assert a == b
+        idx = load_ivfpq_index(spark, out_a)
+        qv = emb_df.where("vec_id = 3").first()["embedding"]
+        probes = idx.probe_lists(qv, nprobe=2)
+        plan = (idx.codes.where(F.col("list_id").isin(probes))
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "PartitionFilters: [list_id" in plan
+
+    def test_uneven_subspace_split(self, spark, tmp_path):
+        """dim not divisible by m: array_split boundaries must agree
+        between encoder and ADC (dim=10, m=4 → sizes 3,3,2,2)."""
+        import random as _r
+        from pg_ts_semantic_headline_spark.operators.similarity import (
+            build_ivfpq_index, load_ivfpq_index)
+        rng = _r.Random(3)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(10)]) for i in range(30)]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        out = str(tmp_path / "pq_uneven")
+        build_ivfpq_index(df, out, n_lists=2, m=4, nbits=4, seed=5)
+        idx = load_ivfpq_index(spark, out)
+        assert [hi - lo for lo, hi in idx.splits] == [3, 3, 2, 2]
+        qv = rows[4][1]
+        got = [r["vec_id"] for r in
+               idx.query(qv, k=3, nprobe=idx.n_lists, rerank=10).collect()]
+        assert got[0] == 4
+
+
 class TestTextStats:
     def test_token_counts(self, text_df):
         r = {x["doc_id"]: x for x in token_counts(text_df).collect()}
