@@ -1,0 +1,270 @@
+"""Property-based tests (hypothesis): randomized inputs against
+independent reference implementations.
+
+Three layers, cheapest first:
+- codec properties: the packed-block varint/delta codec round-trips and
+  the scalar and vectorized encoders agree byte-for-byte (pure driver);
+- analyze properties: the engine-wide position-alignment invariant
+  (token i <-> lexeme i, `problems/exact_matches.md:306-329`) holds for
+  arbitrary unicode input (pure driver);
+- matcher properties: phrase matching and boolean percolation over
+  randomized corpora+queries equal a naive pure-Python evaluator written
+  directly from the Phrase/Node semantics (one Spark action per example,
+  small example budgets).
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pg_ts_semantic_headline_spark.functions.lexize import analyze_document
+from pg_ts_semantic_headline_spark.plans.packing import (
+    decode_block_positions, decode_block_scores, decode_varints,
+    encode_varints, encode_varints_np, pack_block, unpack_block)
+from pg_ts_semantic_headline_spark.plans.query_compiler import (
+    Node, phraseto_tspquery, to_tspquery)
+
+# ------------------------------------------------------------------ codec
+
+nonneg = st.integers(min_value=0, max_value=(1 << 62) - 1)
+
+
+class TestVarintProperties:
+    @given(st.lists(nonneg, max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def test_scalar_vector_encoders_agree(self, values):
+        import numpy as np
+
+        scalar = bytearray()
+        encode_varints(values, scalar)
+        vec = encode_varints_np(np.asarray(values, dtype=np.int64))
+        assert bytes(scalar) == vec
+
+    @given(st.lists(nonneg, min_size=1, max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def test_decode_inverts_encode(self, values):
+        buf = bytearray()
+        encode_varints(values, buf)
+        got, pos = decode_varints(bytes(buf), 0, len(values))
+        assert got == values
+        assert pos == len(buf)
+
+
+@st.composite
+def block_inputs(draw):
+    """A valid packed-block input: ascending unique doc_ids >= base_doc,
+    per-doc tf/dl, ascending positive positions with len == tf."""
+    base_doc = draw(st.integers(min_value=0, max_value=1 << 40))
+    n = draw(st.integers(min_value=0, max_value=12))
+    gaps = draw(st.lists(st.integers(min_value=1, max_value=1 << 20),
+                         min_size=n, max_size=n))
+    doc_ids, cur = [], base_doc
+    for g in gaps:
+        cur += g
+        doc_ids.append(cur)
+    positions_lists = []
+    for _ in range(n):
+        m = draw(st.integers(min_value=0, max_value=8))
+        pgaps = draw(st.lists(st.integers(min_value=1, max_value=500),
+                              min_size=m, max_size=m))
+        poss, p = [], 0
+        for g in pgaps:
+            p += g
+            poss.append(p)
+        positions_lists.append(poss)
+    tfs = [len(p) for p in positions_lists]
+    dls = draw(st.lists(st.integers(min_value=0, max_value=100_000),
+                        min_size=n, max_size=n))
+    return base_doc, doc_ids, tfs, dls, positions_lists
+
+
+class TestPackBlockProperties:
+    @given(block_inputs())
+    @settings(max_examples=150, deadline=None)
+    def test_roundtrip(self, inp):
+        base_doc, doc_ids, tfs, dls, positions_lists = inp
+        payload = pack_block(doc_ids, tfs, dls, positions_lists, base_doc)
+        d, t, l, p = unpack_block(payload, base_doc)
+        assert (d, t, l, p) == (doc_ids, tfs, dls, positions_lists)
+
+    @given(block_inputs())
+    @settings(max_examples=100, deadline=None)
+    def test_partial_decoders_agree_with_full(self, inp):
+        base_doc, doc_ids, tfs, dls, positions_lists = inp
+        payload = pack_block(doc_ids, tfs, dls, positions_lists, base_doc)
+        sd, stf, sdl = decode_block_scores(payload, base_doc)
+        assert list(sd) == doc_ids
+        assert list(stf) == tfs
+        assert list(sdl) == dls
+        pdoc, flat, counts = decode_block_positions(payload, base_doc)
+        assert list(pdoc) == doc_ids
+        assert list(counts) == [len(p) for p in positions_lists]
+        rebuilt, off = [], 0
+        for c in counts:
+            rebuilt.append([int(x) for x in flat[off:off + int(c)]])
+            off += int(c)
+        assert rebuilt == positions_lists
+
+
+# ---------------------------------------------------------------- analyze
+
+text_strategy = st.text(
+    alphabet=st.characters(codec="utf-8",
+                           exclude_categories=("Cs",)),  # no lone surrogates
+    max_size=120)
+
+
+class TestAnalyzeProperties:
+    @given(text_strategy, st.sampled_from(["simple", "english", "german"]))
+    @settings(max_examples=250, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_position_alignment(self, text, config):
+        """The invariant the whole engine hangs on: tokens and lexemes are
+        position-aligned 1:1, tokens are space-free and non-empty."""
+        tokens, lexemes = analyze_document(text, config)
+        assert len(tokens) == len(lexemes)
+        for t in tokens:
+            assert t != "" and " " not in t
+        for lx in lexemes:
+            assert lx is None or lx != ""
+
+    @given(st.lists(st.sampled_from(
+        ["spark", "merge", "window", "batch", "Sort", "QUERY"]),
+        min_size=1, max_size=6))
+    @settings(max_examples=50, deadline=None)
+    def test_phrase_compile_matches_analysis(self, words):
+        """phraseto_tspquery over plain words yields one phrase whose
+        lexemes equal the analyzed stream at the same relative offsets."""
+        text = " ".join(words)
+        q = phraseto_tspquery("simple", text)
+        assert len(q.phrases) == 1
+        _, lexemes = analyze_document(text, "simple")
+        expect = tuple((lx, i + 1) for i, lx in enumerate(lexemes)
+                       if lx is not None)
+        assert q.phrases[0].items == expect
+
+    @given(st.lists(st.sampled_from(
+        ["spark", "merge", "window", "batch", "sort", "query"]),
+        min_size=1, max_size=5))
+    @settings(max_examples=50, deadline=None)
+    def test_render_reparse_roundtrip(self, words):
+        """Phrase.render() emits valid tsquery text that reparses to the
+        identical phrase (the rendered form is stored in match tables)."""
+        ph = phraseto_tspquery("simple", " ".join(words)).phrases[0]
+        q2 = to_tspquery("simple", ph.render())
+        assert len(q2.phrases) == 1
+        assert q2.phrases[0].items == ph.items
+
+
+# ------------------------------------------------- randomized query trees
+
+VOCAB = ["aa", "bb", "cc", "dd", "ee"]
+
+
+@st.composite
+def query_strings(draw, depth=0):
+    """Well-formed tsquery text over a tiny vocab: lexemes, & | !, <->/<n>
+    phrases, parens."""
+    if depth >= 3 or draw(st.booleans()):
+        n = draw(st.integers(min_value=1, max_value=3))
+        words = draw(st.lists(st.sampled_from(VOCAB), min_size=n,
+                              max_size=n))
+        if n == 1:
+            return words[0]
+        ops = draw(st.lists(st.sampled_from(["<->", "<2>", "<3>"]),
+                            min_size=n - 1, max_size=n - 1))
+        out = [words[0]]
+        for op, w in zip(ops, words[1:]):
+            out += [op, w]
+        return " ".join(out)
+    op = draw(st.sampled_from(["&", "|"]))
+    left = draw(query_strings(depth=depth + 1))
+    right = draw(query_strings(depth=depth + 1))
+    neg = draw(st.booleans())
+    rhs = f"!({right})" if neg else f"({right})"
+    return f"({left}) {op} {rhs}"
+
+
+def naive_phrase_occurrences(lexemes, phrase):
+    """All (start, end) occurrences of a Phrase in a 1-based lexeme array,
+    written directly from the Phrase semantics (lexeme at relative
+    position p ⇒ absolute range_start + p - 1)."""
+    out = []
+    n = len(lexemes)
+    if not phrase.items:
+        return out
+    maxp = max(p for _, p in phrase.items)
+    for start in range(1, n - maxp + 2):
+        if all(lexemes[start + p - 2] == lx for lx, p in phrase.items):
+            out.append((start, start + maxp - 1))
+    return out
+
+
+def naive_eval(node, lexemes):
+    if node is None:
+        return False
+    if node.op == "phrase":
+        return bool(naive_phrase_occurrences(lexemes, node.phrase))
+    if node.op == "and":
+        return all(naive_eval(c, lexemes) for c in node.children)
+    if node.op == "or":
+        return any(naive_eval(c, lexemes) for c in node.children)
+    if node.op == "not":
+        return not naive_eval(node.children[0], lexemes)
+    raise AssertionError(node.op)
+
+
+@pytest.fixture(scope="module")
+def corpus_docs(spark):
+    """30 deterministic random docs over the tiny vocab, analyzed once."""
+    import random
+
+    from pg_ts_semantic_headline_spark.plans.analyze import with_analysis
+
+    rng = random.Random(1234)
+    rows = [(i, " ".join(rng.choice(VOCAB)
+                         for _ in range(rng.randint(0, 12))))
+            for i in range(30)]
+    df = with_analysis(spark.createDataFrame(rows, ["doc_id", "content"]),
+                       "content", "simple").cache()
+    df.count()
+    lex = {r["doc_id"]: list(r["lexemes"]) for r in df.collect()}
+    return df, lex
+
+
+class TestMatcherProperties:
+    """Engine vs naive evaluator on randomized corpora+queries. Example
+    budgets are small: each example is a Spark action."""
+
+    @given(st.lists(st.sampled_from(VOCAB), min_size=1, max_size=3))
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    def test_phrase_matches_equal_naive(self, corpus_docs, words):
+        from pg_ts_semantic_headline_spark.plans.matches import (
+            tsp_query_matches)
+
+        df, lex = corpus_docs
+        q = phraseto_tspquery("simple", " ".join(words))
+        got = {(r["doc_id"], r["start_pos"], r["end_pos"])
+               for r in tsp_query_matches(df, q, match_limit=1000).collect()}
+        want = {(doc, s, e)
+                for doc, lxs in lex.items()
+                for s, e in naive_phrase_occurrences(lxs, q.phrases[0])}
+        assert got == want
+
+    @given(query_strings())
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    def test_percolate_equals_naive_boolean_eval(self, corpus_docs, qtext):
+        from pg_ts_semantic_headline_spark.streaming import percolate
+
+        df, lex = corpus_docs
+        q = to_tspquery("simple", qtext)
+        got = {r["doc_id"] for r in
+               percolate(df.select("doc_id", F.col("content")), {"q0": q},
+                         config="simple").collect()}
+        want = {doc for doc, lxs in lex.items() if naive_eval(q.root, lxs)}
+        assert got == want
