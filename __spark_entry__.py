@@ -643,6 +643,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("cosine_e4"), F.asc("vec_id")).limit(10)
                 .select("vec_id", "cosine_e4"))
 
+    def q39(spark, sf):
+        # composed corpus-prep pipeline (filters + exact dedup in one
+        # plan; near-dedup OFF here so every rule is SQL-expressible —
+        # the near-dedup composition is pinned by pytest). The oracle
+        # restates the annotate/filter/dedup flow as CTEs.
+        from pg_ts_semantic_headline_spark.operators import prepare_corpus
+        prep = prepare_corpus(
+            _docs(spark, sf), min_tokens=20, min_quality=0.40,
+            allowed_langs=("en", "und"), exact_dedup=True,
+            near_dedup=False)
+        return prep.select(
+            "doc_id", "n_tokens", _e4(F.col("quality")).alias("quality_e4"),
+            "lang_pred",
+            F.coalesce("drop_reason", F.lit("kept")).alias("reason"))
+
     def q37(spark, sf):
         # percolation: 4 standing queries (AND / adjacency phrase / NOT /
         # OR) evaluated against the corpus in ONE broadcast-join plan;
@@ -749,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q36,
         "percolate_standing": q37,
         "ivfpq_ann_topk": q38,
+        "prepare_corpus": q39,
     }
 
 
@@ -1038,6 +1054,44 @@ scores AS (
 SELECT doc_id, {best_expr} AS lang_pred,
        CAST(ROUND({best_score} * 10000) AS BIGINT) AS lang_score_e4
 FROM scores
+""",
+        # composed corpus-prep flow: annotate (tokens/quality/lang) ->
+        # row-local filters with first-fail reason -> exact dedup among
+        # survivors (min doc_id per identical text is canonical)
+        "prepare_corpus": f"""
+WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+ann AS (
+  SELECT doc_id, text, len(l) AS n_tokens,
+    CAST(ROUND((least(len(l) / 100.0, 1.0)
+      + least(CAST(len(list_filter(l, t -> t IN ('{stop6}'))) AS DOUBLE)
+              / greatest(len(l), 1) * 5, 1.0)
+      + CAST(len(list_distinct(l)) AS DOUBLE) / greatest(len(l), 1))
+      / 3 * 1000000) AS BIGINT) / 1000000.0 AS quality,
+  {lang_scores}
+  FROM base
+),
+lab AS (
+  SELECT doc_id, text, n_tokens, quality, {best_expr} AS lang_pred FROM ann
+),
+flt AS (
+  SELECT *, CASE WHEN n_tokens < 20 THEN 'too_short'
+                 WHEN quality < 0.40 THEN 'low_quality'
+                 WHEN lang_pred NOT IN ('en', 'und') THEN 'lang'
+            END AS row_reason
+  FROM lab
+),
+canon AS (
+  SELECT text AS ctext, min(doc_id) AS canonical
+  FROM flt WHERE row_reason IS NULL GROUP BY text
+)
+SELECT f.doc_id, f.n_tokens,
+       CAST(ROUND(f.quality * 10000) AS BIGINT) AS quality_e4,
+       f.lang_pred,
+       COALESCE(f.row_reason,
+                CASE WHEN f.doc_id != c.canonical THEN 'exact_dup' END,
+                'kept') AS reason
+FROM flt f
+LEFT JOIN canon c ON f.row_reason IS NULL AND f.text = c.ctext
 """,
         "quality_score": f"""
 WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)

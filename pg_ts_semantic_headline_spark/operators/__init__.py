@@ -25,4 +25,5 @@ from .similarity import (
     lsh_ann_topk,
     train_ivf_centroids,
 )
+from .pipeline import corpus_report, prepare_corpus
 from .textstats import doc_fingerprint, lang_id, quality_score, token_counts

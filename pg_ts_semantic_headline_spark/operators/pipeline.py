@@ -1,0 +1,135 @@
+"""Training-data corpus preparation: the composed cleaning flow a
+pre-training pipeline runs before indexing — annotate, filter, dedup —
+as ONE declarative plan plus a single-action metrics report.
+
+Flow (each stage optional via thresholds):
+
+1. annotate  — token count, quality score, language ID, all computed in
+   one narrow projection over a single `split(text)` (no joins between
+   the stat operators — `lang_exprs`/`quality_exprs` are the same column
+   algebra the standalone operators use, so results stay
+   oracle-identical);
+2. filter    — drop by token bounds, quality floor, language allowlist;
+   the drop REASON is recorded per row (first failing rule) rather than
+   rows being silently discarded;
+3. exact dedup — md5 hash-groupBy among survivors only (filter-first:
+   the shuffle sees the already-thinned corpus); lowest doc_id per hash
+   is canonical;
+4. near dedup (optional) — MinHash+LSH pairs -> connected components ->
+   non-canonical members dropped (`dedup.minhash_lsh_dedup` +
+   `duplicate_components`, both already bucket-capped / convergence-
+   checked for scale).
+
+`prepare_corpus` returns the fully annotated frame (every input row,
+with `drop_reason` NULL for keepers); `corpus_report` reduces it to one
+row of per-reason counts in a single aggregation. No driver-side loops,
+no collects; at 100 TB the only shuffles are the dedup groupBys/joins,
+each over the filtered survivor set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import duplicate_components, minhash_lsh_dedup
+from .textstats import _tok, lang_exprs, quality_exprs
+
+
+def prepare_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int | None = None,
+    min_quality: float = 0.0,
+    allowed_langs: tuple | None = None,
+    exact_dedup: bool = True,
+    near_dedup: bool = False,
+    jaccard_threshold: float = 0.5,
+    checkpoint: str = "local",
+) -> DataFrame:
+    """Annotated corpus with a `drop_reason` column (NULL = kept).
+
+    Columns: doc_id, <text_col>, n_tokens, quality, lang_pred,
+    drop_reason in {'too_short','too_long','low_quality','lang',
+    'exact_dup','near_dup', NULL}. Reasons apply in that order (first
+    failing rule wins); dedup stages only consider rows that passed the
+    row-local filters, and within a duplicate cluster the lowest doc_id
+    is kept."""
+    t = F.col("_t")
+    lang_pred, _ = lang_exprs(t)
+    q = quality_exprs(t)
+    ann = (df.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias(text_col),
+                     _tok(F.col(text_col)).alias("_t"))
+           .select("doc_id", text_col,
+                   q["n_tokens"].alias("n_tokens"),
+                   q["quality"].alias("quality"),
+                   lang_pred.alias("lang_pred")))
+
+    reason = F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+    if max_tokens is not None:
+        reason = reason.when(F.col("n_tokens") > max_tokens,
+                             F.lit("too_long"))
+    reason = reason.when(F.col("quality") < min_quality,
+                         F.lit("low_quality"))
+    if allowed_langs is not None:
+        reason = reason.when(~F.col("lang_pred").isin(list(allowed_langs)),
+                             F.lit("lang"))
+    ann = ann.withColumn("drop_reason", reason)
+
+    if not (exact_dedup or near_dedup):
+        return ann
+
+    survivors = ann.where(F.col("drop_reason").isNull())
+    dropped = ann.where(F.col("drop_reason").isNotNull())
+
+    if exact_dedup:
+        h = survivors.withColumn("_h", F.md5(F.col(text_col)))
+        canon = h.groupBy("_h").agg(F.min("doc_id").alias("_canon"))
+        survivors = (h.join(canon, on="_h")
+                     .withColumn("drop_reason",
+                                 F.when(F.col("doc_id") != F.col("_canon"),
+                                        F.lit("exact_dup")))
+                     .drop("_h", "_canon"))
+        dropped = dropped.unionByName(
+            survivors.where(F.col("drop_reason").isNotNull()))
+        survivors = survivors.where(F.col("drop_reason").isNull())
+
+    if near_dedup:
+        pairs = minhash_lsh_dedup(survivors, text_col=text_col,
+                                  threshold=jaccard_threshold)
+        comps = duplicate_components(survivors, pairs,
+                                     checkpoint=checkpoint)
+        survivors = (survivors
+                     .join(comps.select("doc_id", "is_canonical"),
+                           on="doc_id", how="left")
+                     .withColumn("drop_reason",
+                                 F.when(~F.coalesce("is_canonical",
+                                                    F.lit(True)),
+                                        F.lit("near_dup")))
+                     .drop("is_canonical"))
+        dropped = dropped.unionByName(
+            survivors.where(F.col("drop_reason").isNotNull()))
+        survivors = survivors.where(F.col("drop_reason").isNull())
+
+    return survivors.unionByName(dropped)
+
+
+def corpus_report(prepared: DataFrame) -> DataFrame:
+    """One-row metrics over a `prepare_corpus` result, in ONE aggregation:
+    total input, kept, and a count per drop reason."""
+    def n_where(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    r = F.col("drop_reason")
+    return prepared.agg(
+        F.count("*").alias("n_input"),
+        n_where(r.isNull()).alias("n_kept"),
+        n_where(r == "too_short").alias("n_too_short"),
+        n_where(r == "too_long").alias("n_too_long"),
+        n_where(r == "low_quality").alias("n_low_quality"),
+        n_where(r == "lang").alias("n_lang"),
+        n_where(r == "exact_dup").alias("n_exact_dup"),
+        n_where(r == "near_dup").alias("n_near_dup"))

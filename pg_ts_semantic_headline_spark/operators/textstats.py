@@ -34,20 +34,29 @@ def token_counts(df: DataFrame, text_col: str = "text",
         F.length(F.col(text_col)).alias("n_chars_computed"))
 
 
+def lang_exprs(t_col):
+    """(lang_pred, lang_score) column expressions over a token-array
+    column: argmax of function-word hit ratio, deterministic tie-break by
+    profile order. Shared by `lang_id` and the corpus-prep pipeline so
+    both stay oracle-identical."""
+    n = F.size(t_col)
+    best_lang, best_score = F.lit("und"), F.lit(-1.0)
+    for lang, words in LANG_PROFILES.items():
+        hits = F.size(F.filter(t_col, lambda t: t.isin(words)))
+        score = F.round(hits / F.greatest(n, F.lit(1)), 6)
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_lang, best_score
+
+
 def lang_id(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """(doc_id, lang_pred, lang_score): argmax of function-word hit ratio,
     deterministic tie-break by profile order."""
-    toks = _tok(F.col(text_col))
-    n = F.size(toks)
-    out = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"), n.alias("_n"))
-    best_lang, best_score = F.lit("und"), F.lit(-1.0)
-    for lang, words in LANG_PROFILES.items():
-        hits = F.size(F.filter("_t", lambda t: t.isin(words)))
-        score = F.round(hits / F.greatest(F.col("_n"), F.lit(1)), 6)
-        better = score > best_score
-        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(better, score).otherwise(best_score)
+    out = df.select(F.col(id_col).alias("doc_id"),
+                    _tok(F.col(text_col)).alias("_t"))
+    best_lang, best_score = lang_exprs(F.col("_t"))
     return out.select("doc_id", best_lang.alias("lang_pred"),
                       best_score.alias("lang_score"))
 
@@ -58,12 +67,25 @@ def quality_score(df: DataFrame, text_col: str = "text",
                   ) -> DataFrame:
     """(doc_id, n_tokens, avg_token_len, stop_ratio, unique_ratio, quality):
     classic pre-training quality heuristics combined into one 0..1 score."""
-    toks = _tok(F.col(text_col))
-    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"))
-    n = F.size(F.col("_t"))
-    uniq = F.size(F.array_distinct(F.col("_t")))
-    stop_hits = F.size(F.filter("_t", lambda t: t.isin(list(stop_words))))
-    avg_len = (F.aggregate(F.col("_t"), F.lit(0),
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     _tok(F.col(text_col)).alias("_t"))
+    q = quality_exprs(F.col("_t"), stop_words)
+    return base.select(
+        "doc_id", q["n_tokens"].alias("n_tokens"),
+        F.round(q["avg_token_len"], 6).alias("avg_token_len"),
+        F.round(q["stop_ratio"], 6).alias("stop_ratio"),
+        F.round(q["unique_ratio"], 6).alias("unique_ratio"),
+        q["quality"].alias("quality"))
+
+
+def quality_exprs(t_col, stop_words: tuple = ("the", "of", "and", "a",
+                                              "to", "in")):
+    """Named quality expressions over a token-array column (shared by
+    `quality_score` and the corpus-prep pipeline)."""
+    n = F.size(t_col)
+    uniq = F.size(F.array_distinct(t_col))
+    stop_hits = F.size(F.filter(t_col, lambda t: t.isin(list(stop_words))))
+    avg_len = (F.aggregate(t_col, F.lit(0),
                            lambda acc, t: acc + F.length(t))
                / F.greatest(n, F.lit(1)))
     stop_ratio = stop_hits / F.greatest(n, F.lit(1))
@@ -72,11 +94,9 @@ def quality_score(df: DataFrame, text_col: str = "text",
     length_f = F.least(n / F.lit(100.0), F.lit(1.0))
     quality = F.round(
         (length_f + F.least(stop_ratio * 5, F.lit(1.0)) + unique_ratio) / 3, 6)
-    return base.select(
-        "doc_id", n.alias("n_tokens"), F.round(avg_len, 6).alias("avg_token_len"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(unique_ratio, 6).alias("unique_ratio"),
-        quality.alias("quality"))
+    return {"n_tokens": n, "avg_token_len": avg_len,
+            "stop_ratio": stop_ratio, "unique_ratio": unique_ratio,
+            "quality": quality}
 
 
 def doc_fingerprint(df: DataFrame, text_col: str = "text",

@@ -372,6 +372,72 @@ class TestIvfPq:
         assert got[0] == 4
 
 
+class TestPipeline:
+    """Composed corpus-prep flow: annotate -> filter-with-reason ->
+    exact dedup -> near dedup, plus the one-action report."""
+
+    @pytest.fixture(scope="class")
+    def prep_input(self, spark):
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog and runs to"
+                " the hills"),
+            (1, "the quick brown fox jumps over the lazy dog and runs to"
+                " the hills"),                                # exact dup of 0
+            (2, "the quick brown fox jumps over the lazy cat and runs to"
+                " the hills"),                                # near dup of 0
+            (3, "word word word"),                            # too short
+            (4, "zz zz zz zz zz zz zz zz zz zz zz zz"),       # low quality
+            (5, "der schnelle braune fuchs und die faule katze ist im"
+                " haus von den"),                             # german
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_reasons_and_order(self, prep_input):
+        from pg_ts_semantic_headline_spark.operators import prepare_corpus
+        prep = prepare_corpus(prep_input, min_tokens=5, min_quality=0.3,
+                              allowed_langs=("en",), exact_dedup=True,
+                              near_dedup=True, jaccard_threshold=0.4)
+        got = {r["doc_id"]: r["drop_reason"] for r in prep.collect()}
+        assert got == {0: None, 1: "exact_dup", 2: "near_dup",
+                       3: "too_short", 4: "low_quality", 5: "lang"}
+
+    def test_report_single_row(self, prep_input):
+        from pg_ts_semantic_headline_spark.operators import (
+            corpus_report, prepare_corpus)
+        prep = prepare_corpus(prep_input, min_tokens=5, min_quality=0.3,
+                              allowed_langs=("en",), exact_dedup=True,
+                              near_dedup=True, jaccard_threshold=0.4)
+        r = corpus_report(prep).collect()
+        assert len(r) == 1
+        row = r[0].asDict()
+        assert row == {"n_input": 6, "n_kept": 1, "n_too_short": 1,
+                       "n_too_long": 0, "n_low_quality": 1, "n_lang": 1,
+                       "n_exact_dup": 1, "n_near_dup": 1}
+
+    def test_filters_only_keeps_every_row(self, prep_input):
+        from pg_ts_semantic_headline_spark.operators import prepare_corpus
+        prep = prepare_corpus(prep_input, min_tokens=1, min_quality=0.0,
+                              exact_dedup=False, near_dedup=False)
+        rows = prep.collect()
+        assert len(rows) == 6
+        assert all(r["drop_reason"] is None for r in rows)
+        # annotation agrees with the standalone operators (shared exprs)
+        ql = {r["doc_id"]: r["quality"]
+              for r in quality_score(prep_input).collect()}
+        lg = {r["doc_id"]: r["lang_pred"]
+              for r in lang_id(prep_input).collect()}
+        for r in rows:
+            assert r["quality"] == ql[r["doc_id"]]
+            assert r["lang_pred"] == lg[r["doc_id"]]
+
+    def test_max_tokens_branch(self, prep_input):
+        from pg_ts_semantic_headline_spark.operators import prepare_corpus
+        prep = prepare_corpus(prep_input, min_tokens=1, max_tokens=5,
+                              min_quality=0.0, exact_dedup=False)
+        got = {r["doc_id"]: r["drop_reason"] for r in prep.collect()}
+        assert got[3] is None and got[0] == "too_long"
+
+
 class TestTextStats:
     def test_token_counts(self, text_df):
         r = {x["doc_id"]: x for x in token_counts(text_df).collect()}
