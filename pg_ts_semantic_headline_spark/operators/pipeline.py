@@ -48,6 +48,7 @@ def prepare_corpus(
     near_dedup: bool = False,
     jaccard_threshold: float = 0.5,
     checkpoint: str = "local",
+    cache: bool = False,
 ) -> DataFrame:
     """Annotated corpus with a `drop_reason` column (NULL = kept).
 
@@ -56,7 +57,13 @@ def prepare_corpus(
     'exact_dup','near_dup', NULL}. Reasons apply in that order (first
     failing rule wins); dedup stages only consider rows that passed the
     row-local filters, and within a duplicate cluster the lowest doc_id
-    is kept."""
+    is kept.
+
+    `cache=True` persists the annotated frame(s) so the dedup joins do
+    not recompute the annotate projection per reference — recommended
+    whenever near_dedup is on (the frame is referenced by the minhash,
+    components, and final-join sides). The cached intermediates live
+    until evicted or `spark.catalog.clearCache()`."""
     t = F.col("_t")
     lang_pred, _ = lang_exprs(t)
     q = quality_exprs(t)
@@ -82,39 +89,44 @@ def prepare_corpus(
     if not (exact_dedup or near_dedup):
         return ann
 
-    survivors = ann.where(F.col("drop_reason").isNull())
-    dropped = ann.where(F.col("drop_reason").isNotNull())
+    if cache:
+        ann = ann.persist()
 
+    # dedup stages refine drop_reason via LEFT JOINS on the one annotated
+    # frame — no survivor/dropped union (which would re-scan the source
+    # once per branch); the annotate scan runs once per aggregation side
+    # plus once for the final join, or exactly once when cache=True
     if exact_dedup:
-        h = survivors.withColumn("_h", F.md5(F.col(text_col)))
-        canon = h.groupBy("_h").agg(F.min("doc_id").alias("_canon"))
-        survivors = (h.join(canon, on="_h")
-                     .withColumn("drop_reason",
-                                 F.when(F.col("doc_id") != F.col("_canon"),
-                                        F.lit("exact_dup")))
-                     .drop("_h", "_canon"))
-        dropped = dropped.unionByName(
-            survivors.where(F.col("drop_reason").isNotNull()))
-        survivors = survivors.where(F.col("drop_reason").isNull())
+        ann = ann.withColumn("_h", F.md5(F.col(text_col)))
+        canon = (ann.where(F.col("drop_reason").isNull())
+                 .groupBy("_h").agg(F.min("doc_id").alias("_canon")))
+        ann = (ann.join(canon, on="_h", how="left")
+               .withColumn("drop_reason",
+                           F.coalesce(
+                               F.col("drop_reason"),
+                               F.when(F.col("doc_id") != F.col("_canon"),
+                                      F.lit("exact_dup"))))
+               .drop("_h", "_canon"))
+        if cache and near_dedup:
+            ann = ann.persist()
 
     if near_dedup:
+        survivors = ann.where(F.col("drop_reason").isNull())
         pairs = minhash_lsh_dedup(survivors, text_col=text_col,
                                   threshold=jaccard_threshold)
         comps = duplicate_components(survivors, pairs,
                                      checkpoint=checkpoint)
-        survivors = (survivors
-                     .join(comps.select("doc_id", "is_canonical"),
-                           on="doc_id", how="left")
-                     .withColumn("drop_reason",
-                                 F.when(~F.coalesce("is_canonical",
-                                                    F.lit(True)),
-                                        F.lit("near_dup")))
-                     .drop("is_canonical"))
-        dropped = dropped.unionByName(
-            survivors.where(F.col("drop_reason").isNotNull()))
-        survivors = survivors.where(F.col("drop_reason").isNull())
+        ann = (ann.join(comps.select("doc_id",
+                                     F.col("is_canonical").alias("_can")),
+                        on="doc_id", how="left")
+               .withColumn("drop_reason",
+                           F.coalesce(
+                               F.col("drop_reason"),
+                               F.when(~F.coalesce("_can", F.lit(True)),
+                                      F.lit("near_dup"))))
+               .drop("_can"))
 
-    return survivors.unionByName(dropped)
+    return ann
 
 
 def corpus_report(prepared: DataFrame) -> DataFrame:
