@@ -725,6 +725,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = minhash_lsh_dedup(docs, threshold=0.4)
         return duplicate_components(docs, pairs)
 
+    def _trgm_index(spark, sf):
+        # per-run temp dir (same rationale as q31/q34): build the
+        # bucket-partitioned trigram postings + docstats and load them
+        import tempfile
+        from pg_ts_semantic_headline_spark.operators.trigram import (
+            build_trigram_index, load_trigram_index)
+        d = tempfile.mkdtemp(prefix="tsp_trgm_idx_")
+        build_trigram_index(_docs(spark, sf), d, n_buckets=16)
+        return load_trigram_index(spark, d)
+
+    def q40(spark, sf):
+        # substring search through the trigram index: AND-intersection
+        # candidates (bucket-pruned postings scan) + contains() verify —
+        # exact, so the oracle is plain `contains(lower(text), ...)`
+        from pg_ts_semantic_headline_spark.operators.trigram import (
+            substring_search)
+        return substring_search(_trgm_index(spark, sf), _docs(spark, sf),
+                                "merge join").select("doc_id")
+
+    def q41(spark, sf):
+        from pg_ts_semantic_headline_spark.operators.trigram import (
+            like_search)
+        return like_search(_trgm_index(spark, sf), _docs(spark, sf),
+                           "%batch%window%").select("doc_id")
+
+    def q42(spark, sf):
+        # regex search: required-literal trigram prefilter + rlike verify;
+        # the pattern stays in the Java∩RE2 common dialect so the DuckDB
+        # regexp_matches oracle is semantics-identical
+        from pg_ts_semantic_headline_spark.operators.trigram import (
+            regex_search)
+        return regex_search(_trgm_index(spark, sf), _docs(spark, sf),
+                            "batch [a-z]+ window").select("doc_id")
+
+    def q43(spark, sf):
+        # pg_trgm similarity: thresholded full score set (no top-k
+        # boundary, so e4 rounding cannot reorder across the cut)
+        from pg_ts_semantic_headline_spark.operators.trigram import (
+            similarity_scores)
+        return (similarity_scores(_trgm_index(spark, sf),
+                                  "merge join batch window", threshold=0.05)
+                .withColumn("sim_e4", _e4(F.col("similarity")))
+                .select("doc_id", "sim_e4"))
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -765,10 +809,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_standing": q37,
         "ivfpq_ann_topk": q38,
         "prepare_corpus": q39,
+        "trigram_substring_search": q40,
+        "trigram_like_search": q41,
+        "trigram_regex_search": q42,
+        "trigram_similarity": q43,
     }
 
 
 # ---------------------------------------------------------------- oracles
+
+def _trgm_similarity_sql(query: str, threshold: float) -> str:
+    """pg_trgm similarity restated in DuckDB: per-doc DISTINCT trigram set
+    (same lowercase/[a-z0-9]-run/2+1-pad recipe as `trigrams_col`), the
+    query's trigram literals inlined (driver-side `text_trigrams` mirror),
+    Jaccard over integer set sizes — the one double division is bit-stable
+    cross-engine."""
+    from pg_ts_semantic_headline_spark.operators.trigram import text_trigrams
+    qtg = sorted(text_trigrams(query))
+    lits = ", ".join(f"'{t}'" for t in qtg)
+    n_q = len(qtg)
+    sim = f"CAST(COALESCE(i.n_i, 0) AS DOUBLE) / (s.n_doc + {n_q} - COALESCE(i.n_i, 0))"
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(
+    string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS w
+  FROM documents
+),
+tg AS (
+  SELECT DISTINCT doc_id, substr('  ' || w || ' ', CAST(i AS INT), 3) AS tg
+  FROM words, unnest(generate_series(1, length(w) + 1)) AS s(i)
+),
+stats AS (SELECT doc_id, count(*) AS n_doc FROM tg GROUP BY doc_id),
+inter AS (
+  SELECT doc_id, count(*) AS n_i FROM tg WHERE tg IN ({lits}) GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(ROUND({sim} * 10000) AS BIGINT) AS sim_e4
+FROM stats s LEFT JOIN inter i USING (doc_id)
+WHERE {sim} >= {threshold}
+"""
+
 
 def _phrase_values(pairs) -> str:
     rows = []
@@ -1203,4 +1283,17 @@ SELECT d.doc_id,
        d.doc_id = LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS is_canonical
 FROM documents d LEFT JOIN mins m ON m.n = d.doc_id
 """,
+        # trigram searches are EXACT (index prunes, verify decides), so the
+        # oracles are the plain predicates with no trigram machinery
+        "trigram_substring_search": """
+SELECT doc_id FROM documents WHERE contains(lower(text), 'merge join')
+""",
+        "trigram_like_search": """
+SELECT doc_id FROM documents WHERE text LIKE '%batch%window%'
+""",
+        "trigram_regex_search": """
+SELECT doc_id FROM documents WHERE regexp_matches(text, 'batch [a-z]+ window')
+""",
+        "trigram_similarity": _trgm_similarity_sql(
+            "merge join batch window", 0.05),
     }

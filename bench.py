@@ -207,6 +207,31 @@ def main():
         percolate(sample, standing, config="simple").count()
         timings["percolate_1k_docs_4q"] = time.time() - t0
 
+        # trigram index: one-time build, then substring + LIKE + regex +
+        # similarity through the bucket-pruned postings (min-of-2 — these
+        # are short latency-style queries)
+        from pg_ts_semantic_headline_spark.operators.trigram import (
+            build_trigram_index, like_search, load_trigram_index,
+            regex_search, similarity_topk, substring_search)
+        raw_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        trgm_dir = tempfile.mkdtemp(prefix="tsp_bench_trgm_")
+        try:
+            t0 = time.time()
+            build_trigram_index(raw_docs, trgm_dir, n_buckets=32)
+            timings["trigram_index_build"] = time.time() - t0
+            trgm = load_trigram_index(spark, trgm_dir)
+
+            def run_trgm():
+                substring_search(trgm, raw_docs, "merge join").count()
+                like_search(trgm, raw_docs, "%batch%window%").count()
+                regex_search(trgm, raw_docs, "batch [a-z]+ window").count()
+                similarity_topk(trgm, "merge join batch window",
+                                k=10, threshold=0.05).collect()
+
+            timings["trigram_search_x4"] = min_of(run_trgm)
+        finally:
+            shutil.rmtree(trgm_dir, ignore_errors=True)
+
         # ad-hoc 1:1 ts_headline replacement (pg-style passage selection +
         # fast path over the passage only), normalized per 1k docs
         from pg_ts_semantic_headline_spark.plans.headline import (

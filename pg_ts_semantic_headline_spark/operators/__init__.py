@@ -26,4 +26,17 @@ from .similarity import (
     train_ivf_centroids,
 )
 from .pipeline import corpus_report, prepare_corpus
+from .trigram import (
+    TrigramIndex,
+    build_trigram_index,
+    like_search,
+    load_trigram_index,
+    pattern_trigrams,
+    regex_search,
+    similarity_col,
+    similarity_topk,
+    substring_search,
+    text_trigrams,
+    trigrams_col,
+)
 from .textstats import doc_fingerprint, lang_id, quality_score, token_counts

@@ -1,0 +1,329 @@
+"""Trigram index: pg_trgm-style substring / LIKE / regex acceleration and
+trigram similarity over a document corpus — the classic companion to the
+reference's fulltext pipeline for code-search workloads (identifiers and
+phrases that stemmed tsvector search cannot express).
+
+Semantics follow the published pg_trgm algorithm (PostgreSQL docs, module
+pg_trgm): lowercase the text, split into alphanumeric word runs, pad every
+word with two leading and one trailing space, and take every 3-character
+window. The trigram set of a document is the DISTINCT union over its words.
+We pin "alphanumeric" to ASCII [a-z0-9] so the Spark (Java regex) and
+DuckDB-oracle (RE2) extractions are bit-identical; anything else is a
+separator on both engines.
+
+Index layout (100 TB shape, mirrors plans/index_build.py):
+
+- postings/  bucket=<b>/ (tg, doc_id) distinct rows, directory-partitioned
+             by bucket = pmod(xxhash64(tg), n_buckets) and sorted by tg
+             within files, so a query's trigrams — computed DRIVER-side
+             with the pure-Python xxhash64 replica — prune to their bucket
+             directories and row-group ranges. No shuffle at query time:
+             scan → local partial agg → small AND-count agg.
+- docstats/  (doc_id, n_trigrams) — similarity's |T(doc)| without touching
+             postings twice.
+- meta/      n_buckets.
+
+Query planning:
+
+- substring/LIKE/regex: extract trigrams that MUST occur in any matching
+  document (see `pattern_trigrams`); candidates are docs containing ALL of
+  them (AND-intersection = count == n over the pruned postings scan), then
+  an exact verify (`contains` / `LIKE` / `rlike`) on only the candidate
+  rows makes the result exact — recall is guaranteed because a literal
+  occurrence implies every required trigram is present. Patterns too short
+  to yield a trigram degrade to a full-scan verify, loudly (warnings.warn —
+  the no-silent-caps rule).
+- similarity: |T(a) ∩ T(b)| / |T(a) ∪ T(b)| exactly as pg_trgm's
+  `similarity()`. Indexed form joins the query's trigram literals against
+  the pruned postings and the docstats table; the ad-hoc form is one pass
+  of pure column algebra (array_intersect), no shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+import warnings
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.xxhash import term_bucket
+
+_RUN_RE = re.compile(r"[a-z0-9]+")
+
+#: Required-trigram literal lists are capped: using a SUBSET of the required
+#: trigrams is still sound (candidates only widen), and unbounded IN-lists
+#: cost planning time (the WAND literal-IN lesson). Never silent: we warn.
+MAX_QUERY_TRIGRAMS = 64
+
+
+# ------------------------------------------------------------- extraction
+
+def trigrams_col(text_col: str) -> F.Column:
+    """DISTINCT pg_trgm trigram array of a text column, as a pure JVM
+    column expression (whole-stage codegen; no Python in the build path)."""
+    words = (f"filter(split(regexp_replace(lower(coalesce({text_col}, '')),"
+             f" '[^a-z0-9]+', ' '), ' '), w -> w <> '')")
+    padded = f"transform({words}, w -> concat('  ', w, ' '))"
+    return F.expr(
+        f"array_distinct(flatten(transform({padded}, pw -> "
+        f"transform(sequence(1, length(pw) - 2), i -> substring(pw, i, 3)))))")
+
+
+def text_trigrams(text: str) -> set[str]:
+    """Driver-side mirror of `trigrams_col` (full pad on both word edges):
+    the trigram set of a standalone string, e.g. a similarity query."""
+    out: set[str] = set()
+    for run in _RUN_RE.findall((text or "").lower()):
+        padded = f"  {run} "
+        out.update(padded[i:i + 3] for i in range(len(padded) - 2))
+    return out
+
+
+def pattern_trigrams(pattern: str) -> list[str]:
+    """Trigrams REQUIRED in any text containing `pattern` as a substring.
+
+    For each lowercased [a-z0-9] run of the pattern: a run edge that abuts
+    a non-alnum character INSIDE the pattern is a word boundary in any
+    matching text too, so it earns pg_trgm padding ('  ' left / ' ' right);
+    a run edge at the pattern's own boundary has unknown context and gets
+    no pad. Every 3-window of the (partially padded) run is then required:
+    if the pattern occurs, the containing word's padded form contains each
+    of these windows, so each is in the document's trigram set. Sorted for
+    determinism."""
+    low = (pattern or "").lower()
+    out: set[str] = set()
+    for m in _RUN_RE.finditer(low):
+        run = m.group(0)
+        if m.start() > 0:
+            run = "  " + run
+        if m.end() < len(low):
+            run = run + " "
+        out.update(run[i:i + 3] for i in range(len(run) - 2))
+    return sorted(out)
+
+
+def like_pattern_trigrams(pattern: str) -> list[str]:
+    """Required trigrams for a SQL LIKE pattern: each literal piece between
+    `%` / `_` wildcards must occur as a substring, so the requirement is the
+    union of the pieces' `pattern_trigrams`. Escape sequences are not
+    supported (engines disagree on default LIKE escapes); a backslash is
+    treated as an ordinary separator character."""
+    out: set[str] = set()
+    for piece in re.split(r"[%_]", pattern or ""):
+        out.update(pattern_trigrams(piece))
+    return sorted(out)
+
+
+_REGEX_META = set(".[](){}|?*+^$\\")
+
+
+def regex_required_trigrams(pattern: str) -> list[str]:
+    """CONSERVATIVE required-trigram extraction from a regex: collect
+    maximal literal-character runs, treating any metacharacter as an opaque
+    gap; a `?`/`*`/`{` quantifier makes the PRECEDING literal optional, so
+    it is dropped from its run. Top-level alternation `|` means no single
+    literal is required — return [] (full-scan verify). This is the safe
+    subset of pg_trgm's regex trigram-graph analysis: every returned
+    trigram is genuinely required, and [] is always a sound answer.
+    A quantified GROUP (`(...)?` / `(...)*` / `(...){`) would need group
+    structure to reason about, so it also bails to [] — `(...)+` is fine
+    (the body occurs at least once)."""
+    if "|" in pattern or re.search(r"\)[?*{]", pattern):
+        return []
+    pieces: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\":
+            # escaped char: literal only for non-class escapes of plain chars
+            if i + 1 < n and pattern[i + 1] not in "wWdDsSbBAZ" \
+                    and not pattern[i + 1].isdigit():
+                cur.append(pattern[i + 1])
+            else:
+                pieces.append("".join(cur)); cur = []
+            i += 2
+            continue
+        if ch in "?*{":
+            if cur:
+                cur.pop()          # preceding literal is optional
+            pieces.append("".join(cur)); cur = []
+            # skip a {m,n} body so its digits aren't read as literals
+            if ch == "{":
+                end = pattern.find("}", i)
+                i = (end + 1) if end >= 0 else n
+                continue
+        elif ch in _REGEX_META:
+            pieces.append("".join(cur)); cur = []
+            if ch == "[":          # skip the whole character class
+                end = i + 1
+                if end < n and pattern[end] == "^":
+                    end += 1
+                if end < n and pattern[end] == "]":
+                    end += 1
+                while end < n and pattern[end] != "]":
+                    end += 2 if pattern[end] == "\\" else 1
+                i = end
+        else:
+            cur.append(ch)
+        i += 1
+    pieces.append("".join(cur))
+    out: set[str] = set()
+    for piece in pieces:
+        out.update(pattern_trigrams(piece))
+    return sorted(out)
+
+
+# ------------------------------------------------------------------ build
+
+def build_trigram_index(docs: DataFrame, out_dir: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_buckets: int = 64) -> None:
+    """One pass over the corpus: explode the codegen'd trigram array into
+    DISTINCT (tg, doc_id) postings, hash-bucket by trigram for directory
+    pruning, sort by tg within files for row-group pruning. docstats rides
+    the same exploded frame (second agg over the shuffle output, not a
+    second corpus scan)."""
+    spark = docs.sparkSession
+    parts = max(spark.sparkContext.defaultParallelism, n_buckets)
+    tgs = (docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(trigrams_col(text_col)).alias("tg"))
+           .withColumn("bucket",
+                       F.pmod(F.xxhash64("tg"), F.lit(n_buckets)).cast("int"))
+           .repartitionByRange(parts, "bucket", "tg", "doc_id")
+           .sortWithinPartitions("bucket", "tg", "doc_id"))
+    tgs.persist()
+    (tgs.write.mode("overwrite").partitionBy("bucket")
+        .parquet(f"{out_dir}/postings"))
+    (tgs.groupBy("doc_id").agg(F.count("*").alias("n_trigrams"))
+        .write.mode("overwrite").parquet(f"{out_dir}/docstats"))
+    tgs.unpersist()
+    spark.createDataFrame([(n_buckets,)], "n_buckets int") \
+        .write.mode("overwrite").parquet(f"{out_dir}/meta")
+
+
+class TrigramIndex:
+    """Loaded handle: meta read once; each query is bucket-pruned scans."""
+
+    def __init__(self, spark: SparkSession, out_dir: str, n_buckets: int):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.n_buckets = n_buckets
+        self.postings = spark.read.parquet(f"{out_dir}/postings")
+        self.docstats = spark.read.parquet(f"{out_dir}/docstats")
+
+    # ---- candidate generation (AND-intersection over required trigrams)
+
+    def _pruned(self, trigrams: list[str]) -> DataFrame:
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in trigrams})
+        return self.postings.where(F.col("bucket").isin(buckets)
+                                   & F.col("tg").isin(list(trigrams)))
+
+    def candidate_ids(self, required: list[str]) -> DataFrame | None:
+        """doc_ids containing ALL `required` trigrams; None means "no
+        pruning possible" (empty requirement). Postings are distinct, so
+        membership count == len(required) is the AND."""
+        if not required:
+            return None
+        if len(required) > MAX_QUERY_TRIGRAMS:
+            warnings.warn(
+                f"trigram requirement capped at {MAX_QUERY_TRIGRAMS} of "
+                f"{len(required)} trigrams (candidates widen, result stays "
+                "exact)", stacklevel=2)
+            required = required[:MAX_QUERY_TRIGRAMS]
+        return (self._pruned(required)
+                .groupBy("doc_id").agg(F.count("*").alias("_n"))
+                .where(F.col("_n") == len(required))
+                .select("doc_id"))
+
+
+def load_trigram_index(spark: SparkSession, out_dir: str) -> TrigramIndex:
+    meta = spark.read.parquet(f"{out_dir}/meta").first()
+    return TrigramIndex(spark, out_dir, int(meta["n_buckets"]))
+
+
+# ----------------------------------------------------------------- search
+
+def _verified(index: TrigramIndex, docs: DataFrame, required: list[str],
+              verify: F.Column, id_col: str, kind: str) -> DataFrame:
+    cands = index.candidate_ids(required)
+    if cands is None:
+        warnings.warn(f"{kind} pattern yields no required trigram — "
+                      "falling back to a full-scan verify", stacklevel=3)
+        return docs.where(verify)
+    return (docs.join(cands.withColumnRenamed("doc_id", id_col),
+                      on=id_col, how="left_semi")
+            .where(verify))
+
+
+def substring_search(index: TrigramIndex, docs: DataFrame, pattern: str,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     case_sensitive: bool = False) -> DataFrame:
+    """Rows of `docs` whose text contains `pattern` — exact (index prunes,
+    `contains` verifies). Case-insensitive by default, like pg_trgm ILIKE
+    acceleration; the trigram prefilter is case-insensitive either way."""
+    hay = F.col(text_col) if case_sensitive else F.lower(F.col(text_col))
+    needle = pattern if case_sensitive else pattern.lower()
+    return _verified(index, docs, pattern_trigrams(pattern),
+                     F.contains(hay, F.lit(needle)), id_col, "substring")
+
+
+def like_search(index: TrigramIndex, docs: DataFrame, pattern: str,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Rows matching a SQL LIKE pattern (case-sensitive, no escapes)."""
+    return _verified(index, docs, like_pattern_trigrams(pattern),
+                     F.col(text_col).like(pattern), id_col, "LIKE")
+
+
+def regex_search(index: TrigramIndex, docs: DataFrame, pattern: str,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Rows whose text matches `pattern` (unanchored, Java regex). The
+    trigram prefilter uses only literals PROVABLY required by the regex;
+    alternation or an all-optional pattern degrades to full-scan verify."""
+    return _verified(index, docs, regex_required_trigrams(pattern),
+                     F.col(text_col).rlike(pattern), id_col, "regex")
+
+
+# ------------------------------------------------------------- similarity
+
+def similarity_scores(index: TrigramIndex, query: str,
+                      threshold: float = 0.0) -> DataFrame:
+    """(doc_id, similarity) for every doc with similarity >= threshold,
+    where similarity is pg_trgm's |T(doc) ∩ T(query)| / |T(doc) ∪ T(query)|.
+    Docs sharing no trigram have similarity 0 and only appear when
+    threshold == 0. Both set sizes are integers computed identically on
+    both engines, so the one double division is bit-stable cross-engine."""
+    qtg = sorted(text_trigrams(query))
+    n_q = len(qtg)
+    if n_q == 0:
+        return index.docstats.select(
+            "doc_id", F.lit(0.0).alias("similarity")).where(F.lit(threshold) <= 0.0)
+    inter = (index._pruned(qtg)
+             .groupBy("doc_id").agg(F.count("*").alias("_inter")))
+    sim = (index.docstats.join(inter, on="doc_id", how="left")
+           .select("doc_id",
+                   (F.coalesce("_inter", F.lit(0)).cast("double")
+                    / (F.col("n_trigrams") + F.lit(n_q)
+                       - F.coalesce("_inter", F.lit(0))))
+                   .alias("similarity")))
+    return sim.where(F.col("similarity") >= threshold)
+
+
+def similarity_topk(index: TrigramIndex, query: str, k: int = 10,
+                    threshold: float = 0.0) -> DataFrame:
+    """Top-k most-similar docs; deterministic ties by doc_id."""
+    return (similarity_scores(index, query, threshold)
+            .orderBy(F.desc("similarity"), F.asc("doc_id")).limit(k))
+
+
+def similarity_col(text_col: str, query: str) -> F.Column:
+    """Ad-hoc (index-free) pg_trgm similarity of a text column against a
+    literal query: one pass of column algebra, no shuffle."""
+    qtg = sorted(text_trigrams(query))
+    if not qtg:
+        return F.lit(0.0)
+    q = F.array(*[F.lit(t) for t in qtg])
+    d = trigrams_col(text_col)
+    inter = F.size(F.array_intersect(d, q)).cast("double")
+    return inter / (F.size(d) + F.lit(len(qtg)) - inter)

@@ -1,0 +1,212 @@
+"""Trigram index: extraction parity, substring/LIKE/regex exactness vs
+brute force, required-trigram soundness, similarity math, bucket pruning."""
+
+import re
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_ts_semantic_headline_spark.operators.trigram import (
+    build_trigram_index,
+    like_pattern_trigrams,
+    like_search,
+    load_trigram_index,
+    pattern_trigrams,
+    regex_required_trigrams,
+    regex_search,
+    similarity_col,
+    similarity_topk,
+    substring_search,
+    text_trigrams,
+    trigrams_col,
+)
+
+CORPUS = [
+    (0, "merge join over the batch window"),
+    (1, "Merge JOIN again: merge join!"),
+    (2, "a b c short words only"),
+    (3, ""),
+    (4, None),
+    (5, "batch batch window spark merge sort"),
+    (6, "self-merge joints are not merge join s"),
+    (7, "ünïcode merge join tëst 42x"),
+    (8, "the quick brown fox jumps over the lazy dog"),
+    (9, "sparkly remerge joinery"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus_df):
+    d = tempfile.mkdtemp(prefix="tsp_trgm_test_")
+    build_trigram_index(corpus_df, d, n_buckets=8)
+    yield load_trigram_index(spark, d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def brute_contains(pattern):
+    return sorted(i for i, t in CORPUS
+                  if t is not None and pattern.lower() in t.lower())
+
+
+def ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+# ------------------------------------------------------------- extraction
+
+def test_trigrams_col_matches_python_mirror(spark, corpus_df):
+    rows = corpus_df.select("doc_id",
+                            trigrams_col("text").alias("tg")).collect()
+    for r in rows:
+        text = dict(CORPUS)[r["doc_id"]]
+        assert sorted(r["tg"]) == sorted(text_trigrams(text or ""))
+
+
+def test_word_padding_shape():
+    assert text_trigrams("ab") == {"  a", " ab", "ab "}
+    assert text_trigrams("a") == {"  a", " a "}
+    assert text_trigrams("") == set()
+    # dedup across repeated words
+    assert text_trigrams("ab ab") == {"  a", " ab", "ab "}
+
+
+def test_pattern_trigrams_edges_unpadded():
+    # edge runs get no pad on the pattern boundary, inner boundaries do
+    assert pattern_trigrams("merge join") == sorted(
+        {"mer", "erg", "rge", "ge ", "  j", " jo", "joi", "oin"})
+    # short edge runs yield nothing; internally-bounded short runs pad up
+    assert pattern_trigrams("a b") == ["  b"]
+    assert pattern_trigrams("xy") == []
+
+
+def test_like_pattern_trigrams_union():
+    got = like_pattern_trigrams("%merge%join%")
+    assert set(got) == set(pattern_trigrams("merge")) | set(
+        pattern_trigrams("join"))
+
+
+# ------------------------------------------------- soundness (recall) law
+
+def test_required_trigrams_always_present_in_matching_text():
+    # For every corpus text containing the pattern, every required trigram
+    # must be in the text's trigram set — the law candidate pruning rests on.
+    for pattern in ["merge join", "batch window", "e jo", "a b c",
+                    "self-merge", "42x", "ge joi"]:
+        req = set(pattern_trigrams(pattern))
+        for _i, text in CORPUS:
+            if text and pattern.lower() in text.lower():
+                assert req <= text_trigrams(text), (pattern, text)
+
+
+def test_regex_required_trigrams_sound():
+    cases = [
+        (r"merge\s+join", ["merge join", "merge  join"]),
+        (r"mer(ge)+ join", ["merge join"]),
+        (r"batch.{1,3}window", ["batch window"]),
+        (r"jo[a-z]n", ["joan", "john"]),
+        (r"(optional)*merge", ["merge", "optionalmerge"]),
+        (r"a|b", ["a", "b"]),
+    ]
+    for pattern, examples in cases:
+        req = set(regex_required_trigrams(pattern))
+        for ex in examples:
+            assert re.search(pattern, ex)
+            assert req <= text_trigrams(ex), (pattern, ex)
+    # quantified group must NOT require its body (conservative total bail)
+    assert regex_required_trigrams(r"(optional)*merge") == []
+    assert regex_required_trigrams(r"a|b") == []
+    # pieces keep their in-pattern boundaries: " join" is word-initial
+    assert regex_required_trigrams(r"mer(ge)+ join") == sorted(
+        set(pattern_trigrams("mer")) | set(pattern_trigrams(" join")))
+
+
+# ----------------------------------------------------------------- search
+
+def test_substring_search_exact(spark, index, corpus_df):
+    for pattern in ["merge join", "batch window", "zzz-nothing",
+                    "MERGE JOIN", "a b c", "42x"]:
+        got = ids(substring_search(index, corpus_df, pattern))
+        assert got == brute_contains(pattern), pattern
+
+
+def test_substring_case_sensitive(spark, index, corpus_df):
+    got = ids(substring_search(index, corpus_df, "Merge JOIN",
+                               case_sensitive=True))
+    assert got == [1]
+
+
+def test_substring_short_pattern_full_scan_warns(spark, index, corpus_df):
+    with pytest.warns(UserWarning, match="full-scan"):
+        got = ids(substring_search(index, corpus_df, "ox"))
+    assert got == [8]
+
+
+def test_like_search_exact(spark, index, corpus_df):
+    for pattern in ["%merge join%", "%batch%spark%", "merge join%",
+                    "%joinery", "%no_such_thing%"]:
+        expect = sorted(
+            r["doc_id"] for r in
+            corpus_df.where(F.col("text").like(pattern)).collect())
+        assert ids(like_search(index, corpus_df, pattern)) == expect, pattern
+
+
+def test_regex_search_exact(spark, index, corpus_df):
+    for pattern in [r"merge\s+join", r"batch.{0,2}window",
+                    r"(sort|spark)", r"jo[a-z]+n"]:
+        expect = sorted(
+            i for i, t in CORPUS if t is not None and re.search(pattern, t))
+        assert ids(regex_search(index, corpus_df, pattern)) == expect, pattern
+
+
+def test_candidates_actually_prune(spark, index, corpus_df):
+    # the pruned candidate set must be a strict subset of the corpus for a
+    # selective pattern (i.e. the index is consulted, not just the verify)
+    cands = index.candidate_ids(pattern_trigrams("quick brown fox"))
+    assert ids(cands) == [8]
+    # and the postings scan carries partition filters on the bucket column
+    plan = index._pruned(pattern_trigrams("quick brown fox")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan
+
+
+# ------------------------------------------------------------- similarity
+
+def py_similarity(a, b):
+    ta, tb = text_trigrams(a or ""), text_trigrams(b or "")
+    if not ta and not tb:
+        return 0.0
+    return len(ta & tb) / len(ta | tb)
+
+
+def test_similarity_matches_brute_force(spark, index):
+    q = "merge join batch"
+    got = {r["doc_id"]: r["similarity"]
+           for r in similarity_topk(index, q, k=20).collect()}
+    for i, t in CORPUS:
+        expect = py_similarity(t, q)
+        if t:  # empty/null docs have no trigrams -> no docstats row
+            assert got[i] == pytest.approx(expect, abs=1e-12), i
+
+
+def test_similarity_threshold_and_order(spark, index):
+    rows = similarity_topk(index, "merge join", k=3, threshold=0.1).collect()
+    sims = [r["similarity"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(s >= 0.1 for s in sims)
+
+
+def test_similarity_col_adhoc_matches_indexed(spark, index, corpus_df):
+    q = "batch window spark"
+    adhoc = {r["doc_id"]: r["s"] for r in corpus_df.select(
+        "doc_id", similarity_col("text", q).alias("s")).collect()}
+    indexed = {r["doc_id"]: r["similarity"]
+               for r in similarity_topk(index, q, k=20).collect()}
+    for i in indexed:
+        assert adhoc[i] == pytest.approx(indexed[i], abs=1e-12)
