@@ -769,6 +769,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("sim_e4", _e4(F.col("similarity")))
                 .select("doc_id", "sim_e4"))
 
+    def q44(spark, sf):
+        # sliding-window chunking: stride 24, overlap 8 — small enough
+        # that multi-chunk docs exist at gate scale
+        from pg_ts_semantic_headline_spark.operators.chunking import (
+            chunk_documents)
+        return chunk_documents(_docs(spark, sf), chunk_tokens=32, overlap=8)
+
+    def q45(spark, sf):
+        # expected-budget stratified sampling; the md5-derived uniform and
+        # the per-stratum totals are bit-identical cross-engine, so the
+        # kept row set is exactly reproducible in SQL
+        from pg_ts_semantic_headline_spark.operators.chunking import (
+            sample_token_budget)
+        return (sample_token_budget(_docs(spark, sf), budget_tokens=2000,
+                                    stratify_by="lang")
+                .select("doc_id", "lang", "n_tokens"))
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -813,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_like_search": q41,
         "trigram_regex_search": q42,
         "trigram_similarity": q43,
+        "chunk_documents": q44,
+        "sample_token_budget": q45,
     }
 
 
@@ -1296,4 +1315,42 @@ SELECT doc_id FROM documents WHERE regexp_matches(text, 'batch [a-z]+ window')
 """,
         "trigram_similarity": _trgm_similarity_sql(
             "merge join batch window", 0.05),
+        # sliding-window chunking: chunk 32, overlap 8, stride 24; start
+        # emitted iff 0 or < n - overlap (no tail chunk inside predecessor)
+        "chunk_documents": r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+t2 AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+  WHERE len(toks) > 0 AND NOT (len(toks) = 1 AND toks[1] = '')
+),
+c AS (
+  SELECT doc_id, toks, n, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_id
+  FROM t2, unnest(generate_series(0, n - 1, 24)) AS u(s)
+  WHERE s = 0 OR s < n - 8
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS start_token,
+       CAST(least(32, n - s) AS BIGINT) AS n_tokens,
+       array_to_string(toks[CAST(s + 1 AS INT):CAST(s + 32 AS INT)], ' ')
+         AS chunk_text
+FROM c
+""",
+        # expected-budget sample: keep iff md5-uniform(doc_id) <
+        # min(1, budget / stratum_total) — same doubles both engines
+        "sample_token_budget": r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents WHERE text IS NOT NULL
+),
+tot AS (SELECT lang, sum(n_tokens) AS st FROM t GROUP BY lang)
+SELECT t.doc_id, t.lang, CAST(t.n_tokens AS BIGINT) AS n_tokens
+FROM t JOIN tot USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 < least(1.0, 2000.0 / tot.st)
+""",
     }

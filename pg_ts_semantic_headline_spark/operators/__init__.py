@@ -25,6 +25,11 @@ from .similarity import (
     lsh_ann_topk,
     train_ivf_centroids,
 )
+from .chunking import (
+    chunk_documents,
+    sample_token_budget,
+    sample_token_budget_exact,
+)
 from .pipeline import corpus_report, prepare_corpus
 from .trigram import (
     TrigramIndex,

@@ -1,0 +1,115 @@
+"""Training-data chunking and token-budget sampling — the two steps between
+a cleaned corpus (operators/pipeline.py) and an actual training mix.
+
+Both are pure column algebra (whole-stage codegen, no Python, no UDFs), and
+both are deterministic so they carry DuckDB oracles.
+
+Chunking contract (`chunk_documents`): whitespace tokens (the same `\\s+`
+split `token_counts` uses), sliding windows of `chunk_tokens` with
+`overlap` tokens shared between consecutive chunks (stride = chunk −
+overlap). Window starts are 0, stride, 2·stride, …; a start is emitted iff
+it is 0 or begins before `n_tokens − overlap`, which covers every token
+exactly once past the overlap and never emits a tail chunk wholly contained
+in its predecessor. The final chunk truncates at the document end.
+
+Sampling contract (`sample_token_budget`): per-stratum expected-size
+sampling to a token budget with NO sort and NO window — the 100 TB shape.
+One small aggregation computes each stratum's total token count; each row
+keeps with probability `min(1, budget / total)` decided by a uniform drawn
+from `md5(id)` (md5 because both Spark and DuckDB ship it bit-identically;
+the draw is a pure function of the row id, so the sample is reproducible
+and join-stable across engines and runs). `sample_token_budget_exact` is
+the exact-prefix variant — cumulative token counts over the same md5 order
+— costing a per-stratum sort; use it when strata are modest (it is also
+the oracle shape for pinning the approximate variant's math in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import _tok
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int = 512,
+                    overlap: int = 0, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, chunk_id, start_token, n_tokens, chunk_text) — one row per
+    sliding window. chunk_id is the 0-based window ordinal; start_token is
+    its 0-based first-token offset. Empty/NULL docs emit nothing."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = _tok(F.col(text_col))
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size("_toks") - 1, F.lit(0)),
+                   F.lit(stride)),
+        lambda s: (s == 0) | (s < F.size("_toks") - overlap))
+    return (df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+            .where((F.size("_toks") > 0)
+                   & ~((F.size("_toks") == 1) & (F.element_at("_toks", 1) == "")))
+            .select("doc_id", "_toks",
+                    F.posexplode(starts).alias("chunk_id", "start_token"))
+            .select(
+                "doc_id",
+                F.col("chunk_id").cast("long"),
+                F.col("start_token").cast("long"),
+                F.least(F.lit(chunk_tokens),
+                        F.size("_toks") - F.col("start_token"))
+                .cast("long").alias("n_tokens"),
+                F.array_join(F.slice("_toks", F.col("start_token") + 1,
+                                     chunk_tokens), " ").alias("chunk_text")))
+
+
+def _uniform_from_id(id_col) -> F.Column:
+    """Deterministic uniform in [0, 1): the first 8 hex digits of
+    md5(cast(id as string)) over 16^8. Bit-identical in Spark and DuckDB."""
+    return (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                   16, 10).cast("double") / F.lit(float(16 ** 8)))
+
+
+def sample_token_budget(df: DataFrame, budget_tokens: int,
+                        stratify_by: str | None = None,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Expected-budget sample: keeps each row of a stratum with probability
+    min(1, budget / stratum_total_tokens), so the kept token count has
+    expectation ≈ budget per stratum. Two jobs: a tiny per-stratum totals
+    aggregate (broadcast back), then a shuffle-free filter — no sort, no
+    window, executor-parallel at any scale. Adds `n_tokens`."""
+    strata = [stratify_by] if stratify_by else []
+    with_n = (df.withColumn("n_tokens",
+                            F.size(_tok(F.col(text_col))).cast("long"))
+              .where(F.col("n_tokens").isNotNull()))
+    totals = (with_n.groupBy(*strata)
+              .agg(F.sum("n_tokens").alias("_stratum_tokens")))
+    joined = (with_n.join(F.broadcast(totals), on=strata)
+              if strata else with_n.crossJoin(F.broadcast(totals)))
+    frac = F.least(F.lit(1.0),
+                   F.lit(float(budget_tokens)) / F.col("_stratum_tokens"))
+    return (joined.where(_uniform_from_id(id_col) < frac)
+            .drop("_stratum_tokens"))
+
+
+def sample_token_budget_exact(df: DataFrame, budget_tokens: int,
+                              stratify_by: str | None = None,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Exact-prefix variant: walk each stratum in md5(id) order and keep
+    rows while the running token total stays ≤ budget (the first row of a
+    stratum is always kept so a budget below the smallest doc still yields
+    data). Costs a per-stratum sort — fine for bounded strata, wrong for a
+    single 100 TB stratum; use `sample_token_budget` there."""
+    strata = [stratify_by] if stratify_by else []
+    with_n = (df.withColumn("n_tokens",
+                            F.size(_tok(F.col(text_col))).cast("long"))
+              .where(F.col("n_tokens").isNotNull()))
+    w = (Window.partitionBy(*strata) if strata else Window.partitionBy()) \
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (with_n
+            .withColumn("_cum", F.sum("n_tokens").over(w))
+            .where((F.col("_cum") <= budget_tokens)
+                   | (F.col("_cum") == F.col("n_tokens")))
+            .drop("_cum"))

@@ -1,0 +1,117 @@
+"""Chunking + token-budget sampling: window math, coverage invariants,
+budget expectation, exact-prefix semantics, determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_ts_semantic_headline_spark.operators.chunking import (
+    chunk_documents,
+    sample_token_budget,
+    sample_token_budget_exact,
+)
+
+DOCS = [
+    (0, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", "en"),       # 10 tokens
+    (1, "a b c", "en"),                                # 3 tokens (< chunk)
+    (2, "", "de"),                                     # empty -> no chunks
+    (3, None, "de"),                                   # null  -> no chunks
+    (4, " ".join(f"w{i}" for i in range(25)), "de"),   # 25 tokens
+    (5, "solo", "fr"),                                 # 1 token
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+
+
+def test_chunk_windows_and_truncation(spark, docs):
+    rows = {(r["doc_id"], r["chunk_id"]): r
+            for r in chunk_documents(docs, chunk_tokens=8,
+                                     overlap=4).collect()}
+    # doc 0: 10 tokens, stride 4, starts 0 and 4 (8 >= 10-4 dropped)
+    assert {(d, c) for d, c in rows if d == 0} == {(0, 0), (0, 1)}
+    assert rows[(0, 0)]["chunk_text"] == "t0 t1 t2 t3 t4 t5 t6 t7"
+    assert rows[(0, 1)]["chunk_text"] == "t4 t5 t6 t7 t8 t9"
+    assert rows[(0, 1)]["start_token"] == 4
+    assert rows[(0, 1)]["n_tokens"] == 6
+    # short doc: one whole-doc chunk
+    assert rows[(1, 0)]["chunk_text"] == "a b c"
+    assert rows[(1, 0)]["n_tokens"] == 3
+    # empty/null docs emit nothing
+    assert not any(d in (2, 3) for d, _ in rows)
+    # 25 tokens, stride 4: starts 0,4,8,12,16,20 (24 >= 25-4 dropped)
+    assert sorted(c for d, c in rows if d == 4) == list(range(6))
+
+
+def test_chunk_coverage_invariant(spark, docs):
+    # every token index is covered by at least one chunk, and consecutive
+    # chunks overlap by exactly `overlap` (except the truncated last one)
+    for chunk_tokens, overlap in [(8, 4), (8, 0), (5, 2), (32, 8)]:
+        chunks = chunk_documents(docs, chunk_tokens, overlap).collect()
+        by_doc = {}
+        for r in chunks:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for doc_id, text, _lang in DOCS:
+            n = len(text.split()) if text else 0
+            got = sorted(by_doc.get(doc_id, []),
+                         key=lambda r: r["start_token"])
+            if n == 0:
+                assert got == []
+                continue
+            covered = set()
+            for r in got:
+                covered |= set(range(r["start_token"],
+                                     r["start_token"] + r["n_tokens"]))
+                assert r["n_tokens"] <= chunk_tokens
+            assert covered == set(range(n)), (doc_id, chunk_tokens, overlap)
+
+
+def test_chunk_rejects_bad_overlap(spark, docs):
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_sample_budget_expectation_and_determinism(spark, docs):
+    s1 = sorted(r["doc_id"] for r in
+                sample_token_budget(docs, 10 ** 9,
+                                    stratify_by="lang").collect())
+    # budget >= total tokens -> keep probability 1 -> everything kept
+    assert s1 == [0, 1, 2, 4, 5]  # null-text doc 3 drops (no token count)
+    s2 = sample_token_budget(docs, 20, stratify_by="lang").collect()
+    s3 = sample_token_budget(docs, 20, stratify_by="lang").collect()
+    assert sorted(r["doc_id"] for r in s2) == sorted(
+        r["doc_id"] for r in s3)  # same hash draw every run
+    for r in s2:
+        assert r["n_tokens"] == len(
+            (dict((d, t) for d, t, _l in DOCS)[r["doc_id"]] or "x").split())
+
+
+def test_sample_budget_unstratified(spark, docs):
+    kept = sample_token_budget(docs, 10 ** 9).collect()
+    assert sorted(r["doc_id"] for r in kept) == [0, 1, 2, 4, 5]
+
+
+def test_sample_exact_prefix(spark, docs):
+    # en stratum: docs 0 (10 tok) and 1 (3 tok); md5 order decides prefix
+    kept = sample_token_budget_exact(docs, 11, stratify_by="lang").collect()
+    en = sorted(r["doc_id"] for r in kept if r["lang"] == "en")
+    # budget 11 fits exactly one of the two en docs, whichever hashes first
+    assert len(en) == 1
+    # a huge budget keeps both
+    kept_all = sample_token_budget_exact(docs, 10 ** 9,
+                                         stratify_by="lang").collect()
+    assert sorted(r["doc_id"] for r in kept_all
+                  if r["lang"] == "en") == [0, 1]
+    # first row of a stratum survives even under an impossible budget
+    kept_min = sample_token_budget_exact(docs, 1, stratify_by="lang").collect()
+    assert {r["lang"] for r in kept_min} >= {"en", "fr"}
+
+
+def test_sample_exact_cumsum_respects_budget(spark, docs):
+    kept = sample_token_budget_exact(docs, 12, stratify_by="lang").collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], []).append(r["n_tokens"])
+    for lang, toks in by_lang.items():
+        assert sum(toks) <= 12 or len(toks) == 1, (lang, toks)
