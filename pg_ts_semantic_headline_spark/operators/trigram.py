@@ -180,25 +180,28 @@ def regex_required_trigrams(pattern: str) -> list[str]:
 def build_trigram_index(docs: DataFrame, out_dir: str,
                         id_col: str = "doc_id", text_col: str = "text",
                         n_buckets: int = 64) -> None:
-    """One pass over the corpus: explode the codegen'd trigram array into
-    DISTINCT (tg, doc_id) postings, hash-bucket by trigram for directory
-    pruning, sort by tg within files for row-group pruning. docstats rides
-    the same exploded frame (second agg over the shuffle output, not a
-    second corpus scan)."""
+    """Two cheap codegen passes, nothing persisted: (1) explode the
+    trigram array into DISTINCT (tg, doc_id) postings, range-partition on
+    (bucket, tg, doc_id) — hot trigrams split across reducers at doc_id
+    granularity, the main index build's skew treatment — and write
+    bucket-partitioned, tg-sorted files; (2) docstats is just
+    `size(trigrams_col)` per doc — a narrow shuffle-free projection, no
+    re-aggregation of the exploded frame, so the postings never need to be
+    cached (at 100 TB the exploded frame is corpus-sized × expansion)."""
     spark = docs.sparkSession
     parts = max(spark.sparkContext.defaultParallelism, n_buckets)
-    tgs = (docs.select(F.col(id_col).alias("doc_id"),
-                       F.explode(trigrams_col(text_col)).alias("tg"))
-           .withColumn("bucket",
-                       F.pmod(F.xxhash64("tg"), F.lit(n_buckets)).cast("int"))
-           .repartitionByRange(parts, "bucket", "tg", "doc_id")
-           .sortWithinPartitions("bucket", "tg", "doc_id"))
-    tgs.persist()
-    (tgs.write.mode("overwrite").partitionBy("bucket")
-        .parquet(f"{out_dir}/postings"))
-    (tgs.groupBy("doc_id").agg(F.count("*").alias("n_trigrams"))
-        .write.mode("overwrite").parquet(f"{out_dir}/docstats"))
-    tgs.unpersist()
+    (docs.select(F.col(id_col).alias("doc_id"),
+                 F.explode(trigrams_col(text_col)).alias("tg"))
+         .withColumn("bucket",
+                     F.pmod(F.xxhash64("tg"), F.lit(n_buckets)).cast("int"))
+         .repartitionByRange(parts, "bucket", "tg", "doc_id")
+         .sortWithinPartitions("bucket", "tg", "doc_id")
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(f"{out_dir}/postings"))
+    (docs.select(F.col(id_col).alias("doc_id"),
+                 F.size(trigrams_col(text_col)).alias("n_trigrams"))
+         .where(F.col("n_trigrams") > 0)
+         .write.mode("overwrite").parquet(f"{out_dir}/docstats"))
     spark.createDataFrame([(n_buckets,)], "n_buckets int") \
         .write.mode("overwrite").parquet(f"{out_dir}/meta")
 
