@@ -769,6 +769,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("sim_e4", _e4(F.col("similarity")))
                 .select("doc_id", "sim_e4"))
 
+    def q46(spark, sf):
+        # batch retrieval: 3 queries in ONE plan (single postings scan);
+        # k covers the corpus so the full scored set per query is compared
+        # (rank is e4-boundary-sensitive, so the gate output omits it —
+        # per-query rank identity vs bm25_topk is pinned by pytest)
+        from pg_ts_semantic_headline_spark.plans.search import bm25_topk_batch
+        index = _built_index(spark, sf)
+        qs = {"q_a": ["spark", "window"], "q_b": ["merge", "sort"],
+              "q_c": ["batch"]}
+        return (bm25_topk_batch(index, qs, k=100000)
+                .withColumn("score_e4", _e4(F.col("score")))
+                .select("query_id", "doc_id", "score_e4"))
+
     def q44(spark, sf):
         # sliding-window chunking: stride 24, overlap 8 — small enough
         # that multi-chunk docs exist at gate scale
@@ -832,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_similarity": q43,
         "chunk_documents": q44,
         "sample_token_budget": q45,
+        "bm25_topk_batch": q46,
     }
 
 
@@ -1352,5 +1366,30 @@ SELECT t.doc_id, t.lang, CAST(t.n_tokens AS BIGINT) AS n_tokens
 FROM t JOIN tot USING (lang)
 WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       / 4294967296.0 < least(1.0, 2000.0 / tot.st)
+""",
+        # batch retrieval: per-posting fan-out to the (query_id, term)
+        # pairs, one grouped BM25 sum per (query_id, doc_id)
+        "bm25_topk_batch": f"""
+WITH {TOKS_CTE.strip()}, {BM25_CTE.strip()},
+qt AS (
+  SELECT * FROM (VALUES ('q_a', 'spark'), ('q_a', 'window'),
+                        ('q_b', 'merge'), ('q_b', 'sort'),
+                        ('q_c', 'batch')) AS t(query_id, term)
+),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         SUM( ln(1.0 + (corpus.n_docs - dfreq.df + 0.5)/(dfreq.df + 0.5))
+              * (tf.tf * ({K1_SQL} + 1))
+              / (tf.tf + {K1_SQL} * (1 - {B_SQL} + {B_SQL} * docstats.dl / corpus.avgdl))
+         ) AS score
+  FROM tf
+  JOIN qt ON qt.term = tf.term
+  JOIN dfreq ON dfreq.term = tf.term
+  JOIN docstats USING (doc_id)
+  CROSS JOIN corpus
+  GROUP BY qt.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4
+FROM scored
 """,
     }

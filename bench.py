@@ -107,6 +107,13 @@ def main():
         timings["bm25_topk_exact_x6"] = min_of(lambda: run_bm25("exact"))
         timings["bm25_topk_blockmax_x6"] = min_of(lambda: run_bm25("blockmax"))
 
+        # the same 6 queries as ONE batched plan (single postings scan +
+        # per-query window top-k) — the offline-retrieval amortization
+        from pg_ts_semantic_headline_spark.plans.search import bm25_topk_batch
+        batch_qs = {f"q{i}": list(q.lexemes) for i, q in enumerate(queries)}
+        timings["bm25_batch_x6_one_plan"] = min_of(
+            lambda: bm25_topk_batch(index, batch_qs, k=10).collect())
+
         def run_search():
             for q in queries[:3]:
                 search(index, q, k=10).collect()

@@ -322,6 +322,39 @@ class TestSearch:
             assert "<b>needle phrase target</b>" in r["headline"]
 
 
+class TestBatchSearch:
+    def test_batch_rank_identical_to_per_query(self, index):
+        from pg_ts_semantic_headline_spark.plans.search import bm25_topk_batch
+        queries = {
+            "q_a": ["spark", "query", "window"],
+            "q_b": ["needle", "phrase", "target"],
+            "q_c": ["unique"],
+            "q_d": ["spark", "spark"],          # duplicate terms collapse
+            "q_e": ["nosuchterm"],              # empty result set
+        }
+        batch = bm25_topk_batch(index, queries, k=7).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid, terms in queries.items():
+            got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+            want = bm25_topk(index, terms, k=7, mode="exact").collect()
+            assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+            for g, w in zip(got, want):
+                assert abs(g["score"] - w["score"]) < 1e-9
+            assert [r["rank"] for r in got] == list(range(1, len(want) + 1))
+
+    def test_batch_single_scan_plan(self, index):
+        # the whole workload must read postings ONCE: exactly one postings
+        # FileScan in the physical plan regardless of query count
+        from pg_ts_semantic_headline_spark.plans.search import bm25_topk_batch
+        plan = (bm25_topk_batch(index, {"a": ["spark"], "b": ["merge"],
+                                        "c": ["batch", "window"]}, k=5)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert sum("postings" in ln and "FileScan" in ln
+                   for ln in plan.splitlines()) == 1
+
+
 class TestAnchoredBoolean:
     """Anchored boolean evaluation (semi-join every scan by the rarest
     REQUIRED lexeme's docs) must be a pure physical optimization: same
