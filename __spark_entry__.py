@@ -1333,12 +1333,12 @@ SELECT doc_id FROM documents WHERE regexp_matches(text, 'batch [a-z]+ window')
         # emitted iff 0 or < n - overlap (no tail chunk inside predecessor)
         "chunk_documents": r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                             w -> w <> '') AS toks
   FROM documents WHERE text IS NOT NULL
 ),
 t2 AS (
-  SELECT doc_id, toks, len(toks) AS n FROM t
-  WHERE len(toks) > 0 AND NOT (len(toks) = 1 AND toks[1] = '')
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
 ),
 c AS (
   SELECT doc_id, toks, n, s,

@@ -41,14 +41,16 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 512,
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = _tok(F.col(text_col))
+    # empty tokens are filtered: Spark's trim strips ' ' only, so a
+    # whitespace-only doc would otherwise split into ['', ''] and emit
+    # garbage chunks of empty strings
+    toks = F.filter(_tok(F.col(text_col)), lambda t: t != "")
     starts = F.filter(
         F.sequence(F.lit(0), F.greatest(F.size("_toks") - 1, F.lit(0)),
                    F.lit(stride)),
         lambda s: (s == 0) | (s < F.size("_toks") - overlap))
     return (df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
-            .where((F.size("_toks") > 0)
-                   & ~((F.size("_toks") == 1) & (F.element_at("_toks", 1) == "")))
+            .where(F.size("_toks") > 0)
             .select("doc_id", "_toks",
                     F.posexplode(starts).alias("chunk_id", "start_token"))
             .select(

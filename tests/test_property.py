@@ -268,3 +268,48 @@ class TestMatcherProperties:
                          config="simple").collect()}
         want = {doc for doc, lxs in lex.items() if naive_eval(q.root, lxs)}
         assert got == want
+
+
+# --------------------------------------------------------------- chunking
+
+def naive_chunks(text, chunk_tokens, overlap):
+    """Reference chunker written directly from the documented contract."""
+    toks = text.split() if text else []
+    n = len(toks)
+    if n == 0:
+        return []
+    stride = chunk_tokens - overlap
+    starts = [s for s in range(0, n, stride)
+              if s == 0 or s < n - overlap]
+    return [(cid, s, min(chunk_tokens, n - s),
+             " ".join(toks[s:s + chunk_tokens]))
+            for cid, s in enumerate(starts)]
+
+
+class TestChunkingProperties:
+    """chunk_documents vs the naive chunker on randomized ASCII docs.
+    Alphabet stays ASCII (letters + space/tab/newline) so Java's \\s and
+    Python's str.split agree on what separates tokens."""
+
+    @given(st.lists(st.text(alphabet=" \t\nabcdefgh", max_size=60),
+                    min_size=1, max_size=8),
+           st.integers(min_value=1, max_value=9),
+           st.integers(min_value=0, max_value=8))
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                     HealthCheck.too_slow])
+    def test_chunks_equal_naive(self, spark, texts, chunk_tokens, overlap):
+        from pg_ts_semantic_headline_spark.operators.chunking import (
+            chunk_documents)
+
+        if overlap >= chunk_tokens:
+            overlap = chunk_tokens - 1
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   "doc_id long, text string")
+        got = {(r["doc_id"], r["chunk_id"], r["start_token"],
+                r["n_tokens"], r["chunk_text"])
+               for r in chunk_documents(df, chunk_tokens, overlap).collect()}
+        want = {(i, cid, s, nt, ct)
+                for i, t in enumerate(texts)
+                for cid, s, nt, ct in naive_chunks(t, chunk_tokens, overlap)}
+        assert got == want
