@@ -782,6 +782,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("score_e4", _e4(F.col("score")))
                 .select("query_id", "doc_id", "score_e4"))
 
+    def q47(spark, sf):
+        # gap-based sessionization over the events table (batch plan; the
+        # applyInPandasWithState streaming form is pinned by pytest —
+        # stateful streaming has no SQL-expressible oracle). sum_value is
+        # e2: inputs are exact hundredths, so the sum is within 1e-10 of
+        # an integer number of hundredths on both engines
+        from pg_ts_semantic_headline_spark.streaming.sessions import (
+            sessionize)
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return (sessionize(ev, gap_seconds=1800)
+                .select("user_id", "session_start", "session_end",
+                        "n_events",
+                        F.round(F.col("sum_value") * 100).cast("long")
+                        .alias("sum_value_e2")))
+
     def q44(spark, sf):
         # sliding-window chunking: stride 24, overlap 8 — small enough
         # that multi-chunk docs exist at gate scale
@@ -846,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q44,
         "sample_token_budget": q45,
         "bm25_topk_batch": q46,
+        "sessionize_events": q47,
     }
 
 
@@ -1391,5 +1407,26 @@ scored AS (
 )
 SELECT query_id, doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4
 FROM scored
+""",
+        # gap sessionization: break flag via lag(), session id via a
+        # running sum of breaks, one group per (user, session)
+        "sessionize_events": """
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM e
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(ROUND(sum(value) * 100) AS BIGINT) AS sum_value_e2
+FROM s GROUP BY user_id, sess
 """,
     }

@@ -1,8 +1,10 @@
 from .incremental import (attach_incremental_indexer, compact_index,
                           delete_docs, merge_batch)
 from .percolate import percolate, percolate_stream
+from .sessions import sessionize, sessionize_stream
 from .term_stats import doc_arrival_rates, windowed_term_counts
 
 __all__ = ["attach_incremental_indexer", "compact_index", "delete_docs",
            "doc_arrival_rates", "merge_batch", "percolate",
-           "percolate_stream", "windowed_term_counts"]
+           "percolate_stream", "sessionize", "sessionize_stream",
+           "windowed_term_counts"]

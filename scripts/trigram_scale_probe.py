@@ -16,7 +16,15 @@ indexed path pays O(matching trigram postings + candidate rows), so the
 indexed/brute ratio should grow with corpus size while candidate counts
 track true-match counts. Prints one JSON line per scale plus ratios.
 
-Usage: python scripts/trigram_scale_probe.py [sf_dir] [replicate] [cpus]
+An optional 4th arg `inject` appends a deterministic synthetic identifier
+token (`fn_handler_<doc_id % 50000>`) to every document and adds identifier
+patterns to the query set — the code-search shape (large vocabulary,
+selective needles) that the driver's tiny-vocabulary word-soup corpus
+cannot express: there, common trigrams appear in ~half the corpus, so the
+candidate filter is structurally unselective and a full scan wins (both
+outcomes are reported; see BENCH/BASELINE.md).
+
+Usage: python scripts/trigram_scale_probe.py [sf_dir] [replicate] [cpus] [inject]
 """
 
 import json
@@ -44,6 +52,7 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 96
     cpus = sys.argv[3] if len(sys.argv) > 3 else "32"
+    inject = len(sys.argv) > 4 and sys.argv[4] == "inject"
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -69,6 +78,13 @@ def main():
                 .select((F.col("doc_id").cast("long")
                          + F.col("rep").cast("long") * 10_000_000)
                         .alias("doc_id"), "text"))
+        patterns = list(PATTERNS)
+        if inject:
+            docs = docs.withColumn(
+                "text", F.concat_ws(" ", "text", F.concat(
+                    F.lit("fn_handler_"),
+                    F.pmod(F.col("doc_id"), F.lit(50_000)))))
+            patterns += ["fn_handler_123", "handler_4321"]
         # materialize the replicated input so scan cost is identical for
         # both competitors (no explode re-execution inside the timed runs)
         src = tempfile.mkdtemp(prefix=f"trgm_src_{label}_")
@@ -81,10 +97,10 @@ def main():
         build_trigram_index(docs, idx_dir, n_buckets=64)
         build_sec = time.time() - t0
         idx = load_trigram_index(spark, idx_dir)
-        substring_search(idx, docs, PATTERNS[0]).count()   # warm
+        substring_search(idx, docs, patterns[0]).count()   # warm
 
         row = {"n_docs": n_docs, "build_sec": round(build_sec, 2)}
-        for i, pat in enumerate(PATTERNS):
+        for i, pat in enumerate(patterns):
             indexed = min_of(
                 lambda p=pat: substring_search(idx, docs, p).count())
             brute = min_of(
@@ -110,7 +126,8 @@ def main():
         "corpus_growth": round(l["n_docs"] / s["n_docs"], 1),
         "build_growth": round(l["build_sec"] / s["build_sec"], 2),
     }
-    for i in range(len(PATTERNS)):
+    n_patterns = len(PATTERNS) + (2 if inject else 0)
+    for i in range(n_patterns):
         ratios[f"p{i}_indexed_growth"] = round(
             l[f"p{i}_indexed_sec"] / s[f"p{i}_indexed_sec"], 2)
         ratios[f"p{i}_brute_over_indexed_large"] = round(
