@@ -797,6 +797,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round(F.col("sum_value") * 100).cast("long")
                         .alias("sum_value_e2")))
 
+    def q48(spark, sf):
+        # "did you mean" over the REAL index dictionary: trigram
+        # similarity of every dictionary term vs a misspelling;
+        # thresholded full set (no top-k boundary)
+        from pg_ts_semantic_headline_spark.operators.trigram import (
+            suggest_terms)
+        index = _built_index(spark, sf)
+        return (suggest_terms(index.terms, "wnidow", k=1_000_000,
+                              threshold=0.25)
+                .withColumn("sim_e4", _e4(F.col("similarity")))
+                .select("term", "sim_e4"))
+
     def q44(spark, sf):
         # sliding-window chunking: stride 24, overlap 8 — small enough
         # that multi-chunk docs exist at gate scale
@@ -862,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_token_budget": q45,
         "bm25_topk_batch": q46,
         "sessionize_events": q47,
+        "suggest_terms": q48,
     }
 
 
@@ -895,6 +908,34 @@ inter AS (
 SELECT s.doc_id,
        CAST(ROUND({sim} * 10000) AS BIGINT) AS sim_e4
 FROM stats s LEFT JOIN inter i USING (doc_id)
+WHERE {sim} >= {threshold}
+"""
+
+
+def _suggest_terms_sql(word: str, threshold: float) -> str:
+    """Trigram similarity of every dictionary term (distinct corpus token,
+    config 'simple') against `word`, thresholded — same integer-ratio
+    math as `_trgm_similarity_sql`."""
+    from pg_ts_semantic_headline_spark.operators.trigram import text_trigrams
+    qtg = sorted(text_trigrams(word))
+    lits = ", ".join(f"'{t}'" for t in qtg)
+    n_q = len(qtg)
+    sim = (f"CAST(COALESCE(i.n_i, 0) AS DOUBLE)"
+           f" / (s.n_t + {n_q} - COALESCE(i.n_i, 0))")
+    return f"""
+WITH {TOKS_CTE.strip()},
+dict AS (SELECT DISTINCT token AS term FROM toks),
+tg AS (
+  SELECT DISTINCT term,
+         substr('  ' || term || ' ', CAST(i AS INT), 3) AS tg
+  FROM dict, unnest(generate_series(1, length(term) + 1)) AS s(i)
+),
+stats AS (SELECT term, count(*) AS n_t FROM tg GROUP BY term),
+inter AS (
+  SELECT term, count(*) AS n_i FROM tg WHERE tg IN ({lits}) GROUP BY term
+)
+SELECT s.term, CAST(ROUND({sim} * 10000) AS BIGINT) AS sim_e4
+FROM stats s LEFT JOIN inter i USING (term)
 WHERE {sim} >= {threshold}
 """
 
@@ -1408,6 +1449,7 @@ scored AS (
 SELECT query_id, doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4
 FROM scored
 """,
+        "suggest_terms": _suggest_terms_sql("wnidow", 0.25),
         # gap sessionization: break flag via lag(), session id via a
         # running sum of breaks, one group per (user, session)
         "sessionize_events": """

@@ -41,6 +41,7 @@ from .trigram import (
     similarity_col,
     similarity_topk,
     substring_search,
+    suggest_terms,
     text_trigrams,
     trigrams_col,
 )

@@ -330,3 +330,20 @@ def similarity_col(text_col: str, query: str) -> F.Column:
     d = trigrams_col(text_col)
     inter = F.size(F.array_intersect(d, q)).cast("double")
     return inter / (F.size(d) + F.lit(len(qtg)) - inter)
+
+
+def suggest_terms(terms_df: DataFrame, word: str, k: int = 5,
+                  threshold: float = 0.3,
+                  term_col: str = "term") -> DataFrame:
+    """"Did you mean": the k dictionary terms most trigram-similar to
+    `word` (pg_trgm's classic spell-suggestion over an index vocabulary).
+    The dictionary is vocabulary-sized — orders of magnitude smaller than
+    the corpus — so this is one ad-hoc column-algebra pass over it, no
+    trigram index needed; pair with `load_index(...).terms` to correct
+    user queries before retrieval. Ties: similarity desc, term asc."""
+    return (terms_df
+            .select(F.col(term_col).alias("term"),
+                    similarity_col(term_col, word).alias("similarity"))
+            .where(F.col("similarity") >= threshold)
+            .orderBy(F.desc("similarity"), F.asc("term"))
+            .limit(k))

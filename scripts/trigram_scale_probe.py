@@ -24,7 +24,13 @@ cannot express: there, common trigrams appear in ~half the corpus, so the
 candidate filter is structurally unselective and a full scan wins (both
 outcomes are reported; see BENCH/BASELINE.md).
 
-Usage: python scripts/trigram_scale_probe.py [sf_dir] [replicate] [cpus] [inject]
+A 5th arg `doc_rep=N` repeats each document's text N times: the document's
+DISTINCT trigram set saturates (postings stay ~constant) while the text
+bytes the brute-force scan must read grow N× — the document-size axis that
+decides whether the index pays for itself.
+
+Usage: python scripts/trigram_scale_probe.py [sf_dir] [replicate] [cpus] \
+           [inject] [doc_rep=N]
 """
 
 import json
@@ -53,6 +59,10 @@ def main():
     replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 96
     cpus = sys.argv[3] if len(sys.argv) > 3 else "32"
     inject = len(sys.argv) > 4 and sys.argv[4] == "inject"
+    doc_rep = 1
+    for a in sys.argv[4:]:
+        if a.startswith("doc_rep="):
+            doc_rep = int(a.split("=")[1])
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -78,6 +88,10 @@ def main():
                 .select((F.col("doc_id").cast("long")
                          + F.col("rep").cast("long") * 10_000_000)
                         .alias("doc_id"), "text"))
+        if doc_rep > 1:
+            docs = docs.withColumn(
+                "text", F.array_join(F.array_repeat(F.col("text"),
+                                                    doc_rep), " "))
         patterns = list(PATTERNS)
         if inject:
             docs = docs.withColumn(

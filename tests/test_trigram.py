@@ -210,3 +210,25 @@ def test_similarity_col_adhoc_matches_indexed(spark, index, corpus_df):
                for r in similarity_topk(index, q, k=20).collect()}
     for i in indexed:
         assert adhoc[i] == pytest.approx(indexed[i], abs=1e-12)
+
+
+# ---------------------------------------------------------- suggest_terms
+
+def test_suggest_terms_did_you_mean(spark):
+    from pg_ts_semantic_headline_spark.operators.trigram import suggest_terms
+    vocab = ["window", "widow", "meadow", "windows", "spark", "batch",
+             "merge", "windowing"]
+    terms = spark.createDataFrame([(t,) for t in vocab], "term string")
+    got = suggest_terms(terms, "wnidow", k=3, threshold=0.1).collect()
+    # brute-force the expected ranking with the python mirror
+    def sim(a, b):
+        ta, tb = text_trigrams(a), text_trigrams(b)
+        return len(ta & tb) / len(ta | tb)
+    want = sorted(((t, sim(t, "wnidow")) for t in vocab),
+                  key=lambda x: (-x[1], x[0]))
+    want = [(t, s) for t, s in want if s >= 0.1][:3]
+    assert [(r["term"], round(r["similarity"], 9)) for r in got] == \
+        [(t, round(s, 9)) for t, s in want]
+    # the correctly-spelled word ranks itself first
+    top = suggest_terms(terms, "window", k=1, threshold=0.1).first()
+    assert top["term"] == "window" and top["similarity"] == 1.0
