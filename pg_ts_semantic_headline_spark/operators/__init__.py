@@ -33,6 +33,7 @@ from .chunking import (
 from .pipeline import corpus_report, prepare_corpus
 from .trigram import (
     TrigramIndex,
+    add_documents,
     build_trigram_index,
     like_search,
     load_trigram_index,

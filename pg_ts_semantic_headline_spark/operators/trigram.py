@@ -347,3 +347,29 @@ def suggest_terms(terms_df: DataFrame, word: str, k: int = 5,
             .where(F.col("similarity") >= threshold)
             .orderBy(F.desc("similarity"), F.asc("term"))
             .limit(k))
+
+
+def add_documents(index: TrigramIndex, docs: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text") -> None:
+    """Incremental ingest: trigram postings are per-document independent
+    (no cross-document blocks to invalidate, unlike the BM25 packed
+    store), so adding documents is two APPEND writes in the existing
+    layout — O(new docs), never O(corpus). Caller contract: doc_ids must
+    be new (replacing a doc_id requires delete+rebuild of its rows;
+    postings carry no generation column by design — they are a pure set).
+    Reload with `load_trigram_index` to see the appended rows."""
+    spark = docs.sparkSession
+    parts = max(spark.sparkContext.defaultParallelism // 2, 1)
+    (docs.select(F.col(id_col).alias("doc_id"),
+                 F.explode(trigrams_col(text_col)).alias("tg"))
+         .withColumn("bucket",
+                     F.pmod(F.xxhash64("tg"),
+                            F.lit(index.n_buckets)).cast("int"))
+         .repartitionByRange(parts, "bucket", "tg", "doc_id")
+         .sortWithinPartitions("bucket", "tg", "doc_id")
+         .write.mode("append").partitionBy("bucket")
+         .parquet(f"{index.out_dir}/postings"))
+    (docs.select(F.col(id_col).alias("doc_id"),
+                 F.size(trigrams_col(text_col)).alias("n_trigrams"))
+         .where(F.col("n_trigrams") > 0)
+         .write.mode("append").parquet(f"{index.out_dir}/docstats"))

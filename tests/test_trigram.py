@@ -232,3 +232,27 @@ def test_suggest_terms_did_you_mean(spark):
     # the correctly-spelled word ranks itself first
     top = suggest_terms(terms, "window", k=1, threshold=0.1).first()
     assert top["term"] == "window" and top["similarity"] == 1.0
+
+
+def test_add_documents_incremental(spark, corpus_df):
+    from pg_ts_semantic_headline_spark.operators.trigram import (
+        add_documents, build_trigram_index, load_trigram_index)
+    d = tempfile.mkdtemp(prefix="tsp_trgm_incr_")
+    try:
+        build_trigram_index(corpus_df, d, n_buckets=8)
+        idx = load_trigram_index(spark, d)
+        new = spark.createDataFrame(
+            [(100, "a freshly ingested merge join document"),
+             (101, "nothing relevant here")],
+            "doc_id long, text string")
+        add_documents(idx, new)
+        idx2 = load_trigram_index(spark, d)
+        got = ids(substring_search(idx2, corpus_df.unionByName(new),
+                                   "merge join"))
+        assert got == brute_contains("merge join") + [100]
+        # similarity sees the new docs' docstats too
+        sims = {r["doc_id"] for r in
+                similarity_topk(idx2, "merge join", k=50).collect()}
+        assert 100 in sims and 101 in sims
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
