@@ -674,19 +674,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "doc_id", "text as content"), qs, config="simple")
                 .select("doc_id", "query_id"))
 
+    _gate_indexes: dict = {}
+
     def _built_index(spark, sf):
         # persisted-index path under the oracle gate: build the real
         # inverted index (tokens/postings/terms/packed) into a per-run
         # temp dir and load it — the indexed engine must reproduce the
-        # ad-hoc SQL-oracle BM25 exactly (same formula, same avgdl)
+        # ad-hoc SQL-oracle BM25 exactly (same formula, same avgdl).
+        # Memoized per (session, sf): four entries share it, the index is
+        # immutable once built, and the dir is still per-process-unique
         import tempfile
         from pg_ts_semantic_headline_spark.plans.index_build import (
             build_index, load_index)
-        idx_dir = tempfile.mkdtemp(prefix="tsp_gate_idx_")
-        build_index(spark, _docs(spark, sf).selectExpr(
-            "doc_id", "text as content"), idx_dir, config="simple",
-            n_buckets=8, block_span=128, resume=False)
-        return load_index(spark, idx_dir)
+        key = (id(spark), sf)
+        if key not in _gate_indexes:
+            idx_dir = tempfile.mkdtemp(prefix="tsp_gate_idx_")
+            build_index(spark, _docs(spark, sf).selectExpr(
+                "doc_id", "text as content"), idx_dir, config="simple",
+                n_buckets=8, block_span=128, resume=False)
+            _gate_indexes[key] = load_index(spark, idx_dir)
+        return _gate_indexes[key]
 
     def q34(spark, sf):
         # k covers the whole corpus at gate scale: comparing the FULL
@@ -725,15 +732,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = minhash_lsh_dedup(docs, threshold=0.4)
         return duplicate_components(docs, pairs)
 
+    _gate_trgm: dict = {}
+
     def _trgm_index(spark, sf):
         # per-run temp dir (same rationale as q31/q34): build the
-        # bucket-partitioned trigram postings + docstats and load them
+        # bucket-partitioned trigram postings + docstats and load them.
+        # Memoized per (session, sf) like _built_index — four entries
+        # share the immutable index
         import tempfile
         from pg_ts_semantic_headline_spark.operators.trigram import (
             build_trigram_index, load_trigram_index)
-        d = tempfile.mkdtemp(prefix="tsp_trgm_idx_")
-        build_trigram_index(_docs(spark, sf), d, n_buckets=16)
-        return load_trigram_index(spark, d)
+        key = (id(spark), sf)
+        if key not in _gate_trgm:
+            d = tempfile.mkdtemp(prefix="tsp_trgm_idx_")
+            build_trigram_index(_docs(spark, sf), d, n_buckets=16)
+            _gate_trgm[key] = load_trigram_index(spark, d)
+        return _gate_trgm[key]
 
     def q40(spark, sf):
         # substring search through the trigram index: AND-intersection
