@@ -35,6 +35,8 @@ from .trigram import (
     TrigramIndex,
     add_documents,
     build_trigram_index,
+    compact_trigram_index,
+    delete_documents,
     like_search,
     load_trigram_index,
     pattern_trigrams,

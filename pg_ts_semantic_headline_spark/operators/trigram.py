@@ -215,6 +215,18 @@ class TrigramIndex:
         self.n_buckets = n_buckets
         self.postings = spark.read.parquet(f"{out_dir}/postings")
         self.docstats = spark.read.parquet(f"{out_dir}/docstats")
+        try:
+            self.tombstones = spark.read.parquet(f"{out_dir}/tombstones")
+        except Exception:
+            self.tombstones = None
+
+    def _live(self, df: DataFrame) -> DataFrame:
+        """Anti-join deleted doc_ids (broadcast: the tombstone set is
+        small between compactions — `compact_trigram_index` folds it in)."""
+        if self.tombstones is None:
+            return df
+        return df.join(F.broadcast(self.tombstones.select("doc_id")),
+                       on="doc_id", how="left_anti")
 
     # ---- candidate generation (AND-intersection over required trigrams)
 
@@ -235,10 +247,11 @@ class TrigramIndex:
                 f"{len(required)} trigrams (candidates widen, result stays "
                 "exact)", stacklevel=2)
             required = required[:MAX_QUERY_TRIGRAMS]
-        return (self._pruned(required)
-                .groupBy("doc_id").agg(F.count("*").alias("_n"))
-                .where(F.col("_n") == len(required))
-                .select("doc_id"))
+        return self._live(
+            self._pruned(required)
+            .groupBy("doc_id").agg(F.count("*").alias("_n"))
+            .where(F.col("_n") == len(required))
+            .select("doc_id"))
 
 
 def load_trigram_index(spark: SparkSession, out_dir: str) -> TrigramIndex:
@@ -254,6 +267,11 @@ def _verified(index: TrigramIndex, docs: DataFrame, required: list[str],
     if cands is None:
         warnings.warn(f"{kind} pattern yields no required trigram — "
                       "falling back to a full-scan verify", stacklevel=3)
+        if index.tombstones is not None:
+            docs = docs.join(
+                F.broadcast(index.tombstones.select(
+                    F.col("doc_id").alias(id_col))),
+                on=id_col, how="left_anti")
         return docs.where(verify)
     return (docs.join(cands.withColumnRenamed("doc_id", id_col),
                       on=id_col, how="left_semi")
@@ -300,11 +318,12 @@ def similarity_scores(index: TrigramIndex, query: str,
     qtg = sorted(text_trigrams(query))
     n_q = len(qtg)
     if n_q == 0:
-        return index.docstats.select(
-            "doc_id", F.lit(0.0).alias("similarity")).where(F.lit(threshold) <= 0.0)
+        return index._live(index.docstats.select(
+            "doc_id", F.lit(0.0).alias("similarity"))).where(
+            F.lit(threshold) <= 0.0)
     inter = (index._pruned(qtg)
              .groupBy("doc_id").agg(F.count("*").alias("_inter")))
-    sim = (index.docstats.join(inter, on="doc_id", how="left")
+    sim = (index._live(index.docstats).join(inter, on="doc_id", how="left")
            .select("doc_id",
                    (F.coalesce("_inter", F.lit(0)).cast("double")
                     / (F.col("n_trigrams") + F.lit(n_q)
@@ -373,3 +392,35 @@ def add_documents(index: TrigramIndex, docs: DataFrame,
                  F.size(trigrams_col(text_col)).alias("n_trigrams"))
          .where(F.col("n_trigrams") > 0)
          .write.mode("append").parquet(f"{index.out_dir}/docstats"))
+
+
+def delete_documents(index: TrigramIndex, doc_ids) -> None:
+    """Mark documents deleted: an O(deletes) tombstone append. Queries
+    anti-join the (small, broadcast) tombstone set until
+    `compact_trigram_index` folds deletions into the postings."""
+    index.spark.createDataFrame([(int(d),) for d in doc_ids],
+                                "doc_id long") \
+        .write.mode("append").parquet(f"{index.out_dir}/tombstones")
+
+
+def compact_trigram_index(spark: SparkSession, out_dir: str) -> None:
+    """Fold tombstones into the index: rewrite postings and docstats
+    minus deleted docs, then drop the tombstone table. A doc's trigrams
+    scatter across ALL buckets, so the rewrite is inherently full-index
+    (unlike the BM25 index's per-bucket repack) — run it when the
+    tombstone set has grown enough to hurt the per-query anti-join."""
+    import shutil as _shutil
+
+    idx = load_trigram_index(spark, out_dir)
+    if idx.tombstones is None:
+        return
+    live_p = idx._live(idx.postings)
+    live_s = idx._live(idx.docstats)
+    live_p.write.mode("overwrite").partitionBy("bucket") \
+        .parquet(f"{out_dir}/postings_tmp")
+    live_s.write.mode("overwrite").parquet(f"{out_dir}/docstats_tmp")
+    _shutil.rmtree(f"{out_dir}/postings")
+    _shutil.rmtree(f"{out_dir}/docstats")
+    _shutil.move(f"{out_dir}/postings_tmp", f"{out_dir}/postings")
+    _shutil.move(f"{out_dir}/docstats_tmp", f"{out_dir}/docstats")
+    _shutil.rmtree(f"{out_dir}/tombstones")

@@ -256,3 +256,37 @@ def test_add_documents_incremental(spark, corpus_df):
         assert 100 in sims and 101 in sims
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_delete_and_compact(spark, corpus_df):
+    from pg_ts_semantic_headline_spark.operators.trigram import (
+        build_trigram_index, compact_trigram_index, delete_documents,
+        load_trigram_index)
+    d = tempfile.mkdtemp(prefix="tsp_trgm_del_")
+    try:
+        build_trigram_index(corpus_df, d, n_buckets=8)
+        idx = load_trigram_index(spark, d)
+        before = ids(substring_search(idx, corpus_df, "merge join"))
+        assert 0 in before and 1 in before
+        delete_documents(idx, [0, 1])
+        idx2 = load_trigram_index(spark, d)
+        after = ids(substring_search(idx2, corpus_df, "merge join"))
+        assert after == [i for i in before if i not in (0, 1)]
+        # similarity excludes tombstoned docs too
+        sims = {r["doc_id"] for r in
+                similarity_topk(idx2, "merge join", k=50).collect()}
+        assert 0 not in sims and 1 not in sims
+        # the full-scan fallback path honors tombstones as well
+        with pytest.warns(UserWarning, match="full-scan"):
+            fb = ids(substring_search(idx2, corpus_df, "ox"))
+        assert fb == [8]
+        with pytest.warns(UserWarning, match="full-scan"):
+            fb2 = ids(substring_search(idx2, corpus_df, "me"))
+        assert 0 not in fb2 and 1 not in fb2
+        # compaction folds tombstones in and clears them
+        compact_trigram_index(spark, d)
+        idx3 = load_trigram_index(spark, d)
+        assert idx3.tombstones is None
+        assert ids(substring_search(idx3, corpus_df, "merge join")) == after
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
