@@ -290,3 +290,21 @@ def test_delete_and_compact(spark, corpus_df):
         assert ids(substring_search(idx3, corpus_df, "merge join")) == after
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_verify_pushes_id_literals(spark, index, corpus_df, tmp_path,
+                                   monkeypatch):
+    # selective candidates must reach the docs scan as doc_id literals
+    # (parquet row-group pruning) — a broadcast semi-join cannot prune,
+    # so the verify would read the whole text column even for 1 candidate
+    src = str(tmp_path / "docs_pq")
+    corpus_df.write.parquet(src)
+    docs_pq = spark.read.parquet(src)
+    plan = substring_search(index, docs_pq, "quick brown fox") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "In(doc_id, [8])" in plan or "EqualTo(doc_id,8)" in plan, plan
+    # and the semi-join path still works when the set exceeds the limit
+    from pg_ts_semantic_headline_spark.operators import trigram as tmod
+    monkeypatch.setattr(tmod, "VERIFY_INLIST_LIMIT", 0)
+    got = ids(substring_search(index, docs_pq, "merge join"))
+    assert got == brute_contains("merge join")
