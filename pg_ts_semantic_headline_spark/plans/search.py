@@ -514,17 +514,23 @@ def _bm25_topk_blockmax(index: Index, terms: list[str], k: int,
 
 
 def _positions_hay(index: Index, terms: list[str],
-                   candidate_docs: DataFrame | None = None) -> DataFrame:
+                   candidate_docs: DataFrame | None = None,
+                   candidate_ids: list | None = None) -> DataFrame:
     """(doc_id, term, pos) rows for the query terms — exploded from row
     postings when they carry a positions column, else decoded from the
     packed store (which is then the index's single positional copy; see
     build_index(row_positions=...)). With `candidate_docs` (e.g. the
     top-k winners), the source prunes BEFORE explode/decode: row mode
     semi-joins doc ids, packed mode semi-joins the candidates' block ids
-    so only a handful of payloads are ever decoded."""
+    so only a handful of payloads are ever decoded. `candidate_ids`
+    (driver-side literals, e.g. an already-collected top-k) goes further:
+    the doc/block ids push into the scan as IN-list filters, so the scan
+    row-group-prunes instead of post-filtering a full read."""
     if "positions" in index.postings.columns:
         rows = _pruned_postings(index, terms)
-        if candidate_docs is not None:
+        if candidate_ids is not None:
+            rows = rows.where(F.col("doc_id").isin(list(candidate_ids)))
+        elif candidate_docs is not None:
             rows = rows.join(F.broadcast(candidate_docs.select("doc_id")),
                              on="doc_id", how="left_semi")
         return rows.select("doc_id", "term",
@@ -557,7 +563,11 @@ def _positions_hay(index: Index, terms: list[str],
                                 "pos": np.concatenate(out_p)})
 
     packed = _pruned_packed(index, terms)
-    if candidate_docs is not None:
+    if candidate_ids is not None:
+        block_ids = sorted({int(d) // index.block_span
+                            for d in candidate_ids})
+        packed = packed.where(F.col("block_id").isin(block_ids))
+    elif candidate_docs is not None:
         blocks = (candidate_docs
                   .select(F.floor(F.col("doc_id") / index.block_span)
                           .cast("long").alias("block_id"))
@@ -785,21 +795,43 @@ def search_with_headlines(
     mode: str = "exact",
 ) -> DataFrame:
     """Top-k + whole-phrase highlighted headline per hit (the fast path over
-    the persisted index: position lookup + recall-array slicing only)."""
+    the persisted index: position lookup + recall-array slicing only).
+
+    The k hits are COLLECTED first (k rows — bounded driver work), so the
+    winner doc_ids reach the tokens and positional scans as IN-list
+    literals: parquet row-group pruning instead of a broadcast semi-join
+    that must read every recall vector to drop all but k of them. Past
+    512 winners the plan falls back to in-plan semi-joins."""
     from .headline import ts_fast_headline
 
     hits = search(index, query, k=k, mode=mode)
-    winners = hits.select("doc_id")
-    docs = (index.tokens.join(winners, on="doc_id", how="left_semi")
-            .select("doc_id", "tokens"))
-    # haystack rows come straight from the already-pruned positional store:
-    # the precomputed-TSV trick as a persisted position-lookup joined to
-    # content (row postings when they carry positions, packed decode else),
-    # pre-pruned to the winners' docs/blocks before any explode or decode
-    hay = (_positions_hay(index, list(query.lexemes),
-                          candidate_docs=winners)
-           .join(winners, on="doc_id", how="left_semi")
-           .select("doc_id", "pos", F.col("term").alias("lex")))
+    spark = index.postings.sparkSession
+    if k <= 512:
+        rows = hits.collect()
+        ids = [int(r["doc_id"]) for r in rows]
+        if not ids:
+            return hits.withColumn("headline", F.lit(None).cast("string"))
+        hits = spark.createDataFrame(rows, hits.schema)
+        winners = None
+        docs = (index.tokens.where(F.col("doc_id").isin(ids))
+                .select("doc_id", "tokens"))
+        hay_src = _positions_hay(index, list(query.lexemes),
+                                 candidate_ids=ids)
+        hay = (hay_src.where(F.col("doc_id").isin(ids))
+               .select("doc_id", "pos", F.col("term").alias("lex")))
+    else:
+        winners = hits.select("doc_id")
+        docs = (index.tokens.join(winners, on="doc_id", how="left_semi")
+                .select("doc_id", "tokens"))
+        # haystack rows come straight from the already-pruned positional
+        # store: the precomputed-TSV trick as a persisted position-lookup
+        # joined to content (row postings when they carry positions,
+        # packed decode else), pre-pruned to the winners' docs/blocks
+        # before any explode or decode
+        hay = (_positions_hay(index, list(query.lexemes),
+                              candidate_docs=winners)
+               .join(winners, on="doc_id", how="left_semi")
+               .select("doc_id", "pos", F.col("term").alias("lex")))
     headlines = ts_fast_headline(docs, query, options, hay=hay)
     return (hits.join(headlines, on="doc_id", how="left")
             .orderBy(F.desc("score"), F.asc("doc_id")))
