@@ -58,6 +58,27 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = 16) -> DataFrame:
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
+class _ObservedDrops:
+    """drop_stats["observation"] handle: `.get` normally reads the Spark
+    Observation riding the main plan (free), but when EVERY bucket was
+    dropped the candidate result is empty and AQE's empty-relation
+    propagation elides the CollectMetrics node — Observation.get then
+    raises a JVM AssertionError precisely in the case the stat exists
+    for. Fall back to recomputing the same counts with one small
+    aggregate job over the pre-cap band rows."""
+
+    def __init__(self, obs, recount):
+        self._obs = obs
+        self._recount = recount
+
+    @property
+    def get(self) -> dict:
+        try:
+            return dict(self._obs.get)
+        except Exception:
+            return self._recount()
+
+
 def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
                         rows_per_band: int = 4,
                         max_band_size: int | None = None,
@@ -96,6 +117,7 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
         if drop_stats is not None:
             from pyspark.sql import Observation
             obs = Observation("lsh_band_drops")
+            pre_cap = band_rows
             band_rows = band_rows.observe(
                 obs,
                 F.sum(F.when((F.col("_n") > max_band_size)
@@ -103,7 +125,16 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
                       .otherwise(0)).alias("dropped_buckets"),
                 F.sum(F.when(F.col("_n") > max_band_size, 1)
                       .otherwise(0)).alias("dropped_rows"))
-            drop_stats["observation"] = obs
+
+            def _recount(pre=pre_cap, cap=max_band_size):
+                r = (pre.where(F.col("_n") > cap)
+                     .agg(F.count_distinct("band", "band_sig")
+                          .alias("dropped_buckets"),
+                          F.count("*").alias("dropped_rows")).first())
+                return {"dropped_buckets": int(r["dropped_buckets"]),
+                        "dropped_rows": int(r["dropped_rows"])}
+
+            drop_stats["observation"] = _ObservedDrops(obs, _recount)
         band_rows = (band_rows.where(F.col("_n") <= max_band_size)
                      .drop("_n", "_rn"))
     left = band_rows.select("band", "band_sig", F.col("doc_id").alias("a"))

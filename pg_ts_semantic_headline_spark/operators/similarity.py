@@ -294,6 +294,22 @@ def build_ivf_index(df: DataFrame, out_dir: str, n_lists: int = 64,
         .write.mode("overwrite").parquet(f"{out_dir}/centroids")
 
 
+def _nearest_centroid_lists(centroids, query_vec, nprobe: int) -> list[int]:
+    """The nprobe centroid/list ids nearest the (normalized) query —
+    driver-side literals, so scans prune to nprobe directories with zero
+    Spark jobs. Shared by the IVF and IVF-PQ handles: zero-norm handling
+    and the stable-sort tiebreak must never diverge between them."""
+    import numpy as np
+
+    q = np.asarray(list(map(float, query_vec)))
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    sims = centroids @ q
+    order = np.argsort(-sims, kind="stable")
+    return [int(i) for i in order[:max(1, min(nprobe, centroids.shape[0]))]]
+
+
 class IvfIndex:
     """Loaded handle: centroids read once into a numpy matrix; each query
     is one bucket-pruned scan action over the nprobe nearest lists."""
@@ -307,17 +323,7 @@ class IvfIndex:
         return self.centroids.shape[0]
 
     def probe_lists(self, query_vec, nprobe: int):
-        """The nprobe list ids nearest the query — driver-side literals,
-        so the scan prunes to nprobe directories with zero Spark jobs."""
-        import numpy as np
-
-        q = np.asarray(list(map(float, query_vec)))
-        qn = np.linalg.norm(q)
-        if qn > 0:
-            q = q / qn
-        sims = self.centroids @ q
-        order = np.argsort(-sims, kind="stable")
-        return [int(i) for i in order[:max(1, min(nprobe, self.n_lists))]]
+        return _nearest_centroid_lists(self.centroids, query_vec, nprobe)
 
     def candidates(self, query_vec, nprobe: int = 8) -> DataFrame:
         return self.vectors.where(
@@ -534,15 +540,7 @@ class IvfPqIndex:
         return self.centroids.shape[0]
 
     def probe_lists(self, query_vec, nprobe: int):
-        import numpy as np
-
-        q = np.asarray(list(map(float, query_vec)))
-        qn = np.linalg.norm(q)
-        if qn > 0:
-            q = q / qn
-        sims = self.centroids @ q
-        order = np.argsort(-sims, kind="stable")
-        return [int(i) for i in order[:max(1, min(nprobe, self.n_lists))]]
+        return _nearest_centroid_lists(self.centroids, query_vec, nprobe)
 
     def query(self, query_vec, k: int = 10, nprobe: int = 8,
               rerank: int | None = 100, emb_col: str = "embedding",

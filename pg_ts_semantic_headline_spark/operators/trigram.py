@@ -13,15 +13,18 @@ separator on both engines.
 
 Index layout (100 TB shape, mirrors plans/index_build.py):
 
-- postings/  bucket=<b>/ (tg, doc_id) distinct rows, directory-partitioned
-             by bucket = pmod(xxhash64(tg), n_buckets) and sorted by tg
-             within files, so a query's trigrams — computed DRIVER-side
-             with the pure-Python xxhash64 replica — prune to their bucket
-             directories and row-group ranges. No shuffle at query time:
-             scan → local partial agg → small AND-count agg.
-- docstats/  (doc_id, n_trigrams) — similarity's |T(doc)| without touching
-             postings twice.
-- meta/      n_buckets.
+- postings/  bucket=<b>/ (tg, doc_id, gen) distinct rows, directory-
+             partitioned by bucket = pmod(xxhash64(tg), n_buckets) and
+             sorted by tg within files, so a query's trigrams — computed
+             DRIVER-side with the pure-Python xxhash64 replica — prune to
+             their bucket directories and row-group ranges. No shuffle at
+             query time: scan → local partial agg → small AND-count agg.
+- docstats/  (doc_id, n_trigrams, gen) — similarity's |T(doc)| without
+             touching postings twice.
+- tombstones/ (doc_id, gen): a tombstone kills rows with gen <= its gen,
+             so delete-then-add of a doc_id (replace) works; folded in by
+             `compact_trigram_index`.
+- meta/      n_buckets, max_gen.
 
 Query planning:
 
@@ -117,6 +120,14 @@ def like_pattern_trigrams(pattern: str) -> list[str]:
 
 _REGEX_META = set(".[](){}|?*+^$\\")
 
+#: Escapes that denote a single literal character: appended to the current
+#: run as that character (a control char is a separator, so pattern_trigrams
+#: then pads the abutting run edges — strictly tighter than breaking the run).
+_ESC_LITERAL = {"n": "\n", "t": "\t", "r": "\r", "f": "\f",
+                "v": "\v", "a": "\a", "e": "\x1b"}
+#: Zero-operand class/anchor escapes: an opaque one-char (or zero-width) gap.
+_ESC_ZEROWIDTH = set("wWdDsSbBAZzG")
+
 
 def regex_required_trigrams(pattern: str) -> list[str]:
     """CONSERVATIVE required-trigram extraction from a regex: collect
@@ -128,7 +139,16 @@ def regex_required_trigrams(pattern: str) -> list[str]:
     trigram is genuinely required, and [] is always a sound answer.
     A quantified GROUP (`(...)?` / `(...)*` / `(...){`) would need group
     structure to reason about, so it also bails to [] — `(...)+` is fine
-    (the body occurs at least once)."""
+    (the body occurs at least once).
+
+    Escape handling: `\\n`-style single-char escapes become that literal
+    character; `\\w \\d \\s \\b`-style class/anchor escapes are opaque gaps;
+    escaped ASCII punctuation (`\\.`) is that punctuation character. Any
+    escape with an OPERAND (`\\x41`, `\\uFFFF`, `\\cX`, `\\p{L}`,
+    `\\Q...\\E`, backreferences) bails to [] — parsing past it as literals
+    would demand trigrams no matching document contains (false negatives),
+    and these are rare enough in search patterns that a loud full-scan
+    verify is the right degradation."""
     if "|" in pattern or re.search(r"\)[?*{]", pattern):
         return []
     pieces: list[str] = []
@@ -137,12 +157,15 @@ def regex_required_trigrams(pattern: str) -> list[str]:
     while i < n:
         ch = pattern[i]
         if ch == "\\":
-            # escaped char: literal only for non-class escapes of plain chars
-            if i + 1 < n and pattern[i + 1] not in "wWdDsSbBAZ" \
-                    and not pattern[i + 1].isdigit():
-                cur.append(pattern[i + 1])
-            else:
+            nxt = pattern[i + 1] if i + 1 < n else ""
+            if nxt in _ESC_LITERAL:
+                cur.append(_ESC_LITERAL[nxt])
+            elif nxt in _ESC_ZEROWIDTH:
                 pieces.append("".join(cur)); cur = []
+            elif nxt and ord(nxt) < 128 and not nxt.isalnum():
+                cur.append(nxt)        # escaped punctuation: literal char
+            else:
+                return []              # operand-consuming or unknown escape
             i += 2
             continue
         if ch in "?*{":
@@ -177,6 +200,13 @@ def regex_required_trigrams(pattern: str) -> list[str]:
 
 # ------------------------------------------------------------------ build
 
+def _write_trgm_meta(spark: SparkSession, out_dir: str, n_buckets: int,
+                     max_gen: int) -> None:
+    spark.createDataFrame([(n_buckets, max_gen)],
+                          "n_buckets int, max_gen long") \
+        .write.mode("overwrite").parquet(f"{out_dir}/meta")
+
+
 def build_trigram_index(docs: DataFrame, out_dir: str,
                         id_col: str = "doc_id", text_col: str = "text",
                         n_buckets: int = 64) -> None:
@@ -187,58 +217,112 @@ def build_trigram_index(docs: DataFrame, out_dir: str,
     bucket-partitioned, tg-sorted files; (2) docstats is just
     `size(trigrams_col)` per doc — a narrow shuffle-free projection, no
     re-aggregation of the exploded frame, so the postings never need to be
-    cached (at 100 TB the exploded frame is corpus-sized × expansion)."""
+    cached (at 100 TB the exploded frame is corpus-sized × expansion).
+
+    Every row carries a `gen` (ingest generation, 0 at build): deletes
+    tombstone (doc_id, gen-at-delete) and apply to rows with gen <= that,
+    so delete-then-`add_documents` of the same doc_id (the replace flow)
+    resurrects the doc with only its NEW rows visible. `gen` is constant
+    within every written file, so parquet RLE makes the column ~free."""
     spark = docs.sparkSession
     parts = max(spark.sparkContext.defaultParallelism, n_buckets)
     (docs.select(F.col(id_col).alias("doc_id"),
                  F.explode(trigrams_col(text_col)).alias("tg"))
          .withColumn("bucket",
                      F.pmod(F.xxhash64("tg"), F.lit(n_buckets)).cast("int"))
+         .withColumn("gen", F.lit(0).cast("long"))
          .repartitionByRange(parts, "bucket", "tg", "doc_id")
          .sortWithinPartitions("bucket", "tg", "doc_id")
          .write.mode("overwrite").partitionBy("bucket")
          .parquet(f"{out_dir}/postings"))
     (docs.select(F.col(id_col).alias("doc_id"),
-                 F.size(trigrams_col(text_col)).alias("n_trigrams"))
+                 F.size(trigrams_col(text_col)).alias("n_trigrams"),
+                 F.lit(0).cast("long").alias("gen"))
          .where(F.col("n_trigrams") > 0)
          .write.mode("overwrite").parquet(f"{out_dir}/docstats"))
-    spark.createDataFrame([(n_buckets,)], "n_buckets int") \
-        .write.mode("overwrite").parquet(f"{out_dir}/meta")
+    _write_trgm_meta(spark, out_dir, n_buckets, 0)
 
 
 class TrigramIndex:
-    """Loaded handle: meta read once; each query is bucket-pruned scans."""
+    """Loaded handle: meta read once; each query is bucket-pruned scans.
 
-    def __init__(self, spark: SparkSession, out_dir: str, n_buckets: int):
+    Single-writer assumption (as the BM25 index): concurrent
+    `add_documents`/`delete_documents` through separate handles can
+    collide on generation numbers."""
+
+    def __init__(self, spark: SparkSession, out_dir: str, n_buckets: int,
+                 max_gen: int = 0):
+        from ..plans.index_build import _path_exists
+
         self.spark = spark
         self.out_dir = out_dir
         self.n_buckets = n_buckets
+        self.max_gen = max_gen
         self.postings = spark.read.parquet(f"{out_dir}/postings")
         self.docstats = spark.read.parquet(f"{out_dir}/docstats")
-        try:
+        # Only a MISSING tombstone table means "no deletes": any other read
+        # failure (corrupt footer, permissions, transient FS error) must
+        # propagate — mapping it to None would silently resurrect deleted
+        # docs with results that look normal.
+        if _path_exists(spark, f"{out_dir}/tombstones"):
             self.tombstones = spark.read.parquet(f"{out_dir}/tombstones")
-        except Exception:
+        else:
             self.tombstones = None
 
+    def _tomb_max(self) -> DataFrame:
+        """(doc_id, _tgen): the newest tombstone generation per doc."""
+        return (self.tombstones.groupBy("doc_id")
+                .agg(F.max("gen").alias("_tgen")))
+
     def _live(self, df: DataFrame) -> DataFrame:
-        """Anti-join deleted doc_ids (broadcast: the tombstone set is
-        small between compactions — `compact_trigram_index` folds it in)."""
+        """Filter rows superseded by a tombstone: a row is dead iff some
+        tombstone for its doc_id has gen >= the row's gen, so rows
+        re-added AFTER the delete (higher gen) survive — the replace flow.
+        Broadcast: the tombstone set is small between compactions —
+        `compact_trigram_index` folds it in."""
         if self.tombstones is None:
             return df
-        return df.join(F.broadcast(self.tombstones.select("doc_id")),
-                       on="doc_id", how="left_anti")
+        return (df.join(F.broadcast(self._tomb_max()), on="doc_id",
+                        how="left")
+                .where(F.col("_tgen").isNull()
+                       | (F.col("gen") > F.col("_tgen")))
+                .drop("_tgen"))
+
+    def dead_doc_ids(self) -> DataFrame | None:
+        """doc_ids with NO live docstats row (deleted and not re-added);
+        None when there are no tombstones. Tombstone-set sized."""
+        if self.tombstones is None:
+            return None
+        return (self.docstats
+                .join(F.broadcast(self._tomb_max()), on="doc_id")
+                .groupBy("doc_id", "_tgen")
+                .agg(F.max("gen").alias("_g"))
+                .where(F.col("_g") <= F.col("_tgen"))
+                .select("doc_id"))
 
     # ---- candidate generation (AND-intersection over required trigrams)
 
     def _pruned(self, trigrams: list[str]) -> DataFrame:
-        buckets = sorted({term_bucket(t, self.n_buckets) for t in trigrams})
-        return self.postings.where(F.col("bucket").isin(buckets)
-                                   & F.col("tg").isin(list(trigrams)))
+        """Postings rows for exactly these trigrams. Small sets push as
+        literals (bucket-directory + row-group pruning); sets past the
+        literal-IN planning cliff go through a broadcast semi-join —
+        no pruning, but no multi-second plan either."""
+        tgs = sorted(trigrams)
+        df = self.postings
+        if len(tgs) <= MAX_QUERY_TRIGRAMS:
+            buckets = sorted({term_bucket(t, self.n_buckets) for t in tgs})
+            return df.where(F.col("bucket").isin(buckets)
+                            & F.col("tg").isin(tgs))
+        qdf = self.spark.createDataFrame([(t,) for t in tgs], "tg string")
+        return df.join(F.broadcast(qdf), on="tg", how="left_semi")
 
     def candidate_ids(self, required: list[str]) -> DataFrame | None:
         """doc_ids containing ALL `required` trigrams; None means "no
-        pruning possible" (empty requirement). Postings are distinct, so
-        membership count == len(required) is the AND."""
+        pruning possible" (empty requirement). Live postings are distinct
+        per (doc, trigram), so membership count >= len(required) is the
+        AND (>= not ==: a doc added twice without an intervening delete —
+        caller misuse — double-counts, and >= keeps it a candidate; the
+        verify stays exact either way)."""
         if not required:
             return None
         if len(required) > MAX_QUERY_TRIGRAMS:
@@ -247,16 +331,16 @@ class TrigramIndex:
                 f"{len(required)} trigrams (candidates widen, result stays "
                 "exact)", stacklevel=2)
             required = required[:MAX_QUERY_TRIGRAMS]
-        return self._live(
-            self._pruned(required)
-            .groupBy("doc_id").agg(F.count("*").alias("_n"))
-            .where(F.col("_n") == len(required))
-            .select("doc_id"))
+        return (self._live(self._pruned(required))
+                .groupBy("doc_id").agg(F.count("*").alias("_n"))
+                .where(F.col("_n") >= len(required))
+                .select("doc_id"))
 
 
 def load_trigram_index(spark: SparkSession, out_dir: str) -> TrigramIndex:
     meta = spark.read.parquet(f"{out_dir}/meta").first()
-    return TrigramIndex(spark, out_dir, int(meta["n_buckets"]))
+    max_gen = int(meta["max_gen"]) if "max_gen" in meta else 0
+    return TrigramIndex(spark, out_dir, int(meta["n_buckets"]), max_gen)
 
 
 # ----------------------------------------------------------------- search
@@ -277,10 +361,10 @@ def _verified(index: TrigramIndex, docs: DataFrame, required: list[str],
     if cands is None:
         warnings.warn(f"{kind} pattern yields no required trigram — "
                       "falling back to a full-scan verify", stacklevel=3)
-        if index.tombstones is not None:
+        dead = index.dead_doc_ids()
+        if dead is not None:
             docs = docs.join(
-                F.broadcast(index.tombstones.select(
-                    F.col("doc_id").alias(id_col))),
+                F.broadcast(dead.withColumnRenamed("doc_id", id_col)),
                 on=id_col, how="left_anti")
         return docs.where(verify)
     ids = [r["doc_id"]
@@ -336,10 +420,12 @@ def similarity_scores(index: TrigramIndex, query: str,
     qtg = sorted(text_trigrams(query))
     n_q = len(qtg)
     if n_q == 0:
-        return index._live(index.docstats.select(
-            "doc_id", F.lit(0.0).alias("similarity"))).where(
+        return index._live(index.docstats).select(
+            "doc_id", F.lit(0.0).alias("similarity")).where(
             F.lit(threshold) <= 0.0)
-    inter = (index._pruned(qtg)
+    # _live BEFORE the count: superseded rows of a replaced doc must not
+    # inflate its intersection (similarity has no exact verify step)
+    inter = (index._live(index._pruned(qtg))
              .groupBy("doc_id").agg(F.count("*").alias("_inter")))
     sim = (index._live(index.docstats).join(inter, on="doc_id", how="left")
            .select("doc_id",
@@ -391,54 +477,74 @@ def add_documents(index: TrigramIndex, docs: DataFrame,
     """Incremental ingest: trigram postings are per-document independent
     (no cross-document blocks to invalidate, unlike the BM25 packed
     store), so adding documents is two APPEND writes in the existing
-    layout — O(new docs), never O(corpus). Caller contract: doc_ids must
-    be new (replacing a doc_id requires delete+rebuild of its rows;
-    postings carry no generation column by design — they are a pure set).
+    layout — O(new docs), never O(corpus). Rows are stamped with the next
+    generation, so re-adding a doc_id AFTER `delete_documents` (the
+    replace flow) is fully supported: queries see only the new rows.
+    Caller contract: a LIVE doc_id must be deleted before re-adding —
+    adding it twice leaves both generations visible (substring/LIKE/regex
+    stay exact via the verify; similarity would double-count).
     Reload with `load_trigram_index` to see the appended rows."""
     spark = docs.sparkSession
     parts = max(spark.sparkContext.defaultParallelism // 2, 1)
+    new_gen = index.max_gen + 1
     (docs.select(F.col(id_col).alias("doc_id"),
                  F.explode(trigrams_col(text_col)).alias("tg"))
          .withColumn("bucket",
                      F.pmod(F.xxhash64("tg"),
                             F.lit(index.n_buckets)).cast("int"))
+         .withColumn("gen", F.lit(new_gen).cast("long"))
          .repartitionByRange(parts, "bucket", "tg", "doc_id")
          .sortWithinPartitions("bucket", "tg", "doc_id")
          .write.mode("append").partitionBy("bucket")
          .parquet(f"{index.out_dir}/postings"))
     (docs.select(F.col(id_col).alias("doc_id"),
-                 F.size(trigrams_col(text_col)).alias("n_trigrams"))
+                 F.size(trigrams_col(text_col)).alias("n_trigrams"),
+                 F.lit(new_gen).cast("long").alias("gen"))
          .where(F.col("n_trigrams") > 0)
          .write.mode("append").parquet(f"{index.out_dir}/docstats"))
+    _write_trgm_meta(spark, index.out_dir, index.n_buckets, new_gen)
+    index.max_gen = new_gen
 
 
 def delete_documents(index: TrigramIndex, doc_ids) -> None:
-    """Mark documents deleted: an O(deletes) tombstone append. Queries
-    anti-join the (small, broadcast) tombstone set until
-    `compact_trigram_index` folds deletions into the postings."""
-    index.spark.createDataFrame([(int(d),) for d in doc_ids],
-                                "doc_id long") \
+    """Mark documents deleted: an O(deletes) tombstone append stamped with
+    the current max generation — it kills every row at or below it, and a
+    later `add_documents` of the same doc_id (higher gen) resurrects the
+    doc with only its new content. Queries anti-join the (small,
+    broadcast) tombstone set until `compact_trigram_index` folds it in."""
+    index.spark.createDataFrame(
+        [(int(d), index.max_gen) for d in doc_ids],
+        "doc_id long, gen long") \
         .write.mode("append").parquet(f"{index.out_dir}/tombstones")
 
 
 def compact_trigram_index(spark: SparkSession, out_dir: str) -> None:
     """Fold tombstones into the index: rewrite postings and docstats
-    minus deleted docs, then drop the tombstone table. A doc's trigrams
-    scatter across ALL buckets, so the rewrite is inherently full-index
-    (unlike the BM25 index's per-bucket repack) — run it when the
-    tombstone set has grown enough to hurt the per-query anti-join."""
-    import shutil as _shutil
+    minus superseded rows (generations reset to 0), then drop the
+    tombstone table. A doc's trigrams scatter across ALL buckets, so the
+    rewrite is inherently full-index (unlike the BM25 index's per-bucket
+    repack) — run it when the tombstone set has grown enough to hurt the
+    per-query anti-join. Uses Hadoop FileSystem ops (not local shutil) so
+    non-local out_dirs (hdfs://, s3a://) compact too; the swap deletes a
+    live table only after its replacement is fully written, and a failed
+    rename raises with the data preserved in the _tmp path."""
+    from ..streaming.incremental import _delete_path, _rename_path
 
     idx = load_trigram_index(spark, out_dir)
     if idx.tombstones is None:
         return
-    live_p = idx._live(idx.postings)
-    live_s = idx._live(idx.docstats)
-    live_p.write.mode("overwrite").partitionBy("bucket") \
-        .parquet(f"{out_dir}/postings_tmp")
-    live_s.write.mode("overwrite").parquet(f"{out_dir}/docstats_tmp")
-    _shutil.rmtree(f"{out_dir}/postings")
-    _shutil.rmtree(f"{out_dir}/docstats")
-    _shutil.move(f"{out_dir}/postings_tmp", f"{out_dir}/postings")
-    _shutil.move(f"{out_dir}/docstats_tmp", f"{out_dir}/docstats")
-    _shutil.rmtree(f"{out_dir}/tombstones")
+    parts = max(spark.sparkContext.defaultParallelism, idx.n_buckets)
+    (idx._live(idx.postings)
+        .withColumn("gen", F.lit(0).cast("long"))
+        .repartitionByRange(parts, "bucket", "tg", "doc_id")
+        .sortWithinPartitions("bucket", "tg", "doc_id")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(f"{out_dir}/postings_tmp"))
+    (idx._live(idx.docstats)
+        .withColumn("gen", F.lit(0).cast("long"))
+        .write.mode("overwrite").parquet(f"{out_dir}/docstats_tmp"))
+    for tbl in ("postings", "docstats"):
+        _delete_path(spark, f"{out_dir}/{tbl}")
+        _rename_path(spark, f"{out_dir}/{tbl}_tmp", f"{out_dir}/{tbl}")
+    _write_trgm_meta(spark, out_dir, idx.n_buckets, 0)
+    _delete_path(spark, f"{out_dir}/tombstones")

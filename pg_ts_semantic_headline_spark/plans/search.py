@@ -50,11 +50,15 @@ along), so a phrase query costs no second index scan.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .index_build import B, K1, Index
 from .query_compiler import CompiledQuery, Node
+
+_BOUNDED_COLLECT_LOCK = threading.Lock()
 
 
 def _score_col(avgdl: float):
@@ -271,18 +275,26 @@ def _bounded_collect(df: DataFrame, limit: int) -> list:
     round-trips of pure scheduling latency on an interactive query path.
     Raising spark.sql.limit.initialNumPartitions for just this collect
     makes round one scan every partition: same bounded result, one job.
+
+    The setting is session-global, so set/restore is serialized under a
+    module lock: without it two threads sharing the SparkSession could
+    each read the other's inflated value as "old" and restore 1000000
+    permanently. (An unrelated query running concurrently in the same
+    session still executes under the inflated setting for the duration
+    of this collect — a widened first limit round, never a wrong result.)
     """
     spark = df.sparkSession
     key = "spark.sql.limit.initialNumPartitions"
-    old = spark.conf.get(key, None)
-    spark.conf.set(key, "1000000")
-    try:
-        return df.limit(limit).collect()
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+    with _BOUNDED_COLLECT_LOCK:
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, "1000000")
+        try:
+            return df.limit(limit).collect()
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
 
 
 def _topk_from_packed(index: Index, need: DataFrame, terms: list[str],
@@ -810,7 +822,11 @@ def search_with_headlines(
         rows = hits.collect()
         ids = [int(r["doc_id"]) for r in rows]
         if not ids:
-            return hits.withColumn("headline", F.lit(None).cast("string"))
+            # materialize the known-empty answer: returning the lazy
+            # `hits` plan would re-run the whole search on the caller's
+            # next action
+            empty = spark.createDataFrame([], hits.schema)
+            return empty.withColumn("headline", F.lit(None).cast("string"))
         hits = spark.createDataFrame(rows, hits.schema)
         winners = None
         docs = (index.tokens.where(F.col("doc_id").isin(ids))

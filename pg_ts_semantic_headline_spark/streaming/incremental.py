@@ -69,8 +69,16 @@ def _delete_path(spark: SparkSession, path: str) -> None:
 
 
 def _rename_path(spark: SparkSession, src: str, dst: str) -> None:
+    """Rename, raising on failure: Hadoop FileSystem.rename returns False
+    instead of throwing for common failures (missing dst parent, dst
+    exists on some FSs, cross-filesystem move). Callers here rename into
+    place AFTER deleting the live table, so a silently-ignored False would
+    strand the data in the tmp path and leave the index without the table."""
     fs, p_src, jvm = _fs(spark, src)
-    fs.rename(p_src, jvm.org.apache.hadoop.fs.Path(dst))
+    if not fs.rename(p_src, jvm.org.apache.hadoop.fs.Path(dst)):
+        raise RuntimeError(
+            f"rename {src} -> {dst} failed (FileSystem.rename returned "
+            f"false); data preserved at {src}")
 
 
 def _try_parquet(spark: SparkSession, path: str) -> DataFrame | None:

@@ -122,6 +122,25 @@ class TestDedup:
         assert got["dropped_buckets"] == 4          # one per band
         assert got["dropped_rows"] == 4 * 1000
 
+    def test_lsh_drop_stats_survive_empty_result(self, spark):
+        """When EVERY band bucket is dropped the candidate result is
+        empty and AQE elides the CollectMetrics node — the drop_stats
+        handle must still report the counts (via its recount fallback)
+        instead of raising a JVM AssertionError."""
+        from pg_ts_semantic_headline_spark.operators.dedup import (
+            lsh_candidate_pairs, minhash_signatures, shingle_df)
+        rows = [(i, "same boilerplate header text repeated everywhere")
+                for i in range(100)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        sigs = minhash_signatures(shingle_df(df), 16)
+        stats: dict = {}
+        cands = lsh_candidate_pairs(sigs, 4, 4, max_band_size=50,
+                                    drop_stats=stats)
+        assert cands.collect() == []
+        got = stats["observation"].get
+        assert got["dropped_buckets"] == 4
+        assert got["dropped_rows"] == 4 * 100
+
     def test_duplicate_components_long_chain_pointer_jumping(self, spark):
         """A 120-node path graph has diameter 119; plain min-label
         propagation needs 119 rounds — pointer jumping must converge well

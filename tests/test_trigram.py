@@ -308,3 +308,112 @@ def test_verify_pushes_id_literals(spark, index, corpus_df, tmp_path,
     monkeypatch.setattr(tmod, "VERIFY_INLIST_LIMIT", 0)
     got = ids(substring_search(index, docs_pq, "merge join"))
     assert got == brute_contains("merge join")
+
+
+def test_regex_escape_sequences_sound():
+    """Escape sequences must never demand trigrams a matching document
+    lacks: \\n-style escapes mean the CONTROL character (a separator),
+    operand-consuming escapes (\\x41, \\uFFFF, \\p{L}, \\Q..\\E,
+    backrefs) bail to [] instead of reading their operand as literals."""
+    # \n is a separator in matching text: requirement must hold for the
+    # real-newline document
+    req = set(regex_required_trigrams(r"foo\nbar"))
+    assert req <= text_trigrams("foo\nbar"), req
+    assert req, "separator escape should still require foo/bar trigrams"
+    # \t \r \f behave the same
+    assert set(regex_required_trigrams(r"alpha\tbeta")) <= \
+        text_trigrams("alpha\tbeta")
+    # class escapes are opaque gaps, not literals
+    req_d = set(regex_required_trigrams(r"merge\d+join"))
+    assert req_d <= text_trigrams("merge5join")
+    # operand-consuming escapes: conservative total bail (sound)
+    for pat in (r"a\x41bcdef", r"ab\uFF41cdef", r"ab\p{L}cdef",
+                r"\Qmerge join\E", r"(abc)\1def", r"ab\cMcd"):
+        assert regex_required_trigrams(pat) == [], pat
+    # escaped punctuation stays a literal separator inside its piece
+    req_p = set(regex_required_trigrams(r"foo\.bar"))
+    assert req_p <= text_trigrams("foo.bar")
+    assert "foo" in req_p and "bar" in req_p
+
+
+def test_regex_search_with_escapes_end_to_end(spark):
+    """r'foo\\nbar' must find the document containing a real newline —
+    the pre-fix extraction demanded trigrams spanning 'fooNbar' and
+    silently returned zero rows."""
+    rows = [(0, "prefix foo\nbar suffix"),
+            (1, "foonbar run together"),
+            (2, "unrelated text entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = tempfile.mkdtemp(prefix="tsp_trgm_esc_")
+    try:
+        build_trigram_index(df, d, n_buckets=8)
+        idx = load_trigram_index(spark, d)
+        assert ids(regex_search(idx, df, r"foo\nbar")) == [0]
+        # operand escape degrades to full-scan verify, loudly but exactly
+        with pytest.warns(UserWarning, match="full-scan"):
+            got = ids(regex_search(idx, df, r"foo\x6ebar"))
+        assert got == [1]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_replace_flow_delete_then_readd(spark, corpus_df):
+    """delete_documents then add_documents of the SAME doc_id must show
+    only the new content — generation-stamped tombstones kill the old
+    rows, the re-added rows (higher gen) survive, and compaction
+    physically keeps them."""
+    from pg_ts_semantic_headline_spark.operators.trigram import (
+        add_documents, compact_trigram_index, delete_documents)
+    d = tempfile.mkdtemp(prefix="tsp_trgm_repl_")
+    try:
+        build_trigram_index(corpus_df, d, n_buckets=8)
+        idx = load_trigram_index(spark, d)
+        delete_documents(idx, [0])
+        idx = load_trigram_index(spark, d)
+        replacement = spark.createDataFrame(
+            [(0, "entirely rewritten zebra document")],
+            "doc_id long, text string")
+        add_documents(idx, replacement)
+        new_docs = (corpus_df.where(F.col("doc_id") != 0)
+                    .unionByName(replacement))
+        idx = load_trigram_index(spark, d)
+        # old content invisible, new content found
+        assert 0 not in ids(substring_search(idx, new_docs, "batch window"))
+        assert ids(substring_search(idx, new_docs, "zebra")) == [0]
+        # similarity sees exactly ONE live row for doc 0, scored on the
+        # new trigram set only
+        sims = [r for r in similarity_topk(idx, "zebra", k=5).collect()
+                if r["doc_id"] == 0]
+        assert len(sims) == 1
+        expected = (replacement
+                    .select(similarity_col("text", "zebra").alias("s"))
+                    .first()["s"])
+        assert abs(sims[0]["similarity"] - expected) < 1e-12
+        # compaction folds the tombstone in WITHOUT destroying the
+        # re-added rows
+        compact_trigram_index(spark, d)
+        idx2 = load_trigram_index(spark, d)
+        assert idx2.tombstones is None
+        assert ids(substring_search(idx2, new_docs, "zebra")) == [0]
+        assert 0 not in ids(substring_search(idx2, new_docs,
+                                             "batch window"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_similarity_long_query_join_path(spark, index, corpus_df):
+    """A query past MAX_QUERY_TRIGRAMS must take the broadcast-semi-join
+    postings path (no unbounded literal IN) and stay exact."""
+    from pg_ts_semantic_headline_spark.operators.trigram import (
+        MAX_QUERY_TRIGRAMS, similarity_scores)
+    long_q = " ".join(f"wordnumber{i}ish" for i in range(30)) + \
+        " merge join batch window"
+    assert len(text_trigrams(long_q)) > MAX_QUERY_TRIGRAMS
+    got = {r["doc_id"]: r["similarity"]
+           for r in similarity_scores(index, long_q, threshold=0.0).collect()}
+    want = {r["doc_id"]: r["s"] for r in corpus_df.select(
+        "doc_id", similarity_col("text", long_q).alias("s")).collect()
+        if r["doc_id"] in got}
+    assert got.keys() >= {0, 1, 5}
+    for did, s in want.items():
+        assert abs(got[did] - s) < 1e-12, did
