@@ -840,6 +840,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     stratify_by="lang")
                 .select("doc_id", "lang", "n_tokens"))
 
+    def q49(spark, sf):
+        # eval-set decontamination report: docs with doc_id % 20 == 0
+        # stand in for the benchmark; 5-gram overlap, counts of DISTINCT
+        # shared n-grams per (train, eval) pair
+        from pg_ts_semantic_headline_spark.operators.decontaminate import (
+            contamination_report)
+        docs = _docs(spark, sf)
+        ev = docs.where(F.col("doc_id") % 20 == 0)
+        tr = docs.where(F.col("doc_id") % 20 != 0)
+        return contamination_report(tr, ev, n=5)
+
+    def q50(spark, sf):
+        # the decontaminated train set (kept doc ids): any single shared
+        # 5-gram with any eval doc drops the train doc
+        from pg_ts_semantic_headline_spark.operators.decontaminate import (
+            decontaminate)
+        docs = _docs(spark, sf)
+        ev = docs.where(F.col("doc_id") % 20 == 0)
+        tr = docs.where(F.col("doc_id") % 20 != 0)
+        return decontaminate(tr, ev, n=5).select("doc_id")
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -889,6 +910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_batch": q46,
         "sessionize_events": q47,
         "suggest_terms": q48,
+        "decontaminate_report": q49,
+        "decontaminate_kept": q50,
     }
 
 
@@ -1464,6 +1487,47 @@ SELECT query_id, doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4
 FROM scored
 """,
         "suggest_terms": _suggest_terms_sql("wnidow", 0.25),
+        # eval-set decontamination: word-5-gram overlap between the
+        # doc_id%20==0 "benchmark" slice and the rest of the corpus
+        "decontaminate_report": """
+WITH tng AS (
+  SELECT DISTINCT doc_id,
+         l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4] AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        WHERE doc_id % 20 <> 0),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(l) - 4, 0))) AS i) t
+),
+eng AS (
+  SELECT DISTINCT doc_id,
+         l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4] AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        WHERE doc_id % 20 = 0),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(l) - 4, 0))) AS i) t
+)
+SELECT tng.doc_id AS train_id, eng.doc_id AS eval_id,
+       count(*) AS n_shared
+FROM tng JOIN eng ON tng.g = eng.g
+GROUP BY 1, 2
+""",
+        "decontaminate_kept": """
+WITH tng AS (
+  SELECT DISTINCT doc_id,
+         l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4] AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        WHERE doc_id % 20 <> 0),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(l) - 4, 0))) AS i) t
+),
+eng AS (
+  SELECT DISTINCT doc_id,
+         l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4] AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        WHERE doc_id % 20 = 0),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(l) - 4, 0))) AS i) t
+),
+bad AS (SELECT DISTINCT tng.doc_id FROM tng JOIN eng ON tng.g = eng.g)
+SELECT doc_id FROM documents
+WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+""",
         # gap sessionization: break flag via lag(), session id via a
         # running sum of breaks, one group per (user, session)
         "sessionize_events": """

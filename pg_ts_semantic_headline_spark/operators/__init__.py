@@ -49,3 +49,8 @@ from .trigram import (
     trigrams_col,
 )
 from .textstats import doc_fingerprint, lang_id, quality_score, token_counts
+from .decontaminate import (
+    contamination_report,
+    decontaminate,
+    ngram_hash_df,
+)

@@ -39,14 +39,19 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
 def shingle_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-gram shingles per document."""
+    """(doc_id, shingle) — distinct word n-gram shingles per document.
+    Docs with fewer than n tokens emit nothing (guarded explicitly:
+    Spark's sequence(1, 0) DESCENDS to [1, 0] rather than being empty,
+    which would feed slice() an invalid start)."""
     toks = with_tokens(df, text_col)
     sh = toks.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice("_toks", i, n), " "),
-        )).alias("shingle"))
+        F.explode(F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+                lambda i: F.array_join(F.slice("_toks", i, n), " "),
+            )).otherwise(F.array().cast("array<string>"))).alias("shingle"))
     return sh.distinct()
 
 
