@@ -14,10 +14,15 @@ from .multimodal import attach_binary, decode_media, sample_frames
 from .similarity import (
     AnnIndex,
     IvfIndex,
+    ann_add_vectors,
     ann_candidates,
     ann_query,
     build_ann_index,
     build_ivf_index,
+    compact_vector_index,
+    delete_vectors,
+    ivf_add_vectors,
+    ivfpq_add_vectors,
     load_ann_index,
     load_ivf_index,
     cosine_topk,

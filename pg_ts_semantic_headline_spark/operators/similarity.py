@@ -157,6 +157,7 @@ def build_ann_index(df: DataFrame, out_dir: str, n_planes: int = 8,
     dim = len(df.select(emb_col).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
     (df.withColumn("bucket", lsh_bucket_arrow(planes)(F.col(emb_col)))
+       .withColumn("gen", F.lit(0).cast("long"))
        .write.mode("overwrite").partitionBy("bucket")
        .parquet(f"{out_dir}/vectors"))
     spark.createDataFrame([(n_planes, seed, dim)],
@@ -166,15 +167,25 @@ def build_ann_index(df: DataFrame, out_dir: str, n_planes: int = 8,
 
 class AnnIndex:
     """Loaded handle over a persisted ANN index: plane metadata is read
-    ONCE, so each query is a single bucket-pruned scan action."""
+    ONCE, so each query is a single bucket-pruned scan action. Carries
+    the generation state (operators/generations.py) for the incremental
+    add/delete/compact flow."""
 
-    def __init__(self, vectors: DataFrame, planes):
+    def __init__(self, vectors: DataFrame, planes, spark=None,
+                 out_dir: str | None = None, max_gen: int = 0,
+                 tombstones: DataFrame | None = None):
         self.vectors = vectors
         self.planes = planes
+        self.spark = spark
+        self.out_dir = out_dir
+        self.max_gen = max_gen
+        self.tombstones = tombstones
 
     def candidates(self, query_vec, multiprobe: bool = True) -> DataFrame:
+        from .generations import live_rows
         probes = query_probes(query_vec, self.planes, multiprobe)
-        return self.vectors.where(F.col("bucket").isin(probes))
+        return live_rows(self.vectors.where(F.col("bucket").isin(probes)),
+                         self.tombstones, "vec_id")
 
     def query(self, query_vec, k: int = 10, emb_col: str = "embedding",
               id_col: str = "vec_id", multiprobe: bool = True) -> DataFrame:
@@ -186,7 +197,9 @@ def load_ann_index(spark, out_dir: str) -> AnnIndex:
     meta = spark.read.parquet(f"{out_dir}/meta").first()
     planes = random_hyperplanes(int(meta["dim"]), int(meta["n_planes"]),
                                 int(meta["seed"]))
-    return AnnIndex(spark.read.parquet(f"{out_dir}/vectors"), planes)
+    max_gen, tombs = _gen_state(spark, out_dir)
+    return AnnIndex(spark.read.parquet(f"{out_dir}/vectors"), planes,
+                    spark, out_dir, max_gen, tombs)
 
 
 def ann_candidates(spark, out_dir: str, query_vec,
@@ -286,6 +299,7 @@ def build_ivf_index(df: DataFrame, out_dir: str, n_lists: int = 64,
     centroids = train_ivf_centroids(df, n_lists, seed, emb_col, id_col,
                                     sample_rows, approx_total=approx_total)
     (df.withColumn("list_id", ivf_assign_arrow(centroids)(F.col(emb_col)))
+       .withColumn("gen", F.lit(0).cast("long"))
        .write.mode("overwrite").partitionBy("list_id")
        .parquet(f"{out_dir}/vectors"))
     spark.createDataFrame(
@@ -312,11 +326,18 @@ def _nearest_centroid_lists(centroids, query_vec, nprobe: int) -> list[int]:
 
 class IvfIndex:
     """Loaded handle: centroids read once into a numpy matrix; each query
-    is one bucket-pruned scan action over the nprobe nearest lists."""
+    is one bucket-pruned scan action over the nprobe nearest lists.
+    Carries generation state for the incremental add/delete/compact flow."""
 
-    def __init__(self, vectors: DataFrame, centroids):
+    def __init__(self, vectors: DataFrame, centroids, spark=None,
+                 out_dir: str | None = None, max_gen: int = 0,
+                 tombstones: DataFrame | None = None):
         self.vectors = vectors
         self.centroids = centroids  # (k, dim) unit float64
+        self.spark = spark
+        self.out_dir = out_dir
+        self.max_gen = max_gen
+        self.tombstones = tombstones
 
     @property
     def n_lists(self) -> int:
@@ -326,8 +347,11 @@ class IvfIndex:
         return _nearest_centroid_lists(self.centroids, query_vec, nprobe)
 
     def candidates(self, query_vec, nprobe: int = 8) -> DataFrame:
-        return self.vectors.where(
-            F.col("list_id").isin(self.probe_lists(query_vec, nprobe)))
+        from .generations import live_rows
+        return live_rows(
+            self.vectors.where(
+                F.col("list_id").isin(self.probe_lists(query_vec, nprobe))),
+            self.tombstones, "vec_id")
 
     def query(self, query_vec, k: int = 10, nprobe: int = 8,
               emb_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
@@ -345,7 +369,9 @@ def load_ivf_index(spark, out_dir: str) -> IvfIndex:
     rows.sort(key=lambda r: r["list_id"])
     centroids = np.vstack([np.asarray(r["centroid"], dtype=np.float64)
                            for r in rows])
-    return IvfIndex(spark.read.parquet(f"{out_dir}/vectors"), centroids)
+    max_gen, tombs = _gen_state(spark, out_dir)
+    return IvfIndex(spark.read.parquet(f"{out_dir}/vectors"), centroids,
+                    spark, out_dir, max_gen, tombs)
 
 
 # ---------------------------------------------------------------------------
@@ -500,10 +526,11 @@ def build_ivfpq_index(df: DataFrame, out_dir: str, n_lists: int = 64,
 
     enc = (df.withColumn("list_id", ivf_assign_arrow(coarse)(F.col(emb_col)))
              .withColumn("code",
-                         pq_encode_arrow(books, splits)(F.col(emb_col))))
+                         pq_encode_arrow(books, splits)(F.col(emb_col)))
+             .withColumn("gen", F.lit(0).cast("long")))
     enc.persist()
     try:
-        (enc.select(id_col, "code", "list_id")
+        (enc.select(id_col, "code", "gen", "list_id")
             .write.mode("overwrite").partitionBy("list_id")
             .parquet(f"{out_dir}/codes"))
         (enc.drop("code")
@@ -528,12 +555,18 @@ class IvfPqIndex:
     join against the full vectors."""
 
     def __init__(self, codes: DataFrame, vectors: DataFrame, centroids,
-                 codebooks, dim: int):
+                 codebooks, dim: int, spark=None,
+                 out_dir: str | None = None, max_gen: int = 0,
+                 tombstones: DataFrame | None = None):
         self.codes = codes
         self.vectors = vectors
         self.centroids = centroids
         self.codebooks = codebooks
         self.splits = _pq_splits(dim, len(codebooks))
+        self.spark = spark
+        self.out_dir = out_dir
+        self.max_gen = max_gen
+        self.tombstones = tombstones
 
     @property
     def n_lists(self) -> int:
@@ -550,11 +583,16 @@ class IvfPqIndex:
         mode), re-rank those at full precision. The shortlist rides a
         broadcast semi-join, so the full-vector read is pruned to the same
         nprobe directories AND the ~rerank winning row groups."""
+        from .generations import live_rows
+
         probes = self.probe_lists(query_vec, nprobe)
-        cands = self.vectors.where(F.col("list_id").isin(probes))
+        cands = live_rows(self.vectors.where(F.col("list_id").isin(probes)),
+                          self.tombstones, id_col)
         if rerank is not None:
             adc = pq_adc_arrow(self.codebooks, self.splits, query_vec)
-            short = (self.codes.where(F.col("list_id").isin(probes))
+            short = (live_rows(
+                        self.codes.where(F.col("list_id").isin(probes)),
+                        self.tombstones, id_col)
                      .select(id_col, adc(F.col("code")).alias("_adc"))
                      .orderBy(F.desc("_adc"), F.asc(id_col))
                      .limit(int(rerank)).select(id_col))
@@ -613,6 +651,162 @@ def load_ivfpq_index(spark, out_dir: str) -> IvfPqIndex:
         books.append(np.vstack([np.asarray(r["centroid"], dtype=np.float64)
                                 for r in sub]))
     dim = sum(b.shape[1] for b in books)
+    max_gen, tombs = _gen_state(spark, out_dir)
     return IvfPqIndex(spark.read.parquet(f"{out_dir}/codes"),
                       spark.read.parquet(f"{out_dir}/vectors"),
-                      centroids, books, dim)
+                      centroids, books, dim, spark, out_dir, max_gen, tombs)
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest & deletes for the persisted vector indexes.
+#
+# The quantizers (LSH hyperplanes, IVF centroids, PQ codebooks) are FIXED
+# at build time, so adding vectors is pure assignment with the stored
+# parameters — O(new vectors), appended into the existing directory
+# layout, never O(index). Deletes follow the shared generation contract
+# (operators/generations.py): O(deletes) tombstone appends, folded in by
+# `compact_vector_index`. Quantizer drift (the data distribution moving
+# away from what the centroids were trained on) degrades recall, not
+# correctness — retrain with a fresh build when adds dominate the corpus.
+# ---------------------------------------------------------------------------
+
+
+def _gen_state(spark, out_dir: str):
+    """(max_gen, tombstones|None) from the sidecar tables; a fresh build
+    has neither (0, None). Only a MISSING path maps to the default — any
+    other read failure propagates (a swallowed tombstone read would
+    silently resurrect deleted vectors)."""
+    from ..plans.index_build import _path_exists
+
+    max_gen = 0
+    if _path_exists(spark, f"{out_dir}/genmeta"):
+        max_gen = int(spark.read.parquet(f"{out_dir}/genmeta")
+                      .first()["max_gen"])
+    tombs = None
+    if _path_exists(spark, f"{out_dir}/tombstones"):
+        tombs = spark.read.parquet(f"{out_dir}/tombstones")
+    return max_gen, tombs
+
+
+def _write_gen_meta(spark, out_dir: str, max_gen: int) -> None:
+    spark.createDataFrame([(max_gen,)], "max_gen long") \
+        .write.mode("overwrite").parquet(f"{out_dir}/genmeta")
+
+
+def _require_writable(index, fn: str) -> None:
+    if index.spark is None or index.out_dir is None:
+        raise ValueError(
+            f"{fn} needs a handle from load_*_index (it carries the index "
+            "path and generation state); ad-hoc handles are read-only")
+
+
+def ann_add_vectors(index: AnnIndex, df: DataFrame,
+                    emb_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """Append vectors to a persisted LSH-ANN index: bucket with the
+    STORED hyperplanes, stamp the next generation, two O(new) writes.
+    Re-adding a vec_id after `delete_vectors` replaces it (higher gen
+    wins); adding a live vec_id twice duplicates it until a delete.
+    Reload with `load_ann_index` to query the appended rows (the old
+    handle's scan snapshot predates them)."""
+    _require_writable(index, "ann_add_vectors")
+    new_gen = index.max_gen + 1
+    (df.select(F.col(id_col).alias("vec_id"),
+               F.col(emb_col).alias("embedding"))
+       .withColumn("bucket", lsh_bucket_arrow(index.planes)(
+           F.col("embedding")))
+       .withColumn("gen", F.lit(new_gen).cast("long"))
+       .write.mode("append").partitionBy("bucket")
+       .parquet(f"{index.out_dir}/vectors"))
+    _write_gen_meta(index.spark, index.out_dir, new_gen)
+    index.max_gen = new_gen
+
+
+def ivf_add_vectors(index: IvfIndex, df: DataFrame,
+                    emb_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """Append vectors to a persisted IVF index: assign with the STORED
+    centroids (one Arrow pass), stamp the next generation, append."""
+    _require_writable(index, "ivf_add_vectors")
+    new_gen = index.max_gen + 1
+    (df.select(F.col(id_col).alias("vec_id"),
+               F.col(emb_col).alias("embedding"))
+       .withColumn("list_id", ivf_assign_arrow(index.centroids)(
+           F.col("embedding")))
+       .withColumn("gen", F.lit(new_gen).cast("long"))
+       .write.mode("append").partitionBy("list_id")
+       .parquet(f"{index.out_dir}/vectors"))
+    _write_gen_meta(index.spark, index.out_dir, new_gen)
+    index.max_gen = new_gen
+
+
+def ivfpq_add_vectors(index: IvfPqIndex, df: DataFrame,
+                      emb_col: str = "embedding",
+                      id_col: str = "vec_id") -> None:
+    """Append vectors to a persisted IVF-PQ index: assign + PQ-encode
+    with the STORED quantizers in one Arrow pass, append to both the
+    codes and full-precision sides."""
+    _require_writable(index, "ivfpq_add_vectors")
+    new_gen = index.max_gen + 1
+    enc = (df.select(F.col(id_col).alias("vec_id"),
+                     F.col(emb_col).alias("embedding"))
+           .withColumn("list_id", ivf_assign_arrow(index.centroids)(
+               F.col("embedding")))
+           .withColumn("code", pq_encode_arrow(index.codebooks,
+                                               index.splits)(
+               F.col("embedding")))
+           .withColumn("gen", F.lit(new_gen).cast("long")))
+    enc.persist()
+    try:
+        (enc.select("vec_id", "code", "gen", "list_id")
+            .write.mode("append").partitionBy("list_id")
+            .parquet(f"{index.out_dir}/codes"))
+        (enc.drop("code")
+            .write.mode("append").partitionBy("list_id")
+            .parquet(f"{index.out_dir}/vectors"))
+    finally:
+        enc.unpersist()
+    _write_gen_meta(index.spark, index.out_dir, new_gen)
+    index.max_gen = new_gen
+
+
+def delete_vectors(index, vec_ids) -> None:
+    """Mark vectors deleted in any persisted vector index (LSH/IVF/IVF-PQ
+    handle): an O(deletes) tombstone append stamped with the current max
+    generation. Queries anti-filter through the broadcast tombstone set
+    until `compact_vector_index` folds it in."""
+    _require_writable(index, "delete_vectors")
+    index.spark.createDataFrame(
+        [(int(v), index.max_gen) for v in vec_ids],
+        "vec_id long, gen long") \
+        .write.mode("append").parquet(f"{index.out_dir}/tombstones")
+
+
+def compact_vector_index(spark, out_dir: str) -> None:
+    """Fold tombstones into a persisted vector index (works on all three
+    layouts — the codes/ side is detected): rewrite each data table minus
+    superseded rows with generations reset to 0, swap with Hadoop FS ops
+    (non-local storage safe; a failed rename raises with data preserved
+    in the _tmp path), drop the tombstones."""
+    from ..plans.index_build import _path_exists
+    from ..streaming.incremental import _delete_path, _rename_path
+    from .generations import live_rows
+
+    _, tombs = _gen_state(spark, out_dir)
+    if tombs is None:
+        return
+    tables = ["vectors"]
+    if _path_exists(spark, f"{out_dir}/codes"):
+        tables.append("codes")
+    for tbl in tables:
+        df = spark.read.parquet(f"{out_dir}/{tbl}")
+        part_col = "bucket" if "bucket" in df.columns else "list_id"
+        (live_rows(df, tombs, "vec_id")
+            .withColumn("gen", F.lit(0).cast("long"))
+            .write.mode("overwrite").partitionBy(part_col)
+            .parquet(f"{out_dir}/{tbl}_tmp"))
+    for tbl in tables:
+        _delete_path(spark, f"{out_dir}/{tbl}")
+        _rename_path(spark, f"{out_dir}/{tbl}_tmp", f"{out_dir}/{tbl}")
+    _write_gen_meta(spark, out_dir, 0)
+    _delete_path(spark, f"{out_dir}/tombstones")

@@ -271,22 +271,17 @@ class TrigramIndex:
 
     def _tomb_max(self) -> DataFrame:
         """(doc_id, _tgen): the newest tombstone generation per doc."""
-        return (self.tombstones.groupBy("doc_id")
-                .agg(F.max("gen").alias("_tgen")))
+        from .generations import tombstone_max
+        return tombstone_max(self.tombstones, "doc_id")
 
     def _live(self, df: DataFrame) -> DataFrame:
-        """Filter rows superseded by a tombstone: a row is dead iff some
-        tombstone for its doc_id has gen >= the row's gen, so rows
-        re-added AFTER the delete (higher gen) survive — the replace flow.
-        Broadcast: the tombstone set is small between compactions —
-        `compact_trigram_index` folds it in."""
-        if self.tombstones is None:
-            return df
-        return (df.join(F.broadcast(self._tomb_max()), on="doc_id",
-                        how="left")
-                .where(F.col("_tgen").isNull()
-                       | (F.col("gen") > F.col("_tgen")))
-                .drop("_tgen"))
+        """Filter rows superseded by a tombstone (the shared generation
+        contract — see operators/generations.py): rows re-added AFTER a
+        delete survive (the replace flow). Broadcast: the tombstone set
+        is small between compactions — `compact_trigram_index` folds it
+        in."""
+        from .generations import live_rows
+        return live_rows(df, self.tombstones, "doc_id")
 
     def dead_doc_ids(self) -> DataFrame | None:
         """doc_ids with NO live docstats row (deleted and not re-added);

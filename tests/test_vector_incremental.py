@@ -1,0 +1,147 @@
+"""Incremental add/delete/compact for the persisted vector indexes
+(LSH-ANN, IVF, IVF-PQ): append-equals-rebuild, delete visibility, the
+delete-then-re-add replace flow, and compaction folding."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_ts_semantic_headline_spark.operators.similarity import (
+    ann_add_vectors,
+    build_ann_index,
+    build_ivf_index,
+    build_ivfpq_index,
+    compact_vector_index,
+    cosine_topk,
+    delete_vectors,
+    ivf_add_vectors,
+    ivfpq_add_vectors,
+    load_ann_index,
+    load_ivf_index,
+    load_ivfpq_index,
+)
+
+
+def _rows(n, dim=16, seed=7):
+    rng = random.Random(seed)
+    return [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def vec_rows():
+    return _rows(60)
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark, vec_rows):
+    return spark.createDataFrame(vec_rows, ["vec_id", "embedding"])
+
+
+def topk(index, qv, k=10, **kw):
+    return [(r["vec_id"], round(r["cosine"], 9))
+            for r in index.query(qv, k=k, **kw).collect()]
+
+
+def test_ann_add_equals_rebuild(spark, vec_df, vec_rows, tmp_path):
+    """Building on half then appending the rest must answer identically
+    to a one-shot build: the planes are fixed at build, so assignment is
+    deterministic and order-independent."""
+    full, incr = str(tmp_path / "full"), str(tmp_path / "incr")
+    first = vec_df.where(F.col("vec_id") < 30)
+    rest = vec_df.where(F.col("vec_id") >= 30)
+    build_ann_index(vec_df, full, n_planes=6, seed=42)
+    build_ann_index(first, incr, n_planes=6, seed=42)
+    h = load_ann_index(spark, incr)
+    ann_add_vectors(h, rest)
+    h2 = load_ann_index(spark, incr)
+    assert h2.max_gen == 1
+    qv = vec_rows[3][1]
+    assert topk(h2, qv) == topk(load_ann_index(spark, full), qv)
+
+
+def test_ann_delete_and_replace(spark, vec_df, vec_rows, tmp_path):
+    out = str(tmp_path / "ann")
+    build_ann_index(vec_df, out, n_planes=4, seed=42)
+    h = load_ann_index(spark, out)
+    qv = vec_rows[5][1]
+    before = [i for i, _ in topk(h, qv, k=5)]
+    assert before[0] == 5
+    delete_vectors(h, [5, before[1]])
+    h = load_ann_index(spark, out)
+    after = [i for i, _ in topk(h, qv, k=5)]
+    assert 5 not in after and before[1] not in after
+    # replace: re-add vec 5 with a DIFFERENT vector — only the new one
+    # is visible (generation supersedes the tombstone)
+    new_vec = [float(x) for x in vec_rows[7][1]]
+    repl = spark.createDataFrame([(5, new_vec)], ["vec_id", "embedding"])
+    ann_add_vectors(h, repl)
+    h = load_ann_index(spark, out)
+    got = topk(h, new_vec, k=3)
+    assert got[0][0] in (5, 7) and abs(got[0][1] - 1.0) < 1e-9
+    ids = [i for i, _ in got]
+    assert 5 in ids and 7 in ids  # both exact matches of the query
+    # compaction folds tombstones in without losing the re-added vector
+    compact_vector_index(spark, out)
+    h2 = load_ann_index(spark, out)
+    assert h2.tombstones is None and h2.max_gen == 0
+    assert topk(h2, new_vec, k=3) == got
+    assert before[1] not in [i for i, _ in topk(h2, qv, k=10)]
+
+
+def test_ivf_incremental_bruteforce_parity(spark, vec_df, vec_rows,
+                                           tmp_path):
+    """With nprobe=n_lists the IVF path is exact, so after add+delete the
+    results must equal brute-force cosine over the live vector set."""
+    out = str(tmp_path / "ivf")
+    first = vec_df.where(F.col("vec_id") < 40)
+    rest = vec_df.where(F.col("vec_id") >= 40)
+    build_ivf_index(first, out, n_lists=4, seed=1)
+    h = load_ivf_index(spark, out)
+    ivf_add_vectors(h, rest)
+    delete_vectors(h, [0, 1, 2])
+    h = load_ivf_index(spark, out)
+    qv = vec_rows[9][1]
+    got = topk(h, qv, nprobe=4)
+    live = vec_df.where(~F.col("vec_id").isin([0, 1, 2]))
+    want = [(r["vec_id"], round(r["cosine"], 9))
+            for r in cosine_topk(live, qv, k=10).collect()]
+    assert got == want
+    compact_vector_index(spark, out)
+    h2 = load_ivf_index(spark, out)
+    assert h2.tombstones is None
+    assert topk(h2, qv, nprobe=4) == want
+
+
+def test_ivfpq_incremental_bruteforce_parity(spark, vec_df, vec_rows,
+                                             tmp_path):
+    """rerank=None + nprobe=n_lists is the IVF-PQ exactness mode; it must
+    hold across adds and deletes (codes and vectors stay consistent)."""
+    out = str(tmp_path / "pq")
+    first = vec_df.where(F.col("vec_id") < 40)
+    rest = vec_df.where(F.col("vec_id") >= 40)
+    build_ivfpq_index(first, out, n_lists=4, m=4, nbits=4, seed=1)
+    h = load_ivfpq_index(spark, out)
+    ivfpq_add_vectors(h, rest)
+    delete_vectors(h, [41, 9])
+    h = load_ivfpq_index(spark, out)
+    qv = vec_rows[41][1]
+    got = topk(h, qv, nprobe=4, rerank=None)
+    live = vec_df.where(~F.col("vec_id").isin([41, 9]))
+    want = [(r["vec_id"], round(r["cosine"], 9))
+            for r in cosine_topk(live, qv, k=10).collect()]
+    assert got == want
+    # the ADC shortlist path must also exclude deleted ids
+    short = [i for i, _ in topk(h, qv, nprobe=4, rerank=20)]
+    assert 41 not in short and 9 not in short
+    compact_vector_index(spark, out)
+    h2 = load_ivfpq_index(spark, out)
+    assert h2.tombstones is None
+    assert topk(h2, qv, nprobe=4, rerank=None) == want
+
+
+def test_adhoc_handles_are_readonly(spark, vec_df):
+    from pg_ts_semantic_headline_spark.operators.similarity import AnnIndex
+    h = AnnIndex(vec_df, None)
+    with pytest.raises(ValueError, match="read-only"):
+        delete_vectors(h, [1])
