@@ -1,0 +1,61 @@
+"""Streaming ingest into the persisted vector indexes: every micro-batch
+of (vec_id, embedding) rows is appended with the index's STORED
+quantizers via `ann_add_vectors` / `ivf_add_vectors` / `ivfpq_add_vectors`
+— the same foreachBatch pattern as `attach_incremental_indexer` (BM25)
+and `percolate_stream`.
+
+Each batch is one generation: O(batch) assignment + append, never
+O(index). Deletes still go through `delete_vectors` on a loaded handle;
+`compact_vector_index` folds them in. Readers see old-consistent data
+until the batch's append completes (parquet appends are new files; a
+concurrent reader's scan snapshot simply predates them).
+
+The handle is RELOADED once per batch (cheap: genmeta + tombstones +
+plane/centroid side tables) so generation numbers stay correct across
+restarts — the in-memory max_gen of a long-lived handle would go stale
+if another writer or a previous run advanced it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def attach_vector_indexer(
+    stream_vectors: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    kind: str = "ann",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    trigger_available_now: bool = True,
+):
+    """writeStream wiring: each micro-batch appends into the vector index
+    at `index_dir`. `kind`: 'ann' (LSH), 'ivf', or 'ivfpq' — must match
+    what `build_*_index` created there (the index must exist; quantizers
+    are never trained here)."""
+    from ..operators.similarity import (ann_add_vectors, ivf_add_vectors,
+                                        ivfpq_add_vectors, load_ann_index,
+                                        load_ivf_index, load_ivfpq_index)
+
+    loaders = {"ann": (load_ann_index, ann_add_vectors),
+               "ivf": (load_ivf_index, ivf_add_vectors),
+               "ivfpq": (load_ivfpq_index, ivfpq_add_vectors)}
+    if kind not in loaders:
+        raise ValueError(f"unknown vector index kind {kind!r}; "
+                         f"expected one of {sorted(loaders)}")
+    load, add = loaders[kind]
+    spark = stream_vectors.sparkSession
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        add(load(spark, index_dir), batch_df,
+            emb_col=emb_col, id_col=id_col)
+
+    writer = (stream_vectors.writeStream
+              .foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -145,3 +145,34 @@ def test_adhoc_handles_are_readonly(spark, vec_df):
     h = AnnIndex(vec_df, None)
     with pytest.raises(ValueError, match="read-only"):
         delete_vectors(h, [1])
+
+
+def test_streaming_vector_ingest(spark, vec_df, vec_rows, tmp_path):
+    """A real (availableNow) stream of vectors appended via foreachBatch:
+    after the run the index answers identically to a one-shot build over
+    base + streamed rows."""
+    from pg_ts_semantic_headline_spark.streaming import (
+        attach_vector_indexer)
+
+    out, full = str(tmp_path / "s_ann"), str(tmp_path / "s_full")
+    base = vec_df.where(F.col("vec_id") < 30)
+    extra_rows = [(r[0], r[1]) for r in _rows(60)[30:]]
+    build_ann_index(base, out, n_planes=6, seed=42)
+    build_ann_index(vec_df, full, n_planes=6, seed=42)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(extra_rows, ["vec_id", "embedding"]) \
+        .write.parquet(src)
+    stream = (spark.readStream.schema("vec_id long, embedding array<double>")
+              .parquet(src))
+    q = attach_vector_indexer(stream, out, str(tmp_path / "ckpt"),
+                              kind="ann")
+    q.awaitTermination(120)
+    qv = vec_rows[3][1]
+    got = topk(load_ann_index(spark, out), qv)
+    assert got == topk(load_ann_index(spark, full), qv)
+    assert load_ann_index(spark, out).max_gen >= 1
+
+    with pytest.raises(ValueError, match="unknown vector index kind"):
+        attach_vector_indexer(stream, out, str(tmp_path / "ckpt2"),
+                              kind="flat")
