@@ -513,6 +513,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (ngram_jaccard_pairs(_docs(spark, sf), threshold=0.4)
                 .select("a", "b", _e4(F.col("jaccard")).alias("jaccard_e4")))
 
+    def q51(spark, sf):
+        # doc-in-doc duplication: exact all-pairs n-gram containment
+        # |A∩B| / min(|A|,|B|) — catches quotes/concatenations Jaccard
+        # misses when sizes differ
+        from pg_ts_semantic_headline_spark.operators.dedup import (
+            ngram_containment_pairs)
+        return (ngram_containment_pairs(_docs(spark, sf), threshold=0.6)
+                .select("a", "b",
+                        _e4(F.col("containment")).alias("containment_e4")))
+
     def q22(spark, sf):
         return simhash(_docs(spark, sf), bits=32)
 
@@ -912,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms": q48,
         "decontaminate_report": q49,
         "decontaminate_kept": q50,
+        "dedup_containment": q51,
     }
 
 
@@ -1239,6 +1250,21 @@ FROM pairs p
 JOIN sizes za ON za.doc_id = p.a
 JOIN sizes zb ON zb.doc_id = p.b
 WHERE CAST(p.inter AS DOUBLE) / (za.sz + zb.sz - p.inter) >= 0.4
+""",
+        "dedup_containment": f"""
+WITH {SHINGLE_CTE.strip()},
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+SELECT p.a, p.b,
+       CAST(ROUND(CAST(p.inter AS DOUBLE) / least(za.sz, zb.sz) * 10000) AS BIGINT) AS containment_e4
+FROM pairs p
+JOIN sizes za ON za.doc_id = p.a
+JOIN sizes zb ON zb.doc_id = p.b
+WHERE CAST(p.inter AS DOUBLE) / least(za.sz, zb.sz) >= 0.6
 """,
         "dedup_simhash": _simhash_sql(32),
         "embedding_cosine_topk": emb_cos + """

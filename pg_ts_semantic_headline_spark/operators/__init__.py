@@ -1,10 +1,12 @@
 from .dedup import (
+    containment_for_pairs,
     duplicate_components,
     exact_duplicates,
     jaccard_for_pairs,
     lsh_candidate_pairs,
     minhash_lsh_dedup,
     minhash_signatures,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     shingle_df,
     simhash,

@@ -165,6 +165,56 @@ def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
                     .alias("jaccard")))
 
 
+def containment_for_pairs(pairs: DataFrame,
+                          shingles: DataFrame) -> DataFrame:
+    """Exact containment for candidate pairs: |A∩B| / min(|A|, |B|) —
+    the doc-in-doc signal Jaccard misses when sizes differ (a page
+    quoting another scores near 1.0 containment but low Jaccard).
+    RECALL CAVEAT: candidate pairs from minhash LSH are recalled by
+    Jaccard, so small-in-big containment pairs may never become
+    candidates; for guaranteed containment recall pair this with the
+    exact `ngram_containment_pairs` baseline or an asymmetric candidate
+    scheme."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = shingles.select(F.col("doc_id").alias("a"), "shingle")
+    sb = shingles.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (pairs.join(sa, on="a").join(sb, on=["b", "shingle"])
+             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.select(F.col("doc_id").alias("a"),
+                               F.col("sz").alias("sz_a")), on="a")
+            .join(sizes.select(F.col("doc_id").alias("b"),
+                               F.col("sz").alias("sz_b")), on="b")
+            .select("a", "b",
+                    (F.col("inter") / F.least("sz_a", "sz_b"))
+                    .alias("containment")))
+
+
+def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 3,
+                            threshold: float = 0.9) -> DataFrame:
+    """All-pairs exact n-gram containment >= threshold via the shingle
+    inverted join — the quadratic-exact baseline (same cost shape as
+    `ngram_jaccard_pairs`; the inverted join only pairs docs sharing a
+    shingle, so disjoint docs never meet)."""
+    sh = shingle_df(df, text_col, id_col, n)
+    pairs = (sh.alias("x").join(sh.alias("y"), on="shingle")
+             .where(F.col("x.doc_id") < F.col("y.doc_id"))
+             .select(F.col("x.doc_id").alias("a"),
+                     F.col("y.doc_id").alias("b"))
+             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    return (pairs
+            .join(sizes.select(F.col("doc_id").alias("a"),
+                               F.col("sz").alias("sz_a")), on="a")
+            .join(sizes.select(F.col("doc_id").alias("b"),
+                               F.col("sz").alias("sz_b")), on="b")
+            .withColumn("containment",
+                        F.col("inter") / F.least("sz_a", "sz_b"))
+            .where(F.col("containment") >= threshold)
+            .select("a", "b", F.round("containment", 6).alias("containment")))
+
+
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       num_hashes: int = 16, bands: int = 4,

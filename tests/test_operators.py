@@ -122,6 +122,23 @@ class TestDedup:
         assert got["dropped_buckets"] == 4          # one per band
         assert got["dropped_rows"] == 4 * 1000
 
+    def test_containment_doc_in_doc(self, spark):
+        """A doc fully quoted inside a bigger doc scores containment 1.0
+        while its Jaccard stays low — the signal the operator exists for."""
+        from pg_ts_semantic_headline_spark.operators.dedup import (
+            ngram_containment_pairs, ngram_jaccard_pairs)
+        small = "alpha beta gamma delta epsilon"
+        big = small + " " + " ".join(f"filler{i}" for i in range(40))
+        df = spark.createDataFrame(
+            [(1, small), (2, big), (3, "totally different text entirely")],
+            ["doc_id", "text"])
+        got = {(r["a"], r["b"]): r["containment"]
+               for r in ngram_containment_pairs(df, threshold=0.9).collect()}
+        assert got == {(1, 2): 1.0}
+        jac = {(r["a"], r["b"]): r["jaccard"]
+               for r in ngram_jaccard_pairs(df, threshold=0.0).collect()}
+        assert jac[(1, 2)] < 0.1  # Jaccard would have missed it
+
     def test_lsh_drop_stats_survive_empty_result(self, spark):
         """When EVERY band bucket is dropped the candidate result is
         empty and AQE elides the CollectMetrics node — the drop_stats
