@@ -231,6 +231,16 @@ def main():
         finally:
             shutil.rmtree(trgm_dir, ignore_errors=True)
 
+        # eval-set decontamination: 5-gram overlap of the doc_id%20==0
+        # "benchmark" slice vs the rest (broadcast eval hashes, train
+        # side scanned once)
+        from pg_ts_semantic_headline_spark.operators.decontaminate import (
+            decontaminate)
+        ev_docs = raw_docs.where(F.col("doc_id") % 20 == 0)
+        tr_docs = raw_docs.where(F.col("doc_id") % 20 != 0)
+        timings["decontaminate_5gram"] = min_of(
+            lambda: decontaminate(tr_docs, ev_docs, n=5).count())
+
         # ad-hoc 1:1 ts_headline replacement (pg-style passage selection +
         # fast path over the passage only), normalized per 1k docs
         from pg_ts_semantic_headline_spark.plans.headline import (

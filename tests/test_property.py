@@ -313,3 +313,57 @@ class TestChunkingProperties:
                 for i, t in enumerate(texts)
                 for cid, s, nt, ct in naive_chunks(t, chunk_tokens, overlap)}
         assert got == want
+
+
+# --------------------------------------------------- trigram soundness law
+
+class TestTrigramRegexSoundness:
+    """The law candidate pruning rests on: for ANY pattern and ANY text
+    the pattern matches, every required trigram is in the text's trigram
+    set — so index pruning can never drop a true match. Fuzzed over a
+    regex-fragment grammar that includes the escape forms the extractor
+    special-cases (\\n-style literals, class escapes, escaped
+    punctuation, operand-consuming escapes)."""
+
+    fragment = st.one_of(
+        st.text(alphabet="abcxyz012 ", min_size=1, max_size=6),
+        st.sampled_from([r"\n", r"\t", r"\d", r"\w", r"\s", r"\.",
+                         r"\x41", r"\\", "[ab]", "(xy)+", "x?", "y*",
+                         "z{1,2}", ".", "x+"]),
+    )
+
+    @given(st.lists(fragment, min_size=1, max_size=6))
+    @settings(max_examples=300, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def test_required_trigrams_subset_of_any_match(self, frags):
+        import re as _re
+        import random as _random
+
+        from pg_ts_semantic_headline_spark.operators.trigram import (
+            regex_required_trigrams, text_trigrams)
+
+        pattern = "".join(frags)
+        try:
+            rx = _re.compile(pattern)
+        except _re.error:
+            return  # invalid pattern: extractor output is irrelevant
+        req = set(regex_required_trigrams(pattern))
+        # exercise the law against texts the pattern actually matches:
+        # random padding around a directly generated witness when one
+        # exists (re module can generate via matching the pattern itself)
+        rng = _random.Random(42)
+        candidates = []
+        for pad in ["", " qq ", "zz", "\n"]:
+            for core in [pattern, "abc x41 ab xy xyz 012"]:
+                txt = pad + core + pad
+                if rx.search(txt):
+                    candidates.append(txt)
+        # plus brute-force random texts (covers patterns whose own
+        # source text doesn't match them)
+        alphabet = "abcxyz012 .\n\tA"
+        for _ in range(40):
+            txt = "".join(rng.choice(alphabet) for _ in range(20))
+            if rx.search(txt):
+                candidates.append(txt)
+        for txt in candidates:
+            assert req <= text_trigrams(txt), (pattern, txt, req)
