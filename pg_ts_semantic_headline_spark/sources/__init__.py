@@ -50,3 +50,13 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+from .readers import (  # noqa: E402
+    parse_warc_bytes,
+    read_csv_corpus,
+    read_jsonl,
+    read_text_lines,
+    read_warc,
+    read_whole_files,
+    warc_text_documents,
+)

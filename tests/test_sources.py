@@ -1,0 +1,102 @@
+"""Corpus ingestion readers: JSONL/CSV/text wiring and the WARC parser
+(spec-shaped fixtures built in-test, plain and gzipped)."""
+
+import gzip
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_ts_semantic_headline_spark.sources import (
+    normalize_corpus,
+    parse_warc_bytes,
+    read_jsonl,
+    read_text_lines,
+    read_warc,
+    read_whole_files,
+    warc_text_documents,
+)
+
+
+def _warc_record(rid, uri, body, wtype="response",
+                 ctype="text/html"):
+    payload = body.encode()
+    hdr = (f"WARC/1.0\r\n"
+           f"WARC-Type: {wtype}\r\n"
+           f"WARC-Record-ID: {rid}\r\n"
+           f"WARC-Target-URI: {uri}\r\n"
+           f"Content-Type: {ctype}\r\n"
+           f"Content-Length: {len(payload)}\r\n"
+           f"\r\n").encode()
+    return hdr + payload + b"\r\n\r\n"
+
+
+RECORDS = [
+    ("<urn:uuid:r1>", "http://a.example/x", "hello warc world", "response"),
+    ("<urn:uuid:r2>", "http://b.example/y", "second document body",
+     "conversion"),
+    ("<urn:uuid:r3>", "", "warcinfo payload", "warcinfo"),
+]
+
+
+def _warc_bytes():
+    return b"".join(_warc_record(*r[:3], wtype=r[3]) for r in RECORDS)
+
+
+def test_parse_warc_bytes_driver():
+    recs = list(parse_warc_bytes(_warc_bytes(), "seg"))
+    assert [r[1] for r in recs] == [r[0] for r in RECORDS]
+    assert recs[0][3] == "http://a.example/x"
+    assert recs[0][6] == b"hello warc world"
+    assert recs[2][2] == "warcinfo"
+    # malformed input raises loudly instead of silently dropping records
+    with pytest.raises(ValueError, match="malformed WARC"):
+        list(parse_warc_bytes(b"NOT A WARC", "seg"))
+
+
+def test_read_warc_plain_and_gzip(spark, tmp_path):
+    plain = tmp_path / "seg1.warc"
+    plain.write_bytes(_warc_bytes())
+    # Common Crawl layout: one gzip member per record, concatenated
+    gz = tmp_path / "seg2.warc.gz"
+    buf = io.BytesIO()
+    for r in RECORDS:
+        member = io.BytesIO()
+        with gzip.GzipFile(fileobj=member, mode="wb") as fh:
+            fh.write(_warc_record(*r[:3], wtype=r[3]))
+        buf.write(member.getvalue())
+    gz.write_bytes(buf.getvalue())
+
+    df = read_warc(spark, str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 6  # 3 records per segment
+    assert {r["warc_type"] for r in rows} == {"response", "conversion",
+                                              "warcinfo"}
+    docs = warc_text_documents(df).collect()
+    # warcinfo filtered out; text decoded
+    assert sorted(r["text"] for r in docs) == sorted(
+        ["hello warc world", "second document body"] * 2)
+    # ids deterministic per record_id
+    assert len({r["doc_id"] for r in docs}) == 2
+
+
+def test_jsonl_and_text_readers(spark, tmp_path):
+    j = tmp_path / "docs.jsonl"
+    j.write_text('{"id": 1, "text": "alpha beta"}\n'
+                 '{"id": 2, "text": "gamma delta"}\n')
+    got = read_jsonl(spark, str(j)).orderBy("id").collect()
+    assert [r["text"] for r in got] == ["alpha beta", "gamma delta"]
+
+    t = tmp_path / "lines.txt"
+    t.write_text("first doc line\nsecond doc line\n")
+    lines = read_text_lines(spark, str(t)).collect()
+    assert {r["text"] for r in lines} == {"first doc line",
+                                          "second doc line"}
+    whole = read_whole_files(spark, str(t)).collect()
+    assert len(whole) == 1 and "second doc line" in whole[0]["text"]
+
+    # normalize onto the canonical corpus shape
+    norm = normalize_corpus(read_jsonl(spark, str(j)),
+                            content_col="text", doc_id_col="id")
+    assert set(norm.columns) >= {"doc_id", "content"}
+    assert norm.count() == 2
