@@ -617,6 +617,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .orderBy(F.desc("cosine_e4"), F.asc("vec_id")).limit(10)
                 .select("vec_id", "cosine_e4"))
 
+    def q52(spark, sf):
+        # distributed kNN JOIN: top-10 neighbors for EVERY query row in
+        # one plan; nprobe = n_lists makes it exactly the brute-force
+        # kNN join (the oracle contract — approximate recall at
+        # nprobe < n_lists is pinned by pytest)
+        from pg_ts_semantic_headline_spark.operators.similarity import (
+            build_ivf_index, ivf_knn_join, load_ivf_index)
+        import tempfile
+        emb = _emb(spark, sf)
+        d = tempfile.mkdtemp(prefix="tsp_knn_idx_")
+        build_ivf_index(emb, d, n_lists=8, seed=42)
+        idx = load_ivf_index(spark, d)
+        queries = (emb.where(F.col("vec_id") < 3)
+                   .select(F.col("vec_id").alias("query_id"), "embedding"))
+        return (ivf_knn_join(idx, queries, k=10, nprobe=idx.n_lists)
+                .select("query_id", "vec_id",
+                        _e4(F.col("cosine")).alias("cosine_e4")))
+
     def q38(spark, sf):
         # IVF-PQ ANN: product-quantized ADC shortlist + full-precision
         # re-rank. At nprobe = n_lists with rerank=None every probed row is
@@ -923,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_report": q49,
         "decontaminate_kept": q50,
         "dedup_containment": q51,
+        "knn_join": q52,
     }
 
 
@@ -1265,6 +1284,31 @@ FROM pairs p
 JOIN sizes za ON za.doc_id = p.a
 JOIN sizes zb ON zb.doc_id = p.b
 WHERE CAST(p.inter AS DOUBLE) / least(za.sz, zb.sz) >= 0.6
+""",
+        # exact kNN join (nprobe = n_lists): brute-force cosine of every
+        # (query, vector) pair, top-10 per query by full-precision cosine
+        # with vec_id tiebreak — the same ranking the Spark window uses
+        "knn_join": """
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         unnest(e.embedding)::DOUBLE AS x,
+         unnest(q.embedding)::DOUBLE AS y
+  FROM embeddings e, embeddings q
+  WHERE q.vec_id < 3
+),
+cos AS (
+  SELECT query_id, vec_id,
+         SUM(x*y) / (sqrt(SUM(x*x)) * sqrt(SUM(y*y))) AS c
+  FROM pairs GROUP BY query_id, vec_id
+),
+rk AS (
+  SELECT query_id, vec_id, c,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, vec_id) AS rn
+  FROM cos WHERE c IS NOT NULL AND NOT isnan(c)
+)
+SELECT query_id, vec_id, CAST(ROUND(c * 10000) AS BIGINT) AS cosine_e4
+FROM rk WHERE rn <= 10
 """,
         "dedup_simhash": _simhash_sql(32),
         "embedding_cosine_topk": emb_cos + """

@@ -174,6 +174,15 @@ def main():
             for v in qvs:
                 ivf.query(v, k=10, nprobe=4).collect()
             timings["ivf_query_x5"] = time.time() - t0
+
+            # batch kNN JOIN: top-10 neighbors for EVERY vector in one
+            # plan (the embedding-curation primitive) — vs 5 driver
+            # round-trips above for 5 queries
+            from pg_ts_semantic_headline_spark.operators.similarity import (
+                ivf_knn_join)
+            all_q = emb.selectExpr("vec_id as query_id", "embedding")
+            timings["knn_join_all_vs_all"] = min_of(
+                lambda: ivf_knn_join(ivf, all_q, k=10, nprobe=4).count())
         finally:
             shutil.rmtree(ivf_dir, ignore_errors=True)
 

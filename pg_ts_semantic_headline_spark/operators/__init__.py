@@ -24,6 +24,7 @@ from .similarity import (
     compact_vector_index,
     delete_vectors,
     ivf_add_vectors,
+    ivf_knn_join,
     ivfpq_add_vectors,
     load_ann_index,
     load_ivf_index,

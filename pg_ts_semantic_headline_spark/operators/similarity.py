@@ -770,6 +770,126 @@ def ivfpq_add_vectors(index: IvfPqIndex, df: DataFrame,
     index.max_gen = new_gen
 
 
+def ivf_probes_arrow(centroids, nprobe: int):
+    """Arrow kernel: the nprobe nearest list ids PER VECTOR (array column)
+    — the distributed counterpart of the driver-side
+    `_nearest_centroid_lists`, for query sets too large to collect."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    ct = np.asarray(centroids, dtype=np.float64).T  # (dim, k)
+    take = max(1, min(nprobe, ct.shape[1]))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probes(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms[:, None]) @ ct
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+        return pd.Series([row.astype("int32") for row in order])
+
+    return probes
+
+
+def _pair_cosine_arrow():
+    """Arrow kernel: cosine of two array columns row-by-row (one einsum
+    per batch)."""
+    import numpy as np
+
+    @F.pandas_udf(DoubleType())
+    def pcos(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.vstack(a.to_numpy()).astype(np.float64)
+        mb = np.vstack(b.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(np.where(den > 0, num / den, np.nan))
+
+    return pcos
+
+
+def ivf_knn_join(index: IvfIndex, queries: DataFrame, k: int = 10,
+                 nprobe: int = 8, query_id: str = "query_id",
+                 query_emb: str = "embedding",
+                 emb_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Distributed kNN JOIN: (query_id, vec_id, cosine) — the k nearest
+    index vectors for EVERY query row, in one plan. The batch primitive
+    of embedding-based curation (near-dup sweeps, semantic filtering,
+    hard-negative mining), where per-query `IvfIndex.query` calls would
+    mean one driver round-trip per query.
+
+    Shape: queries explode to (query, list_id) via an Arrow probe kernel
+    (nprobe rows per query), then a COGROUP on list_id pairs each list's
+    queries with its vectors in one task — a single matmul per
+    (list, query-batch) instead of shipping both embeddings per candidate
+    pair — and each list emits only its per-query top-k (sound: a
+    global-top-k vector is necessarily in its own list's top-k for that
+    query), so the final per-query window sees ≤ nprobe·k rows per query,
+    never the raw candidate count. nprobe = n_lists makes the result
+    exactly the brute-force kNN join. At scale: hot lists skew the
+    cogroup; n_lists should grow O(sqrt(N)) so single lists stay
+    task-sized. Ties break by ascending vec_id (deterministic)."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    from .generations import live_rows
+
+    probed = (queries
+              .select(F.col(query_id).alias("query_id"),
+                      F.col(query_emb).alias("_q"))
+              .withColumn("list_id",
+                          F.explode(ivf_probes_arrow(index.centroids,
+                                                     nprobe)(F.col("_q")))))
+    vecs = (live_rows(index.vectors, index.tombstones, "vec_id")
+            .select("list_id", F.col(id_col).alias("vec_id"),
+                    F.col(emb_col).alias("_v")))
+    qt = queries.schema[query_id].dataType.simpleString()
+    vt = index.vectors.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {qt}, vec_id {vt}, cosine double"
+    kk = int(k)
+
+    def per_list_topk(qpdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or vpdf.empty:
+            return pd.DataFrame({"query_id": [], "vec_id": [],
+                                 "cosine": []})
+        qm = np.vstack(qpdf["_q"].to_numpy()).astype(np.float64)
+        vm = np.vstack(vpdf["_v"].to_numpy()).astype(np.float64)
+        qn = np.linalg.norm(qm, axis=1)
+        vn = np.linalg.norm(vm, axis=1)
+        qn[qn == 0] = np.nan
+        vn[vn == 0] = np.nan
+        sims = (qm / qn[:, None]) @ (vm / vn[:, None]).T  # (nq, nv)
+        take = min(kk, sims.shape[1])
+        vid = vpdf["vec_id"].to_numpy()
+        # per-query top-`take` by (-cosine, vec_id): argpartition then an
+        # exact lexsort of the shortlist — O(nv + k log k) per query
+        part = np.argpartition(-np.nan_to_num(sims, nan=-2.0),
+                               take - 1, axis=1)[:, :take]
+        out_q, out_v, out_c = [], [], []
+        qids = qpdf["query_id"].to_numpy()
+        for row in range(sims.shape[0]):
+            idx = part[row]
+            cos_row = sims[row, idx]
+            keep = ~np.isnan(cos_row)
+            idx, cos_row = idx[keep], cos_row[keep]
+            order = np.lexsort((vid[idx], -cos_row))
+            out_q.extend([qids[row]] * len(order))
+            out_v.extend(vid[idx][order])
+            out_c.extend(cos_row[order])
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_v,
+                             "cosine": out_c})
+
+    scored = (probed.groupBy("list_id")
+              .cogroup(vecs.groupBy("list_id"))
+              .applyInPandas(per_list_topk, schema=out_schema))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k).drop("_rn"))
+
+
 def delete_vectors(index, vec_ids) -> None:
     """Mark vectors deleted in any persisted vector index (LSH/IVF/IVF-PQ
     handle): an O(deletes) tombstone append stamped with the current max

@@ -176,3 +176,29 @@ def test_streaming_vector_ingest(spark, vec_df, vec_rows, tmp_path):
     with pytest.raises(ValueError, match="unknown vector index kind"):
         attach_vector_indexer(stream, out, str(tmp_path / "ckpt2"),
                               kind="flat")
+
+
+def test_ivf_knn_join_bruteforce_parity(spark, vec_df, vec_rows, tmp_path):
+    """nprobe=n_lists makes the kNN join exactly the brute-force kNN
+    join: for every query, results equal per-query brute-force cosine."""
+    from pg_ts_semantic_headline_spark.operators.similarity import (
+        ivf_knn_join)
+    out = str(tmp_path / "knn_ivf")
+    build_ivf_index(vec_df, out, n_lists=4, seed=1)
+    h = load_ivf_index(spark, out)
+    queries = vec_df.where(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    got = {}
+    for r in ivf_knn_join(h, queries, k=5, nprobe=4).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["cosine"], 9)))
+    for qid in range(5):
+        got[qid].sort(key=lambda t: (-t[1], t[0]))
+        want = [(r["vec_id"], round(r["cosine"], 9))
+                for r in cosine_topk(vec_df, vec_rows[qid][1], k=5).collect()]
+        assert got[qid] == want, qid
+    # deletes are honored in the join too
+    delete_vectors(h, [0])
+    h = load_ivf_index(spark, out)
+    joined = ivf_knn_join(h, queries, k=5, nprobe=4).collect()
+    assert all(r["vec_id"] != 0 for r in joined)
