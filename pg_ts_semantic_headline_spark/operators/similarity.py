@@ -792,23 +792,6 @@ def ivf_probes_arrow(centroids, nprobe: int):
     return probes
 
 
-def _pair_cosine_arrow():
-    """Arrow kernel: cosine of two array columns row-by-row (one einsum
-    per batch)."""
-    import numpy as np
-
-    @F.pandas_udf(DoubleType())
-    def pcos(a: pd.Series, b: pd.Series) -> pd.Series:
-        ma = np.vstack(a.to_numpy()).astype(np.float64)
-        mb = np.vstack(b.to_numpy()).astype(np.float64)
-        num = np.einsum("ij,ij->i", ma, mb)
-        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            return pd.Series(np.where(den > 0, num / den, np.nan))
-
-    return pcos
-
-
 def ivf_knn_join(index: IvfIndex, queries: DataFrame, k: int = 10,
                  nprobe: int = 8, query_id: str = "query_id",
                  query_emb: str = "embedding",
