@@ -796,7 +796,8 @@ def ivf_knn_join(index: IvfIndex, queries: DataFrame, k: int = 10,
                  nprobe: int = 8, query_id: str = "query_id",
                  query_emb: str = "embedding",
                  emb_col: str = "embedding",
-                 id_col: str = "vec_id") -> DataFrame:
+                 id_col: str = "vec_id",
+                 salt: int = 1) -> DataFrame:
     """Distributed kNN JOIN: (query_id, vec_id, cosine) — the k nearest
     index vectors for EVERY query row, in one plan. The batch primitive
     of embedding-based curation (near-dup sweeps, semantic filtering,
@@ -813,7 +814,12 @@ def ivf_knn_join(index: IvfIndex, queries: DataFrame, k: int = 10,
     never the raw candidate count. nprobe = n_lists makes the result
     exactly the brute-force kNN join. At scale: hot lists skew the
     cogroup; n_lists should grow O(sqrt(N)) so single lists stay
-    task-sized. Ties break by ascending vec_id (deterministic)."""
+    task-sized, and `salt > 1` sub-splits every list into `salt`
+    hash-chunks (queries replicate across chunks; per-CHUNK top-k is
+    still a superset of the global winners by the same containment
+    argument), bounding task memory under any skew at the cost of
+    salt× query replication. Ties break by ascending vec_id
+    (deterministic)."""
     import numpy as np
     from pyspark.sql import Window
 
@@ -828,6 +834,14 @@ def ivf_knn_join(index: IvfIndex, queries: DataFrame, k: int = 10,
     vecs = (live_rows(index.vectors, index.tombstones, "vec_id")
             .select("list_id", F.col(id_col).alias("vec_id"),
                     F.col(emb_col).alias("_v")))
+    keys = ["list_id"]
+    if salt > 1:
+        probed = probed.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(int(salt) - 1))))
+        vecs = vecs.withColumn(
+            "_salt", F.pmod(F.xxhash64("vec_id"),
+                            F.lit(int(salt))).cast("int"))
+        keys.append("_salt")
     qt = queries.schema[query_id].dataType.simpleString()
     vt = index.vectors.schema[id_col].dataType.simpleString()
     out_schema = f"query_id {qt}, vec_id {vt}, cosine double"
@@ -864,8 +878,8 @@ def ivf_knn_join(index: IvfIndex, queries: DataFrame, k: int = 10,
         return pd.DataFrame({"query_id": out_q, "vec_id": out_v,
                              "cosine": out_c})
 
-    scored = (probed.groupBy("list_id")
-              .cogroup(vecs.groupBy("list_id"))
+    scored = (probed.groupBy(*keys)
+              .cogroup(vecs.groupBy(*keys))
               .applyInPandas(per_list_topk, schema=out_schema))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("vec_id"))

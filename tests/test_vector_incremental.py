@@ -202,3 +202,12 @@ def test_ivf_knn_join_bruteforce_parity(spark, vec_df, vec_rows, tmp_path):
     h = load_ivf_index(spark, out)
     joined = ivf_knn_join(h, queries, k=5, nprobe=4).collect()
     assert all(r["vec_id"] != 0 for r in joined)
+    # skew salting: per-chunk top-k is a superset of global winners, so
+    # salted results are identical to unsalted
+    h2 = load_ivf_index(spark, out)
+    salted = sorted((r["query_id"], r["vec_id"], round(r["cosine"], 9))
+                    for r in ivf_knn_join(h2, queries, k=5, nprobe=4,
+                                          salt=4).collect())
+    unsalted = sorted((r["query_id"], r["vec_id"], round(r["cosine"], 9))
+                      for r in joined)
+    assert salted == unsalted
