@@ -149,20 +149,49 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4,
             .select("a", "b").distinct())
 
 
-def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate pairs: |A∩B| / (|A|+|B|-|A∩B|)."""
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+def _pair_intersections(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """(a, b, inter): distinct-shingle intersection size per candidate
+    pair."""
     sa = shingles.select(F.col("doc_id").alias("a"), "shingle")
     sb = shingles.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (pairs.join(sa, on="a").join(sb, on=["b", "shingle"])
-             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    return (pairs.join(sa, on="a").join(sb, on=["b", "shingle"])
+            .groupBy("a", "b").agg(F.count("*").alias("inter")))
+
+
+def _allpairs_intersections(shingles: DataFrame) -> DataFrame:
+    """(a, b, inter) for EVERY doc pair sharing a shingle, via the
+    inverted self-join (a < b) — the quadratic-exact candidate set."""
+    return (shingles.alias("x").join(shingles.alias("y"), on="shingle")
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("a"),
+                    F.col("y.doc_id").alias("b"))
+            .groupBy("a", "b").agg(F.count("*").alias("inter")))
+
+
+def _with_pair_sizes(inter: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Attach sz_a / sz_b (each side's distinct-shingle count) to an
+    (a, b, inter) frame — the shared scaffolding of every pair score."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
     return (inter
-            .join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a")), on="a")
-            .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b")), on="b")
-            .select("a", "b",
-                    (F.col("inter")
-                     / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-                    .alias("jaccard")))
+            .join(sizes.select(F.col("doc_id").alias("a"),
+                               F.col("sz").alias("sz_a")), on="a")
+            .join(sizes.select(F.col("doc_id").alias("b"),
+                               F.col("sz").alias("sz_b")), on="b"))
+
+
+def _jaccard_expr() -> F.Column:
+    return F.col("inter") / (F.col("sz_a") + F.col("sz_b")
+                             - F.col("inter"))
+
+
+def _containment_expr() -> F.Column:
+    return F.col("inter") / F.least("sz_a", "sz_b")
+
+
+def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs: |A∩B| / (|A|+|B|-|A∩B|)."""
+    return (_with_pair_sizes(_pair_intersections(pairs, shingles), shingles)
+            .select("a", "b", _jaccard_expr().alias("jaccard")))
 
 
 def containment_for_pairs(pairs: DataFrame,
@@ -175,19 +204,8 @@ def containment_for_pairs(pairs: DataFrame,
     candidates; for guaranteed containment recall pair this with the
     exact `ngram_containment_pairs` baseline or an asymmetric candidate
     scheme."""
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    sa = shingles.select(F.col("doc_id").alias("a"), "shingle")
-    sb = shingles.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (pairs.join(sa, on="a").join(sb, on=["b", "shingle"])
-             .groupBy("a", "b").agg(F.count("*").alias("inter")))
-    return (inter
-            .join(sizes.select(F.col("doc_id").alias("a"),
-                               F.col("sz").alias("sz_a")), on="a")
-            .join(sizes.select(F.col("doc_id").alias("b"),
-                               F.col("sz").alias("sz_b")), on="b")
-            .select("a", "b",
-                    (F.col("inter") / F.least("sz_a", "sz_b"))
-                    .alias("containment")))
+    return (_with_pair_sizes(_pair_intersections(pairs, shingles), shingles)
+            .select("a", "b", _containment_expr().alias("containment")))
 
 
 def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
@@ -198,21 +216,11 @@ def ngram_containment_pairs(df: DataFrame, text_col: str = "text",
     `ngram_jaccard_pairs`; the inverted join only pairs docs sharing a
     shingle, so disjoint docs never meet)."""
     sh = shingle_df(df, text_col, id_col, n)
-    pairs = (sh.alias("x").join(sh.alias("y"), on="shingle")
-             .where(F.col("x.doc_id") < F.col("y.doc_id"))
-             .select(F.col("x.doc_id").alias("a"),
-                     F.col("y.doc_id").alias("b"))
-             .groupBy("a", "b").agg(F.count("*").alias("inter")))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    return (pairs
-            .join(sizes.select(F.col("doc_id").alias("a"),
-                               F.col("sz").alias("sz_a")), on="a")
-            .join(sizes.select(F.col("doc_id").alias("b"),
-                               F.col("sz").alias("sz_b")), on="b")
-            .withColumn("containment",
-                        F.col("inter") / F.least("sz_a", "sz_b"))
+    return (_with_pair_sizes(_allpairs_intersections(sh), sh)
+            .withColumn("containment", _containment_expr())
             .where(F.col("containment") >= threshold)
-            .select("a", "b", F.round("containment", 6).alias("containment")))
+            .select("a", "b",
+                    F.round("containment", 6).alias("containment")))
 
 
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
@@ -320,17 +328,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """All-pairs exact n-gram Jaccard ≥ threshold via shingle inverted join
     (the exact baseline the LSH path approximates)."""
     sh = shingle_df(df, text_col, id_col, n)
-    pairs = (sh.alias("x").join(sh.alias("y"), on="shingle")
-             .where(F.col("x.doc_id") < F.col("y.doc_id"))
-             .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-             .groupBy("a", "b").agg(F.count("*").alias("inter")))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    return (pairs
-            .join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a")), on="a")
-            .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b")), on="b")
-            .withColumn("jaccard",
-                        F.col("inter")
-                        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+    return (_with_pair_sizes(_allpairs_intersections(sh), sh)
+            .withColumn("jaccard", _jaccard_expr())
             .where(F.col("jaccard") >= threshold)
             .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
 

@@ -156,7 +156,12 @@ def build_ann_index(df: DataFrame, out_dir: str, n_planes: int = 8,
     spark = df.sparkSession
     dim = len(df.select(emb_col).first()[0])
     planes = random_hyperplanes(dim, n_planes, seed)
-    (df.withColumn("bucket", lsh_bucket_arrow(planes)(F.col(emb_col)))
+    # storage is CANONICAL (vec_id, embedding) regardless of input names:
+    # incremental appends and tombstone joins must agree with the built
+    # files byte-for-byte (mixed per-file schemas read back as nulls)
+    (df.select(F.col(id_col).alias("vec_id"),
+               F.col(emb_col).alias("embedding"))
+       .withColumn("bucket", lsh_bucket_arrow(planes)(F.col("embedding")))
        .withColumn("gen", F.lit(0).cast("long"))
        .write.mode("overwrite").partitionBy("bucket")
        .parquet(f"{out_dir}/vectors"))
@@ -298,7 +303,11 @@ def build_ivf_index(df: DataFrame, out_dir: str, n_lists: int = 64,
     spark = df.sparkSession
     centroids = train_ivf_centroids(df, n_lists, seed, emb_col, id_col,
                                     sample_rows, approx_total=approx_total)
-    (df.withColumn("list_id", ivf_assign_arrow(centroids)(F.col(emb_col)))
+    # canonical (vec_id, embedding) storage — see build_ann_index
+    (df.select(F.col(id_col).alias("vec_id"),
+               F.col(emb_col).alias("embedding"))
+       .withColumn("list_id",
+                   ivf_assign_arrow(centroids)(F.col("embedding")))
        .withColumn("gen", F.lit(0).cast("long"))
        .write.mode("overwrite").partitionBy("list_id")
        .parquet(f"{out_dir}/vectors"))
@@ -524,13 +533,17 @@ def build_ivfpq_index(df: DataFrame, out_dir: str, n_lists: int = 64,
     splits = _pq_splits(dim, m)
     books = train_pq_codebooks(x, m=m, nbits=nbits, seed=seed)
 
-    enc = (df.withColumn("list_id", ivf_assign_arrow(coarse)(F.col(emb_col)))
+    # canonical (vec_id, embedding) storage — see build_ann_index
+    enc = (df.select(F.col(id_col).alias("vec_id"),
+                     F.col(emb_col).alias("embedding"))
+             .withColumn("list_id",
+                         ivf_assign_arrow(coarse)(F.col("embedding")))
              .withColumn("code",
-                         pq_encode_arrow(books, splits)(F.col(emb_col)))
+                         pq_encode_arrow(books, splits)(F.col("embedding")))
              .withColumn("gen", F.lit(0).cast("long")))
     enc.persist()
     try:
-        (enc.select(id_col, "code", "gen", "list_id")
+        (enc.select("vec_id", "code", "gen", "list_id")
             .write.mode("overwrite").partitionBy("list_id")
             .parquet(f"{out_dir}/codes"))
         (enc.drop("code")
@@ -860,18 +873,25 @@ def ivf_knn_join(index: IvfIndex, queries: DataFrame, k: int = 10,
         sims = (qm / qn[:, None]) @ (vm / vn[:, None]).T  # (nq, nv)
         take = min(kk, sims.shape[1])
         vid = vpdf["vec_id"].to_numpy()
-        # per-query top-`take` by (-cosine, vec_id): argpartition then an
-        # exact lexsort of the shortlist — O(nv + k log k) per query
-        part = np.argpartition(-np.nan_to_num(sims, nan=-2.0),
-                               take - 1, axis=1)[:, :take]
+        # per-query top-`take` by (-cosine, vec_id): argpartition, then
+        # EXTEND the shortlist with every vector tied at the boundary
+        # cosine before the exact lexsort — argpartition alone breaks
+        # value-ties arbitrarily (exact-duplicate vectors are common in
+        # dedup corpora), which would violate the deterministic vec_id
+        # tiebreak and flake against the SQL oracle
+        filled = np.nan_to_num(sims, nan=-2.0)
+        part = np.argpartition(-filled, take - 1, axis=1)[:, :take]
         out_q, out_v, out_c = [], [], []
         qids = qpdf["query_id"].to_numpy()
         for row in range(sims.shape[0]):
             idx = part[row]
+            boundary = filled[row, idx].min()
+            tied = np.nonzero(filled[row] == boundary)[0]
+            idx = np.unique(np.concatenate([idx, tied]))
             cos_row = sims[row, idx]
             keep = ~np.isnan(cos_row)
             idx, cos_row = idx[keep], cos_row[keep]
-            order = np.lexsort((vid[idx], -cos_row))
+            order = np.lexsort((vid[idx], -cos_row))[:take]
             out_q.extend([qids[row]] * len(order))
             out_v.extend(vid[idx][order])
             out_c.extend(cos_row[order])
@@ -893,18 +913,25 @@ def delete_vectors(index, vec_ids) -> None:
     generation. Queries anti-filter through the broadcast tombstone set
     until `compact_vector_index` folds it in."""
     _require_writable(index, "delete_vectors")
+    id_type = index.vectors.schema["vec_id"].dataType.simpleString()
     index.spark.createDataFrame(
-        [(int(v), index.max_gen) for v in vec_ids],
-        "vec_id long, gen long") \
+        [(v, index.max_gen) for v in vec_ids],
+        f"vec_id {id_type}, gen long") \
         .write.mode("append").parquet(f"{index.out_dir}/tombstones")
 
 
 def compact_vector_index(spark, out_dir: str) -> None:
     """Fold tombstones into a persisted vector index (works on all three
     layouts — the codes/ side is detected): rewrite each data table minus
-    superseded rows with generations reset to 0, swap with Hadoop FS ops
-    (non-local storage safe; a failed rename raises with data preserved
-    in the _tmp path), drop the tombstones."""
+    superseded rows, swap with Hadoop FS ops (non-local storage safe; a
+    failed rename raises with data preserved in the _tmp path), drop the
+    tombstones LAST. Generations are PRESERVED, not reset: every
+    surviving row has gen > its doc's newest tombstone, so a crash
+    anywhere in the sequence leaves a consistent index — leftover
+    tombstones shadow nothing live, and a retried compaction just
+    removes them. (Resetting gens to 0 would open a window where a
+    crash between the swap and the tombstone delete permanently killed
+    re-added rows.)"""
     from ..plans.index_build import _path_exists
     from ..streaming.incremental import _delete_path, _rename_path
     from .generations import live_rows
@@ -919,11 +946,9 @@ def compact_vector_index(spark, out_dir: str) -> None:
         df = spark.read.parquet(f"{out_dir}/{tbl}")
         part_col = "bucket" if "bucket" in df.columns else "list_id"
         (live_rows(df, tombs, "vec_id")
-            .withColumn("gen", F.lit(0).cast("long"))
             .write.mode("overwrite").partitionBy(part_col)
             .parquet(f"{out_dir}/{tbl}_tmp"))
     for tbl in tables:
         _delete_path(spark, f"{out_dir}/{tbl}")
         _rename_path(spark, f"{out_dir}/{tbl}_tmp", f"{out_dir}/{tbl}")
-    _write_gen_meta(spark, out_dir, 0)
     _delete_path(spark, f"{out_dir}/tombstones")

@@ -284,15 +284,21 @@ class TrigramIndex:
         return live_rows(df, self.tombstones, "doc_id")
 
     def dead_doc_ids(self) -> DataFrame | None:
-        """doc_ids with NO live docstats row (deleted and not re-added);
-        None when there are no tombstones. Tombstone-set sized."""
+        """Tombstoned doc_ids with NO live docstats row (deleted and not
+        re-added); None when there are no tombstones. Starts from the
+        tombstone set — a doc whose text yields zero trigrams has no
+        docstats row at all, and must still count as dead (edge of the
+        edge: a doc RE-ADDED with zero-trigram text stays excluded from
+        the full-scan fallback until compaction, since nothing records
+        the re-add). Tombstone-set sized."""
         if self.tombstones is None:
             return None
-        return (self.docstats
-                .join(F.broadcast(self._tomb_max()), on="doc_id")
-                .groupBy("doc_id", "_tgen")
-                .agg(F.max("gen").alias("_g"))
-                .where(F.col("_g") <= F.col("_tgen"))
+        tmax = self._tomb_max()
+        live_g = (self.docstats.join(F.broadcast(tmax), on="doc_id")
+                  .groupBy("doc_id").agg(F.max("gen").alias("_g")))
+        return (tmax.join(live_g, on="doc_id", how="left")
+                .where(F.col("_g").isNull()
+                       | (F.col("_g") <= F.col("_tgen")))
                 .select("doc_id"))
 
     # ---- candidate generation (AND-intersection over required trigrams)
@@ -515,14 +521,17 @@ def delete_documents(index: TrigramIndex, doc_ids) -> None:
 
 def compact_trigram_index(spark: SparkSession, out_dir: str) -> None:
     """Fold tombstones into the index: rewrite postings and docstats
-    minus superseded rows (generations reset to 0), then drop the
-    tombstone table. A doc's trigrams scatter across ALL buckets, so the
-    rewrite is inherently full-index (unlike the BM25 index's per-bucket
-    repack) — run it when the tombstone set has grown enough to hurt the
-    per-query anti-join. Uses Hadoop FileSystem ops (not local shutil) so
-    non-local out_dirs (hdfs://, s3a://) compact too; the swap deletes a
-    live table only after its replacement is fully written, and a failed
-    rename raises with the data preserved in the _tmp path."""
+    minus superseded rows, then drop the tombstone table LAST. A doc's
+    trigrams scatter across ALL buckets, so the rewrite is inherently
+    full-index (unlike the BM25 index's per-bucket repack) — run it when
+    the tombstone set has grown enough to hurt the per-query anti-join.
+    Uses Hadoop FileSystem ops (not local shutil) so non-local out_dirs
+    (hdfs://, s3a://) compact too; the swap deletes a live table only
+    after its replacement is fully written, and a failed rename raises
+    with the data preserved in the _tmp path. Generations are PRESERVED:
+    every surviving row has gen > its doc's newest tombstone, so a crash
+    anywhere in the sequence leaves a consistent index (resetting gens
+    would let leftover tombstones kill re-added rows)."""
     from ..streaming.incremental import _delete_path, _rename_path
 
     idx = load_trigram_index(spark, out_dir)
@@ -530,16 +539,13 @@ def compact_trigram_index(spark: SparkSession, out_dir: str) -> None:
         return
     parts = max(spark.sparkContext.defaultParallelism, idx.n_buckets)
     (idx._live(idx.postings)
-        .withColumn("gen", F.lit(0).cast("long"))
         .repartitionByRange(parts, "bucket", "tg", "doc_id")
         .sortWithinPartitions("bucket", "tg", "doc_id")
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(f"{out_dir}/postings_tmp"))
     (idx._live(idx.docstats)
-        .withColumn("gen", F.lit(0).cast("long"))
         .write.mode("overwrite").parquet(f"{out_dir}/docstats_tmp"))
     for tbl in ("postings", "docstats"):
         _delete_path(spark, f"{out_dir}/{tbl}")
         _rename_path(spark, f"{out_dir}/{tbl}_tmp", f"{out_dir}/{tbl}")
-    _write_trgm_meta(spark, out_dir, idx.n_buckets, 0)
     _delete_path(spark, f"{out_dir}/tombstones")

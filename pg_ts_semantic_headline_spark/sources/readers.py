@@ -23,8 +23,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 
 
-def read_jsonl(spark: SparkSession, path: str, text_field: str = "text",
-               **options) -> DataFrame:
+def read_jsonl(spark: SparkSession, path: str, **options) -> DataFrame:
     """JSON-lines corpus (one document object per line) — the common
     interchange format for text datasets. Spark's native json source:
     schema inference is one extra pass; pass schema=... to skip it."""
@@ -101,9 +100,19 @@ def parse_warc_bytes(data: bytes, segment: str = "") -> Iterator[tuple]:
             if ":" in line:
                 k, v = line.split(":", 1)
                 headers[k.strip().lower()] = v.strip()
-        length = int(headers.get("content-length", 0))
+        if "content-length" not in headers:
+            raise ValueError(
+                f"WARC record at byte {pos} of {segment or '<bytes>'} has "
+                "no Content-Length header (spec-mandatory) — refusing to "
+                "guess the payload extent")
+        length = int(headers["content-length"])
         body_start = hdr_end + hdr_sep
         payload = data[body_start:body_start + length]
+        if len(payload) < length:
+            raise ValueError(
+                f"truncated WARC payload at byte {body_start} of "
+                f"{segment or '<bytes>'}: declared {length} bytes, "
+                f"{len(payload)} present")
         yield (segment,
                headers.get("warc-record-id", ""),
                headers.get("warc-type", ""),
@@ -152,14 +161,36 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
 
 def warc_text_documents(warc_df: DataFrame) -> DataFrame:
-    """(doc_id, path, text) from the response/conversion records whose
-    payload is text: doc_id = xxhash64(record_id), text = UTF-8 decoded
-    payload (lossy decode — wild-web bytes). Column algebra only."""
+    """(doc_id, path, text) with doc_id = xxhash64(record_id) and a
+    lossy UTF-8 decode (wild-web bytes). Two record shapes, column
+    algebra only:
+
+    - `conversion` records (WET files): the WARC Content-Type is the
+      text's own type — keep text/*; the payload IS the text.
+    - `response` records (raw crawl WARCs): the WARC Content-Type is
+      `application/http; msgtype=response` and the payload is an HTTP
+      message — keep those whose HTTP headers declare a text/* body,
+      and strip the header block (everything before the first blank
+      line) so `text` is the body only."""
     from pyspark.sql import functions as F
 
+    decoded = F.decode(F.col("payload"), "UTF-8")
+    is_http = (F.col("warc_type") == "response") & \
+        F.col("content_type").startswith("application/http")
+    # HTTP header block = prefix before the first blank line; tolerate
+    # bare-\n header endings the same way the WARC parser does
+    sep_pos = F.when(F.instr(decoded, "\r\n\r\n") > 0,
+                     F.instr(decoded, "\r\n\r\n") + 3) \
+        .otherwise(F.instr(decoded, "\n\n") + 1)
+    http_headers = F.lower(F.substring(decoded, F.lit(1), sep_pos))
+    http_is_text = http_headers.contains("content-type: text/")
+    body = F.substring(decoded, sep_pos + 1, F.length(decoded))
+
+    plain_text = (F.col("warc_type") == "conversion") & \
+        F.col("content_type").startswith("text/")
     return (warc_df
-            .where(F.col("warc_type").isin("response", "conversion"))
-            .where(F.col("content_type").startswith("text/"))
+            .where(plain_text | (is_http & http_is_text))
             .select(F.xxhash64("record_id").alias("doc_id"),
                     F.col("target_uri").alias("path"),
-                    F.decode(F.col("payload"), "UTF-8").alias("text")))
+                    F.when(is_http, body).otherwise(decoded)
+                    .alias("text")))

@@ -31,27 +31,49 @@ def _warc_record(rid, uri, body, wtype="response",
     return hdr + payload + b"\r\n\r\n"
 
 
+HTTP_BODY = "hello warc world"
+HTTP_MSG = ("HTTP/1.1 200 OK\r\n"
+            "Content-Type: text/html; charset=utf-8\r\n"
+            f"Content-Length: {len(HTTP_BODY)}\r\n"
+            "\r\n" + HTTP_BODY)
 RECORDS = [
-    ("<urn:uuid:r1>", "http://a.example/x", "hello warc world", "response"),
+    # realistic raw-crawl response: WARC Content-Type is application/http
+    # and the payload is a full HTTP message (headers + body)
+    ("<urn:uuid:r1>", "http://a.example/x", HTTP_MSG, "response",
+     "application/http; msgtype=response"),
     ("<urn:uuid:r2>", "http://b.example/y", "second document body",
-     "conversion"),
-    ("<urn:uuid:r3>", "", "warcinfo payload", "warcinfo"),
+     "conversion", "text/plain"),
+    ("<urn:uuid:r3>", "", "warcinfo payload", "warcinfo",
+     "application/warc-fields"),
+    # http response with a NON-text body: must be filtered out
+    ("<urn:uuid:r4>", "http://c.example/z",
+     "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\nPNGBYTES",
+     "response", "application/http; msgtype=response"),
 ]
 
 
 def _warc_bytes():
-    return b"".join(_warc_record(*r[:3], wtype=r[3]) for r in RECORDS)
+    return b"".join(_warc_record(*r[:3], wtype=r[3], ctype=r[4])
+                    for r in RECORDS)
 
 
 def test_parse_warc_bytes_driver():
     recs = list(parse_warc_bytes(_warc_bytes(), "seg"))
     assert [r[1] for r in recs] == [r[0] for r in RECORDS]
     assert recs[0][3] == "http://a.example/x"
-    assert recs[0][6] == b"hello warc world"
+    assert recs[0][6] == HTTP_MSG.encode()
     assert recs[2][2] == "warcinfo"
     # malformed input raises loudly instead of silently dropping records
     with pytest.raises(ValueError, match="malformed WARC"):
         list(parse_warc_bytes(b"NOT A WARC", "seg"))
+    # spec-mandatory Content-Length missing -> loud failure
+    bad = (b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n")
+    with pytest.raises(ValueError, match="no Content-Length"):
+        list(parse_warc_bytes(bad, "seg"))
+    # truncated payload -> loud failure
+    trunc = _warc_record("<urn:uuid:t>", "u", "x" * 100)[:-20]
+    with pytest.raises(ValueError, match="truncated"):
+        list(parse_warc_bytes(trunc, "seg"))
 
 
 def test_read_warc_plain_and_gzip(spark, tmp_path):
@@ -63,17 +85,18 @@ def test_read_warc_plain_and_gzip(spark, tmp_path):
     for r in RECORDS:
         member = io.BytesIO()
         with gzip.GzipFile(fileobj=member, mode="wb") as fh:
-            fh.write(_warc_record(*r[:3], wtype=r[3]))
+            fh.write(_warc_record(*r[:3], wtype=r[3], ctype=r[4]))
         buf.write(member.getvalue())
     gz.write_bytes(buf.getvalue())
 
     df = read_warc(spark, str(tmp_path))
     rows = df.collect()
-    assert len(rows) == 6  # 3 records per segment
+    assert len(rows) == 8  # 4 records per segment
     assert {r["warc_type"] for r in rows} == {"response", "conversion",
                                               "warcinfo"}
     docs = warc_text_documents(df).collect()
-    # warcinfo filtered out; text decoded
+    # warcinfo + non-text http response filtered out; the http response's
+    # HTTP header block is STRIPPED so text is the body only
     assert sorted(r["text"] for r in docs) == sorted(
         ["hello warc world", "second document body"] * 2)
     # ids deterministic per record_id

@@ -417,3 +417,26 @@ def test_similarity_long_query_join_path(spark, index, corpus_df):
     assert got.keys() >= {0, 1, 5}
     for did, s in want.items():
         assert abs(got[did] - s) < 1e-12, did
+
+
+def test_zero_trigram_doc_delete_visible_in_fullscan(spark):
+    """A deleted doc whose text yields NO trigrams (no docstats row) must
+    still be excluded by the full-scan-fallback path — dead_doc_ids
+    starts from the tombstone set, not from docstats."""
+    from pg_ts_semantic_headline_spark.operators.trigram import (
+        delete_documents)
+    rows = [(1, "普通の 文章 です"),     # no [a-z0-9] runs -> no trigrams
+            (2, "regular english text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = tempfile.mkdtemp(prefix="tsp_trgm_zero_")
+    try:
+        build_trigram_index(df, d, n_buckets=4)
+        idx = load_trigram_index(spark, d)
+        with pytest.warns(UserWarning, match="full-scan"):
+            assert ids(substring_search(idx, df, "普通")) == [1]
+        delete_documents(idx, [1])
+        idx = load_trigram_index(spark, d)
+        with pytest.warns(UserWarning, match="full-scan"):
+            assert ids(substring_search(idx, df, "普通")) == []
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -84,7 +84,10 @@ def test_ann_delete_and_replace(spark, vec_df, vec_rows, tmp_path):
     # compaction folds tombstones in without losing the re-added vector
     compact_vector_index(spark, out)
     h2 = load_ann_index(spark, out)
-    assert h2.tombstones is None and h2.max_gen == 0
+    assert h2.tombstones is None
+    # gens are PRESERVED by compaction (crash-safety: leftover tombstones
+    # must never shadow live rows), so max_gen stays advanced
+    assert h2.max_gen == 1
     assert topk(h2, new_vec, k=3) == got
     assert before[1] not in [i for i, _ in topk(h2, qv, k=10)]
 
@@ -211,3 +214,21 @@ def test_ivf_knn_join_bruteforce_parity(spark, vec_df, vec_rows, tmp_path):
     unsalted = sorted((r["query_id"], r["vec_id"], round(r["cosine"], 9))
                       for r in joined)
     assert salted == unsalted
+
+
+def test_ivf_knn_join_boundary_ties_deterministic(spark, tmp_path):
+    """k exact-duplicate vectors straddling the shortlist boundary must
+    resolve by ascending vec_id, not argpartition's arbitrary pick."""
+    from pg_ts_semantic_headline_spark.operators.similarity import (
+        ivf_knn_join)
+    base = [1.0] + [0.0] * 7
+    rows = [(i, base) for i in range(20)]          # 20 identical vectors
+    rows += [(100, [0.0] * 7 + [1.0])]             # one orthogonal vector
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = str(tmp_path / "ties")
+    build_ivf_index(df, out, n_lists=2, seed=3)
+    h = load_ivf_index(spark, out)
+    q = spark.createDataFrame([(0, base)], ["query_id", "embedding"])
+    got = [r["vec_id"]
+           for r in ivf_knn_join(h, q, k=5, nprobe=2).collect()]
+    assert sorted(got) == [0, 1, 2, 3, 4]  # lowest ids among the 20 ties
