@@ -58,6 +58,7 @@ from .trigram import (
 )
 from .textstats import doc_fingerprint, lang_id, quality_score, token_counts
 from .decontaminate import (
+    attach_decontaminator,
     contamination_report,
     decontaminate,
     ngram_hash_df,

@@ -54,17 +54,21 @@ def contamination_report(train: DataFrame, eval_df: DataFrame, n: int = 8,
                          train_id: str = "doc_id",
                          train_text: str = "text",
                          eval_id: str = "doc_id",
-                         eval_text: str = "text") -> DataFrame:
+                         eval_text: str = "text",
+                         eval_hashes: DataFrame | None = None) -> DataFrame:
     """(train_id, eval_id, n_shared): every train/eval document pair
     sharing at least one word n-gram, with the count of DISTINCT shared
     n-grams. One broadcast hash join against the eval n-gram set — the
     train side is never shuffled; only matching rows reach the pair
-    aggregation."""
+    aggregation. Pass `eval_hashes` (a cached `ngram_hash_df(eval_df, n)`
+    renamed to (eval_id, h)) to amortize the eval side across many calls
+    — e.g. one per streaming micro-batch."""
     tr = (ngram_hash_df(train, n, train_text, train_id)
           .withColumnRenamed("doc_id", "train_id"))
-    ev = (ngram_hash_df(eval_df, n, eval_text, eval_id)
-          .withColumnRenamed("doc_id", "eval_id"))
-    return (tr.join(F.broadcast(ev), on="h")
+    if eval_hashes is None:
+        eval_hashes = (ngram_hash_df(eval_df, n, eval_text, eval_id)
+                       .withColumnRenamed("doc_id", "eval_id"))
+    return (tr.join(F.broadcast(eval_hashes), on="h")
             .groupBy("train_id", "eval_id")
             .agg(F.count("*").alias("n_shared")))
 
@@ -72,16 +76,56 @@ def contamination_report(train: DataFrame, eval_df: DataFrame, n: int = 8,
 def decontaminate(train: DataFrame, eval_df: DataFrame, n: int = 8,
                   min_shared: int = 1, train_id: str = "doc_id",
                   train_text: str = "text", eval_id: str = "doc_id",
-                  eval_text: str = "text") -> DataFrame:
+                  eval_text: str = "text",
+                  eval_hashes: DataFrame | None = None) -> DataFrame:
     """Train rows that are NOT contaminated: a train doc is dropped when
     it shares >= `min_shared` distinct n-grams with ANY single eval doc
     (min_shared=1 is the strict published setting; raise it to tolerate
     incidental boilerplate overlap). The dropped set is tiny, so the
     anti-join broadcasts."""
     bad = (contamination_report(train, eval_df, n, train_id, train_text,
-                                eval_id, eval_text)
+                                eval_id, eval_text, eval_hashes)
            .where(F.col("n_shared") >= min_shared)
            .select("train_id").distinct())
     return train.join(
         F.broadcast(bad.withColumnRenamed("train_id", train_id)),
         on=train_id, how="left_anti")
+
+
+def attach_decontaminator(
+    stream_docs: DataFrame,
+    eval_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n: int = 8,
+    min_shared: int = 1,
+    train_id: str = "doc_id",
+    train_text: str = "text",
+    eval_id: str = "doc_id",
+    eval_text: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Streaming decontamination: each micro-batch of training documents
+    is filtered against the eval set and the CLEAN rows append to
+    `out_dir` as parquet — the training-data-firehose form of
+    `decontaminate` (same foreachBatch pattern as the incremental
+    indexers). The eval n-gram hash set is computed once and CACHED
+    across batches (benchmark-sized by contract), so each batch pays
+    only its own n-gram pass plus the broadcast join."""
+    ev = (ngram_hash_df(eval_df, n, eval_text, eval_id)
+          .withColumnRenamed("doc_id", "eval_id").cache())
+    ev.count()  # materialize once, before the stream starts
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (decontaminate(batch_df, eval_df, n, min_shared, train_id,
+                       train_text, eval_id, eval_text, eval_hashes=ev)
+         .write.mode("append").parquet(out_dir))
+
+    writer = (stream_docs.writeStream
+              .foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

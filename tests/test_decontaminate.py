@@ -82,3 +82,20 @@ def test_hashes_are_distinct_per_doc(spark):
         [(1, "a b c a b c a b c")], "doc_id long, text string")
     rows = ngram_hash_df(df, n=3).collect()
     assert len(rows) == len({r["h"] for r in rows}) == 3  # abc, bca, cab
+
+
+def test_streaming_decontamination(spark, frames, tmp_path):
+    """An availableNow stream of training docs filtered per micro-batch:
+    the appended clean set equals the batch decontaminate result."""
+    from pg_ts_semantic_headline_spark.operators import (
+        attach_decontaminator)
+    train, ev = frames
+    src = str(tmp_path / "src")
+    train.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = str(tmp_path / "clean")
+    q = attach_decontaminator(stream, ev, out, str(tmp_path / "ckpt"), n=5)
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    want = sorted(r["doc_id"] for r in decontaminate(train, ev, n=5).collect())
+    assert got == want == [2, 4, 5, 6]
