@@ -367,3 +367,40 @@ class TestTrigramRegexSoundness:
                 candidates.append(txt)
         for txt in candidates:
             assert req <= text_trigrams(txt), (pattern, txt, req)
+
+
+# ------------------------------------------------------ WARC round-trip
+
+class TestWarcRoundTrip:
+    """Serialize random records per the spec, parse, compare — the parser
+    must recover every record exactly even when bodies contain header
+    separators (\\r\\n\\r\\n), WARC/ version strings, or empty payloads
+    (Content-Length delimits records; resync-by-pattern would corrupt)."""
+
+    body = st.binary(max_size=300) | st.sampled_from([
+        b"", b"\r\n\r\nWARC/1.0\r\n", b"x" * 200,
+        "unicode snowman ☃ body".encode()])
+
+    @given(st.lists(st.tuples(st.integers(0, 10**9), body),
+                    min_size=1, max_size=8))
+    @settings(max_examples=150, deadline=None)
+    def test_roundtrip(self, recs):
+        from pg_ts_semantic_headline_spark.sources.readers import (
+            parse_warc_bytes)
+
+        blob = b""
+        for i, (rid, payload) in enumerate(recs):
+            hdr = (f"WARC/1.0\r\n"
+                   f"WARC-Type: response\r\n"
+                   f"WARC-Record-ID: <urn:x:{rid}-{i}>\r\n"
+                   f"WARC-Target-URI: http://e/{i}\r\n"
+                   f"Content-Type: application/http; msgtype=response\r\n"
+                   f"Content-Length: {len(payload)}\r\n"
+                   f"\r\n").encode()
+            blob += hdr + payload + b"\r\n\r\n"
+        got = list(parse_warc_bytes(blob, "seg"))
+        assert len(got) == len(recs)
+        for i, ((rid, payload), rec) in enumerate(zip(recs, got)):
+            assert rec[1] == f"<urn:x:{rid}-{i}>"
+            assert rec[6] == payload, i
+            assert rec[5] == len(payload)
