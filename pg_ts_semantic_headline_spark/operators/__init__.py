@@ -17,6 +17,7 @@ from .similarity import (
     AnnIndex,
     IvfIndex,
     ann_add_vectors,
+    ann_knn_join,
     ann_candidates,
     ann_query,
     build_ann_index,

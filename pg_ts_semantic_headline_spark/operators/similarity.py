@@ -847,7 +847,22 @@ def ivf_knn_join(index: IvfIndex, queries: DataFrame, k: int = 10,
     vecs = (live_rows(index.vectors, index.tombstones, "vec_id")
             .select("list_id", F.col(id_col).alias("vec_id"),
                     F.col(emb_col).alias("_v")))
-    keys = ["list_id"]
+    return _knn_cogroup(probed, vecs, "list_id", k, salt,
+                        queries.schema[query_id].dataType.simpleString(),
+                        index.vectors.schema[id_col].dataType
+                        .simpleString())
+
+
+def _knn_cogroup(probed: DataFrame, vecs: DataFrame, key: str, k: int,
+                 salt: int, qid_type: str, vid_type: str) -> DataFrame:
+    """Shared kNN-join engine: cogroup `probed` (query_id, _q, key) with
+    `vecs` (key, vec_id, _v) on `key` [+ optional hash salt], score each
+    group with one matmul, emit per-group top-k, global per-query window
+    top-k. See `ivf_knn_join` for the soundness argument."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    keys = [key]
     if salt > 1:
         probed = probed.withColumn(
             "_salt", F.explode(F.sequence(F.lit(0), F.lit(int(salt) - 1))))
@@ -855,12 +870,10 @@ def ivf_knn_join(index: IvfIndex, queries: DataFrame, k: int = 10,
             "_salt", F.pmod(F.xxhash64("vec_id"),
                             F.lit(int(salt))).cast("int"))
         keys.append("_salt")
-    qt = queries.schema[query_id].dataType.simpleString()
-    vt = index.vectors.schema[id_col].dataType.simpleString()
-    out_schema = f"query_id {qt}, vec_id {vt}, cosine double"
+    out_schema = f"query_id {qid_type}, vec_id {vid_type}, cosine double"
     kk = int(k)
 
-    def per_list_topk(qpdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
+    def per_group_topk(qpdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
         if qpdf.empty or vpdf.empty:
             return pd.DataFrame({"query_id": [], "vec_id": [],
                                  "cosine": []})
@@ -900,11 +913,47 @@ def ivf_knn_join(index: IvfIndex, queries: DataFrame, k: int = 10,
 
     scored = (probed.groupBy(*keys)
               .cogroup(vecs.groupBy(*keys))
-              .applyInPandas(per_list_topk, schema=out_schema))
+              .applyInPandas(per_group_topk, schema=out_schema))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("vec_id"))
     return (scored.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= k).drop("_rn"))
+            .where(F.col("_rn") <= kk).drop("_rn"))
+
+
+def ann_knn_join(index: AnnIndex, queries: DataFrame, k: int = 10,
+                 multiprobe: bool = True, query_id: str = "query_id",
+                 query_emb: str = "embedding",
+                 emb_col: str = "embedding",
+                 id_col: str = "vec_id",
+                 salt: int = 1) -> DataFrame:
+    """LSH counterpart of `ivf_knn_join`: each query probes its sign
+    bucket plus (multiprobe) every hamming-1 neighbor — n_planes+1
+    buckets, all computed as column algebra (bucket int XOR bit masks),
+    then the shared cogroup-matmul top-k. Approximate (LSH recall);
+    same deterministic tiebreak and salt lever."""
+    from .generations import live_rows
+
+    n_planes = len(index.planes)
+    probed = (queries
+              .select(F.col(query_id).alias("query_id"),
+                      F.col(query_emb).alias("_q"))
+              .withColumn("_b0", lsh_bucket_arrow(index.planes)(
+                  F.col("_q"))))
+    if multiprobe:
+        xors = ", ".join(["_b0"] + [f"_b0 ^ {1 << i}"
+                                    for i in range(n_planes)])
+        probed = probed.withColumn("bucket",
+                                   F.explode(F.expr(f"array({xors})")))
+    else:
+        probed = probed.withColumn("bucket", F.col("_b0"))
+    probed = probed.drop("_b0")
+    vecs = (live_rows(index.vectors, index.tombstones, "vec_id")
+            .select("bucket", F.col(id_col).alias("vec_id"),
+                    F.col(emb_col).alias("_v")))
+    return _knn_cogroup(probed, vecs, "bucket", k, salt,
+                        queries.schema[query_id].dataType.simpleString(),
+                        index.vectors.schema[id_col].dataType
+                        .simpleString())
 
 
 def delete_vectors(index, vec_ids) -> None:

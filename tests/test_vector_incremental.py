@@ -232,3 +232,28 @@ def test_ivf_knn_join_boundary_ties_deterministic(spark, tmp_path):
     got = [r["vec_id"]
            for r in ivf_knn_join(h, q, k=5, nprobe=2).collect()]
     assert sorted(got) == [0, 1, 2, 3, 4]  # lowest ids among the 20 ties
+
+
+def test_ann_knn_join_matches_per_query_handle(spark, vec_df, vec_rows,
+                                               tmp_path):
+    """The LSH batch join must return exactly what per-query
+    AnnIndex.query returns (same buckets probed, same scoring), and
+    salting must not change results."""
+    from pg_ts_semantic_headline_spark.operators.similarity import (
+        ann_knn_join)
+    out = str(tmp_path / "annknn")
+    build_ann_index(vec_df, out, n_planes=5, seed=42)
+    h = load_ann_index(spark, out)
+    queries = vec_df.where(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    got = {}
+    for r in ann_knn_join(h, queries, k=5).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["cosine"], 9)))
+    for qid in range(5):
+        got[qid].sort(key=lambda t: (-t[1], t[0]))
+        want = topk(h, vec_rows[qid][1], k=5)
+        assert got[qid] == want, qid
+    salted = {(r["query_id"], r["vec_id"]) for r in
+              ann_knn_join(h, queries, k=5, salt=3).collect()}
+    assert salted == {(q, v) for q, lst in got.items() for v, _ in lst}
