@@ -60,3 +60,8 @@ from .readers import (  # noqa: E402
     read_whole_files,
     warc_text_documents,
 )
+from .writers import (  # noqa: E402
+    write_corpus,
+    write_jsonl,
+    write_stream_corpus,
+)

@@ -123,3 +123,50 @@ def test_jsonl_and_text_readers(spark, tmp_path):
                             content_col="text", doc_id_col="id")
     assert set(norm.columns) >= {"doc_id", "content"}
     assert norm.count() == 2
+
+
+def test_write_corpus_layout(spark, tmp_path):
+    """maxRecordsPerFile bounds file sizes; partitioning + in-file doc_id
+    ordering survive a round-trip."""
+    import glob
+    from pg_ts_semantic_headline_spark.sources import write_corpus
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", f"doc number {i}")
+         for i in range(100)], "doc_id long, lang string, text string")
+    out = str(tmp_path / "corpus")
+    write_corpus(df.repartition(1), out, partition_by="lang",
+                 max_records_per_file=10)
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert sorted(r["lang"] for r in back.select("lang").distinct()
+                  .collect()) == ["de", "en"]
+    files = glob.glob(f"{out}/lang=*/*.parquet")
+    assert len(files) >= 10  # 100 rows / 10-per-file bound
+    import pyarrow.parquet as pq
+    for f in files:
+        assert pq.ParquetFile(f).metadata.num_rows <= 10
+
+
+def test_write_jsonl_roundtrip(spark, tmp_path):
+    from pg_ts_semantic_headline_spark.sources import (read_jsonl,
+                                                       write_jsonl)
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string")
+    out = str(tmp_path / "jl")
+    write_jsonl(df, out)
+    back = read_jsonl(spark, out)
+    assert sorted((r["doc_id"], r["text"]) for r in back.collect()) == \
+        [(1, "alpha"), (2, "beta")]
+
+
+def test_write_stream_corpus(spark, tmp_path):
+    from pg_ts_semantic_headline_spark.sources import write_stream_corpus
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(i, f"t{i}") for i in range(20)],
+                          "doc_id long, text string").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = write_stream_corpus(stream, str(tmp_path / "out"),
+                            str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 20
