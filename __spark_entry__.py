@@ -868,6 +868,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                     stratify_by="lang")
                 .select("doc_id", "lang", "n_tokens"))
 
+    def q53(spark, sf):
+        # standing substring patterns over the corpus in ONE plan: each
+        # pattern's provably-required trigrams gate the contains() verify
+        from pg_ts_semantic_headline_spark.streaming import (
+            percolate_patterns)
+        pats = {"p_merge": "merge join", "p_batch": "batch window",
+                "p_none": "zzzz-nothing"}
+        return percolate_patterns(_docs(spark, sf), pats)
+
     def q49(spark, sf):
         # eval-set decontamination report: docs with doc_id % 20 == 0
         # stand in for the benchmark; 5-gram overlap, counts of DISTINCT
@@ -942,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_kept": q50,
         "dedup_containment": q51,
         "knn_join": q52,
+        "percolate_patterns": q53,
     }
 
 
@@ -1309,6 +1319,16 @@ rk AS (
 )
 SELECT query_id, vec_id, CAST(ROUND(c * 10000) AS BIGINT) AS cosine_e4
 FROM rk WHERE rn <= 10
+""",
+        "percolate_patterns": """
+SELECT doc_id, 'p_merge' AS query_id FROM documents
+WHERE contains(lower(text), 'merge join')
+UNION ALL
+SELECT doc_id, 'p_batch' AS query_id FROM documents
+WHERE contains(lower(text), 'batch window')
+UNION ALL
+SELECT doc_id, 'p_none' AS query_id FROM documents
+WHERE contains(lower(text), 'zzzz-nothing')
 """,
         "dedup_simhash": _simhash_sql(32),
         "embedding_cosine_topk": emb_cos + """

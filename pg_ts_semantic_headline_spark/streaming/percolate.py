@@ -199,3 +199,76 @@ def percolate_stream(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def percolate_patterns(docs: DataFrame, patterns: dict[str, str],
+                       kind: str = "substring",
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, query_id) for every standing SUBSTRING or REGEX pattern a
+    document matches — the keyword/PII-filter counterpart of `percolate`
+    (which handles boolean/phrase TSPQueries). One plan for ALL patterns:
+
+    each document's trigram set is computed ONCE (`trigrams_col`, pure
+    codegen), and every pattern contributes a cheap candidate predicate —
+    `arrays_overlap`-free ALL-of containment via array_intersect size —
+    from its provably-required trigrams (`pattern_trigrams` /
+    `regex_required_trigrams`, the index-side extraction reused
+    driver-side), so the expensive verify (`contains` / `rlike`) runs
+    only on candidate rows. Patterns with no required trigram (too
+    short, alternations) verify every row — same loud degradation
+    contract as the trigram index, minus the warning spam (it would fire
+    per batch): they are simply full-verify predicates.
+
+    kind: 'substring' (case-insensitive contains) or 'regex' (rlike)."""
+    from ..operators.trigram import (pattern_trigrams,
+                                     regex_required_trigrams, trigrams_col)
+
+    if kind not in ("substring", "regex"):
+        raise ValueError(f"kind must be 'substring' or 'regex', got {kind!r}")
+    doc_tg = trigrams_col(text_col)
+    hay = F.lower(F.col(text_col))
+    matches = []
+    for qid, pat in patterns.items():
+        req = (pattern_trigrams(pat) if kind == "substring"
+               else regex_required_trigrams(pat))
+        verify = (F.contains(hay, F.lit(pat.lower()))
+                  if kind == "substring"
+                  else F.col(text_col).rlike(pat))
+        if req:
+            req_arr = F.array(*[F.lit(t) for t in req])
+            cand = F.size(F.array_intersect(F.col("_tg"), req_arr)) \
+                == len(req)
+            pred = cand & verify
+        else:
+            pred = verify
+        matches.append(F.when(pred, F.lit(qid)))
+    return (docs
+            .withColumn("_tg", doc_tg)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.array_compact(F.array(*matches)))
+                    .alias("query_id")))
+
+
+def percolate_patterns_stream(stream_docs: DataFrame,
+                              patterns: dict[str, str], sink_fn,
+                              kind: str = "substring",
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              checkpoint_dir: str | None = None,
+                              trigger_available_now: bool = True):
+    """Streaming form: per micro-batch, `sink_fn(matches_df, batch_id)`
+    receives the (doc_id, query_id) matches — same foreachBatch shape as
+    `percolate_stream`."""
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sink_fn(percolate_patterns(batch_df, patterns, kind,
+                                   id_col, text_col), batch_id)
+
+    writer = stream_docs.writeStream.foreachBatch(handle)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

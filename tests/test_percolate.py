@@ -140,3 +140,56 @@ class TestPercolateStream:
         q.awaitTermination(120)
         assert set(seen) == expected_matches(queries)
         assert len(seen) == len(set(seen))  # no doc double-percolated
+
+
+class TestPatternPercolation:
+    def test_substring_patterns_exact(self, spark):
+        from pg_ts_semantic_headline_spark.streaming import (
+            percolate_patterns)
+        docs = spark.createDataFrame(
+            [(0, "alpha merge join beta"),
+             (1, "nothing relevant"),
+             (2, "MERGE JOIN uppercase"),
+             (3, "xy"),          # shorter than any trigram
+             (4, None)],
+            "doc_id long, text string")
+        pats = {"p_mj": "merge join", "p_xy": "xy", "p_none": "zzzzz"}
+        got = {(r["doc_id"], r["query_id"])
+               for r in percolate_patterns(docs, pats).collect()}
+        assert got == {(0, "p_mj"), (2, "p_mj"), (3, "p_xy")}
+
+    def test_regex_patterns_exact(self, spark):
+        from pg_ts_semantic_headline_spark.streaming import (
+            percolate_patterns)
+        docs = spark.createDataFrame(
+            [(0, "merge    join spaced"), (1, "merge-join dashed"),
+             (2, "mergejoin fused"), (3, "unrelated")],
+            "doc_id long, text string")
+        pats = {"r_ws": r"merge\s+join", "r_any": r"merge.join"}
+        got = {(r["doc_id"], r["query_id"])
+               for r in percolate_patterns(docs, pats,
+                                           kind="regex").collect()}
+        # "merge.join" needs exactly ONE char between the words:
+        # only the dashed doc matches it
+        assert got == {(0, "r_ws"), (1, "r_any")}
+
+    def test_pattern_stream_matches_batch(self, spark, tmp_path):
+        from pg_ts_semantic_headline_spark.streaming import (
+            percolate_patterns, percolate_patterns_stream)
+        rows = [(i, f"doc {i} merge join" if i % 3 == 0 else f"doc {i}")
+                for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        src = str(tmp_path / "src")
+        df.write.parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string") \
+            .parquet(src)
+        seen = []
+        q = percolate_patterns_stream(
+            stream, {"p": "merge join"},
+            lambda m, _b: seen.extend(
+                (r["doc_id"], r["query_id"]) for r in m.collect()))
+        q.awaitTermination(120)
+        want = {(r["doc_id"], r["query_id"]) for r in
+                percolate_patterns(df, {"p": "merge join"}).collect()}
+        assert set(seen) == want and want == {(i, "p")
+                                              for i in range(0, 12, 3)}
