@@ -220,7 +220,13 @@ def percolate_patterns(docs: DataFrame, patterns: dict[str, str],
     contract as the trigram index, minus the warning spam (it would fire
     per batch): they are simply full-verify predicates.
 
-    kind: 'substring' (case-insensitive contains) or 'regex' (rlike)."""
+    kind: 'substring' (case-insensitive contains) or 'regex' (rlike).
+
+    Scale boundary: each pattern compiles into the plan (a candidate
+    gate + verify expression), so this shape fits registries up to
+    ~10^3 patterns; beyond that, plan compilation itself dominates —
+    restructure as a broadcast (pattern_id, trigram) table joined
+    against exploded doc trigrams (the `percolate` shape) instead."""
     from ..operators.trigram import (pattern_trigrams,
                                      regex_required_trigrams, trigrams_col)
 
