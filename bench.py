@@ -215,6 +215,15 @@ def main():
         timings["percolate_1k_docs_4q"] = min_of(
             lambda: percolate(sample, standing, config="simple").count())
 
+        # standing substring/regex patterns over the same 1k docs
+        from pg_ts_semantic_headline_spark.streaming import (
+            percolate_patterns)
+        pats = {"p1": "merge sort", "p2": "batch window", "p3": "spark"}
+        timings["percolate_patterns_1k_docs_3p"] = min_of(
+            lambda: percolate_patterns(
+                sample.selectExpr("doc_id", "content as text"),
+                pats).count())
+
         # trigram index: one-time build, then substring + LIKE + regex +
         # similarity through the bucket-pruned postings (min-of-2 — these
         # are short latency-style queries)
