@@ -877,6 +877,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "p_none": "zzzz-nothing"}
         return percolate_patterns(_docs(spark, sf), pats)
 
+    def q54(spark, sf):
+        # hybrid retrieval: BM25 (persisted index) + brute cosine fused
+        # by reciprocal rank fusion. depth covers every scored doc so
+        # neither branch has a top-depth boundary where an e4-rounding
+        # tie could order differently than the float-exact rank (the q34
+        # lesson); ranks themselves are assigned over e4-rounded scores
+        # with id tiebreaks on BOTH engines, so the fusion is
+        # deterministic cross-engine.
+        from pg_ts_semantic_headline_spark.plans.search import (
+            hybrid_search_rrf)
+        index = _built_index(spark, sf)
+        emb = _emb(spark, sf)
+        qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
+        return hybrid_search_rrf(index, ["spark", "query", "window"],
+                                 emb, qv, k=10, depth=1_000_000)
+
     def q49(spark, sf):
         # eval-set decontamination report: docs with doc_id % 20 == 0
         # stand in for the benchmark; 5-gram overlap, counts of DISTINCT
@@ -952,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q51,
         "knn_join": q52,
         "percolate_patterns": q53,
+        "hybrid_search_rrf": q54,
     }
 
 
@@ -1319,6 +1336,44 @@ rk AS (
 )
 SELECT query_id, vec_id, CAST(ROUND(c * 10000) AS BIGINT) AS cosine_e4
 FROM rk WHERE rn <= 10
+""",
+        # hybrid RRF: BM25 ranks + cosine ranks (both e4-stabilized,
+        # id tiebreak), reciprocal-rank sum, full-outer fusion
+        "hybrid_search_rrf": _bm25_score_sql(["spark", "query", "window"]) + """
+, lexr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (
+           ORDER BY CAST(ROUND(score * 10000) AS BIGINT) DESC, doc_id)
+           AS INTEGER) AS bm25_rank
+  FROM scored
+),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+vpairs AS (
+  SELECT e.vec_id,
+         unnest(e.embedding)::DOUBLE AS x,
+         unnest((SELECT qe FROM qv))::DOUBLE AS y
+  FROM embeddings e
+),
+vcos AS (
+  SELECT vec_id,
+         SUM(x*y) / (sqrt(SUM(x*x)) * sqrt(SUM(y*y))) AS c
+  FROM vpairs GROUP BY vec_id
+),
+vecr AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (
+           ORDER BY CAST(ROUND(c * 10000) AS BIGINT) DESC, vec_id)
+           AS INTEGER) AS cosine_rank
+  FROM vcos
+)
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       CAST(ROUND((COALESCE(1.0/(60+l.bm25_rank), 0)
+                   + COALESCE(1.0/(60+v.cosine_rank), 0)) * 100000000)
+            AS BIGINT) AS rrf_e4,
+       l.bm25_rank, v.cosine_rank
+FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+ORDER BY rrf_e4 DESC, COALESCE(l.doc_id, v.doc_id)
+LIMIT 10
 """,
         "percolate_patterns": """
 SELECT doc_id, 'p_merge' AS query_id FROM documents

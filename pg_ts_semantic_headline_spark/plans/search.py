@@ -851,3 +851,61 @@ def search_with_headlines(
     headlines = ts_fast_headline(docs, query, options, hay=hay)
     return (hits.join(headlines, on="doc_id", how="left")
             .orderBy(F.desc("score"), F.asc("doc_id")))
+
+
+def hybrid_search_rrf(
+    index: Index,
+    query: CompiledQuery | list[str],
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    depth: int = 100,
+    k_rrf: int = 60,
+    mode: str = "exact",
+    ann=None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid retrieval: fuse BM25 and embedding-cosine rankings with
+    reciprocal rank fusion — score(d) = Σ_systems 1/(k_rrf + rank_d(s))
+    (Cormack/Clarke/Buettcher's published RRF constant k=60 default).
+
+    Each branch retrieves its top-`depth` (bounded, depth-sized frames),
+    ranks are assigned over e4-ROUNDED scores (1e-4 quantization) with a
+    doc-id tiebreak so the fused ordering is deterministic and
+    reproducible across engines/float-accumulation orders, then a
+    full-outer join sums the reciprocal ranks. Pass `ann` (a loaded
+    AnnIndex/IvfIndex handle) to use the approximate vector branch
+    instead of brute-force cosine over `embeddings`.
+
+    Returns (doc_id, rrf_e4, bm25_rank, cosine_rank) — ranks NULL for a
+    doc only one system retrieved; rrf_e4 = round(score * 1e8) (RRF
+    scores live in [0, 2/61], so e8 keeps 4 significant digits)."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine_topk
+
+    lex = bm25_topk(index, query, k=depth, mode=mode)
+    w_lex = Window.orderBy(
+        F.desc(F.round(F.col("score") * 10000).cast("long")),
+        F.asc("doc_id"))
+    lexr = (lex.withColumn("bm25_rank", F.row_number().over(w_lex))
+            .select("doc_id", "bm25_rank"))
+    vec = (ann.query(query_vec, k=depth) if ann is not None
+           else cosine_topk(embeddings, query_vec, k=depth,
+                            id_col=id_col))
+    w_vec = Window.orderBy(
+        F.desc(F.round(F.col("cosine") * 10000).cast("long")),
+        F.asc(id_col))
+    vecr = (vec.withColumn("cosine_rank", F.row_number().over(w_vec))
+            .select(F.col(id_col).alias("doc_id"), "cosine_rank"))
+    fused = (lexr.join(vecr, on="doc_id", how="full_outer")
+             .withColumn(
+                 "_rrf",
+                 F.coalesce(1.0 / (F.lit(k_rrf) + F.col("bm25_rank")),
+                            F.lit(0.0))
+                 + F.coalesce(1.0 / (F.lit(k_rrf) + F.col("cosine_rank")),
+                              F.lit(0.0)))
+             .withColumn("rrf_e4",
+                         F.round(F.col("_rrf") * 100000000).cast("long")))
+    return (fused.orderBy(F.desc("rrf_e4"), F.asc("doc_id")).limit(k)
+            .select("doc_id", "rrf_e4", "bm25_rank", "cosine_rank"))

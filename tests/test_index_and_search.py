@@ -521,3 +521,50 @@ class TestFusedAnalysisConsistency:
             tf = {p["term"]: p["tf"] for p in (row["postings"] or [])}
             assert tf == {t: len(ps) for t, ps in expected.items()}
             assert row["dl"] == sum(len(ps) for ps in expected.values())
+
+
+def test_hybrid_search_rrf(spark, tmp_path):
+    """RRF fusion equals a driver-side recompute from the two branches'
+    rankings, with docs found by only one system still scored."""
+    import random
+
+    from pg_ts_semantic_headline_spark.plans.index_build import (
+        build_index, load_index)
+    from pg_ts_semantic_headline_spark.plans.search import (
+        bm25_topk, hybrid_search_rrf)
+    from pg_ts_semantic_headline_spark.operators.similarity import (
+        cosine_topk)
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha doc{i} " + ("spark window " * (i % 4)))
+         for i in range(30)], ["doc_id", "content"])
+    idx_dir = str(tmp_path / "hidx")
+    build_index(spark, docs, idx_dir, config="simple", n_buckets=4,
+                block_span=8, build_packed=False)
+    index = load_index(spark, idx_dir)
+    rng = random.Random(3)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(30)],
+        ["vec_id", "embedding"])
+    qv = emb.where("vec_id = 7").first()["embedding"]
+
+    got = [(r["doc_id"], r["rrf_e4"]) for r in hybrid_search_rrf(
+        index, ["spark", "window"], emb, qv, k=10, depth=15).collect()]
+
+    lex = bm25_topk(index, ["spark", "window"], k=15).collect()
+    lex_rank = {r["doc_id"]: i + 1 for i, r in enumerate(sorted(
+        lex, key=lambda r: (-round(r["score"] * 1e4), r["doc_id"])))}
+    vec = cosine_topk(emb, qv, k=15).collect()
+    vec_rank = {r["vec_id"]: i + 1 for i, r in enumerate(sorted(
+        vec, key=lambda r: (-round(r["cosine"] * 1e4), r["vec_id"])))}
+    fused = {}
+    for d in set(lex_rank) | set(vec_rank):
+        s = (1.0 / (60 + lex_rank[d]) if d in lex_rank else 0.0) \
+            + (1.0 / (60 + vec_rank[d]) if d in vec_rank else 0.0)
+        fused[d] = round(s * 1e8)
+    want = sorted(fused.items(), key=lambda t: (-t[1], t[0]))[:10]
+    assert got == want
+    # at least one doc in the fused top-k from a single system only
+    single = [d for d, _ in want
+              if (d in lex_rank) != (d in vec_rank)]
+    assert single, "test corpus produced no single-system doc; weaken it"
