@@ -4,6 +4,7 @@ from .dedup import (
     exact_duplicates,
     jaccard_for_pairs,
     lsh_candidate_pairs,
+    lsh_params,
     minhash_lsh_dedup,
     minhash_signatures,
     ngram_containment_pairs,

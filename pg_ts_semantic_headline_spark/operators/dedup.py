@@ -398,3 +398,31 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     return (cands.withColumn("hamming", ham)
             .where(F.col("hamming") <= max_hamming)
             .select("a", "b", "hamming"))
+
+
+def lsh_params(threshold: float, target_recall: float = 0.95,
+               max_hashes: int = 256) -> tuple[int, int]:
+    """(bands, rows_per_band) sized so MinHash-LSH recalls pairs at
+    `threshold` Jaccard with >= `target_recall` probability, using the
+    standard S-curve: P(candidate | jaccard=s) = 1 - (1 - s^rows)^bands.
+    Searches the smallest total hash count (bands*rows <= max_hashes)
+    meeting the target, preferring more rows per band (fewer false
+    positives) among equals; raises if no configuration fits — raise
+    max_hashes rather than silently under-recalling."""
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    best = None
+    for total in range(2, max_hashes + 1):
+        for rows in range(total, 0, -1):
+            if total % rows:
+                continue
+            bands = total // rows
+            recall = 1.0 - (1.0 - threshold ** rows) ** bands
+            if recall >= target_recall:
+                best = (bands, rows)
+                break
+        if best:
+            return best
+    raise ValueError(
+        f"no (bands, rows) with <= {max_hashes} hashes reaches recall "
+        f"{target_recall} at jaccard {threshold}; raise max_hashes")

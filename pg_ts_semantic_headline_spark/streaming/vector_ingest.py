@@ -59,3 +59,35 @@ def attach_vector_indexer(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def attach_trigram_indexer(
+    stream_docs: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Streaming ingest into a persisted trigram index: each micro-batch
+    appends via `add_documents` (per-document-independent postings, so a
+    batch is O(batch) appends in the existing bucket layout). The handle
+    is reloaded per batch for restart-safe generation numbers — same
+    contract as `attach_vector_indexer`. Deletes/replaces go through
+    `delete_documents` + re-ingest; `compact_trigram_index` folds them."""
+    from ..operators.trigram import add_documents, load_trigram_index
+
+    spark = stream_docs.sparkSession
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        add_documents(load_trigram_index(spark, index_dir), batch_df,
+                      id_col=id_col, text_col=text_col)
+
+    writer = (stream_docs.writeStream
+              .foreachBatch(handle)
+              .option("checkpointLocation", checkpoint_dir))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

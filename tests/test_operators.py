@@ -521,3 +521,23 @@ class TestMultimodal:
         assert len(rows) == 4
         assert [r["frame_id"] for r in sorted(rows, key=lambda r: r["frame_id"])] == [0, 1, 2, 3]
         assert rows[0]["frame_bytes"] is not None
+
+
+def test_lsh_params_s_curve():
+    """Returned (bands, rows) must meet the recall target at the
+    threshold, use the fewest hashes, and raise when impossible."""
+    import pytest as _pytest
+    from pg_ts_semantic_headline_spark.operators import lsh_params
+
+    for t, rc in [(0.5, 0.95), (0.8, 0.99), (0.3, 0.9)]:
+        bands, rows = lsh_params(t, rc)
+        recall = 1.0 - (1.0 - t ** rows) ** bands
+        assert recall >= rc, (t, rc, bands, rows)
+        # minimality: no smaller hash budget reaches the target
+        total = bands * rows
+        for smaller in range(2, total):
+            ok = any(1.0 - (1.0 - t ** r) ** (smaller // r) >= rc
+                     for r in range(1, smaller + 1) if smaller % r == 0)
+            assert not ok, (t, rc, smaller)
+    with _pytest.raises(ValueError, match="max_hashes"):
+        lsh_params(0.05, 0.999, max_hashes=8)

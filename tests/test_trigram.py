@@ -440,3 +440,23 @@ def test_zero_trigram_doc_delete_visible_in_fullscan(spark):
             assert ids(substring_search(idx, df, "普通")) == []
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_trigram_ingest(spark, corpus_df, tmp_path):
+    """availableNow stream of docs appended per micro-batch: post-stream
+    queries equal a one-shot build over the union."""
+    from pg_ts_semantic_headline_spark.streaming import (
+        attach_trigram_indexer)
+    out = str(tmp_path / "s_trgm")
+    base = corpus_df.where(F.col("doc_id") < 5)
+    extra = corpus_df.where(F.col("doc_id") >= 5)
+    build_trigram_index(base, out, n_buckets=8)
+    src = str(tmp_path / "src")
+    extra.write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = attach_trigram_indexer(stream, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    idx = load_trigram_index(spark, out)
+    assert idx.max_gen >= 1
+    assert ids(substring_search(idx, corpus_df, "merge join")) == \
+        brute_contains("merge join")
