@@ -117,15 +117,12 @@ def attach_decontaminator(
     ev.count()  # materialize once, before the stream starts
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         (decontaminate(batch_df, eval_df, n, min_shared, train_id,
                        train_text, eval_id, eval_text, eval_hashes=ev)
          .write.mode("append").parquet(out_dir))
 
-    writer = (stream_docs.writeStream
-              .foreachBatch(handle)
-              .option("checkpointLocation", checkpoint_dir))
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    from ..streaming.wiring import start_foreach_batch
+    # the cached eval hash set lives for the stream's lifetime only
+    return start_foreach_batch(stream_docs, handle, checkpoint_dir,
+                               trigger_available_now,
+                               on_terminated=lambda: ev.unpersist())

@@ -412,7 +412,7 @@ def lsh_params(threshold: float, target_recall: float = 0.95,
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
     best = None
-    for total in range(2, max_hashes + 1):
+    for total in range(1, max_hashes + 1):
         for rows in range(total, 0, -1):
             if total % rows:
                 continue

@@ -864,6 +864,7 @@ def hybrid_search_rrf(
     mode: str = "exact",
     ann=None,
     id_col: str = "vec_id",
+    emb_col: str = "embedding",
 ) -> DataFrame:
     """Hybrid retrieval: fuse BM25 and embedding-cosine rankings with
     reciprocal rank fusion — score(d) = Σ_systems 1/(k_rrf + rank_d(s))
@@ -890,9 +891,15 @@ def hybrid_search_rrf(
         F.asc("doc_id"))
     lexr = (lex.withColumn("bm25_rank", F.row_number().over(w_lex))
             .select("doc_id", "bm25_rank"))
-    vec = (ann.query(query_vec, k=depth) if ann is not None
-           else cosine_topk(embeddings, query_vec, k=depth,
-                            id_col=id_col))
+    if ann is not None:
+        # ANN handles store canonical (vec_id, embedding) columns; align
+        # the output id to the caller's id_col so both branches agree
+        vec = ann.query(query_vec, k=depth)
+        if id_col != "vec_id":
+            vec = vec.withColumnRenamed("vec_id", id_col)
+    else:
+        vec = cosine_topk(embeddings, query_vec, k=depth,
+                          emb_col=emb_col, id_col=id_col)
     w_vec = Window.orderBy(
         F.desc(F.round(F.col("cosine") * 10000).cast("long")),
         F.asc(id_col))

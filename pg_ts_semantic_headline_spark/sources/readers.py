@@ -178,10 +178,13 @@ def warc_text_documents(warc_df: DataFrame) -> DataFrame:
     is_http = (F.col("warc_type") == "response") & \
         F.col("content_type").startswith("application/http")
     # HTTP header block = prefix before the first blank line; tolerate
-    # bare-\n header endings the same way the WARC parser does
-    sep_pos = F.when(F.instr(decoded, "\r\n\r\n") > 0,
-                     F.instr(decoded, "\r\n\r\n") + 3) \
-        .otherwise(F.instr(decoded, "\n\n") + 1)
+    # bare-\n header endings the same way the WARC parser does — pick
+    # whichever separator occurs EARLIER (a body containing \r\n\r\n
+    # after \n\n-terminated headers must not be truncated to its tail)
+    crlf = F.instr(decoded, "\r\n\r\n")
+    lf = F.instr(decoded, "\n\n")
+    sep_pos = F.when((crlf > 0) & ((lf == 0) | (crlf <= lf)), crlf + 3) \
+        .otherwise(lf + 1)
     http_headers = F.lower(F.substring(decoded, F.lit(1), sep_pos))
     http_is_text = http_headers.contains("content-type: text/")
     body = F.substring(decoded, sep_pos + 1, F.length(decoded))

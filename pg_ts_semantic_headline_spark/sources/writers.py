@@ -26,7 +26,12 @@ def write_corpus(df: DataFrame, path: str,
     - `partition_by` adds directory partitioning (e.g. lang) for
       predicate-pruned reads.
     """
-    if sort_by is not None and sort_by in df.columns:
+    if sort_by is not None:
+        if sort_by not in df.columns:
+            raise ValueError(
+                f"sort_by column {sort_by!r} not in {df.columns}; pass "
+                "sort_by=None to write unsorted (silently skipping would "
+                "void the row-group-pruning layout this function promises)")
         cols = ([partition_by] if isinstance(partition_by, str)
                 else list(partition_by or []))
         df = df.sortWithinPartitions(*(cols + [sort_by]))

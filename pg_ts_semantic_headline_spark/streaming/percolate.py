@@ -267,14 +267,9 @@ def percolate_patterns_stream(stream_docs: DataFrame,
     receives the (doc_id, query_id) matches — same foreachBatch shape as
     `percolate_stream`."""
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         sink_fn(percolate_patterns(batch_df, patterns, kind,
                                    id_col, text_col), batch_id)
 
-    writer = stream_docs.writeStream.foreachBatch(handle)
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    from .wiring import start_foreach_batch
+    return start_foreach_batch(stream_docs, handle, checkpoint_dir,
+                               trigger_available_now)

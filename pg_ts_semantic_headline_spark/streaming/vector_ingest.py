@@ -48,17 +48,12 @@ def attach_vector_indexer(
     spark = stream_vectors.sparkSession
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         add(load(spark, index_dir), batch_df,
             emb_col=emb_col, id_col=id_col)
 
-    writer = (stream_vectors.writeStream
-              .foreachBatch(handle)
-              .option("checkpointLocation", checkpoint_dir))
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    from .wiring import start_foreach_batch
+    return start_foreach_batch(stream_vectors, handle, checkpoint_dir,
+                               trigger_available_now)
 
 
 def attach_trigram_indexer(
@@ -80,14 +75,9 @@ def attach_trigram_indexer(
     spark = stream_docs.sparkSession
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         add_documents(load_trigram_index(spark, index_dir), batch_df,
                       id_col=id_col, text_col=text_col)
 
-    writer = (stream_docs.writeStream
-              .foreachBatch(handle)
-              .option("checkpointLocation", checkpoint_dir))
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    from .wiring import start_foreach_batch
+    return start_foreach_batch(stream_docs, handle, checkpoint_dir,
+                               trigger_available_now)

@@ -529,13 +529,13 @@ def test_lsh_params_s_curve():
     import pytest as _pytest
     from pg_ts_semantic_headline_spark.operators import lsh_params
 
-    for t, rc in [(0.5, 0.95), (0.8, 0.99), (0.3, 0.9)]:
+    for t, rc in [(0.5, 0.95), (0.8, 0.99), (0.3, 0.9), (0.98, 0.95)]:
         bands, rows = lsh_params(t, rc)
         recall = 1.0 - (1.0 - t ** rows) ** bands
         assert recall >= rc, (t, rc, bands, rows)
         # minimality: no smaller hash budget reaches the target
         total = bands * rows
-        for smaller in range(2, total):
+        for smaller in range(1, total):
             ok = any(1.0 - (1.0 - t ** r) ** (smaller // r) >= rc
                      for r in range(1, smaller + 1) if smaller % r == 0)
             assert not ok, (t, rc, smaller)
