@@ -249,6 +249,21 @@ def main():
         finally:
             shutil.rmtree(trgm_dir, ignore_errors=True)
 
+        # hybrid retrieval: BM25 (packed index) + brute cosine, RRF-fused
+        from pg_ts_semantic_headline_spark.plans.search import (
+            hybrid_search_rrf)
+        hq = [to_tspquery("english", "spark & window"),
+              to_tspquery("english", "batch | stream"),
+              to_tspquery("english", "query & !vector")]
+        hv = [r["embedding"] for r in emb.limit(3).collect()]
+
+        def run_hybrid():
+            for q, v in zip(hq, hv):
+                hybrid_search_rrf(index, q, emb, v, k=10,
+                                  depth=100).collect()
+
+        timings["hybrid_rrf_x3"] = min_of(run_hybrid)
+
         # eval-set decontamination: 5-gram overlap of the doc_id%20==0
         # "benchmark" slice vs the rest (broadcast eval hashes, train
         # side scanned once)
