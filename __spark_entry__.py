@@ -877,6 +877,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "p_none": "zzzz-nothing"}
         return percolate_patterns(_docs(spark, sf), pats)
 
+    def q55(spark, sf):
+        # temperature-scaled source mixing weights (alpha=0.7): one
+        # aggregation; weights normalized over the tiny per-source result
+        from pg_ts_semantic_headline_spark.operators.chunking import (
+            source_mix_weights)
+        return (source_mix_weights(_docs(spark, sf), alpha=0.7)
+                .withColumn("weight_e4", _e4(F.col("weight")))
+                .select("source", "n_docs", "n_tokens", "weight_e4"))
+
     def q54(spark, sf):
         # hybrid retrieval: BM25 (persisted index) + brute cosine fused
         # by reciprocal rank fusion. depth covers every scored doc so
@@ -969,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q52,
         "percolate_patterns": q53,
         "hybrid_search_rrf": q54,
+        "source_mix_weights": q55,
     }
 
 
@@ -1374,6 +1384,21 @@ SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
 FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
 ORDER BY rrf_e4 DESC, COALESCE(l.doc_id, v.doc_id)
 LIMIT 10
+""",
+        # temperature mixing weights: n_tokens^0.7 normalized per source;
+        # whitespace token count = len(string_split(text, ' ')) matches
+        # Spark's split(\s+) on the single-spaced corpus
+        "source_mix_weights": """
+WITH agg AS (
+  SELECT source, count(*) AS n_docs,
+         SUM(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       CAST(ROUND(pow(n_tokens, 0.7)
+                  / SUM(pow(n_tokens, 0.7)) OVER () * 10000) AS BIGINT)
+         AS weight_e4
+FROM agg
 """,
         "percolate_patterns": """
 SELECT doc_id, 'p_merge' AS query_id FROM documents

@@ -115,3 +115,26 @@ def sample_token_budget_exact(df: DataFrame, budget_tokens: int,
             .where((F.col("_cum") <= budget_tokens)
                    | (F.col("_cum") == F.col("n_tokens")))
             .drop("_cum"))
+
+
+def source_mix_weights(df: DataFrame, alpha: float = 0.7,
+                       by: str = "source",
+                       text_col: str = "text") -> DataFrame:
+    """(source, n_docs, n_tokens, weight): temperature-scaled sampling
+    weights for multi-source training mixes — weight ∝ n_tokens^alpha,
+    normalized to sum 1 (the published recipe behind multilingual /
+    multi-corpus temperature sampling: alpha=1 is proportional, alpha→0
+    approaches uniform, upweighting small sources). One aggregation over
+    the corpus; the normalization window runs over the source-count-sized
+    result, not the data. Pair with `sample_token_budget(stratify_by=by,
+    budget = weight·total_budget)` to realize the mix."""
+    from pyspark.sql import Window
+
+    agg = (df.groupBy(by)
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.size(_tok(F.col(text_col)))).alias("n_tokens")))
+    scaled = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    total = F.sum(scaled).over(Window.partitionBy())
+    return (agg.withColumn("weight", scaled / total)
+            .select(F.col(by).alias("source"), "n_docs", "n_tokens",
+                    "weight"))

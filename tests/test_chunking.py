@@ -115,3 +115,21 @@ def test_sample_exact_cumsum_respects_budget(spark, docs):
         by_lang.setdefault(r["lang"], []).append(r["n_tokens"])
     for lang, toks in by_lang.items():
         assert sum(toks) <= 12 or len(toks) == 1, (lang, toks)
+
+
+def test_source_mix_weights(spark):
+    """Weights sum to 1, follow tokens^alpha, and flatten as alpha->0."""
+    from pg_ts_semantic_headline_spark.operators.chunking import (
+        source_mix_weights)
+    rows = [(i, "s_big" if i < 90 else "s_small",
+             "tok " * 50) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    w1 = {r["source"]: r["weight"]
+          for r in source_mix_weights(df, alpha=1.0).collect()}
+    assert abs(sum(w1.values()) - 1.0) < 1e-12
+    assert abs(w1["s_big"] - 0.9) < 1e-12  # proportional at alpha=1
+    w0 = {r["source"]: r["weight"]
+          for r in source_mix_weights(df, alpha=0.3).collect()}
+    assert abs(sum(w0.values()) - 1.0) < 1e-12
+    # temperature flattens: the small source gains share as alpha drops
+    assert w0["s_small"] > w1["s_small"]

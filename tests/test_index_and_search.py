@@ -568,3 +568,37 @@ def test_hybrid_search_rrf(spark, tmp_path):
     single = [d for d, _ in want
               if (d in lex_rank) != (d in vec_rank)]
     assert single, "test corpus produced no single-system doc; weaken it"
+
+
+def test_hybrid_rrf_ann_branch(spark, tmp_path):
+    """With an exact-behaving ANN handle (IVF probing all lists) the ANN
+    branch must fuse identically to the brute-force branch."""
+    import random
+
+    from pg_ts_semantic_headline_spark.plans.index_build import (
+        build_index, load_index)
+    from pg_ts_semantic_headline_spark.plans.search import (
+        hybrid_search_rrf)
+    from pg_ts_semantic_headline_spark.operators.similarity import (
+        build_ivf_index, load_ivf_index)
+
+    docs = spark.createDataFrame(
+        [(i, f"beta doc{i} " + ("spark window " * (i % 3)))
+         for i in range(20)], ["doc_id", "content"])
+    idx_dir = str(tmp_path / "hidx2")
+    build_index(spark, docs, idx_dir, config="simple", n_buckets=4,
+                block_span=8, build_packed=False)
+    index = load_index(spark, idx_dir)
+    rng = random.Random(5)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(20)],
+        ["vec_id", "embedding"])
+    ivf_dir = str(tmp_path / "hivf")
+    build_ivf_index(emb, ivf_dir, n_lists=4, seed=1)
+    ann = load_ivf_index(spark, ivf_dir)  # default nprobe=8 > n_lists: exact
+    qv = emb.where("vec_id = 2").first()["embedding"]
+    brute = [(r["doc_id"], r["rrf_e4"]) for r in hybrid_search_rrf(
+        index, ["spark"], emb, qv, k=8, depth=12).collect()]
+    via_ann = [(r["doc_id"], r["rrf_e4"]) for r in hybrid_search_rrf(
+        index, ["spark"], emb, qv, k=8, depth=12, ann=ann).collect()]
+    assert via_ann == brute
