@@ -877,6 +877,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "p_none": "zzzz-nothing"}
         return percolate_patterns(_docs(spark, sf), pats)
 
+    def q56(spark, sf):
+        # PII redaction over docs with deterministically INJECTED pii
+        # (the synthetic corpus has none, which would vacuously pass):
+        # both engines augment identically, then redact + count
+        from pg_ts_semantic_headline_spark.operators.textstats import (
+            redact_pii)
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(F.coalesce(F.col("text"), F.lit("")),
+                     F.lit(" contact user"), F.col("doc_id"),
+                     F.lit("@example.com at 10.0.0."),
+                     F.col("doc_id") % 255,
+                     F.lit(" or 555-123-4567")).alias("text"))
+        return (redact_pii(docs)
+                .select("doc_id", "pii_email", "pii_ipv4", "pii_phone",
+                        "text_redacted"))
+
     def q55(spark, sf):
         # temperature-scaled source mixing weights (alpha=0.7): one
         # aggregation; weights normalized over the tiny per-source result
@@ -979,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_patterns": q53,
         "hybrid_search_rrf": q54,
         "source_mix_weights": q55,
+        "redact_pii": q56,
     }
 
 
@@ -1399,6 +1417,27 @@ SELECT source, n_docs, n_tokens,
                   / SUM(pow(n_tokens, 0.7)) OVER () * 10000) AS BIGINT)
          AS weight_e4
 FROM agg
+""",
+        # PII redaction: counts from the pre-redaction text, replacement
+        # chain in sorted-kind order (email, ipv4, phone) on both engines
+        "redact_pii": r"""
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact user' || doc_id
+           || '@example.com at 10.0.0.' || (doc_id % 255)
+           || ' or 555-123-4567' AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS pii_email,
+  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS pii_ipv4,
+  CAST(len(regexp_extract_all(text, '\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS INTEGER) AS pii_phone,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII-email]', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII-ipv4]', 'g'),
+    '\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PII-phone]', 'g') AS text_redacted
+FROM aug
 """,
         "percolate_patterns": """
 SELECT doc_id, 'p_merge' AS query_id FROM documents

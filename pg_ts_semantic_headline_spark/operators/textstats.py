@@ -112,3 +112,40 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
             .agg(F.concat_ws("-", F.min("h"), F.max("h"),
                              F.count("*")).alias("fingerprint"),
                  F.count("*").alias("n_shingles")))
+
+
+#: PII patterns kept RE2-safe AND Java-regex-safe (no lookaround, no
+#: alternation whose leftmost-first vs leftmost-longest semantics could
+#: diverge between engines), so the DuckDB oracle redacts identically.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+}
+
+
+def redact_pii(df, text_col: str = "text",
+               patterns: dict[str, str] | None = None,
+               out_col: str = "text_redacted"):
+    """Detect and mask PII-shaped spans: returns `df` plus `out_col`
+    (every match replaced by `[PII-<kind>]`) and one `pii_<kind>` count
+    column per pattern — the standard pre-training scrub (emails, IPv4s,
+    phone numbers by default; pass `patterns` to extend). Pure column
+    algebra: one regexp_extract_all (count) + one regexp_replace chain
+    per kind, whole-stage codegen, no Python in the hot path. Counts are
+    computed BEFORE any replacement so overlapping kinds each see the
+    original text; replacements apply in sorted-kind order for
+    determinism."""
+    patterns = PII_PATTERNS if patterns is None else patterns
+    src = F.coalesce(F.col(text_col), F.lit(""))
+    for kind in sorted(patterns):
+        # F.lit pattern, NOT SQL-string interpolation: a pattern inside a
+        # SQL literal would have its backslashes eaten by the SQL parser
+        df = df.withColumn(
+            f"pii_{kind}",
+            F.size(F.regexp_extract_all(src, F.lit(patterns[kind]),
+                                        F.lit(0))).cast("int"))
+    red = src
+    for kind in sorted(patterns):
+        red = F.regexp_replace(red, patterns[kind], f"[PII-{kind}]")
+    return df.withColumn(out_col, red)

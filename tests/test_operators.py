@@ -541,3 +541,26 @@ def test_lsh_params_s_curve():
             assert not ok, (t, rc, smaller)
     with _pytest.raises(ValueError, match="max_hashes"):
         lsh_params(0.05, 0.999, max_hashes=8)
+
+
+def test_redact_pii(spark):
+    """Emails/IPs/phones are masked and counted; clean/null text is
+    untouched; counts come from the pre-redaction text."""
+    from pg_ts_semantic_headline_spark.operators.textstats import (
+        redact_pii)
+    df = spark.createDataFrame([
+        (1, "write alice.smith+x@example.co.uk or call 555-123-4567"),
+        (2, "hosts 192.168.0.1 and 10.0.0.255 only"),
+        (3, "clean text entirely"),
+        (4, None),
+    ], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["pii_email"] == 1 and rows[1]["pii_phone"] == 1
+    assert "alice" not in rows[1]["text_redacted"]
+    assert "[PII-email]" in rows[1]["text_redacted"]
+    assert "4567" not in rows[1]["text_redacted"]
+    assert rows[2]["pii_ipv4"] == 2
+    assert "192.168" not in rows[2]["text_redacted"]
+    assert rows[3]["text_redacted"] == "clean text entirely"
+    assert rows[3]["pii_email"] == rows[3]["pii_ipv4"] == 0
+    assert rows[4]["text_redacted"] == ""
