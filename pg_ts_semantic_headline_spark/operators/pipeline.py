@@ -49,6 +49,7 @@ def prepare_corpus(
     jaccard_threshold: float = 0.5,
     checkpoint: str = "local",
     cache: bool = False,
+    redact: bool = False,
 ) -> DataFrame:
     """Annotated corpus with a `drop_reason` column (NULL = kept).
 
@@ -57,23 +58,36 @@ def prepare_corpus(
     'exact_dup','near_dup', NULL}. Reasons apply in that order (first
     failing rule wins); dedup stages only consider rows that passed the
     row-local filters, and within a duplicate cluster the lowest doc_id
-    is kept.
+    is kept. `redact=True` runs `redact_pii` FIRST, so stats, filters
+    and dedup all see the masked text (PII-only differences dedup
+    together) and per-kind `pii_*` count columns ride along.
 
     `cache=True` persists the annotated frame(s) so the dedup joins do
     not recompute the annotate projection per reference — recommended
     whenever near_dedup is on (the frame is referenced by the minhash,
     components, and final-join sides). The cached intermediates live
     until evicted or `spark.catalog.clearCache()`."""
+    pii_cols: list = []
+    if redact:
+        # PII scrub FIRST: every downstream stat/filter/dedup sees the
+        # masked text (two docs differing only in their PII dedup
+        # together, and quality/token counts describe what ships)
+        from .textstats import redact_pii as _redact_pii
+        df = _redact_pii(df, text_col=text_col, out_col="_red")
+        df = df.drop(text_col).withColumnRenamed("_red", text_col)
+        pii_cols = [c for c in df.columns if c.startswith("pii_")]
     t = F.col("_t")
     lang_pred, _ = lang_exprs(t)
     q = quality_exprs(t)
     ann = (df.select(F.col(id_col).alias("doc_id"),
                      F.col(text_col).alias(text_col),
-                     _tok(F.col(text_col)).alias("_t"))
+                     _tok(F.col(text_col)).alias("_t"),
+                     *pii_cols)
            .select("doc_id", text_col,
                    q["n_tokens"].alias("n_tokens"),
                    q["quality"].alias("quality"),
-                   lang_pred.alias("lang_pred")))
+                   lang_pred.alias("lang_pred"),
+                   *pii_cols))
 
     reason = F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
     if max_tokens is not None:

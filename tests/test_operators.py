@@ -564,3 +564,22 @@ def test_redact_pii(spark):
     assert rows[3]["text_redacted"] == "clean text entirely"
     assert rows[3]["pii_email"] == rows[3]["pii_ipv4"] == 0
     assert rows[4]["text_redacted"] == ""
+
+
+def test_prepare_corpus_with_redaction(spark):
+    """redact=True masks PII before stats and dedup: two docs differing
+    only in their email dedup together; pii counts ride along."""
+    from pg_ts_semantic_headline_spark.operators.pipeline import (
+        prepare_corpus)
+    df = spark.createDataFrame([
+        (1, "the same body text mail alice@example.com thanks a lot"),
+        (2, "the same body text mail bob@other.org thanks a lot"),
+        (3, "a different document body with enough tokens here"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           prepare_corpus(df, redact=True, exact_dedup=True).collect()}
+    assert out[1]["pii_email"] == 1 and out[1]["drop_reason"] is None
+    assert "alice" not in out[1]["text"]
+    # doc 2 differs ONLY in PII -> after redaction it is an exact dup
+    assert out[2]["drop_reason"] == "exact_dup"
+    assert out[3]["drop_reason"] is None and out[3]["pii_email"] == 0
