@@ -877,6 +877,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "p_none": "zzzz-nothing"}
         return percolate_patterns(_docs(spark, sf), pats)
 
+    def q57(spark, sf):
+        # boilerplate-line removal over docs with INJECTED shared
+        # header/footer lines (the single-line synthetic corpus has no
+        # boilerplate of its own); both engines augment identically
+        from pg_ts_semantic_headline_spark.operators import (
+            remove_boilerplate_lines)
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(F.lit("COMMON HEADER LINE\n"),
+                     F.coalesce(F.col("text"), F.lit("")),
+                     F.lit("\nCOMMON FOOTER LINE")).alias("text"))
+        return remove_boilerplate_lines(docs, max_doc_ratio=0.5)
+
     def q56(spark, sf):
         # PII redaction over docs with deterministically INJECTED pii
         # (the synthetic corpus has none, which would vacuously pass):
@@ -997,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": q54,
         "source_mix_weights": q55,
         "redact_pii": q56,
+        "remove_boilerplate": q57,
     }
 
 
@@ -1438,6 +1452,38 @@ SELECT doc_id,
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII-ipv4]', 'g'),
     '\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PII-phone]', 'g') AS text_redacted
 FROM aug
+""",
+        # boilerplate removal: line doc-frequency >= ceil(0.5*N) strips
+        # the injected header/footer; bodies reassemble in line order
+        "remove_boilerplate": """
+WITH aug AS (
+  SELECT doc_id,
+         'COMMON HEADER LINE' || chr(10) || coalesce(text, '')
+           || chr(10) || 'COMMON FOOTER LINE' AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i AS pos, l[i] AS raw, trim(l[i]) AS norm
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug),
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) t
+),
+freq AS (
+  SELECT norm FROM lines WHERE norm <> ''
+  GROUP BY norm
+  HAVING count(DISTINCT doc_id)
+         >= greatest(1, CAST(ceil(0.5 * (SELECT count(*) FROM aug)) AS BIGINT))
+),
+kept AS (SELECT * FROM lines WHERE norm NOT IN (SELECT norm FROM freq)),
+rebuilt AS (
+  SELECT doc_id, string_agg(raw, chr(10) ORDER BY pos) AS text_clean,
+         count(*) AS _kept
+  FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id,
+       coalesce(r.text_clean, '') AS text_clean,
+       CAST(len(string_split(a.text, chr(10)))
+            - coalesce(r._kept, 0) AS INTEGER) AS n_lines_removed
+FROM aug a LEFT JOIN rebuilt r ON a.doc_id = r.doc_id
 """,
         "percolate_patterns": """
 SELECT doc_id, 'p_merge' AS query_id FROM documents

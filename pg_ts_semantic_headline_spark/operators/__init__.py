@@ -40,7 +40,8 @@ from .chunking import (
     sample_token_budget,
     sample_token_budget_exact,
 )
-from .pipeline import corpus_report, prepare_corpus
+from .pipeline import (corpus_report, prepare_corpus,
+                       remove_boilerplate_lines)
 from .trigram import (
     TrigramIndex,
     add_documents,

@@ -29,6 +29,8 @@ each over the filtered survivor set.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -159,3 +161,49 @@ def corpus_report(prepared: DataFrame) -> DataFrame:
         n_where(r == "lang").alias("n_lang"),
         n_where(r == "exact_dup").alias("n_exact_dup"),
         n_where(r == "near_dup").alias("n_near_dup"))
+
+
+def remove_boilerplate_lines(df: DataFrame, max_doc_ratio: float = 0.2,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Strip boilerplate LINES — lines whose (trimmed) text appears in
+    >= max_doc_ratio of documents (site headers/footers/nav/license
+    stubs, the classic web-corpus cleanup): returns (doc_id, text_clean,
+    n_lines_removed). Blank lines are never counted as boilerplate.
+
+    Two-pass shape, the standard at corpus scale: (1) explode lines and
+    aggregate distinct-document frequency per trimmed line — frequent
+    lines are FEW by definition (each costs doc_ratio·N rows), so the
+    flagged set broadcasts; (2) anti-join the exploded lines against it
+    and reassemble per doc in original order. One count() job fixes N;
+    docs that were entirely boilerplate (or NULL) come back as ''."""
+    n_docs = df.count()
+    cutoff = max(1, int(math.ceil(max_doc_ratio * n_docs)))
+    lines = (df.select(F.col(id_col).alias("doc_id"),
+                       F.posexplode(F.split(F.col(text_col), "\n"))
+                       .alias("pos", "raw"))
+             .withColumn("norm", F.trim(F.col("raw"))))
+    frequent = (lines.where(F.col("norm") != "")
+                .groupBy("norm")
+                .agg(F.count_distinct("doc_id").alias("_df"))
+                .where(F.col("_df") >= cutoff)
+                .select("norm"))
+    kept = lines.join(F.broadcast(frequent), on="norm", how="left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "raw"))),
+                            lambda s: s["raw"]),
+                        "\n").alias("text_clean"),
+                    F.count("*").alias("_kept")))
+    all_ids = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+         .otherwise(F.size(F.split(F.col(text_col), "\n")))
+         .alias("_total"))
+    return (all_ids.join(rebuilt, on="doc_id", how="left")
+            .select("doc_id",
+                    F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+                    (F.col("_total") - F.coalesce("_kept", F.lit(0)))
+                    .cast("int").alias("n_lines_removed")))

@@ -583,3 +583,26 @@ def test_prepare_corpus_with_redaction(spark):
     # doc 2 differs ONLY in PII -> after redaction it is an exact dup
     assert out[2]["drop_reason"] == "exact_dup"
     assert out[3]["drop_reason"] is None and out[3]["pii_email"] == 0
+
+
+def test_remove_boilerplate_lines(spark):
+    from pg_ts_semantic_headline_spark.operators import (
+        remove_boilerplate_lines)
+    df = spark.createDataFrame([
+        (1, "SITE HEADER\nunique body one\nSITE FOOTER"),
+        (2, "SITE HEADER\nanother body here\nSITE FOOTER"),
+        (3, "SITE HEADER\nthird unique content\nSITE FOOTER"),
+        (4, "totally independent document"),
+        (5, None),
+        (6, "\n\nblank lines only\n\n"),
+    ], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            remove_boilerplate_lines(df, max_doc_ratio=0.5).collect()}
+    assert rows[1]["text_clean"] == "unique body one"
+    assert rows[1]["n_lines_removed"] == 2
+    assert rows[4] ["text_clean"] == "totally independent document"
+    assert rows[4]["n_lines_removed"] == 0
+    assert rows[5]["text_clean"] == "" and rows[5]["n_lines_removed"] == 0
+    # blank lines are never boilerplate (kept), content preserved
+    assert "blank lines only" in rows[6]["text_clean"]
+    assert rows[6]["n_lines_removed"] == 0
