@@ -877,6 +877,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "p_none": "zzzz-nothing"}
         return percolate_patterns(_docs(spark, sf), pats)
 
+    def q58(spark, sf):
+        # within-doc repetition signals (dup lines / dup bigrams / top
+        # bigram share) — fractions e4-rounded for the cross-engine hash
+        from pg_ts_semantic_headline_spark.operators.textstats import (
+            repetition_stats)
+        return (repetition_stats(_docs(spark, sf))
+                .select("doc_id", "n_bigrams",
+                        _e4(F.col("dup_line_frac")).alias("dup_line_e4"),
+                        _e4(F.col("dup_bigram_frac")).alias("dup_bigram_e4"),
+                        _e4(F.col("top_bigram_frac")).alias("top_bigram_e4"),
+                        "repetitive"))
+
     def q57(spark, sf):
         # boilerplate-line removal over docs with INJECTED shared
         # header/footer lines (the single-line synthetic corpus has no
@@ -1011,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix_weights": q55,
         "redact_pii": q56,
         "remove_boilerplate": q57,
+        "repetition_stats": q58,
     }
 
 
@@ -1484,6 +1497,53 @@ SELECT a.doc_id,
        CAST(len(string_split(a.text, chr(10)))
             - coalesce(r._kept, 0) AS INTEGER) AS n_lines_removed
 FROM aug a LEFT JOIN rebuilt r ON a.doc_id = r.doc_id
+""",
+        # repetition stats: bigram multiset via the positional-token
+        # self-join; mode per doc from a grouped count
+        "repetition_stats": f"""
+WITH {TOKS_CTE.strip()},
+g AS (
+  SELECT t1.doc_id, t1.token || ' ' || t2.token AS g
+  FROM toks t1 JOIN toks t2
+    ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+),
+per AS (
+  SELECT doc_id, count(*) AS n_g, count(DISTINCT g) AS d_g
+  FROM g GROUP BY doc_id
+),
+topg AS (
+  SELECT doc_id, max(c) AS top_c
+  FROM (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+ln AS (
+  SELECT doc_id, count(*) AS n_l, count(DISTINCT l) AS d_l
+  FROM (SELECT doc_id, trim(x) AS l
+        FROM (SELECT doc_id,
+                     unnest(string_split(coalesce(text, ''), chr(10))) AS x
+              FROM documents))
+  WHERE l <> '' GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(p.n_g, 0) AS INTEGER) AS n_bigrams,
+  CAST(ROUND(CASE WHEN coalesce(l.n_l, 0) > 0
+        THEN 1.0 - CAST(l.d_l AS DOUBLE) / l.n_l ELSE 0.0 END * 10000)
+       AS BIGINT) AS dup_line_e4,
+  CAST(ROUND(CASE WHEN coalesce(p.n_g, 0) > 0
+        THEN 1.0 - CAST(p.d_g AS DOUBLE) / p.n_g ELSE 0.0 END * 10000)
+       AS BIGINT) AS dup_bigram_e4,
+  CAST(ROUND(CASE WHEN coalesce(p.n_g, 0) > 0
+        THEN CAST(t.top_c AS DOUBLE) / p.n_g ELSE 0.0 END * 10000)
+       AS BIGINT) AS top_bigram_e4,
+  ((CASE WHEN coalesce(l.n_l, 0) > 0
+     THEN 1.0 - CAST(l.d_l AS DOUBLE) / l.n_l ELSE 0.0 END) > 0.3
+   OR (CASE WHEN coalesce(p.n_g, 0) > 0
+     THEN CAST(t.top_c AS DOUBLE) / p.n_g ELSE 0.0 END) > 0.2)
+    AS repetitive
+FROM documents d
+LEFT JOIN per p ON p.doc_id = d.doc_id
+LEFT JOIN topg t ON t.doc_id = d.doc_id
+LEFT JOIN ln l ON l.doc_id = d.doc_id
 """,
         "percolate_patterns": """
 SELECT doc_id, 'p_merge' AS query_id FROM documents

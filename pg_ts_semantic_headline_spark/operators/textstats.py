@@ -149,3 +149,68 @@ def redact_pii(df, text_col: str = "text",
     for kind in sorted(patterns):
         red = F.regexp_replace(red, patterns[kind], f"[PII-{kind}]")
     return df.withColumn(out_col, red)
+
+
+def repetition_stats(df, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_dup_line_frac: float = 0.3,
+                     max_top_bigram_frac: float = 0.2):
+    """Within-document repetition signals (the published Gopher/
+    MassiveText-style quality rules — Rae et al. 2021, public):
+    (doc_id, n_bigrams, dup_line_frac, dup_bigram_frac, top_bigram_frac,
+    repetitive). Pure array algebra, no explode and no shuffle:
+
+    - dup_line_frac: 1 - distinct/total over non-blank trimmed lines;
+    - dup_bigram_frac: 1 - distinct/total over word bigrams;
+    - top_bigram_frac: share of the single most frequent bigram,
+      computed by one fold over the SORTED bigram array (longest equal
+      run = mode count — no per-doc groupBy);
+    - repetitive: dup_line_frac > max_dup_line_frac OR
+      top_bigram_frac > max_top_bigram_frac (thresholds are arguments;
+      defaults are in the published rules' neighborhood, not gospel).
+
+    Docs with < 2 tokens have no bigrams: fractions 0, never flagged."""
+    toks = _tok(F.coalesce(F.col(text_col), F.lit("")))
+    lines_all = F.transform(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+        lambda x: F.trim(x))
+    lines = F.filter(lines_all, lambda x: x != "")
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)) / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.array_join(F.slice(toks, i, 2), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    n_g = F.size(grams)
+    dup_g = F.when(
+        n_g > 0,
+        1.0 - F.size(F.array_distinct(grams)) / n_g.cast("double")
+    ).otherwise(F.lit(0.0))
+    # mode count of the bigram multiset: fold over the sorted array
+    # tracking (prev, current run, best run)
+    run0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("best"))
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    top_cnt = F.aggregate(F.array_sort(grams), run0, step)["best"]
+    top_frac = F.when(n_g > 0,
+                      top_cnt.cast("double") / n_g.cast("double")) \
+        .otherwise(F.lit(0.0))
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_g.cast("int").alias("n_bigrams"),
+        dup_line.alias("dup_line_frac"),
+        dup_g.alias("dup_bigram_frac"),
+        top_frac.alias("top_bigram_frac"),
+        ((dup_line > max_dup_line_frac)
+         | (top_frac > max_top_bigram_frac)).alias("repetitive"))

@@ -606,3 +606,22 @@ def test_remove_boilerplate_lines(spark):
     # blank lines are never boilerplate (kept), content preserved
     assert "blank lines only" in rows[6]["text_clean"]
     assert rows[6]["n_lines_removed"] == 0
+
+
+def test_repetition_stats(spark):
+    from pg_ts_semantic_headline_spark.operators.textstats import (
+        repetition_stats)
+    df = spark.createDataFrame([
+        (1, "spam spam spam spam spam spam"),
+        (2, "a normal sentence with varied words throughout here"),
+        (3, "dup line\ndup line\ndup line\nunique one"),
+        (4, None),
+        (5, "one"),
+    ], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["repetitive"] and rows[1]["top_bigram_frac"] == 1.0
+    assert not rows[2]["repetitive"]
+    assert rows[3]["repetitive"]
+    assert abs(rows[3]["dup_line_frac"] - 0.5) < 1e-9
+    assert not rows[4]["repetitive"] and rows[4]["n_bigrams"] == 0
+    assert not rows[5]["repetitive"]
