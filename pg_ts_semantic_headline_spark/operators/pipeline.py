@@ -52,12 +52,14 @@ def prepare_corpus(
     checkpoint: str = "local",
     cache: bool = False,
     redact: bool = False,
+    max_top_bigram_frac: float | None = None,
 ) -> DataFrame:
     """Annotated corpus with a `drop_reason` column (NULL = kept).
 
     Columns: doc_id, <text_col>, n_tokens, quality, lang_pred,
     drop_reason in {'too_short','too_long','low_quality','lang',
-    'exact_dup','near_dup', NULL}. Reasons apply in that order (first
+    'repetitive' (when max_top_bigram_frac is set),'exact_dup',
+    'near_dup', NULL}. Reasons apply in that order (first
     failing rule wins); dedup stages only consider rows that passed the
     row-local filters, and within a duplicate cluster the lowest doc_id
     is kept. `redact=True` runs `redact_pii` FIRST, so stats, filters
@@ -81,6 +83,30 @@ def prepare_corpus(
     t = F.col("_t")
     lang_pred, _ = lang_exprs(t)
     q = quality_exprs(t)
+    ann_extra = []
+    if max_top_bigram_frac is not None:
+        # Gopher-style repetition gate: share of the most frequent word
+        # bigram, via the same sorted-array fold as
+        # textstats.repetition_stats (no explode, no shuffle)
+        grams = F.when(
+            F.size(t) >= 2,
+            F.transform(F.sequence(F.lit(1), F.size(t) - 1),
+                        lambda i: F.array_join(F.slice(t, i, 2), " "))
+        ).otherwise(F.array().cast("array<string>"))
+        run0 = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                        F.lit(0).alias("best"))
+
+        def _step(acc, x):
+            run = F.when(x == acc["prev"],
+                         acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(x.alias("prev"), run.alias("run"),
+                            F.greatest(acc["best"], run).alias("best"))
+
+        top_frac = F.when(
+            F.size(grams) > 0,
+            F.aggregate(F.array_sort(grams), run0, _step)["best"]
+            .cast("double") / F.size(grams)).otherwise(F.lit(0.0))
+        ann_extra = [top_frac.alias("_topg")]
     ann = (df.select(F.col(id_col).alias("doc_id"),
                      F.col(text_col).alias(text_col),
                      _tok(F.col(text_col)).alias("_t"),
@@ -89,7 +115,7 @@ def prepare_corpus(
                    q["n_tokens"].alias("n_tokens"),
                    q["quality"].alias("quality"),
                    lang_pred.alias("lang_pred"),
-                   *pii_cols))
+                   *pii_cols, *ann_extra))
 
     reason = F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
     if max_tokens is not None:
@@ -100,7 +126,10 @@ def prepare_corpus(
     if allowed_langs is not None:
         reason = reason.when(~F.col("lang_pred").isin(list(allowed_langs)),
                              F.lit("lang"))
-    ann = ann.withColumn("drop_reason", reason)
+    if max_top_bigram_frac is not None:
+        reason = reason.when(F.col("_topg") > max_top_bigram_frac,
+                             F.lit("repetitive"))
+    ann = ann.withColumn("drop_reason", reason).drop("_topg")
 
     if not (exact_dedup or near_dedup):
         return ann

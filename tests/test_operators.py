@@ -625,3 +625,16 @@ def test_repetition_stats(spark):
     assert abs(rows[3]["dup_line_frac"] - 0.5) < 1e-9
     assert not rows[4]["repetitive"] and rows[4]["n_bigrams"] == 0
     assert not rows[5]["repetitive"]
+
+
+def test_prepare_corpus_repetition_gate(spark):
+    from pg_ts_semantic_headline_spark.operators.pipeline import (
+        prepare_corpus)
+    df = spark.createDataFrame([
+        (1, "spam spam spam spam spam spam spam spam"),
+        (2, "a varied normal document with many different words inside"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r["drop_reason"] for r in
+           prepare_corpus(df, max_top_bigram_frac=0.2,
+                          exact_dedup=False).collect()}
+    assert out[1] == "repetitive" and out[2] is None
