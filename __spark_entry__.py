@@ -142,10 +142,11 @@ dfreq AS (
 """
 
 
-def _bm25_score_sql(terms: list[str]) -> str:
-    tlist = ", ".join(f"'{t}'" for t in terms)
+def _bm25_scored_cte(in_expr: str) -> str:
+    """The shared `scored` CTE: BM25 sum over the terms produced by
+    `in_expr` (a literal list or a subquery) — same formula as the
+    engine's `_score_col`."""
     return f"""
-WITH {TOKS_CTE.strip()}, {BM25_CTE.strip()},
 scored AS (
   SELECT tf.doc_id,
          SUM( ln(1.0 + (corpus.n_docs - dfreq.df + 0.5)/(dfreq.df + 0.5))
@@ -156,9 +157,16 @@ scored AS (
   JOIN dfreq USING (term)
   JOIN docstats USING (doc_id)
   CROSS JOIN corpus
-  WHERE tf.term IN ({tlist})
+  WHERE tf.term IN ({in_expr})
   GROUP BY tf.doc_id
-)
+)"""
+
+
+def _bm25_score_sql(terms: list[str]) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {TOKS_CTE.strip()}, {BM25_CTE.strip()},
+{_bm25_scored_cte(tlist).strip()}
 """
 
 
@@ -965,6 +973,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tr = docs.where(F.col("doc_id") % 20 != 0)
         return decontaminate(tr, ev, n=5).select("doc_id")
 
+    def q59(spark, sf):
+        # faceted search: counts per lang/source over ALL docs matching a
+        # boolean query with negation — one match plan + one unpivoted
+        # aggregate; integer-only output, no float boundary anywhere
+        from pg_ts_semantic_headline_spark.plans.search import facet_counts
+        index = _built_index(spark, sf)
+        q = to_tspquery("simple", "(spark | batch) & !slow")
+        return facet_counts(index, q, _docs(spark, sf), ["lang", "source"])
+
+    def q60(spark, sf):
+        # more-like-this: doc 42 is the source document; k covers the
+        # corpus at gate scale (q34 rationale — no top-k boundary where
+        # e4 rounding could reorder) and the integer-only term selection
+        # (tf desc, df asc, term asc) is oracle-exact by construction
+        from pg_ts_semantic_headline_spark.plans.search import more_like_this
+        index = _built_index(spark, sf)
+        src = _docs(spark, sf).where(F.col("doc_id") == 42).first()["text"]
+        return (more_like_this(index, src, k=100_000, max_terms=8,
+                               exclude_doc_id=42)
+                .withColumn("score_e4", _e4(F.col("score")))
+                .select("doc_id", "score_e4"))
+
+    def q61(spark, sf):
+        # typo-tolerant retrieval: 'wnidow' is OOV and gets trigram-
+        # corrected against the REAL index dictionary before scoring;
+        # 'spark' is in-vocabulary and must pass through unrewritten.
+        # Full scored set (no top-k boundary).
+        from pg_ts_semantic_headline_spark.plans.search import (
+            fuzzy_bm25_topk)
+        index = _built_index(spark, sf)
+        return (fuzzy_bm25_topk(index, ["spark", "wnidow"], k=100_000,
+                                threshold=0.25)
+                .withColumn("score_e4", _e4(F.col("score")))
+                .select("doc_id", "score_e4"))
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -1024,6 +1067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q56,
         "remove_boilerplate": q57,
         "repetition_stats": q58,
+        "facet_counts": q59,
+        "more_like_this": q60,
+        "fuzzy_search": q61,
     }
 
 
@@ -1086,6 +1132,94 @@ inter AS (
 SELECT s.term, CAST(ROUND({sim} * 10000) AS BIGINT) AS sim_e4
 FROM stats s LEFT JOIN inter i USING (term)
 WHERE {sim} >= {threshold}
+"""
+
+
+def _facet_counts_sql() -> str:
+    """Facet counts over docs matching `(spark | batch) & !slow`:
+    boolean membership restated as set algebra (UNION-of-postings docs
+    EXCEPT negated-term docs), counts per lang and per source."""
+    return f"""
+WITH {TOKS_CTE.strip()},
+m AS (
+  SELECT DISTINCT doc_id FROM toks WHERE token IN ('spark', 'batch')
+  EXCEPT
+  SELECT DISTINCT doc_id FROM toks WHERE token = 'slow'
+),
+sel AS (SELECT d.* FROM documents d JOIN m USING (doc_id))
+SELECT 'lang' AS facet, lang AS value, count(*) AS doc_count
+FROM sel GROUP BY 2
+UNION ALL
+SELECT 'source' AS facet, source AS value, count(*) AS doc_count
+FROM sel GROUP BY 2
+"""
+
+
+def _mlt_sql(src_doc: int, max_terms: int) -> str:
+    """More-like-this oracle: the source doc's terms ranked by the same
+    integer-only rule the engine uses (tf desc, df asc, term asc), top
+    `max_terms` selected, then the standard BM25 sum over the selected
+    set — full scored set minus the source doc (no top-k boundary)."""
+    return f"""
+WITH {TOKS_CTE.strip()}, {BM25_CTE.strip()},
+src AS (
+  SELECT token AS term, count(*) AS tf FROM toks
+  WHERE doc_id = {src_doc} GROUP BY token
+),
+sel AS (
+  SELECT s.term FROM src s JOIN dfreq d USING (term)
+  ORDER BY s.tf DESC, d.df ASC, s.term ASC LIMIT {max_terms}
+),
+{_bm25_scored_cte("SELECT term FROM sel").strip()}
+SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4
+FROM scored WHERE doc_id <> {src_doc}
+"""
+
+
+def _fuzzy_sql(words: list[str], threshold: float) -> str:
+    """Fuzzy-search oracle: per query word, keep it if it is a dictionary
+    term, else rewrite to the trigram-most-similar dictionary term
+    (similarity ≥ threshold; ties term asc — the same integer-ratio math
+    as `_suggest_terms_sql`), drop hopeless words; BM25 over the
+    corrected term set."""
+    from pg_ts_semantic_headline_spark.operators.trigram import text_trigrams
+
+    ctes, sels = [], []
+    for i, w in enumerate(words):
+        qtg = sorted(text_trigrams(w))
+        lits = ", ".join(f"'{t}'" for t in qtg)
+        n_q = len(qtg)
+        sim = (f"CAST(COALESCE(i.n_i, 0) AS DOUBLE)"
+               f" / (s.n_t + {n_q} - COALESCE(i.n_i, 0))")
+        ctes.append(f"""
+inter_{i} AS (
+  SELECT term, count(*) AS n_i FROM tg WHERE tg IN ({lits}) GROUP BY term
+),
+sel_{i} AS (
+  SELECT COALESCE(
+    (SELECT term FROM dict WHERE term = '{w}'),
+    (SELECT s.term FROM stats s LEFT JOIN inter_{i} i USING (term)
+     WHERE {sim} >= {threshold}
+     ORDER BY {sim} DESC, s.term ASC LIMIT 1)
+  ) AS term
+)""")
+        sels.append(f"SELECT term FROM sel_{i}")
+    union = " UNION ".join(sels)
+    return f"""
+WITH {TOKS_CTE.strip()}, {BM25_CTE.strip()},
+dict AS (SELECT DISTINCT token AS term FROM toks),
+tg AS (
+  SELECT DISTINCT term,
+         substr('  ' || term || ' ', CAST(i AS INT), 3) AS tg
+  FROM dict, unnest(generate_series(1, length(term) + 1)) AS s(i)
+),
+stats AS (SELECT term, count(*) AS n_t FROM tg GROUP BY term),
+{",".join(c.strip() for c in ctes)},
+qterms AS (
+  SELECT DISTINCT term FROM ({union}) WHERE term IS NOT NULL
+),
+{_bm25_scored_cte("SELECT term FROM qterms").strip()}
+SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4 FROM scored
 """
 
 
@@ -1864,4 +1998,7 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        CAST(ROUND(sum(value) * 100) AS BIGINT) AS sum_value_e2
 FROM s GROUP BY user_id, sess
 """,
+        "facet_counts": _facet_counts_sql(),
+        "more_like_this": _mlt_sql(src_doc=42, max_terms=8),
+        "fuzzy_search": _fuzzy_sql(["spark", "wnidow"], threshold=0.25),
     }

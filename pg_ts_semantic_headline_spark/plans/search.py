@@ -916,3 +916,141 @@ def hybrid_search_rrf(
                          F.round(F.col("_rrf") * 100000000).cast("long")))
     return (fused.orderBy(F.desc("rrf_e4"), F.asc("doc_id")).limit(k)
             .select("doc_id", "rrf_e4", "bm25_rank", "cosine_rank"))
+
+
+def facet_counts(
+    index: Index,
+    query: CompiledQuery,
+    meta: DataFrame,
+    facet_cols: list[str],
+) -> DataFrame:
+    """Facet aggregation over ALL docs matching a boolean/phrase query —
+    the search-engine "aggregations" sidebar (count per language, per
+    source, per repo) computed beside the top-k list.
+
+    One match plan + one shuffle: `matching_docs` anchors on the rarest
+    required term (bucket-pruned postings scan), the matched doc_ids
+    left-semi-join the metadata table on doc_id, and a single stack()
+    unpivot + hash aggregate produces every facet's counts — N facet
+    columns never cost N scans or N joins. Facet cardinality is small,
+    so map-side partial aggregation collapses the final shuffle to
+    ~|distinct values| rows per partition; at 10^12 docs the only heavy
+    edge is the doc_id semi-join, which AQE converts to a broadcast
+    whenever the match set is small.
+
+    Returns (facet, value, doc_count) — one row per facet value present
+    among the matched docs; NULL values group like SQL GROUP BY."""
+    if not facet_cols:
+        raise ValueError("facet_cols must name at least one column")
+    docs = matching_docs(index, query)
+    sel = meta.join(docs, on="doc_id", how="left_semi")
+    stack = "stack({}, {}) as (facet, value)".format(
+        len(facet_cols),
+        ", ".join(f"'{c}', cast(`{c}` as string)" for c in facet_cols))
+    return (sel.selectExpr(stack)
+            .groupBy("facet", "value")
+            .agg(F.count("*").alias("doc_count")))
+
+
+def more_like_this(
+    index: Index,
+    content: str,
+    k: int = 10,
+    max_terms: int = 10,
+    exclude_doc_id: int | None = None,
+    mode: str = "exact",
+) -> DataFrame:
+    """"More like this": rank the corpus by BM25 similarity to a free-text
+    source document (Elasticsearch MLT / the "related articles" query).
+
+    The source text is analyzed DRIVER-side with the index's own analyzer
+    (one document — no Spark job), then query terms are chosen by an
+    integer-only rule: highest tf first, then rarest (df ascending, from
+    a bucket-pruned dictionary lookup), then term ascending. All-integer
+    selection is deterministic and reproducible in plain SQL — no
+    cross-engine float-tie risk in which terms get picked. The selected
+    terms feed the normal `bm25_topk` plan (exact or blockmax), so
+    retrieval cost is one pruned postings scan no matter how long the
+    source document is.
+
+    `exclude_doc_id` drops the source itself when it is part of the
+    corpus. Returns (doc_id, score) in rank order (score desc, doc_id
+    asc)."""
+    from collections import Counter
+
+    from ..functions.lexize import analyze_text_simple
+
+    spark = index.postings.sparkSession
+    tf = Counter(lx for lx in analyze_text_simple(content or "", index.config)
+                 if lx is not None)
+    if not tf:
+        return spark.createDataFrame([], "doc_id long, score double")
+    # bounded driver work: one dictionary row per DISTINCT source term
+    dfs = {r["term"]: int(r["df"]) for r in
+           _idf_lookup(index, sorted(tf), cols=("term", "df")).collect()}
+    present = [t for t in sorted(tf) if t in dfs]
+    if not present:
+        return spark.createDataFrame([], "doc_id long, score double")
+    selected = sorted(present, key=lambda t: (-tf[t], dfs[t], t))[:max_terms]
+    fetch = k + 1 if exclude_doc_id is not None else k
+    top = bm25_topk(index, selected, k=fetch, mode=mode)
+    if exclude_doc_id is not None:
+        top = (top.where(F.col("doc_id") != int(exclude_doc_id))
+               .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+    return top
+
+
+def fuzzy_bm25_topk(
+    index: Index,
+    words: list[str],
+    k: int = 10,
+    threshold: float = 0.25,
+    mode: str = "exact",
+) -> DataFrame:
+    """BM25 top-k with typo tolerance: query words missing from the index
+    dictionary are rewritten to their nearest dictionary term by pg_trgm
+    trigram similarity (the `suggest_terms` "did you mean" operator)
+    before scoring — `wnidow` retrieves `window` docs.
+
+    Only OUT-of-vocabulary words are corrected (a valid word is never
+    rewritten). Correction is top-1 by (similarity desc, term asc); the
+    similarity is an integer trigram-set ratio |∩| / |∪|, so the argmax
+    is bit-deterministic across engines. OOV words with no candidate ≥
+    threshold are dropped with a warning — pg_trgm's own behavior for
+    hopeless typos — never silently kept as zero-hit terms. Driver work
+    is bounded: one dictionary presence lookup for the whole query and
+    one thresholded top-1 pass over the vocabulary-sized dictionary per
+    OOV word."""
+    import logging
+
+    from ..functions.lexize import lexize_word
+    from ..operators.trigram import suggest_terms
+
+    spark = index.postings.sparkSession
+    lexed: list[str] = []
+    for w in words:
+        lx = lexize_word(w, index.config)
+        if lx is not None and lx not in lexed:
+            lexed.append(lx)
+    if not lexed:
+        return spark.createDataFrame([], "doc_id long, score double")
+    known = {r["term"] for r in
+             _idf_lookup(index, lexed, cols=("term",)).collect()}
+    terms, dropped = [], []
+    for lx in lexed:
+        if lx in known:
+            terms.append(lx)
+            continue
+        best = suggest_terms(index.terms, lx, k=1,
+                             threshold=threshold).collect()
+        if best:
+            terms.append(best[0]["term"])
+        else:
+            dropped.append(lx)
+    if dropped:
+        logging.getLogger(__name__).warning(
+            "fuzzy_bm25_topk: no dictionary term within %.2f of %s; dropped",
+            threshold, dropped)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return bm25_topk(index, sorted(set(terms)), k=k, mode=mode)

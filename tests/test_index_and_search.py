@@ -602,3 +602,87 @@ def test_hybrid_rrf_ann_branch(spark, tmp_path):
     via_ann = [(r["doc_id"], r["rrf_e4"]) for r in hybrid_search_rrf(
         index, ["spark"], emb, qv, k=8, depth=12, ann=ann).collect()]
     assert via_ann == brute
+
+
+class TestSearchExtras:
+    """facet_counts / more_like_this / fuzzy_bm25_topk vs Python oracles."""
+
+    def _match_set(self, corpus, any_of, minus):
+        post, _ = python_postings(corpus)
+        docs = set()
+        for t in any_of:
+            docs |= set(post.get(t, {}))
+        return docs - set(post.get(minus, {}))
+
+    def test_facet_counts(self, spark, index, corpus):
+        from collections import Counter
+
+        from pg_ts_semantic_headline_spark.plans.search import facet_counts
+
+        meta = spark.createDataFrame(
+            [(i, "en" if i % 3 else "de", "web" if i % 2 else "code")
+             for i, _ in corpus], ["doc_id", "lang", "source"])
+        q = to_tspquery(CONFIG, "(needle | unique) & !snowflake")
+        got = {(r["facet"], r["value"]): r["doc_count"]
+               for r in facet_counts(index, q, meta, ["lang", "source"])
+               .collect()}
+        matched = self._match_set(corpus, ["needle", "unique"], "snowflake")
+        assert 13 not in matched  # doc 13 has unique AND snowflake
+        want = Counter()
+        for d in matched:
+            want[("lang", "en" if d % 3 else "de")] += 1
+            want[("source", "web" if d % 2 else "code")] += 1
+        assert got == dict(want)
+
+    def test_facet_counts_requires_columns(self, spark, index):
+        from pg_ts_semantic_headline_spark.plans.search import facet_counts
+        q = to_tspquery(CONFIG, "needle")
+        with pytest.raises(ValueError):
+            facet_counts(index, q, spark.range(1), [])
+
+    def test_more_like_this_matches_python(self, index, corpus):
+        from collections import Counter
+
+        from pg_ts_semantic_headline_spark.plans.search import more_like_this
+
+        src = dict(corpus)[13]
+        post, _ = python_postings(corpus)
+        _, lexs = analyze_document(src, CONFIG)
+        tf = Counter(l for l in lexs if l is not None)
+        sel = sorted((t for t in tf if t in post),
+                     key=lambda t: (-tf[t], len(post[t]), t))[:6]
+        want = [(d, s) for d, s in python_bm25(corpus, sel, k=len(corpus))
+                if d != 13][:10]
+        got = more_like_this(index, src, k=10, max_terms=6,
+                             exclude_doc_id=13).collect()
+        assert [r["doc_id"] for r in got] == [d for d, _ in want]
+        for r, (_, s) in zip(got, want):
+            assert r["score"] == pytest.approx(s, rel=1e-9)
+
+    def test_more_like_this_empty_source(self, index):
+        from pg_ts_semantic_headline_spark.plans.search import more_like_this
+        assert more_like_this(index, "", k=5).count() == 0
+
+    def test_fuzzy_corrects_oov_word(self, index):
+        from pg_ts_semantic_headline_spark.plans.search import (
+            bm25_topk, fuzzy_bm25_topk)
+        # 'wnidow' -> 'window' (trigram sim 3/11 >= 0.25); 'spark' is
+        # in-vocabulary and must pass through unrewritten
+        want = [(r["doc_id"], r["score"]) for r in
+                bm25_topk(index, ["spark", "window"], k=10).collect()]
+        got = [(r["doc_id"], r["score"]) for r in
+               fuzzy_bm25_topk(index, ["spark", "wnidow"], k=10).collect()]
+        assert got == want
+
+    def test_fuzzy_drops_hopeless_word(self, index):
+        from pg_ts_semantic_headline_spark.plans.search import (
+            bm25_topk, fuzzy_bm25_topk)
+        want = [(r["doc_id"], r["score"]) for r in
+                bm25_topk(index, ["spark"], k=10).collect()]
+        got = [(r["doc_id"], r["score"]) for r in
+               fuzzy_bm25_topk(index, ["spark", "qqqxyzzz"], k=10).collect()]
+        assert got == want
+
+    def test_fuzzy_all_dropped_is_empty(self, index):
+        from pg_ts_semantic_headline_spark.plans.search import fuzzy_bm25_topk
+        assert fuzzy_bm25_topk(index, ["qqqxyzzz"], k=10).count() == 0
