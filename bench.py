@@ -264,6 +264,25 @@ def main():
 
         timings["hybrid_rrf_x3"] = min_of(run_hybrid)
 
+        # search-page side features over the same persisted index:
+        # faceted counts on the full match set, more-like-this (driver
+        # analyze + integer term selection + block-max top-k), fuzzy
+        # retrieval (OOV word trigram-corrected against the dictionary)
+        from pg_ts_semantic_headline_spark.plans.search import (
+            facet_counts, fuzzy_bm25_topk, more_like_this)
+        mlt_src = raw_docs.where(F.col("doc_id") == 42).first()["text"]
+
+        def run_extras():
+            facet_counts(
+                index, to_tspquery("english", "(spark | batch) & !slow"),
+                raw_docs, ["lang", "source"]).collect()
+            more_like_this(index, mlt_src, k=10, max_terms=8,
+                           exclude_doc_id=42, mode="blockmax").collect()
+            fuzzy_bm25_topk(index, ["spark", "wnidow"], k=10,
+                            mode="blockmax").collect()
+
+        timings["facet_mlt_fuzzy_x3"] = min_of(run_extras)
+
         # eval-set decontamination: 5-gram overlap of the doc_id%20==0
         # "benchmark" slice vs the rest (broadcast eval hashes, train
         # side scanned once)
