@@ -1,3 +1,4 @@
+from .corpus_ingest import attach_corpus_preparer, prepare_corpus_batch
 from .incremental import (attach_incremental_indexer, compact_index,
                           delete_docs, merge_batch)
 from .percolate import (percolate, percolate_patterns,
@@ -7,10 +8,11 @@ from .term_stats import doc_arrival_rates, windowed_term_counts
 from .vector_ingest import (attach_trigram_indexer,
                             attach_vector_indexer)
 
-__all__ = ["attach_incremental_indexer", "attach_trigram_indexer",
-           "attach_vector_indexer",
+__all__ = ["attach_corpus_preparer", "attach_incremental_indexer",
+           "attach_trigram_indexer", "attach_vector_indexer",
            "compact_index", "delete_docs",
            "doc_arrival_rates", "merge_batch", "percolate",
            "percolate_patterns", "percolate_patterns_stream",
-           "percolate_stream", "sessionize", "sessionize_stream",
+           "percolate_stream", "prepare_corpus_batch",
+           "sessionize", "sessionize_stream",
            "windowed_term_counts"]

@@ -1,0 +1,101 @@
+"""Streaming/incremental corpus preparation: cross-batch exact dedup via
+the persisted fingerprint store, idempotent replays, per-batch reports."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_ts_semantic_headline_spark.streaming.corpus_ingest import (
+    attach_corpus_preparer, prepare_corpus_batch)
+
+
+@pytest.fixture()
+def batches(spark):
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven"),
+         (3, "one two three four five six seven"),      # in-batch dup of 2
+         (4, "tiny")],                                   # too_short
+        "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),    # cross-batch dup of 1
+         (11, "fresh words never seen before anywhere"),
+         (12, "fresh words never seen before anywhere"),  # in-batch dup of 11
+         (13, "one two three four five six seven")],      # cross-batch dup of 2
+        "doc_id long, text string")
+    return b1, b2
+
+
+class TestPrepareCorpusBatch:
+    def test_cross_batch_exact_dedup(self, spark, batches, tmp_path):
+        b1, b2 = batches
+        out = str(tmp_path / "corpus")
+        prepare_corpus_batch(b1, out, 0, min_tokens=5)
+        prepare_corpus_batch(b2, out, 1, min_tokens=5)
+
+        kept = spark.read.parquet(f"{out}/data")
+        ids = sorted(r["doc_id"] for r in kept.collect())
+        # batch 0: 1 and 2 kept (3 in-batch dup, 4 too short);
+        # batch 1: only 11 survives (10/13 cross-batch dups, 12 in-batch)
+        assert ids == [1, 2, 11]
+        # partition column records provenance
+        assert sorted(r["batch_id"] for r in kept.collect()) == [0, 0, 1]
+
+    def test_per_batch_reports(self, spark, batches, tmp_path):
+        b1, b2 = batches
+        out = str(tmp_path / "corpus")
+        prepare_corpus_batch(b1, out, 0, min_tokens=5)
+        prepare_corpus_batch(b2, out, 1, min_tokens=5)
+        rep = {r["batch_id"]: r for r in
+               spark.read.parquet(f"{out}/_report").collect()}
+        assert rep[0]["n_input"] == 4 and rep[0]["n_kept"] == 2
+        assert rep[0]["n_exact_dup"] == 1 and rep[0]["n_too_short"] == 1
+        # batch 1: 10 and 13 cross-batch, 12 in-batch -> 3 exact_dup
+        assert rep[1]["n_input"] == 4 and rep[1]["n_kept"] == 1
+        assert rep[1]["n_exact_dup"] == 3
+
+    def test_replay_is_idempotent(self, spark, batches, tmp_path):
+        b1, b2 = batches
+        out = str(tmp_path / "corpus")
+        prepare_corpus_batch(b1, out, 0, min_tokens=5)
+        prepare_corpus_batch(b2, out, 1, min_tokens=5)
+        # replay batch 1 (checkpoint-uncommitted crash): same result set,
+        # no duplicate rows, and its own prior fingerprints are ignored
+        prepare_corpus_batch(b2, out, 1, min_tokens=5)
+        ids = sorted(r["doc_id"] for r in
+                     spark.read.parquet(f"{out}/data").collect())
+        assert ids == [1, 2, 11]
+
+    def test_first_batch_without_store(self, spark, batches, tmp_path):
+        b1, _ = batches
+        out = str(tmp_path / "corpus")
+        prepare_corpus_batch(b1, out, 0, min_tokens=5)
+        assert sorted(r["doc_id"] for r in
+                      spark.read.parquet(f"{out}/data").collect()) == [1, 2]
+
+
+def test_streaming_corpus_prep(spark, batches, tmp_path):
+    """A real (availableNow, one file per trigger) stream: kept set equals
+    the sequential batch-API result; exactly one copy of each duplicated
+    text survives regardless of batch order."""
+    b1, b2 = batches
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "corpus")
+    q = attach_corpus_preparer(stream, out, str(tmp_path / "ckpt"),
+                               min_tokens=5)
+    q.awaitTermination(120)
+
+    kept = spark.read.parquet(f"{out}/data").collect()
+    texts = [r["text"] for r in kept]
+    # every distinct eligible text survives exactly once, whatever the
+    # file-discovery order was
+    assert sorted(texts) == [
+        "alpha beta gamma delta epsilon zeta",
+        "fresh words never seen before anywhere",
+        "one two three four five six seven"]
+    reports = spark.read.parquet(f"{out}/_report").collect()
+    assert sum(r["n_kept"] for r in reports) == 3
+    assert sum(r["n_input"] for r in reports) == 8
