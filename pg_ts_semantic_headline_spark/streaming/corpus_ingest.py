@@ -14,9 +14,17 @@ Layout under `out_dir`:
 Semantics: within a batch, `prepare_corpus`'s rules apply unchanged
 (lowest doc_id per hash is canonical); across batches, first-batch-wins —
 a row whose text hash appears in ANY EARLIER batch's fingerprints is
-dropped as 'exact_dup'. `near_dedup=True` remains WITHIN-batch only (a
-cross-batch MinHash store is a different, far heavier artifact; the
-exact store is the standard continuous-dedup layer).
+dropped as 'exact_dup'. With `cross_near_dedup=True`, NEAR dedup also
+extends across batches through a persisted MinHash band store
+(`_minhash/batch_id=N/`): a new row whose banded signature collides
+with an earlier kept row becomes a candidate, and candidates are
+verified by EXACT shingle Jaccard — the earlier docs' texts are
+point-read back from `data/` with (batch_id, doc_id) pruning, so the
+verify step reads only the candidate rows, never the corpus. LSH
+parameters are pinned in `_minhash/_meta` at first use and validated
+every batch (mixed-parameter stores would silently lose recall).
+Assumes doc_id is unique across the stream (the same assumption the
+data store itself makes).
 
 Crash safety / exactly-once: every write is `mode("overwrite")` into a
 batch_id-deterministic directory, so a replayed micro-batch (checkpoint
@@ -56,20 +64,158 @@ def _seen_hashes(spark: SparkSession, seen_dir: str,
     return seen.where(F.col("batch_id") < before_batch).select("h")
 
 
+def _band_rows(docs: DataFrame, text_col: str, n: int, num_hashes: int,
+               bands: int) -> tuple[DataFrame, DataFrame]:
+    """(band_rows, shingles) for `docs`: the same shingle → minhash →
+    banded-signature recipe as `operators.dedup.lsh_candidate_pairs`,
+    kept row-shaped (doc_id, band, band_sig) so it can persist."""
+    from ..operators.dedup import minhash_signatures, shingle_df
+
+    sh = shingle_df(docs, text_col=text_col, id_col="doc_id", n=n)
+    sig = minhash_signatures(sh, num_hashes=num_hashes)
+    rows_per_band = num_hashes // bands
+    out = None
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        part = sig.select("doc_id", F.lit(b).alias("band"),
+                          F.md5(F.concat_ws("|", *cols)).alias("band_sig"))
+        out = part if out is None else out.unionByName(part)
+    return out, sh
+
+
+def _check_minhash_meta(spark: SparkSession, mh_dir: str, n: int,
+                        num_hashes: int, bands: int) -> None:
+    """Pin the LSH parameters at first use; raise if a later batch tries
+    different ones (mixed-parameter band stores silently lose recall)."""
+    meta_path = f"{mh_dir}/_meta"
+    try:
+        row = spark.read.parquet(meta_path).first()
+    except AnalysisException:
+        (spark.createDataFrame([(n, num_hashes, bands)],
+                               "n int, num_hashes int, bands int")
+         .coalesce(1).write.mode("overwrite").parquet(meta_path))
+        return
+    got = (row["n"], row["num_hashes"], row["bands"])
+    if got != (n, num_hashes, bands):
+        raise ValueError(
+            f"minhash store at {mh_dir} was built with (n, num_hashes, "
+            f"bands)={got}; refusing to mix with {(n, num_hashes, bands)}")
+
+
+def _cross_near_dups(spark: SparkSession, ann: DataFrame, out_dir: str,
+                     batch_id: int, text_col: str, n: int, num_hashes: int,
+                     bands: int, threshold: float,
+                     max_band_size: int | None) -> tuple[DataFrame, DataFrame]:
+    """(ann', new_band_rows): mark batch rows near-duplicating an EARLIER
+    batch's kept row as 'near_dup'; return the surviving-candidate band
+    rows for the caller to persist.
+
+    Plan shape (store never shuffled): the batch's band keys BROADCAST
+    into a semi-join over the persisted band store; the ≤hits rows come
+    back, are capped per key (degenerate boilerplate signatures emit a
+    logged warning, mirroring `lsh_candidate_pairs`), and the candidate
+    pairs are verified by EXACT shingle Jaccard — old texts point-read
+    from data/ with batch_id-directory + doc_id pruning."""
+    import logging
+
+    from ..operators.dedup import jaccard_for_pairs
+
+    kept = ann.where(F.col("drop_reason").isNull()) \
+              .select("doc_id", text_col)
+    new_bands, sh_new = _band_rows(kept, text_col, n, num_hashes, bands)
+    mh_dir = f"{out_dir}/_minhash"
+    _check_minhash_meta(spark, mh_dir, n, num_hashes, bands)
+    try:
+        store = spark.read.parquet(mh_dir)
+    except AnalysisException:
+        return ann, new_bands
+    store = store.where(F.col("batch_id") < batch_id)
+
+    keys = new_bands.select("band", "band_sig").distinct()
+    hits = (store.join(F.broadcast(keys), on=["band", "band_sig"],
+                       how="left_semi")
+            .select("band", "band_sig",
+                    F.col("doc_id").alias("old_id"),
+                    F.col("batch_id").alias("old_batch")))
+    if max_band_size is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "band_sig")
+        hits = hits.withColumn("_n", F.count("*").over(w)).persist()
+        n_over = hits.where(F.col("_n") > max_band_size).count()
+        if n_over:
+            logging.getLogger(__name__).warning(
+                "cross-batch near-dedup: %d store rows in band buckets "
+                "larger than %d dropped from candidate generation "
+                "(batch %d); recall for those docs relies on their "
+                "other bands", n_over, max_band_size, batch_id)
+        hits = hits.where(F.col("_n") <= max_band_size).drop("_n")
+
+    pairs = (new_bands.join(hits, on=["band", "band_sig"])
+             .where(F.col("doc_id") != F.col("old_id"))
+             .select(F.col("old_id").alias("a"),
+                     F.col("doc_id").alias("b"), "old_batch")
+             .distinct().persist())
+    old_refs = [(int(r["old_batch"]), int(r["a"])) for r in
+                pairs.select("old_batch", "a").distinct().collect()]
+    if not old_refs:
+        pairs.unpersist()
+        return ann, new_bands
+
+    from ..operators.dedup import shingle_df
+    batch_ids = sorted({b for b, _ in old_refs})
+    old_docs = (spark.read.parquet(f"{out_dir}/data")
+                .where(F.col("batch_id").isin(batch_ids))
+                .join(F.broadcast(
+                    pairs.select(F.col("a").alias("doc_id")).distinct()),
+                    on="doc_id", how="left_semi")
+                .select("doc_id", text_col))
+    sh_all = sh_new.unionByName(
+        shingle_df(old_docs, text_col=text_col, id_col="doc_id", n=n))
+    dup_new = (jaccard_for_pairs(pairs.select("a", "b"), sh_all)
+               .where(F.col("jaccard") >= threshold)
+               .select(F.col("b").alias("doc_id")).distinct()
+               .withColumn("_xnear", F.lit(True)))
+    ann = (ann.join(F.broadcast(dup_new), on="doc_id", how="left")
+           .withColumn("drop_reason",
+                       F.coalesce(F.col("drop_reason"),
+                                  F.when(F.col("_xnear"),
+                                         F.lit("near_dup"))))
+           .drop("_xnear"))
+    pairs.unpersist()
+    return ann, new_bands
+
+
 def prepare_corpus_batch(
     batch_df: DataFrame,
     out_dir: str,
     batch_id: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cross_near_dedup: bool = False,
+    near_n: int = 3,
+    near_num_hashes: int = 16,
+    near_bands: int = 4,
+    near_threshold: float = 0.5,
+    near_max_band_size: int | None = 4096,
     **prep_kwargs,
 ) -> None:
     """One incremental step: run `prepare_corpus(**prep_kwargs)` on the
     batch, extend exact dedup against all earlier batches' fingerprints,
     then write kept rows, new fingerprints, and the per-batch report —
     each idempotently into `.../batch_id={batch_id}`. Callable directly
-    (backfill jobs) or per micro-batch via `attach_corpus_preparer`."""
+    (backfill jobs) or per micro-batch via `attach_corpus_preparer`.
+
+    `cross_near_dedup=True` also drops rows near-duplicating an EARLIER
+    batch's kept row (MinHash band store + exact-Jaccard verify; see
+    module docstring), turns within-batch `near_dedup` on by default so
+    the two scopes agree, and persists the batch's band rows. Keep the
+    flag constant for a store — batches ingested with it off leave holes
+    later batches cannot near-match against."""
     spark = batch_df.sparkSession
+    if cross_near_dedup:
+        prep_kwargs.setdefault("near_dedup", True)
+        prep_kwargs.setdefault("jaccard_threshold", near_threshold)
     ann = prepare_corpus(batch_df, text_col=text_col, id_col=id_col,
                          **prep_kwargs)
     ann = ann.withColumn("_h", F.md5(F.col(text_col)))
@@ -89,18 +235,35 @@ def prepare_corpus_batch(
                                       F.when(F.col("_prior"),
                                              F.lit("exact_dup"))))
                .drop("_prior"))
-    ann = ann.persist()
+    pinned = [ann.persist()]
+    ann = pinned[0]
+    new_bands = None
     try:
+        if cross_near_dedup:
+            ann, new_bands = _cross_near_dups(
+                spark, ann, out_dir, batch_id, text_col, near_n,
+                near_num_hashes, near_bands, near_threshold,
+                near_max_band_size)
+            ann = ann.persist()
+            pinned.append(ann)
         kept = ann.where(F.col("drop_reason").isNull())
         (kept.drop("_h").write.mode("overwrite")
          .parquet(f"{out_dir}/data/batch_id={batch_id}"))
         (kept.select(F.col("_h").alias("h")).distinct()
          .write.mode("overwrite")
          .parquet(f"{out_dir}/_seen/batch_id={batch_id}"))
+        if new_bands is not None:
+            # band rows only for rows that SURVIVED every rule — dropped
+            # rows must not shadow future duplicates of the kept copy
+            (new_bands.join(F.broadcast(kept.select("doc_id")),
+                            on="doc_id", how="left_semi")
+             .write.mode("overwrite")
+             .parquet(f"{out_dir}/_minhash/batch_id={batch_id}"))
         (corpus_report(ann).write.mode("overwrite")
          .parquet(f"{out_dir}/_report/batch_id={batch_id}"))
     finally:
-        ann.unpersist()
+        for df in pinned:
+            df.unpersist()
 
 
 def attach_corpus_preparer(
@@ -113,8 +276,10 @@ def attach_corpus_preparer(
     **prep_kwargs,
 ):
     """writeStream wiring: each micro-batch runs `prepare_corpus_batch`.
-    `prep_kwargs` forward to `prepare_corpus` (min_tokens, min_quality,
-    allowed_langs, redact, near_dedup — the last within-batch only)."""
+    `prep_kwargs` forward there — `cross_near_dedup=True` (+ its near_*
+    knobs) enables the cross-batch MinHash store, everything else
+    (min_tokens, min_quality, allowed_langs, redact, ...) reaches
+    `prepare_corpus`."""
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         prepare_corpus_batch(batch_df, out_dir, batch_id,
                              text_col=text_col, id_col=id_col,

@@ -99,3 +99,59 @@ def test_streaming_corpus_prep(spark, batches, tmp_path):
     reports = spark.read.parquet(f"{out}/_report").collect()
     assert sum(r["n_kept"] for r in reports) == 3
     assert sum(r["n_input"] for r in reports) == 8
+
+
+BASE = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon")
+
+
+class TestCrossBatchNearDedup:
+    def _batches(self, spark):
+        b1 = spark.createDataFrame(
+            [(1, BASE),
+             (2, "totally different words entirely unrelated content here")],
+            "doc_id long, text string")
+        b2 = spark.createDataFrame(
+            [(10, BASE + " extra"),   # near-dup of 1 (19/20 shingles shared)
+             (11, "fresh unique text with completely novel vocabulary")],
+            "doc_id long, text string")
+        return b1, b2
+
+    def test_near_dup_across_batches(self, spark, tmp_path):
+        b1, b2 = self._batches(spark)
+        out = str(tmp_path / "c")
+        prepare_corpus_batch(b1, out, 0, min_tokens=3, cross_near_dedup=True)
+        prepare_corpus_batch(b2, out, 1, min_tokens=3, cross_near_dedup=True)
+        kept = sorted(r["doc_id"] for r in
+                      spark.read.parquet(f"{out}/data").collect())
+        assert kept == [1, 2, 11]
+        rep = {r["batch_id"]: r for r in
+               spark.read.parquet(f"{out}/_report").collect()}
+        assert rep[1]["n_near_dup"] == 1 and rep[1]["n_kept"] == 1
+
+    def test_store_holds_only_kept_rows(self, spark, tmp_path):
+        b1, b2 = self._batches(spark)
+        out = str(tmp_path / "c")
+        prepare_corpus_batch(b1, out, 0, min_tokens=3, cross_near_dedup=True)
+        prepare_corpus_batch(b2, out, 1, min_tokens=3, cross_near_dedup=True)
+        store_ids = {r["doc_id"] for r in
+                     spark.read.parquet(f"{out}/_minhash").collect()}
+        assert store_ids == {1, 2, 11}   # dropped doc 10 must not shadow
+
+    def test_replay_idempotent(self, spark, tmp_path):
+        b1, b2 = self._batches(spark)
+        out = str(tmp_path / "c")
+        prepare_corpus_batch(b1, out, 0, min_tokens=3, cross_near_dedup=True)
+        prepare_corpus_batch(b2, out, 1, min_tokens=3, cross_near_dedup=True)
+        prepare_corpus_batch(b2, out, 1, min_tokens=3, cross_near_dedup=True)
+        kept = sorted(r["doc_id"] for r in
+                      spark.read.parquet(f"{out}/data").collect())
+        assert kept == [1, 2, 11]
+
+    def test_param_mismatch_raises(self, spark, tmp_path):
+        b1, b2 = self._batches(spark)
+        out = str(tmp_path / "c")
+        prepare_corpus_batch(b1, out, 0, min_tokens=3, cross_near_dedup=True)
+        with pytest.raises(ValueError, match="refusing to mix"):
+            prepare_corpus_batch(b2, out, 1, min_tokens=3,
+                                 cross_near_dedup=True, near_num_hashes=32)
