@@ -1,4 +1,5 @@
-from .corpus_ingest import attach_corpus_preparer, prepare_corpus_batch
+from .corpus_ingest import (attach_corpus_preparer, compact_corpus_stores,
+                            prepare_corpus_batch)
 from .incremental import (attach_incremental_indexer, compact_index,
                           delete_docs, merge_batch)
 from .percolate import (percolate, percolate_patterns,
@@ -10,7 +11,7 @@ from .vector_ingest import (attach_trigram_indexer,
 
 __all__ = ["attach_corpus_preparer", "attach_incremental_indexer",
            "attach_trigram_indexer", "attach_vector_indexer",
-           "compact_index", "delete_docs",
+           "compact_corpus_stores", "compact_index", "delete_docs",
            "doc_arrival_rates", "merge_batch", "percolate",
            "percolate_patterns", "percolate_patterns_stream",
            "percolate_stream", "prepare_corpus_batch",

@@ -266,6 +266,56 @@ def prepare_corpus_batch(
             df.unpersist()
 
 
+def compact_corpus_stores(spark: SparkSession, out_dir: str,
+                          upto: int | None = None) -> dict:
+    """Fold the per-batch `_seen` and `_minhash` directories into ONE
+    `batch_id=0` directory each (deduplicated), keeping every batch ≥
+    `upto` untouched. A long-running stream accumulates thousands of tiny
+    batch directories; file-listing cost at the head of every batch's
+    store read grows with them, and this folds it back to O(1).
+
+    `upto` defaults to the highest batch id present — the one batch a
+    restarting stream may legally replay is never folded, so the replay's
+    `batch_id < N` filter still excludes its own prior attempt. Pass an
+    explicit `upto` (the checkpoint's committed offset) to fold more
+    aggressively. Run while the stream is stopped, or trust the default.
+
+    Crash window: the swap is write-hidden-tmp → delete old dirs → rename
+    tmp into place; a crash between the last delete and the rename leaves
+    the folded hashes invisible until the compaction is re-run. That can
+    only cause duplicates to be RETAINED (dedup recall loss), never data
+    loss — re-running the compaction is always safe.
+
+    Returns {store_name: n_batches_folded}."""
+    from .incremental import _delete_path, _rename_path
+
+    stats: dict = {}
+    for store in ("_seen", "_minhash"):
+        path = f"{out_dir}/{store}"
+        try:
+            df = spark.read.parquet(path)
+        except AnalysisException:
+            continue
+        bids = sorted(r["batch_id"] for r in
+                      df.select("batch_id").distinct().collect())
+        hi = upto if upto is not None else (max(bids) if bids else 0)
+        merge = [b for b in bids if b < hi]
+        if len(merge) <= 1:
+            continue
+        merged = (df.where(F.col("batch_id").isin(merge))
+                  .drop("batch_id").distinct())
+        tmp = f"{path}/.compact_tmp"
+        _delete_path(spark, tmp)
+        merged.write.parquet(tmp)
+        for b in merge:
+            if b != 0:
+                _delete_path(spark, f"{path}/batch_id={b}")
+        _delete_path(spark, f"{path}/batch_id=0")
+        _rename_path(spark, tmp, f"{path}/batch_id=0")
+        stats[store] = len(merge)
+    return stats
+
+
 def attach_corpus_preparer(
     stream_docs: DataFrame,
     out_dir: str,

@@ -155,3 +155,56 @@ class TestCrossBatchNearDedup:
         with pytest.raises(ValueError, match="refusing to mix"):
             prepare_corpus_batch(b2, out, 1, min_tokens=3,
                                  cross_near_dedup=True, near_num_hashes=32)
+
+
+class TestCompactCorpusStores:
+    def test_fold_preserves_dedup(self, spark, batches, tmp_path):
+        from pg_ts_semantic_headline_spark.streaming.corpus_ingest import (
+            compact_corpus_stores)
+        b1, b2 = batches
+        out = str(tmp_path / "c")
+        prepare_corpus_batch(b1, out, 0, min_tokens=5)
+        prepare_corpus_batch(b2, out, 1, min_tokens=5)
+        b3 = spark.createDataFrame(
+            [(20, "third batch brand new content row")],
+            "doc_id long, text string")
+        prepare_corpus_batch(b3, out, 2, min_tokens=5)
+
+        stats = compact_corpus_stores(spark, out)
+        assert stats["_seen"] == 2   # batches 0 and 1 folded, 2 kept
+        seen = spark.read.parquet(f"{out}/_seen")
+        assert (sorted({r["batch_id"] for r in seen.collect()}) == [0, 2])
+
+        # dedup against FOLDED history still works: a dup of a batch-0
+        # text arriving in batch 3 is dropped
+        b4 = spark.createDataFrame(
+            [(30, "alpha beta gamma delta epsilon zeta"),
+             (31, "genuinely new final batch text row")],
+            "doc_id long, text string")
+        prepare_corpus_batch(b4, out, 3, min_tokens=5)
+        kept = sorted(r["doc_id"] for r in
+                      spark.read.parquet(f"{out}/data").collect())
+        assert kept == [1, 2, 11, 20, 31]
+
+    def test_replay_of_max_batch_survives_compaction(self, spark, batches,
+                                                     tmp_path):
+        from pg_ts_semantic_headline_spark.streaming.corpus_ingest import (
+            compact_corpus_stores)
+        b1, b2 = batches
+        out = str(tmp_path / "c")
+        prepare_corpus_batch(b1, out, 0, min_tokens=5)
+        prepare_corpus_batch(b2, out, 1, min_tokens=5)
+        compact_corpus_stores(spark, out)   # default upto: keeps batch 1
+        # a crash-replay of the newest batch must not self-dedup
+        prepare_corpus_batch(b2, out, 1, min_tokens=5)
+        kept = sorted(r["doc_id"] for r in
+                      spark.read.parquet(f"{out}/data").collect())
+        assert kept == [1, 2, 11]
+
+    def test_noop_on_single_batch(self, spark, batches, tmp_path):
+        from pg_ts_semantic_headline_spark.streaming.corpus_ingest import (
+            compact_corpus_stores)
+        b1, _ = batches
+        out = str(tmp_path / "c")
+        prepare_corpus_batch(b1, out, 0, min_tokens=5)
+        assert compact_corpus_stores(spark, out) == {}
