@@ -1008,6 +1008,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("score_e4", _e4(F.col("score")))
                 .select("doc_id", "score_e4"))
 
+    def q62(spark, sf):
+        # more-like-this addressed by doc_id: the source text point-reads
+        # from the index tokens table instead of arriving as a string —
+        # must equal q60's oracle exactly
+        from pg_ts_semantic_headline_spark.plans.search import (
+            more_like_this_by_id)
+        index = _built_index(spark, sf)
+        return (more_like_this_by_id(index, 42, k=100_000, max_terms=8)
+                .withColumn("score_e4", _e4(F.col("score")))
+                .select("doc_id", "score_e4"))
+
+    def q63(spark, sf):
+        # keyset pagination: the FULL result set strictly after a literal
+        # cursor (score 2.5, doc 40) — fixed-order summation makes the
+        # float cursor comparison engine-reproducible
+        from pg_ts_semantic_headline_spark.plans.search import (
+            bm25_topk_paged)
+        index = _built_index(spark, sf)
+        return (bm25_topk_paged(index, ["spark", "query", "window"],
+                                k=100_000, after=(2.5, 40))
+                .withColumn("score_e4", _e4(F.col("score")))
+                .select("doc_id", "score_e4"))
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -1070,6 +1093,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q59,
         "more_like_this": q60,
         "fuzzy_search": q61,
+        "more_like_this_by_id": q62,
+        "bm25_page": q63,
     }
 
 
@@ -1220,6 +1245,43 @@ qterms AS (
 ),
 {_bm25_scored_cte("SELECT term FROM qterms").strip()}
 SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4 FROM scored
+"""
+
+
+def _bm25_paged_sql(terms: list[str], cursor_score: float,
+                    cursor_doc: int) -> str:
+    """Keyset-pagination oracle: per-term BM25 addends pivoted into
+    columns and summed LEFT-TO-RIGHT in sorted-term order — the same
+    fixed order the engine uses, so the double `score` is bit-identical
+    given identical idf inputs and the float cursor comparison means the
+    same thing on both engines."""
+    ts = sorted(set(terms))
+    tlist = ", ".join(f"'{t}'" for t in ts)
+    expr = ("ln(1.0 + (corpus.n_docs - dfreq.df + 0.5)/(dfreq.df + 0.5))"
+            f" * (tf.tf * ({K1_SQL} + 1))"
+            f" / (tf.tf + {K1_SQL} * (1 - {B_SQL} + {B_SQL}"
+            " * docstats.dl / corpus.avgdl))")
+    pivots = ",\n         ".join(
+        f"MAX(CASE WHEN tf.term = '{t}' THEN {expr} END) AS s{i}"
+        for i, t in enumerate(ts))
+    total = " + ".join(f"COALESCE(s{i}, 0.0)" for i in range(len(ts)))
+    return f"""
+WITH {TOKS_CTE.strip()}, {BM25_CTE.strip()},
+per AS (
+  SELECT tf.doc_id,
+         {pivots}
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN docstats USING (doc_id)
+  CROSS JOIN corpus
+  WHERE tf.term IN ({tlist})
+  GROUP BY tf.doc_id
+),
+scored AS (SELECT doc_id, {total} AS score FROM per)
+SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4
+FROM scored
+WHERE score < {cursor_score!r}
+   OR (score = {cursor_score!r} AND doc_id > {cursor_doc})
 """
 
 
@@ -2001,4 +2063,7 @@ FROM s GROUP BY user_id, sess
         "facet_counts": _facet_counts_sql(),
         "more_like_this": _mlt_sql(src_doc=42, max_terms=8),
         "fuzzy_search": _fuzzy_sql(["spark", "wnidow"], threshold=0.25),
+        "more_like_this_by_id": _mlt_sql(src_doc=42, max_terms=8),
+        "bm25_page": _bm25_paged_sql(["spark", "query", "window"],
+                                     cursor_score=2.5, cursor_doc=40),
     }

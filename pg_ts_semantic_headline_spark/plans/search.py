@@ -1000,6 +1000,67 @@ def more_like_this(
     return top
 
 
+def more_like_this_by_id(
+    index: Index,
+    doc_id: int,
+    **kwargs,
+) -> DataFrame:
+    """`more_like_this` addressed by doc_id: the source document's recall
+    token array is point-read from the index's tokens table (one row —
+    parquet row-group min/max pruning on doc_id, the same trick
+    `search_with_headlines` uses for winners) and re-analyzed. The
+    tokens column is the analyzer's own canonical output, so re-analysis
+    reproduces the postings' lexeme stream exactly. The source doc is
+    excluded from the results."""
+    row = (index.tokens.where(F.col("doc_id") == int(doc_id))
+           .select("tokens").first())
+    if row is None:
+        raise KeyError(f"doc_id {doc_id} not in index")
+    return more_like_this(index, " ".join(row["tokens"]),
+                          exclude_doc_id=int(doc_id), **kwargs)
+
+
+def bm25_topk_paged(
+    index: Index,
+    query: CompiledQuery | list[str],
+    k: int = 10,
+    after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """Keyset ("search_after") pagination for BM25: the page of k docs
+    strictly after the cursor `(score, doc_id)` in (score desc, doc_id
+    asc) order — deep pagination without OFFSET's recompute-and-discard.
+
+    A float cursor is only meaningful if the score is REPRODUCIBLE, and
+    a hash-aggregate float sum is not (partial-sum addition order varies
+    run to run, so the same doc can score ±1 ulp differently on the next
+    page's job and fall on the wrong side of `score == cursor`). Scores
+    here are built from per-term conditional aggregates — one addend per
+    (doc, term), so each aggregate is order-free — combined left-to-right
+    in sorted-term order: bit-deterministic across jobs, pages, and
+    engines given the same idf inputs. Each page costs one bucket-pruned
+    postings scan; the cursor filter reaches the aggregate before the
+    top-k sort, so page depth never grows the sorted set."""
+    terms = sorted(set(query.lexemes if isinstance(query, CompiledQuery)
+                       else query))
+    spark = index.postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    rows = _scored(index, terms)
+    aggs = [F.sum(F.when(F.col("term") == t, F.col("score")))
+            .alias(f"_s{i}") for i, t in enumerate(terms)]
+    per_doc = rows.groupBy("doc_id").agg(*aggs)
+    total = F.coalesce(F.col("_s0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    scored = per_doc.select("doc_id", total.alias("score"))
+    if after is not None:
+        s, d = float(after[0]), int(after[1])
+        scored = scored.where((F.col("score") < s)
+                              | ((F.col("score") == s)
+                                 & (F.col("doc_id") > d)))
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def fuzzy_bm25_topk(
     index: Index,
     words: list[str],

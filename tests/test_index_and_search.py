@@ -686,3 +686,61 @@ class TestSearchExtras:
     def test_fuzzy_all_dropped_is_empty(self, index):
         from pg_ts_semantic_headline_spark.plans.search import fuzzy_bm25_topk
         assert fuzzy_bm25_topk(index, ["qqqxyzzz"], k=10).count() == 0
+
+
+class TestPagingAndMltById:
+    def test_more_like_this_by_id_equals_by_content(self, index, corpus):
+        from pg_ts_semantic_headline_spark.plans.search import (
+            more_like_this, more_like_this_by_id)
+        src = dict(corpus)[13]
+        by_ct = [(r["doc_id"], r["score"]) for r in
+                 more_like_this(index, src, k=10, max_terms=6,
+                                exclude_doc_id=13).collect()]
+        by_id = [(r["doc_id"], r["score"]) for r in
+                 more_like_this_by_id(index, 13, k=10,
+                                      max_terms=6).collect()]
+        assert by_id == by_ct
+
+    def test_more_like_this_by_id_missing_doc(self, index):
+        from pg_ts_semantic_headline_spark.plans.search import (
+            more_like_this_by_id)
+        with pytest.raises(KeyError):
+            more_like_this_by_id(index, 10_000)
+
+    def test_pages_tile_the_full_ranking(self, index):
+        from pg_ts_semantic_headline_spark.plans.search import (
+            bm25_topk_paged)
+        terms = ["spark", "window", "batch"]
+        full = [r["doc_id"] for r in
+                bm25_topk_paged(index, terms, k=1000).collect()]
+        walked, cursor = [], None
+        while True:
+            page = bm25_topk_paged(index, terms, k=7, after=cursor).collect()
+            if not page:
+                break
+            walked += [r["doc_id"] for r in page]
+            cursor = (page[-1]["score"], page[-1]["doc_id"])
+        assert walked == full and len(full) > 20
+
+    def test_page_rerun_is_bit_identical(self, index):
+        from pg_ts_semantic_headline_spark.plans.search import (
+            bm25_topk_paged)
+        terms = ["spark", "window", "batch"]
+        p1 = bm25_topk_paged(index, terms, k=5).collect()
+        cursor = (p1[-1]["score"], p1[-1]["doc_id"])
+        a = [(r["doc_id"], r["score"]) for r in
+             bm25_topk_paged(index, terms, k=5, after=cursor).collect()]
+        b = [(r["doc_id"], r["score"]) for r in
+             bm25_topk_paged(index, terms, k=5, after=cursor).collect()]
+        assert a == b and len(a) == 5
+
+    def test_paged_matches_python_oracle(self, index, corpus):
+        from pg_ts_semantic_headline_spark.plans.search import (
+            bm25_topk_paged)
+        terms = ["spark", "window", "batch"]
+        want = python_bm25(corpus, terms, k=100)
+        got = [(r["doc_id"], r["score"]) for r in
+               bm25_topk_paged(index, terms, k=100).collect()]
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, s), (_, w) in zip(got, want):
+            assert s == pytest.approx(w, rel=1e-9)
