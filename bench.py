@@ -283,6 +283,22 @@ def main():
 
         timings["facet_mlt_fuzzy_x3"] = min_of(run_extras)
 
+        # composed corpus-prep pipeline (annotate + filter + exact dedup)
+        # reduced to its one-row report — the training-data cleaning cost
+        from pg_ts_semantic_headline_spark.operators.pipeline import (
+            corpus_report, prepare_corpus)
+        timings["prepare_corpus_report"] = min_of(
+            lambda: corpus_report(
+                prepare_corpus(raw_docs, exact_dedup=True)).collect())
+
+        # sliding-window chunking over the full corpus (training-sample
+        # extraction)
+        from pg_ts_semantic_headline_spark.operators.chunking import (
+            chunk_documents)
+        timings["chunk_documents"] = min_of(
+            lambda: chunk_documents(raw_docs, chunk_tokens=128,
+                                    overlap=16).count())
+
         # eval-set decontamination: 5-gram overlap of the doc_id%20==0
         # "benchmark" slice vs the rest (broadcast eval hashes, train
         # side scanned once)

@@ -138,10 +138,12 @@ def _cross_near_dups(spark: SparkSession, ann: DataFrame, out_dir: str,
             .select("band", "band_sig",
                     F.col("doc_id").alias("old_id"),
                     F.col("batch_id").alias("old_batch")))
+    pinned = []
     if max_band_size is not None:
         from pyspark.sql import Window
         w = Window.partitionBy("band", "band_sig")
         hits = hits.withColumn("_n", F.count("*").over(w)).persist()
+        pinned.append(hits)
         n_over = hits.where(F.col("_n") > max_band_size).count()
         if n_over:
             logging.getLogger(__name__).warning(
@@ -151,38 +153,51 @@ def _cross_near_dups(spark: SparkSession, ann: DataFrame, out_dir: str,
                 "other bands", n_over, max_band_size, batch_id)
         hits = hits.where(F.col("_n") <= max_band_size).drop("_n")
 
-    pairs = (new_bands.join(hits, on=["band", "band_sig"])
-             .where(F.col("doc_id") != F.col("old_id"))
-             .select(F.col("old_id").alias("a"),
-                     F.col("doc_id").alias("b"), "old_batch")
-             .distinct().persist())
-    old_refs = [(int(r["old_batch"]), int(r["a"])) for r in
-                pairs.select("old_batch", "a").distinct().collect()]
-    if not old_refs:
-        pairs.unpersist()
-        return ann, new_bands
+    try:
+        pairs = (new_bands.join(hits, on=["band", "band_sig"])
+                 .where(F.col("doc_id") != F.col("old_id"))
+                 .select(F.col("old_id").alias("a"),
+                         F.col("doc_id").alias("b"), "old_batch")
+                 .distinct().persist())
+        pinned.append(pairs)
+        old_refs = [(int(r["old_batch"]), int(r["a"])) for r in
+                    pairs.select("old_batch", "a").distinct().collect()]
+        if not old_refs:
+            return ann, new_bands
 
-    from ..operators.dedup import shingle_df
-    batch_ids = sorted({b for b, _ in old_refs})
-    old_docs = (spark.read.parquet(f"{out_dir}/data")
-                .where(F.col("batch_id").isin(batch_ids))
-                .join(F.broadcast(
-                    pairs.select(F.col("a").alias("doc_id")).distinct()),
-                    on="doc_id", how="left_semi")
-                .select("doc_id", text_col))
-    sh_all = sh_new.unionByName(
-        shingle_df(old_docs, text_col=text_col, id_col="doc_id", n=n))
-    dup_new = (jaccard_for_pairs(pairs.select("a", "b"), sh_all)
-               .where(F.col("jaccard") >= threshold)
-               .select(F.col("b").alias("doc_id")).distinct()
-               .withColumn("_xnear", F.lit(True)))
+        from ..operators.dedup import shingle_df
+        batch_ids = sorted({b for b, _ in old_refs})
+        old_docs = (spark.read.parquet(f"{out_dir}/data")
+                    .where(F.col("batch_id").isin(batch_ids))
+                    .join(F.broadcast(
+                        pairs.select(F.col("a").alias("doc_id"))
+                        .distinct()),
+                        on="doc_id", how="left_semi")
+                    .select("doc_id", text_col))
+        sh_all = sh_new.unionByName(
+            shingle_df(old_docs, text_col=text_col, id_col="doc_id", n=n))
+        # bounded collect (≤ batch rows): folding the verified dup ids to
+        # driver literals lets both caches release before the caller's
+        # write actions instead of recomputing the store subplan per write
+        dup_ids = [int(r["doc_id"]) for r in
+                   jaccard_for_pairs(pairs.select("a", "b"), sh_all)
+                   .where(F.col("jaccard") >= threshold)
+                   .select(F.col("b").alias("doc_id")).distinct()
+                   .collect()]
+    finally:
+        for df in pinned:
+            df.unpersist()
+    if not dup_ids:
+        return ann, new_bands
+    dup_new = spark.createDataFrame(
+        [(i,) for i in dup_ids], "doc_id long").withColumn(
+        "_xnear", F.lit(True))
     ann = (ann.join(F.broadcast(dup_new), on="doc_id", how="left")
            .withColumn("drop_reason",
                        F.coalesce(F.col("drop_reason"),
                                   F.when(F.col("_xnear"),
                                          F.lit("near_dup"))))
            .drop("_xnear"))
-    pairs.unpersist()
     return ann, new_bands
 
 
