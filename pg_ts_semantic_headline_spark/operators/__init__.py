@@ -56,6 +56,7 @@ from .trigram import (
     similarity_topk,
     substring_search,
     suggest_terms,
+    suggest_terms_multi,
     text_trigrams,
     trigrams_col,
 )

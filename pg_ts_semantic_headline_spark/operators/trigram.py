@@ -473,6 +473,40 @@ def suggest_terms(terms_df: DataFrame, word: str, k: int = 5,
             .limit(k))
 
 
+def suggest_terms_multi(terms_df: DataFrame, words: list[str],
+                        threshold: float = 0.3,
+                        term_col: str = "term") -> DataFrame:
+    """Top-1 "did you mean" for MANY words in ONE dictionary pass — a
+    multi-word query with several typos must not scan the vocabulary
+    once per word. Every word's similarity is a column over the same
+    scan; an explode + per-word window picks each argmax with the same
+    (similarity desc, term asc) tie-break as `suggest_terms`.
+
+    Returns (word, term, similarity): at most one row per input word;
+    words with no candidate ≥ threshold are absent."""
+    from pyspark.sql import Window
+
+    words = list(dict.fromkeys(words))
+    spark = terms_df.sparkSession
+    if not words:
+        return spark.createDataFrame(
+            [], "word string, term string, similarity double")
+    sims = terms_df.select(
+        F.col(term_col).alias("term"),
+        *[similarity_col(term_col, w).alias(f"_s{i}")
+          for i, w in enumerate(words)])
+    pairs = F.array(*[
+        F.struct(F.lit(w).alias("word"), F.col(f"_s{i}").alias("similarity"))
+        for i, w in enumerate(words)])
+    exploded = (sims.select("term", F.explode(pairs).alias("p"))
+                .select("term", "p.word", "p.similarity")
+                .where(F.col("similarity") >= threshold))
+    w = Window.partitionBy("word").orderBy(F.desc("similarity"),
+                                           F.asc("term"))
+    return (exploded.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+
 def add_documents(index: TrigramIndex, docs: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text") -> None:
     """Incremental ingest: trigram postings are per-document independent

@@ -591,3 +591,25 @@ def load_index(spark: SparkSession, out_dir: str) -> Index:
         avgdl_packed=float(stats["avgdl_packed"]),
         gen=int(stats["gen"]),
     )
+
+
+def index_stats(index: Index) -> DataFrame:
+    """One-row introspection frame for a loaded index — the `\\di+`-style
+    health check an operator runs before pointing traffic at an index:
+    corpus stats from the build manifest (free), live dictionary/postings
+    counts (two count-only column-pruned scans), and the physical mode
+    flags (packed/block-max available, generation).
+
+    Columns: n_docs, avgdl_e6, n_terms, n_postings, n_buckets,
+    block_span, config, packed (block-max available right now — False
+    while merges left the packed store stale), gen."""
+    spark = index.postings.sparkSession
+    n_terms = index.terms.count()
+    n_postings = index.postings.count()
+    return spark.createDataFrame(
+        [(index.n_docs, int(round(index.avgdl * 1_000_000)), n_terms,
+          n_postings, index.n_buckets, index.block_span, index.config,
+          index.packed is not None, index.gen)],
+        "n_docs long, avgdl_e6 long, n_terms long, n_postings long, "
+        "n_buckets int, block_span int, config string, packed boolean, "
+        "gen long")

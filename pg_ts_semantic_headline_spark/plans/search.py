@@ -1079,13 +1079,14 @@ def fuzzy_bm25_topk(
     is bit-deterministic across engines. OOV words with no candidate ≥
     threshold are dropped with a warning — pg_trgm's own behavior for
     hopeless typos — never silently kept as zero-hit terms. Driver work
-    is bounded: one dictionary presence lookup for the whole query and
-    one thresholded top-1 pass over the vocabulary-sized dictionary per
-    OOV word."""
+    is bounded: one dictionary presence lookup for the whole query, and
+    ONE thresholded top-1 pass over the vocabulary-sized dictionary for
+    ALL OOV words together (`suggest_terms_multi` — never a scan per
+    word)."""
     import logging
 
     from ..functions.lexize import lexize_word
-    from ..operators.trigram import suggest_terms
+    from ..operators.trigram import suggest_terms_multi
 
     spark = index.postings.sparkSession
     lexed: list[str] = []
@@ -1097,15 +1098,18 @@ def fuzzy_bm25_topk(
         return spark.createDataFrame([], "doc_id long, score double")
     known = {r["term"] for r in
              _idf_lookup(index, lexed, cols=("term",)).collect()}
+    oov = [lx for lx in lexed if lx not in known]
+    corrections = {}
+    if oov:
+        corrections = {r["word"]: r["term"] for r in
+                       suggest_terms_multi(index.terms, oov,
+                                           threshold=threshold).collect()}
     terms, dropped = [], []
     for lx in lexed:
         if lx in known:
             terms.append(lx)
-            continue
-        best = suggest_terms(index.terms, lx, k=1,
-                             threshold=threshold).collect()
-        if best:
-            terms.append(best[0]["term"])
+        elif lx in corrections:
+            terms.append(corrections[lx])
         else:
             dropped.append(lx)
     if dropped:

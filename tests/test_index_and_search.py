@@ -744,3 +744,27 @@ class TestPagingAndMltById:
         assert [d for d, _ in got] == [d for d, _ in want]
         for (_, s), (_, w) in zip(got, want):
             assert s == pytest.approx(w, rel=1e-9)
+
+
+def test_suggest_terms_multi_matches_per_word(index):
+    from pg_ts_semantic_headline_spark.operators.trigram import (
+        suggest_terms, suggest_terms_multi)
+    words = ["wnidow", "sparkk", "qqqxyzzz", "batch"]
+    multi = {r["word"]: (r["term"], r["similarity"]) for r in
+             suggest_terms_multi(index.terms, words,
+                                 threshold=0.25).collect()}
+    for w in words:
+        top = suggest_terms(index.terms, w, k=1, threshold=0.25).collect()
+        if top:
+            assert multi[w] == (top[0]["term"], top[0]["similarity"]), w
+        else:
+            assert w not in multi
+
+
+def test_index_stats(index, corpus):
+    from pg_ts_semantic_headline_spark.plans.index_build import index_stats
+    row = index_stats(index).first()
+    assert row["n_docs"] == len(corpus)
+    assert row["n_terms"] > 0 and row["n_postings"] >= row["n_terms"]
+    assert row["packed"] is True and row["config"] == CONFIG
+    assert row["n_buckets"] == 8 and row["block_span"] == 8
