@@ -213,6 +213,7 @@ def prepare_corpus_batch(
     near_bands: int = 4,
     near_threshold: float = 0.5,
     near_max_band_size: int | None = 4096,
+    index_dir: str | None = None,
     **prep_kwargs,
 ) -> None:
     """One incremental step: run `prepare_corpus(**prep_kwargs)` on the
@@ -226,7 +227,14 @@ def prepare_corpus_batch(
     module docstring), turns within-batch `near_dedup` on by default so
     the two scopes agree, and persists the batch's band rows. Keep the
     flag constant for a store — batches ingested with it off leave holes
-    later batches cannot near-match against."""
+    later batches cannot near-match against.
+
+    `index_dir` additionally folds the kept rows into a persisted BM25
+    index via `merge_batch` — the full clean→dedup→index ingestion in
+    one attacher. The index must already exist (build it once first);
+    replays are swept idempotent via `_merge_into_index`'s
+    marker-before-merge protocol. Block-max mode goes stale on every
+    merged batch as usual — run `compact_index` periodically."""
     spark = batch_df.sparkSession
     if cross_near_dedup:
         prep_kwargs.setdefault("near_dedup", True)
@@ -276,9 +284,47 @@ def prepare_corpus_batch(
              .parquet(f"{out_dir}/_minhash/batch_id={batch_id}"))
         (corpus_report(ann).write.mode("overwrite")
          .parquet(f"{out_dir}/_report/batch_id={batch_id}"))
+        if index_dir is not None and not kept.isEmpty():
+            _merge_into_index(spark, index_dir, kept.drop("_h"), out_dir,
+                              batch_id, text_col)
     finally:
         for df in pinned:
             df.unpersist()
+
+
+def _merge_into_index(spark: SparkSession, index_dir: str, kept: DataFrame,
+                      out_dir: str, batch_id: int, text_col: str) -> None:
+    """Fold the batch's kept rows into a persisted BM25 index (which must
+    already exist — build it once before attaching; its own config is
+    reused so a mismatch is impossible).
+
+    Replay idempotence uses marker-BEFORE-merge: the marker under
+    `_indexed/batch_id=N` is written before the first merge attempt, so
+    a replay (marker present) knows rows may already exist — possibly
+    from a merge that died mid-append — and sweeps them with
+    `delete_docs(through_gen=stats.gen + 2)` (covers even orphan rows a
+    crashed merge left above the visible generation) before re-merging.
+    The kept set is deterministic on replay (the dedup-store reads
+    exclude the batch's own attempt), so the sweep ids are exactly the
+    crashed attempt's ids."""
+    from ..plans.index_build import IndexPaths, _path_exists
+    from .incremental import delete_docs, merge_batch
+
+    marker = f"{out_dir}/_indexed/batch_id={batch_id}"
+    paths = IndexPaths(index_dir)
+    stats = spark.read.parquet(paths.stats).first()
+    if _path_exists(spark, marker):
+        ids = [int(r["doc_id"]) for r in kept.select("doc_id").collect()]
+        if ids:
+            delete_docs(spark, index_dir, ids,
+                        through_gen=int(stats["gen"]) + 2)
+    else:
+        (spark.createDataFrame([(int(batch_id),)], "batch_id long")
+         .coalesce(1).write.mode("overwrite").parquet(marker))
+    merge_batch(spark, index_dir,
+                kept.select(F.col("doc_id"),
+                            F.col(text_col).alias("content")),
+                config=str(stats["config"]))
 
 
 def compact_corpus_stores(spark: SparkSession, out_dir: str,

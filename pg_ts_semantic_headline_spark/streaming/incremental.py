@@ -221,13 +221,28 @@ def merge_batch(
 
 
 def delete_docs(spark: SparkSession, index_dir: str,
-                doc_ids: list[int]) -> None:
+                doc_ids: list[int],
+                through_gen: int | None = None) -> None:
     """Tombstone-delete documents: queries stop seeing them immediately
     (broadcast tombstone filter in load_index); compact_index physically
-    drops their rows and repacks."""
+    drops their rows and repacks.
+
+    `through_gen` overrides the tombstone generation (default
+    stats.gen + 1 — everything currently visible dies). A crash-recovery
+    caller that may race a HALF-FINISHED merge passes stats.gen + 2:
+    a merge that died between its row appends and its stats update left
+    rows at gen + 1 which the default sweep would spare (tombstones kill
+    strictly-lower generations only); the +2 sweep covers them, and the
+    stats generation advances to `through_gen` so the recovery re-merge
+    lands above the sweep (streaming replay — see corpus_ingest)."""
     paths = IndexPaths(index_dir)
     stats = spark.read.parquet(paths.stats).first()
-    new_gen = int(stats["gen"]) + 1
+    new_gen = (int(through_gen) if through_gen is not None
+               else int(stats["gen"]) + 1)
+    if new_gen <= int(stats["gen"]):
+        raise ValueError(
+            f"through_gen={new_gen} must exceed the current stats "
+            f"generation {int(stats['gen'])}")
     # deleted docs' postings span arbitrary term buckets → wildcard marker
     _write_stale_marker(spark, paths, [-1], new_gen)
     spark.createDataFrame(

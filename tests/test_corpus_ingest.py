@@ -208,3 +208,53 @@ class TestCompactCorpusStores:
         out = str(tmp_path / "c")
         prepare_corpus_batch(b1, out, 0, min_tokens=5)
         assert compact_corpus_stores(spark, out) == {}
+
+
+class TestIndexedIngest:
+    def _seed_index(self, spark, tmp_path):
+        from pg_ts_semantic_headline_spark.plans.index_build import (
+            build_index)
+        idx = str(tmp_path / "idx")
+        seed = spark.createDataFrame(
+            [(100, "seed document about spark windows and batches")],
+            "doc_id long, content string")
+        build_index(spark, seed, idx, config="simple", n_buckets=4,
+                    block_span=8)
+        return idx
+
+    def test_kept_rows_reach_the_index(self, spark, batches, tmp_path):
+        from pg_ts_semantic_headline_spark.plans.index_build import (
+            load_index)
+        from pg_ts_semantic_headline_spark.plans.search import bm25_topk
+        idx = self._seed_index(spark, tmp_path)
+        b1, b2 = batches
+        out = str(tmp_path / "c")
+        prepare_corpus_batch(b1, out, 0, min_tokens=5, index_dir=idx)
+        prepare_corpus_batch(b2, out, 1, min_tokens=5, index_dir=idx)
+        index = load_index(spark, idx)
+        live = sorted(r["doc_id"] for r in
+                      index.tokens.select("doc_id").collect())
+        assert live == [1, 2, 11, 100]   # kept rows + the seed doc
+        hits = [r["doc_id"] for r in
+                bm25_topk(index, ["fresh"], k=5).collect()]
+        assert hits == [11]
+
+    def test_replayed_merge_is_swept(self, spark, batches, tmp_path):
+        from pg_ts_semantic_headline_spark.plans.index_build import (
+            load_index)
+        idx = self._seed_index(spark, tmp_path)
+        b1, b2 = batches
+        out = str(tmp_path / "c")
+        prepare_corpus_batch(b1, out, 0, min_tokens=5, index_dir=idx)
+        prepare_corpus_batch(b2, out, 1, min_tokens=5, index_dir=idx)
+        # checkpoint-uncommitted crash replay of batch 1
+        prepare_corpus_batch(b2, out, 1, min_tokens=5, index_dir=idx)
+        index = load_index(spark, idx)
+        live = sorted(r["doc_id"] for r in
+                      index.tokens.select("doc_id").collect())
+        assert live == [1, 2, 11, 100]   # no duplicate doc 11 rows
+        # postings for doc 11 are single-generation too
+        n_terms_11 = (index.postings.where(F.col("doc_id") == 11)
+                      .select("term").distinct().count())
+        n_rows_11 = index.postings.where(F.col("doc_id") == 11).count()
+        assert n_rows_11 == n_terms_11
