@@ -1031,6 +1031,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("score_e4", _e4(F.col("score")))
                 .select("doc_id", "score_e4"))
 
+    def q64(spark, sf):
+        # BM25F: title = first 8 tokens (weight 2), body = rest (weight
+        # 1); full scored set. wdl values are integer-valued doubles, so
+        # avg(wdl) is bit-exact on both engines regardless of sum order
+        from pg_ts_semantic_headline_spark.plans.search import (
+            bm25f_topk_adhoc)
+        s = F.split(F.col("text"), " ")
+        d = _docs(spark, sf).select(
+            "doc_id",
+            F.array_join(F.slice(s, 1, 8), " ").alias("title"),
+            F.array_join(
+                F.slice(s, 9, F.greatest(F.size(s) - 8, F.lit(0))),
+                " ").alias("body"))
+        return (bm25f_topk_adhoc(d, {"title": 2.0, "body": 1.0},
+                                 ["spark", "window"], k=100_000)
+                .withColumn("score_e4", _e4(F.col("score")))
+                .select("doc_id", "score_e4"))
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -1095,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_search": q61,
         "more_like_this_by_id": q62,
         "bm25_page": q63,
+        "bm25f_topk": q64,
     }
 
 
@@ -1282,6 +1301,51 @@ SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4
 FROM scored
 WHERE score < {cursor_score!r}
    OR (score = {cursor_score!r} AND doc_id > {cursor_doc})
+"""
+
+
+def _bm25f_sql(terms: list[str]) -> str:
+    """BM25F oracle: title = tokens 1..8 (weight 2), body = 9.. (weight
+    1); weighted tf/dl folded first, saturation applied once, per-term
+    scores summed in the engine's sorted-term order."""
+    ts = sorted(set(terms))
+    wtfs = ",\n         ".join(
+        f"2.0 * len(list_filter(ft, x -> x = '{t}'))"
+        f" + 1.0 * len(list_filter(fb, x -> x = '{t}')) AS wtf_{i}"
+        for i, t in enumerate(ts))
+    dfs = ",\n         ".join(
+        f"SUM(CASE WHEN wtf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(ts)))
+    score = " + ".join(
+        f"CASE WHEN wtf_{i} > 0 THEN"
+        f" ln(1 + (s.n - s.df_{i} + 0.5)/(s.df_{i} + 0.5))"
+        f" * wtf_{i} * ({K1_SQL} + 1)"
+        f" / (wtf_{i} + {K1_SQL} * (1 - {B_SQL} + {B_SQL} * wdl / s.a))"
+        f" ELSE 0.0 END"
+        for i in range(len(ts)))
+    any_pos = " + ".join(f"wtf_{i}" for i in range(len(ts)))
+    return f"""
+WITH fx AS (
+  SELECT doc_id,
+         list_filter(array_slice(string_split(text, ' '), 1, 8),
+                     x -> x <> '') AS ft,
+         list_filter(array_slice(string_split(text, ' '), 9, 1000000000),
+                     x -> x <> '') AS fb
+  FROM documents
+),
+per AS (
+  SELECT doc_id,
+         2.0 * len(ft) + 1.0 * len(fb) AS wdl,
+         {wtfs}
+  FROM fx
+),
+s AS (SELECT count(*) AS n, avg(wdl) AS a,
+         {dfs}
+      FROM per)
+SELECT doc_id,
+       CAST(ROUND(({score}) * 10000) AS BIGINT) AS score_e4
+FROM per CROSS JOIN s
+WHERE ({any_pos}) > 0
 """
 
 
@@ -2066,4 +2130,5 @@ FROM s GROUP BY user_id, sess
         "more_like_this_by_id": _mlt_sql(src_doc=42, max_terms=8),
         "bm25_page": _bm25_paged_sql(["spark", "query", "window"],
                                      cursor_score=2.5, cursor_doc=40),
+        "bm25f_topk": _bm25f_sql(["spark", "window"]),
     }

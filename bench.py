@@ -283,6 +283,20 @@ def main():
 
         timings["facet_mlt_fuzzy_x3"] = min_of(run_extras)
 
+        # BM25F over ad-hoc fields (title = first 8 tokens ×2, body ×1)
+        from pg_ts_semantic_headline_spark.plans.search import (
+            bm25f_topk_adhoc)
+        sarr = F.split(F.col("text"), " ")
+        fielded = raw_docs.select(
+            "doc_id",
+            F.array_join(F.slice(sarr, 1, 8), " ").alias("title"),
+            F.array_join(
+                F.slice(sarr, 9, F.greatest(F.size(sarr) - 8, F.lit(0))),
+                " ").alias("body"))
+        timings["bm25f_adhoc"] = min_of(
+            lambda: bm25f_topk_adhoc(fielded, {"title": 2.0, "body": 1.0},
+                                     ["spark", "window"], k=10).collect())
+
         # composed corpus-prep pipeline (annotate + filter + exact dedup)
         # reduced to its one-row report — the training-data cleaning cost
         from pg_ts_semantic_headline_spark.operators.pipeline import (

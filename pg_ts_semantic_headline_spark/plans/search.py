@@ -1000,6 +1000,87 @@ def more_like_this(
     return top
 
 
+def bm25f_topk_adhoc(
+    df: DataFrame,
+    field_weights: dict[str, float],
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25F: weighted-multi-field BM25 over an ad-hoc frame — a title
+    hit outranks the same words buried in a body (Robertson's simplified
+    BM25F: fold field tf/length into weighted totals FIRST, then apply
+    the usual saturation once):
+
+        wtf(t,d) = Σ_f w_f·tf_f(t,d)      wdl(d) = Σ_f w_f·len_f(d)
+        score    = Σ_t idf(t)·wtf·(k1+1)/(wtf + k1·(1−b+b·wdl/avgwdl))
+
+    idf uses documents containing t in ANY field. One projection builds
+    every per-field count as column algebra (whitespace tokens — run the
+    fields through `with_analysis` first for config-aware tokens), ONE
+    aggregation action fixes n_docs/avg(wdl)/per-term df, and per-term
+    scores combine left-to-right in sorted-term order so the doubles are
+    engine-reproducible. Two actions total, no UDFs, no shuffle beyond
+    the final top-k — the candidate-set-scoring shape (an indexed BM25F
+    would need per-field postings; use `bm25_topk` for the single-field
+    indexed path)."""
+    import math
+
+    terms = sorted(set(terms))
+    fields = sorted(field_weights)
+    if not fields:
+        raise ValueError("field_weights must name at least one column")
+    spark = df.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    def toks(f):
+        return F.filter(F.split(F.col(f), " "), lambda x: x != "")
+
+    def eq(term):
+        # closure factory: a 2-arg lambda would be read by F.filter as
+        # the (element, index) form and bind `term` to the index column
+        return lambda x: x == term
+
+    wdl = None
+    for f in fields:
+        part = F.size(toks(f)).cast("double") * float(field_weights[f])
+        wdl = part if wdl is None else wdl + part
+    cols = [F.col(id_col).alias("doc_id"), wdl.alias("wdl")]
+    for i, t in enumerate(terms):
+        wtf = None
+        for f in fields:
+            c = (F.size(F.filter(toks(f), eq(t)))
+                 .cast("double") * float(field_weights[f]))
+            wtf = c if wtf is None else wtf + c
+        cols.append(wtf.alias(f"wtf_{i}"))
+    per = df.select(*cols)
+
+    stats = per.agg(
+        F.count("*").alias("n"), F.avg("wdl").alias("a"),
+        *[F.sum((F.col(f"wtf_{i}") > 0).cast("int")).alias(f"df_{i}")
+          for i in range(len(terms))]).first()
+    n_docs, avgwdl = int(stats["n"]), float(stats["a"] or 0.0)
+
+    score = F.lit(0.0)
+    any_wtf = F.lit(0.0)
+    for i in range(len(terms)):
+        any_wtf = any_wtf + F.col(f"wtf_{i}")
+        dfi = int(stats[f"df_{i}"])
+        if dfi == 0:
+            continue
+        idf = math.log(1 + (n_docs - dfi + 0.5) / (dfi + 0.5))
+        wtf = F.col(f"wtf_{i}")
+        score = score + F.when(
+            wtf > 0,
+            F.lit(idf) * wtf * (K1 + 1)
+            / (wtf + K1 * (1 - B + B * F.col("wdl") / F.lit(avgwdl)))
+        ).otherwise(F.lit(0.0))
+    return (per.where(any_wtf > 0)
+            .select("doc_id", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
 def more_like_this_by_id(
     index: Index,
     doc_id: int,

@@ -388,13 +388,30 @@ def attach_corpus_preparer(
 ):
     """writeStream wiring: each micro-batch runs `prepare_corpus_batch`.
     `prep_kwargs` forward there — `cross_near_dedup=True` (+ its near_*
-    knobs) enables the cross-batch MinHash store, everything else
-    (min_tokens, min_quality, allowed_langs, redact, ...) reaches
-    `prepare_corpus`."""
+    knobs) enables the cross-batch MinHash store, `index_dir=` folds
+    kept rows into a persisted BM25 index, everything else (min_tokens,
+    min_quality, allowed_langs, redact, ...) reaches `prepare_corpus`.
+
+    `compact_every=N` runs housekeeping after every Nth batch:
+    `compact_corpus_stores` folds the dedup stores (the just-committed
+    batch is never folded, so its replay stays safe) and — when an index
+    is attached — `compact_index` repacks the merge-staled buckets so
+    block-max mode comes back without an operator in the loop. Both are
+    amortized costs; size N to the batch cadence (a repack touches only
+    buckets merged since the last one)."""
+    spark = stream_docs.sparkSession
+    compact_every = prep_kwargs.pop("compact_every", None)
+    index_dir = prep_kwargs.get("index_dir")
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         prepare_corpus_batch(batch_df, out_dir, batch_id,
                              text_col=text_col, id_col=id_col,
                              **prep_kwargs)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_corpus_stores(spark, out_dir)
+            if index_dir is not None:
+                from .incremental import compact_index
+                compact_index(spark, index_dir)
 
     from .wiring import start_foreach_batch
     return start_foreach_batch(stream_docs, handle, checkpoint_dir,

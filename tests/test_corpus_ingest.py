@@ -258,3 +258,34 @@ class TestIndexedIngest:
                       .select("term").distinct().count())
         n_rows_11 = index.postings.where(F.col("doc_id") == 11).count()
         assert n_rows_11 == n_terms_11
+
+
+def test_streaming_with_index_and_periodic_compaction(spark, batches,
+                                                      tmp_path):
+    """compact_every=1: after the stream drains, the dedup stores are
+    folded and the index is repacked (block-max mode restored)."""
+    from pg_ts_semantic_headline_spark.plans.index_build import (
+        build_index, load_index)
+    b1, b2 = batches
+    idx = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(
+        [(100, "seed document about spark windows and batches")],
+        "doc_id long, content string"), idx, config="simple",
+        n_buckets=4, block_span=8)
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "corpus")
+    q = attach_corpus_preparer(stream, out, str(tmp_path / "ckpt"),
+                               min_tokens=5, index_dir=idx,
+                               compact_every=1)
+    q.awaitTermination(180)
+    index = load_index(spark, idx)
+    assert index.packed is not None            # block-max restored
+    live = sorted(r["doc_id"] for r in
+                  index.tokens.select("doc_id").collect())
+    # one indexed copy of each distinct eligible text + the seed doc
+    # (which copy survives depends on file-discovery order)
+    assert len(live) == 4 and 100 in live

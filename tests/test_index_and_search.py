@@ -768,3 +768,74 @@ def test_index_stats(index, corpus):
     assert row["n_terms"] > 0 and row["n_postings"] >= row["n_terms"]
     assert row["packed"] is True and row["config"] == CONFIG
     assert row["n_buckets"] == 8 and row["block_span"] == 8
+
+
+class TestBm25F:
+    W = {"title": 2.0, "body": 1.0}
+
+    def _docs(self):
+        rng = random.Random(7)
+        rows = []
+        for i in range(40):
+            title = " ".join(rng.choices(VOCAB, k=rng.randint(2, 5)))
+            body = " ".join(rng.choices(VOCAB, k=rng.randint(20, 60)))
+            rows.append((i, title, body))
+        return rows
+
+    def _python_bm25f(self, rows, terms, k):
+        wtl = {}
+        wtf = {}
+        for i, title, body in rows:
+            ft = [x for x in title.split(" ") if x]
+            fb = [x for x in body.split(" ") if x]
+            wtl[i] = 2.0 * len(ft) + 1.0 * len(fb)
+            wtf[i] = {t: 2.0 * ft.count(t) + 1.0 * fb.count(t)
+                      for t in terms}
+        n = len(rows)
+        avg = sum(wtl.values()) / n
+        scores = {}
+        for t in sorted(set(terms)):
+            df = sum(1 for i in wtl if wtf[i][t] > 0)
+            if df == 0:
+                continue
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            for i in wtl:
+                w = wtf[i][t]
+                if w > 0:
+                    s = idf * w * (K1 + 1) / (
+                        w + K1 * (1 - B + B * wtl[i] / avg))
+                    scores[i] = scores.get(i, 0.0) + s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    def test_matches_python_oracle(self, spark):
+        from pg_ts_semantic_headline_spark.plans.search import (
+            bm25f_topk_adhoc)
+        rows = self._docs()
+        df = spark.createDataFrame(rows, ["doc_id", "title", "body"])
+        terms = ["spark", "window"]
+        got = [(r["doc_id"], r["score"]) for r in
+               bm25f_topk_adhoc(df, self.W, terms, k=15).collect()]
+        want = self._python_bm25f(rows, terms, 15)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9)
+
+    def test_title_hit_outranks_body_hit(self, spark):
+        from pg_ts_semantic_headline_spark.plans.search import (
+            bm25f_topk_adhoc)
+        # identical lengths; the only difference is WHERE the term sits
+        df = spark.createDataFrame(
+            [(1, "needle word", "filler text goes here now"),
+             (2, "other words", "needle text goes here now")],
+            ["doc_id", "title", "body"])
+        got = [r["doc_id"] for r in
+               bm25f_topk_adhoc(df, self.W, ["needle"], k=2).collect()]
+        assert got == [1, 2]
+
+    def test_unknown_term_only_is_empty(self, spark):
+        from pg_ts_semantic_headline_spark.plans.search import (
+            bm25f_topk_adhoc)
+        df = spark.createDataFrame(
+            [(1, "a b", "c d")], ["doc_id", "title", "body"])
+        assert bm25f_topk_adhoc(df, self.W, ["zzz"], k=5).count() == 0
