@@ -1049,6 +1049,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("score_e4", _e4(F.col("score")))
                 .select("doc_id", "score_e4"))
 
+    _gate_fielded: dict = {}
+
+    def q65(spark, sf):
+        # BM25F from the PERSISTED per-field index — must reproduce the
+        # ad-hoc q64 oracle bit-for-bit (exact integer length sums, one
+        # division; strictly positive weights)
+        import tempfile
+        from pg_ts_semantic_headline_spark.plans.fielded import (
+            bm25f_topk, build_fielded_index, load_fielded_index)
+        key = (id(spark), sf)
+        if key not in _gate_fielded:
+            s = F.split(F.col("text"), " ")
+            d = _docs(spark, sf).select(
+                "doc_id",
+                F.array_join(F.slice(s, 1, 8), " ").alias("title"),
+                F.array_join(
+                    F.slice(s, 9, F.greatest(F.size(s) - 8, F.lit(0))),
+                    " ").alias("body"))
+            fdir = tempfile.mkdtemp(prefix="tsp_gate_fidx_")
+            build_fielded_index(spark, d, fdir, ["title", "body"],
+                                config="simple", n_buckets=8)
+            _gate_fielded[key] = load_fielded_index(spark, fdir)
+        return (bm25f_topk(_gate_fielded[key],
+                           {"title": 2.0, "body": 1.0},
+                           ["spark", "window"], k=100_000)
+                .withColumn("score_e4", _e4(F.col("score")))
+                .select("doc_id", "score_e4"))
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -1114,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this_by_id": q62,
         "bm25_page": q63,
         "bm25f_topk": q64,
+        "bm25f_topk_indexed": q65,
     }
 
 
@@ -2131,4 +2160,5 @@ FROM s GROUP BY user_id, sess
         "bm25_page": _bm25_paged_sql(["spark", "query", "window"],
                                      cursor_score=2.5, cursor_doc=40),
         "bm25f_topk": _bm25f_sql(["spark", "window"]),
+        "bm25f_topk_indexed": _bm25f_sql(["spark", "window"]),
     }

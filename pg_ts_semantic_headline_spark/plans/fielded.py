@@ -1,0 +1,200 @@
+"""Indexed BM25F: per-field postings so weighted-field ranking runs off a
+persisted index instead of re-tokenizing the corpus per query (the scale
+path behind `search.bm25f_topk_adhoc`).
+
+Layout under `out_dir` (mirrors the main index's bucket routing so the
+same driver-side xxhash64 literals prune the scan):
+
+    postings/bucket=B/  (doc_id, field:int, term, tf, dls:array<int>)
+                        dls is the per-field length vector, denormalized
+                        onto every row like the main index's dl — scoring
+                        needs no docstats join
+    terms/bucket=B/     (term, df) — df counts docs containing the term
+                        in ANY field (the BM25F document frequency)
+    stats/              one row: n_docs, per-field avg dl vector, field
+                        names (order = the `field` codes), config,
+                        n_buckets
+
+Field WEIGHTS are query-time parameters, not build-time: the build
+stores the EXACT per-field length sums (integers), so any weight
+vector's average weighted doc length reconstructs as
+(Σ_f w_f·sumdl_f) / n — one division, bit-identical to computing
+avg(Σ_f w_f·dl_f) directly (per-field MEANS would not be: float
+division is not distributive over the weighted sum). With integer
+tf/dl and exactly-representable weights every weighted fold is an
+order-exact double, so the indexed path reproduces
+`bm25f_topk_adhoc` bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index_build import B, K1
+
+
+@dataclass
+class FieldedIndex:
+    root: str
+    postings: DataFrame
+    terms: DataFrame
+    fields: list[str]
+    n_docs: int
+    sumdls: list[int]
+    config: str
+    n_buckets: int
+
+
+def build_fielded_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    field_cols: list[str],
+    config: str = "english",
+    n_buckets: int = 32,
+    id_col: str = "doc_id",
+) -> None:
+    """One analysis pass per field (same Arrow kernel as the main build),
+    postings unioned with a field code and range-written bucket-
+    partitioned; the analyzed frame is persisted for the duration so the
+    per-field branches and the stats aggregate share one UDF pass."""
+    from .analyze import analyze_index_udf
+    from ..functions.xxhash import term_bucket  # noqa: F401  (parity doc)
+
+    fields = list(field_cols)
+    if not fields:
+        raise ValueError("field_cols must name at least one column")
+    a = docs.select(F.col(id_col).alias("doc_id"), *fields)
+    for i, f in enumerate(fields):
+        a = a.withColumn(f"_a{i}",
+                         analyze_index_udf(F.col(f), F.lit(config)))
+    dls = F.array(*[F.coalesce(F.col(f"_a{i}.dl"), F.lit(0))
+                    for i in range(len(fields))])
+    a = a.select("doc_id", dls.alias("dls"),
+                 *[F.col(f"_a{i}.postings").alias(f"_p{i}")
+                   for i in range(len(fields))]).persist()
+    try:
+        parts = None
+        for i in range(len(fields)):
+            p = (a.select("doc_id", "dls", F.lit(i).alias("field"),
+                          F.explode(f"_p{i}").alias("p"))
+                 .select("doc_id", "dls", "field",
+                         F.col("p.term").alias("term"),
+                         F.col("p.tf").alias("tf")))
+            parts = p if parts is None else parts.unionByName(p)
+        rows = parts.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        (rows.repartition("bucket")
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(f"{out_dir}/postings"))
+
+        terms = (rows.groupBy("term")
+                 .agg(F.count_distinct("doc_id").alias("df"),
+                      F.first("bucket").alias("bucket")))
+        (terms.write.mode("overwrite").partitionBy("bucket")
+         .parquet(f"{out_dir}/terms"))
+
+        st = a.agg(F.count("*").alias("n"),
+                   *[F.sum(F.col("dls")[i]).alias(f"s{i}")
+                     for i in range(len(fields))]).first()
+        spark.createDataFrame(
+            [(int(st["n"]),
+              [int(st[f"s{i}"] or 0) for i in range(len(fields))],
+              fields, config, int(n_buckets))],
+            "n_docs long, sumdls array<long>, fields array<string>, "
+            "config string, n_buckets int"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/stats")
+    finally:
+        a.unpersist()
+
+
+def load_fielded_index(spark: SparkSession, out_dir: str) -> FieldedIndex:
+    st = spark.read.parquet(f"{out_dir}/stats").first()
+    return FieldedIndex(
+        root=out_dir,
+        postings=spark.read.parquet(f"{out_dir}/postings"),
+        terms=spark.read.parquet(f"{out_dir}/terms"),
+        fields=list(st["fields"]),
+        n_docs=int(st["n_docs"]),
+        sumdls=[int(x) for x in st["sumdls"]],
+        config=str(st["config"]),
+        n_buckets=int(st["n_buckets"]),
+    )
+
+
+def bm25f_topk(
+    index: FieldedIndex,
+    field_weights: dict[str, float],
+    terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """BM25F top-k from the fielded index: one bucket-pruned postings
+    scan; per-(doc, term) weighted-tf fold (map-side combinable — at
+    most |fields| rows per key); broadcast idf join; per-doc sum;
+    TakeOrdered k. Identical formula to `bm25f_topk_adhoc` — for
+    exactly-representable weights and integer tf/dl the two agree
+    bit-for-bit. One caveat: idf's document frequency counts ANY-field
+    occurrences (precomputed in the dictionary); with a ZERO weight the
+    ad-hoc form's df excludes docs matching only that field — supply
+    strictly positive weights for exact parity."""
+    import math
+
+    spark = index.postings.sparkSession
+    ts = sorted(set(terms))
+    if not ts:
+        return spark.createDataFrame([], "doc_id long, score double")
+    unknown = set(field_weights) - set(index.fields)
+    if unknown:
+        raise ValueError(f"unknown fields {sorted(unknown)}; "
+                         f"index has {index.fields}")
+    w = [float(field_weights.get(f, 0.0)) for f in index.fields]
+    # exact integer weighted sum, ONE division — bit-identical to the
+    # ad-hoc path's avg(wdl) (see module docstring)
+    avgwdl = (sum(wi * si for wi, si in zip(w, index.sumdls))
+              / index.n_docs) if index.n_docs else 0.0
+    if avgwdl <= 0:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    from ..functions.xxhash import term_bucket
+    buckets = sorted({term_bucket(t, index.n_buckets) for t in ts})
+    rows = (index.postings
+            .where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(ts)))
+
+    wexpr = F.lit(0.0)
+    for i, wi in enumerate(w):
+        wexpr = F.when(F.col("field") == i, F.lit(wi)).otherwise(wexpr)
+    wdl = F.lit(0.0)
+    for i, wi in enumerate(w):
+        wdl = wdl + F.lit(wi) * F.col("dls").getItem(i).cast("double")
+
+    per_term = (rows.groupBy("doc_id", "term")
+                .agg(F.sum(wexpr * F.col("tf").cast("double")).alias("wtf"),
+                     F.first("dls").alias("dls"))
+                .where(F.col("wtf") > 0))
+
+    idf = (index.terms
+           .where(F.col("bucket").isin(buckets))
+           .where(F.col("term").isin(ts))
+           .select("term", "df").collect())
+    n = index.n_docs
+    idf_rows = [(r["term"], math.log(1 + (n - int(r["df"]) + 0.5)
+                                     / (int(r["df"]) + 0.5)))
+                for r in idf]
+    if not idf_rows:
+        return spark.createDataFrame([], "doc_id long, score double")
+    idf_df = spark.createDataFrame(idf_rows, "term string, idf double")
+
+    scored = (per_term.join(F.broadcast(idf_df), on="term")
+              .withColumn("_wdl", wdl)
+              .withColumn(
+                  "_s",
+                  F.col("idf") * F.col("wtf") * (K1 + 1)
+                  / (F.col("wtf")
+                     + K1 * (1 - B + B * F.col("_wdl") / F.lit(avgwdl)))))
+    return (scored.groupBy("doc_id").agg(F.sum("_s").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))

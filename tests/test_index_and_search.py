@@ -839,3 +839,51 @@ class TestBm25F:
         df = spark.createDataFrame(
             [(1, "a b", "c d")], ["doc_id", "title", "body"])
         assert bm25f_topk_adhoc(df, self.W, ["zzz"], k=5).count() == 0
+
+
+class TestFieldedBm25F:
+    def test_indexed_equals_adhoc_bit_for_bit(self, spark, tmp_path):
+        from pg_ts_semantic_headline_spark.plans.fielded import (
+            bm25f_topk, build_fielded_index, load_fielded_index)
+        from pg_ts_semantic_headline_spark.plans.search import (
+            bm25f_topk_adhoc)
+        rows = TestBm25F()._docs()
+        df = spark.createDataFrame(rows, ["doc_id", "title", "body"])
+        d = str(tmp_path / "fidx")
+        build_fielded_index(spark, df, d, ["title", "body"],
+                            config="simple", n_buckets=4)
+        fidx = load_fielded_index(spark, d)
+        for weights in ({"title": 2.0, "body": 1.0},
+                        {"title": 0.5, "body": 4.0}):
+            got = [(r["doc_id"], r["score"]) for r in
+                   bm25f_topk(fidx, weights, ["spark", "window"],
+                              k=15).collect()]
+            want = [(r["doc_id"], r["score"]) for r in
+                    bm25f_topk_adhoc(df, weights, ["spark", "window"],
+                                     k=15).collect()]
+            assert got == want, weights   # bit-for-bit
+
+    def test_unknown_field_raises(self, spark, tmp_path):
+        from pg_ts_semantic_headline_spark.plans.fielded import (
+            bm25f_topk, build_fielded_index, load_fielded_index)
+        df = spark.createDataFrame([(1, "a b", "c d")],
+                                   ["doc_id", "title", "body"])
+        d = str(tmp_path / "fidx2")
+        build_fielded_index(spark, df, d, ["title", "body"],
+                            config="simple", n_buckets=2)
+        fidx = load_fielded_index(spark, d)
+        with pytest.raises(ValueError, match="unknown fields"):
+            bm25f_topk(fidx, {"headline": 1.0}, ["a"])
+
+    def test_scan_is_bucket_pruned(self, spark, tmp_path):
+        from pg_ts_semantic_headline_spark.plans.fielded import (
+            bm25f_topk, build_fielded_index, load_fielded_index)
+        rows = TestBm25F()._docs()
+        df = spark.createDataFrame(rows, ["doc_id", "title", "body"])
+        d = str(tmp_path / "fidx3")
+        build_fielded_index(spark, df, d, ["title", "body"],
+                            config="simple", n_buckets=8)
+        fidx = load_fielded_index(spark, d)
+        plan = (bm25f_topk(fidx, {"title": 2.0, "body": 1.0}, ["spark"])
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "PartitionFilters: [" in plan and "bucket" in plan
