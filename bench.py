@@ -297,6 +297,28 @@ def main():
             lambda: bm25f_topk_adhoc(fielded, {"title": 2.0, "body": 1.0},
                                      ["spark", "window"], k=10).collect())
 
+        # the indexed BM25F path: per-field postings build, then two
+        # weight vectors against the SAME index (weights are query-time)
+        from pg_ts_semantic_headline_spark.plans.fielded import (
+            bm25f_topk, build_fielded_index, load_fielded_index)
+        fdir = tempfile.mkdtemp(prefix="tsp_bench_fidx_")
+        try:
+            timings["bm25f_index_build"] = min_of(
+                lambda: build_fielded_index(
+                    spark, fielded, fdir, ["title", "body"],
+                    config="english", n_buckets=32))
+            fidx = load_fielded_index(spark, fdir)
+
+            def run_fielded():
+                bm25f_topk(fidx, {"title": 2.0, "body": 1.0},
+                           ["spark", "window"], k=10).collect()
+                bm25f_topk(fidx, {"title": 0.5, "body": 4.0},
+                           ["spark", "window"], k=10).collect()
+
+            timings["bm25f_indexed_query_x2"] = min_of(run_fielded)
+        finally:
+            shutil.rmtree(fdir, ignore_errors=True)
+
         # composed corpus-prep pipeline (annotate + filter + exact dedup)
         # reduced to its one-row report — the training-data cleaning cost
         from pg_ts_semantic_headline_spark.operators.pipeline import (

@@ -131,6 +131,7 @@ def bm25f_topk(
     field_weights: dict[str, float],
     terms: list[str],
     k: int = 10,
+    candidate_docs: DataFrame | None = None,
 ) -> DataFrame:
     """BM25F top-k from the fielded index: one bucket-pruned postings
     scan; per-(doc, term) weighted-tf fold (map-side combinable — at
@@ -140,7 +141,12 @@ def bm25f_topk(
     bit-for-bit. One caveat: idf's document frequency counts ANY-field
     occurrences (precomputed in the dictionary); with a ZERO weight the
     ad-hoc form's df excludes docs matching only that field — supply
-    strictly positive weights for exact parity."""
+    strictly positive weights for exact parity.
+
+    `candidate_docs` (a doc_id frame — e.g. `matching_docs` output from
+    a sibling boolean index, or a dedup survivor set) semi-joins the
+    scan BEFORE aggregation, the same contract as `bm25_topk`; idf stays
+    corpus-global, matching pg/Lucene filtered-query semantics."""
     import math
 
     spark = index.postings.sparkSession
@@ -164,6 +170,9 @@ def bm25f_topk(
     rows = (index.postings
             .where(F.col("bucket").isin(buckets))
             .where(F.col("term").isin(ts)))
+    if candidate_docs is not None:
+        rows = rows.join(candidate_docs.select("doc_id"), on="doc_id",
+                         how="left_semi")
 
     wexpr = F.lit(0.0)
     for i, wi in enumerate(w):

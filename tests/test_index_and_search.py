@@ -887,3 +887,26 @@ class TestFieldedBm25F:
         plan = (bm25f_topk(fidx, {"title": 2.0, "body": 1.0}, ["spark"])
                 ._jdf.queryExecution().executedPlan().toString())
         assert "PartitionFilters: [" in plan and "bucket" in plan
+
+
+def test_fielded_bm25f_candidate_filter(spark, tmp_path):
+    from pg_ts_semantic_headline_spark.plans.fielded import (
+        bm25f_topk, build_fielded_index, load_fielded_index)
+    rows = TestBm25F()._docs()
+    df = spark.createDataFrame(rows, ["doc_id", "title", "body"])
+    d = str(tmp_path / "fidx4")
+    build_fielded_index(spark, df, d, ["title", "body"],
+                        config="simple", n_buckets=4)
+    fidx = load_fielded_index(spark, d)
+    full = [(r["doc_id"], r["score"]) for r in
+            bm25f_topk(fidx, {"title": 2.0, "body": 1.0},
+                       ["spark", "window"], k=100).collect()]
+    keep = {i for i, _, _ in rows if i % 2 == 0}
+    cand = spark.createDataFrame([(i,) for i in keep], "doc_id long")
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25f_topk(fidx, {"title": 2.0, "body": 1.0},
+                      ["spark", "window"], k=100,
+                      candidate_docs=cand).collect()]
+    # exactly the even-id rows of the unfiltered ranking, same scores
+    # (idf stays corpus-global under a filter)
+    assert got == [(d_, s) for d_, s in full if d_ in keep]
