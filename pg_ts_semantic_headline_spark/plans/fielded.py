@@ -46,6 +46,7 @@ class FieldedIndex:
     sumdls: list[int]
     config: str
     n_buckets: int
+    gen: int = 0
 
 
 def build_fielded_index(
@@ -67,6 +68,24 @@ def build_fielded_index(
     fields = list(field_cols)
     if not fields:
         raise ValueError("field_cols must name at least one column")
+    rows, a = _field_rows(docs, fields, config, n_buckets, id_col, gen=0)
+    try:
+        (rows.repartition("bucket")
+         .write.mode("overwrite").partitionBy("bucket")
+         .parquet(f"{out_dir}/postings"))
+    finally:
+        a.unpersist()
+    _recompute_meta(spark, out_dir, fields, config, n_buckets, gen=0)
+
+
+def _field_rows(docs: DataFrame, fields: list[str], config: str,
+                n_buckets: int, id_col: str,
+                gen: int) -> tuple[DataFrame, DataFrame]:
+    """(postings rows, persisted analyzed frame): the shared analyze →
+    explode → bucket pipeline of build and incremental add. Caller
+    unpersists the analyzed frame after its last action."""
+    from .analyze import analyze_index_udf
+
     a = docs.select(F.col(id_col).alias("doc_id"), *fields)
     for i, f in enumerate(fields):
         a = a.withColumn(f"_a{i}",
@@ -76,54 +95,125 @@ def build_fielded_index(
     a = a.select("doc_id", dls.alias("dls"),
                  *[F.col(f"_a{i}.postings").alias(f"_p{i}")
                    for i in range(len(fields))]).persist()
-    try:
-        parts = None
-        for i in range(len(fields)):
-            p = (a.select("doc_id", "dls", F.lit(i).alias("field"),
-                          F.explode(f"_p{i}").alias("p"))
-                 .select("doc_id", "dls", "field",
-                         F.col("p.term").alias("term"),
-                         F.col("p.tf").alias("tf")))
-            parts = p if parts is None else parts.unionByName(p)
-        rows = parts.withColumn(
-            "bucket",
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-        (rows.repartition("bucket")
-         .write.mode("overwrite").partitionBy("bucket")
-         .parquet(f"{out_dir}/postings"))
+    parts = None
+    for i in range(len(fields)):
+        p = (a.select("doc_id", "dls", F.lit(i).alias("field"),
+                      F.explode(f"_p{i}").alias("p"))
+             .select("doc_id", "dls", "field",
+                     F.col("p.term").alias("term"),
+                     F.col("p.tf").alias("tf")))
+        parts = p if parts is None else parts.unionByName(p)
+    rows = (parts.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        .withColumn("gen", F.lit(int(gen))))
+    return rows, a
 
-        terms = (rows.groupBy("term")
-                 .agg(F.count_distinct("doc_id").alias("df"),
-                      F.first("bucket").alias("bucket")))
-        (terms.write.mode("overwrite").partitionBy("bucket")
-         .parquet(f"{out_dir}/terms"))
 
-        st = a.agg(F.count("*").alias("n"),
-                   *[F.sum(F.col("dls")[i]).alias(f"s{i}")
-                     for i in range(len(fields))]).first()
-        spark.createDataFrame(
-            [(int(st["n"]),
-              [int(st[f"s{i}"] or 0) for i in range(len(fields))],
-              fields, config, int(n_buckets))],
-            "n_docs long, sumdls array<long>, fields array<string>, "
-            "config string, n_buckets int"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/stats")
-    finally:
-        a.unpersist()
+def _live_postings(spark: SparkSession, out_dir: str) -> DataFrame:
+    from ..operators.generations import live_rows
+    from .index_build import _path_exists
+
+    post = spark.read.parquet(f"{out_dir}/postings")
+    tombs = (spark.read.parquet(f"{out_dir}/_tombstones")
+             if _path_exists(spark, f"{out_dir}/_tombstones") else None)
+    return live_rows(post, tombs, "doc_id")
+
+
+def _recompute_meta(spark: SparkSession, out_dir: str, fields: list[str],
+                    config: str, n_buckets: int, gen: int) -> None:
+    """Dictionary + corpus stats from the live (tombstone-filtered)
+    postings — metadata-scale aggregates, same policy as the main
+    index's `_reaggregate` (idf/df never drift after adds/deletes)."""
+    live = _live_postings(spark, out_dir)
+    terms = (live.groupBy("term")
+             .agg(F.count_distinct("doc_id").alias("df"),
+                  F.first("bucket").alias("bucket")))
+    (terms.write.mode("overwrite").partitionBy("bucket")
+     .parquet(f"{out_dir}/terms"))
+    per_doc = live.groupBy("doc_id").agg(F.first("dls").alias("dls"))
+    st = per_doc.agg(F.count("*").alias("n"),
+                     *[F.sum(F.col("dls")[i]).alias(f"s{i}")
+                       for i in range(len(fields))]).first()
+    spark.createDataFrame(
+        [(int(st["n"]),
+          [int(st[f"s{i}"] or 0) for i in range(len(fields))],
+          fields, config, int(n_buckets), int(gen))],
+        "n_docs long, sumdls array<long>, fields array<string>, "
+        "config string, n_buckets int, gen long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/stats")
 
 
 def load_fielded_index(spark: SparkSession, out_dir: str) -> FieldedIndex:
     st = spark.read.parquet(f"{out_dir}/stats").first()
     return FieldedIndex(
         root=out_dir,
-        postings=spark.read.parquet(f"{out_dir}/postings"),
+        postings=_live_postings(spark, out_dir),
         terms=spark.read.parquet(f"{out_dir}/terms"),
         fields=list(st["fields"]),
         n_docs=int(st["n_docs"]),
         sumdls=[int(x) for x in st["sumdls"]],
         config=str(st["config"]),
         n_buckets=int(st["n_buckets"]),
+        gen=int(st["gen"]),
     )
+
+
+def add_documents(index: FieldedIndex, docs: DataFrame,
+                  id_col: str = "doc_id") -> None:
+    """Incremental add: analyze ONLY the batch (O(batch)), append its
+    postings at gen+1, then recompute the metadata-scale dictionary and
+    stats from live rows. Re-adding an existing doc_id without deleting
+    first duplicates it (the shared generation contract —
+    `operators/generations.py`); replace = `delete_documents` then add."""
+    spark = index.postings.sparkSession
+    new_gen = index.gen + 1
+    rows, a = _field_rows(docs, index.fields, index.config,
+                          index.n_buckets, id_col, gen=new_gen)
+    try:
+        (rows.repartition("bucket")
+         .write.mode("append").partitionBy("bucket")
+         .parquet(f"{index.root}/postings"))
+    finally:
+        a.unpersist()
+    _recompute_meta(spark, index.root, index.fields, index.config,
+                    index.n_buckets, gen=new_gen)
+
+
+def delete_documents(index: FieldedIndex, doc_ids: list[int]) -> None:
+    """Tombstone-delete: rows with gen <= the tombstone's die (see the
+    shared contract); queries through a fresh `load_fielded_index` stop
+    seeing them immediately, `compact_fielded_index` drops them
+    physically. O(deletes) writes + a metadata recompute."""
+    spark = index.postings.sparkSession
+    spark.createDataFrame(
+        [(int(i), index.gen) for i in doc_ids], "doc_id long, gen long"
+    ).write.mode("append").parquet(f"{index.root}/_tombstones")
+    _recompute_meta(spark, index.root, index.fields, index.config,
+                    index.n_buckets, gen=index.gen)
+
+
+def compact_fielded_index(spark: SparkSession, out_dir: str) -> None:
+    """Physically drop tombstoned rows: rewrite live postings (gens
+    PRESERVED — surviving rows must stay above any tombstone a crash
+    leaves behind), swap directories, delete tombstones LAST. A crash at
+    any point leaves a correct index: before the swap the old store is
+    intact; between the swap and the tombstone delete the tombstones
+    still classify every surviving row live."""
+    from .index_build import _path_exists
+    from ..streaming.incremental import _delete_path, _rename_path
+
+    st = spark.read.parquet(f"{out_dir}/stats").first()
+    live = _live_postings(spark, out_dir)
+    tmp = f"{out_dir}/.postings_tmp"
+    _delete_path(spark, tmp)
+    (live.repartition("bucket")
+     .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
+    _delete_path(spark, f"{out_dir}/postings")
+    _rename_path(spark, tmp, f"{out_dir}/postings")
+    if _path_exists(spark, f"{out_dir}/_tombstones"):
+        _delete_path(spark, f"{out_dir}/_tombstones")
+    _recompute_meta(spark, out_dir, list(st["fields"]), str(st["config"]),
+                    int(st["n_buckets"]), gen=int(st["gen"]))
 
 
 def bm25f_topk(

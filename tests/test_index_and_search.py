@@ -910,3 +910,74 @@ def test_fielded_bm25f_candidate_filter(spark, tmp_path):
     # exactly the even-id rows of the unfiltered ranking, same scores
     # (idf stays corpus-global under a filter)
     assert got == [(d_, s) for d_, s in full if d_ in keep]
+
+
+class TestFieldedIncremental:
+    def _frames(self, spark):
+        rows = TestBm25F()._docs()
+        d1 = spark.createDataFrame(rows[:25], ["doc_id", "title", "body"])
+        d2 = spark.createDataFrame(rows[25:], ["doc_id", "title", "body"])
+        full = spark.createDataFrame(rows, ["doc_id", "title", "body"])
+        return d1, d2, full
+
+    def _query(self, fidx):
+        from pg_ts_semantic_headline_spark.plans.fielded import bm25f_topk
+        return [(r["doc_id"], r["score"]) for r in
+                bm25f_topk(fidx, {"title": 2.0, "body": 1.0},
+                           ["spark", "window"], k=100).collect()]
+
+    def test_add_equals_rebuild(self, spark, tmp_path):
+        from pg_ts_semantic_headline_spark.plans.fielded import (
+            add_documents, build_fielded_index, load_fielded_index)
+        d1, d2, full = self._frames(spark)
+        inc, reb = str(tmp_path / "inc"), str(tmp_path / "reb")
+        build_fielded_index(spark, d1, inc, ["title", "body"],
+                            config="simple", n_buckets=4)
+        add_documents(load_fielded_index(spark, inc), d2)
+        build_fielded_index(spark, full, reb, ["title", "body"],
+                            config="simple", n_buckets=4)
+        assert self._query(load_fielded_index(spark, inc)) == \
+            self._query(load_fielded_index(spark, reb))
+
+    def test_delete_replace_compact(self, spark, tmp_path):
+        from pg_ts_semantic_headline_spark.plans.fielded import (
+            add_documents, build_fielded_index, compact_fielded_index,
+            delete_documents, load_fielded_index)
+        _, _, full = self._frames(spark)
+        d = str(tmp_path / "idx")
+        build_fielded_index(spark, full, d, ["title", "body"],
+                            config="simple", n_buckets=4)
+        fidx = load_fielded_index(spark, d)
+        victim = self._query(fidx)[0][0]
+        delete_documents(fidx, [victim])
+        fidx = load_fielded_index(spark, d)
+        assert victim not in [i for i, _ in self._query(fidx)]
+        assert fidx.n_docs == 39
+        # replace: re-add the doc with title-only spam
+        add_documents(fidx, spark.createDataFrame(
+            [(victim, "spark spark spark", "quiet body")],
+            ["doc_id", "title", "body"]))
+        fidx = load_fielded_index(spark, d)
+        assert fidx.n_docs == 40
+        # only the REPLACEMENT content is visible: one live 'spark'
+        # title row with the new tf, and the new dls vector everywhere
+        live = fidx.postings.where(F.col("doc_id") == victim)
+        srow = live.where((F.col("term") == "spark")
+                          & (F.col("field") == 0)).collect()
+        assert [r["tf"] for r in srow] == [3]
+        assert {tuple(r["dls"]) for r in live.collect()} == {(3, 2)}
+        # compact: tombstones fold in, results unchanged (materialize the
+        # pre-compaction answer first — a handle from before the swap
+        # holds stale file listings by design)
+        before = self._query(fidx)
+        compact_fielded_index(spark, d)
+        fidx2 = load_fielded_index(spark, d)
+        assert self._query(fidx2) == before
+        from pg_ts_semantic_headline_spark.plans.index_build import (
+            _path_exists)
+        assert not _path_exists(spark, f"{d}/_tombstones")
+        # exactly one live copy of the victim's rows survives physically
+        raw = spark.read.parquet(f"{d}/postings")
+        assert raw.where((F.col("doc_id") == victim)
+                         & (F.col("term") == "spark")
+                         & (F.col("field") == 0)).count() == 1
