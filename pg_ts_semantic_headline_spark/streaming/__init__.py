@@ -6,10 +6,12 @@ from .percolate import (percolate, percolate_patterns,
                         percolate_patterns_stream, percolate_stream)
 from .sessions import sessionize, sessionize_stream
 from .term_stats import doc_arrival_rates, windowed_term_counts
-from .vector_ingest import (attach_trigram_indexer,
+from .vector_ingest import (attach_fielded_indexer,
+                            attach_trigram_indexer,
                             attach_vector_indexer)
 
-__all__ = ["attach_corpus_preparer", "attach_incremental_indexer",
+__all__ = ["attach_corpus_preparer", "attach_fielded_indexer",
+           "attach_incremental_indexer",
            "attach_trigram_indexer", "attach_vector_indexer",
            "compact_corpus_stores", "compact_index", "delete_docs",
            "doc_arrival_rates", "merge_batch", "percolate",

@@ -81,3 +81,30 @@ def attach_trigram_indexer(
     from .wiring import start_foreach_batch
     return start_foreach_batch(stream_docs, handle, checkpoint_dir,
                                trigger_available_now)
+
+
+def attach_fielded_indexer(
+    stream_docs: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    trigger_available_now: bool = True,
+):
+    """Streaming ingest into a persisted fielded (BM25F) index: each
+    micro-batch is analyzed field-by-field and appended at the next
+    generation via `plans.fielded.add_documents` — O(batch) analysis, a
+    metadata-scale dictionary/stats recompute per batch. The handle is
+    reloaded per batch for restart-safe generation numbers, the same
+    contract as the other attachers; the stream columns must include
+    the index's field columns."""
+    from ..plans.fielded import add_documents, load_fielded_index
+
+    spark = stream_docs.sparkSession
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        add_documents(load_fielded_index(spark, index_dir), batch_df,
+                      id_col=id_col)
+
+    from .wiring import start_foreach_batch
+    return start_foreach_batch(stream_docs, handle, checkpoint_dir,
+                               trigger_available_now)

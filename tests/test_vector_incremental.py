@@ -257,3 +257,40 @@ def test_ann_knn_join_matches_per_query_handle(spark, vec_df, vec_rows,
     salted = {(r["query_id"], r["vec_id"]) for r in
               ann_knn_join(h, queries, k=5, salt=3).collect()}
     assert salted == {(q, v) for q, lst in got.items() for v, _ in lst}
+
+
+def test_streaming_fielded_ingest(spark, tmp_path):
+    """availableNow stream appended into a fielded BM25F index equals a
+    one-shot build over the same rows."""
+    from pg_ts_semantic_headline_spark.plans.fielded import (
+        bm25f_topk, build_fielded_index, load_fielded_index)
+    from pg_ts_semantic_headline_spark.streaming import (
+        attach_fielded_indexer)
+
+    rows = [(i, f"title{i % 3} spark", f"body words window doc{i}")
+            for i in range(30)]
+    base, extra = rows[:10], rows[10:]
+    idx = str(tmp_path / "fidx")
+    build_fielded_index(
+        spark, spark.createDataFrame(base, ["doc_id", "title", "body"]),
+        idx, ["title", "body"], config="simple", n_buckets=4)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(extra, ["doc_id", "title", "body"]) \
+        .coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, title string, body string").parquet(src)
+    q = attach_fielded_indexer(stream, idx, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    reb = str(tmp_path / "reb")
+    build_fielded_index(
+        spark, spark.createDataFrame(rows, ["doc_id", "title", "body"]),
+        reb, ["title", "body"], config="simple", n_buckets=4)
+    w = {"title": 2.0, "body": 1.0}
+    got = [(r["doc_id"], r["score"]) for r in
+           bm25f_topk(load_fielded_index(spark, idx), w,
+                      ["spark", "window"], k=50).collect()]
+    want = [(r["doc_id"], r["score"]) for r in
+            bm25f_topk(load_fielded_index(spark, reb), w,
+                       ["spark", "window"], k=50).collect()]
+    assert got == want and len(got) == 30
