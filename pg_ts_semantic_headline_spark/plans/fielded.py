@@ -122,8 +122,10 @@ def _live_postings(spark: SparkSession, out_dir: str) -> DataFrame:
 def _recompute_meta(spark: SparkSession, out_dir: str, fields: list[str],
                     config: str, n_buckets: int, gen: int) -> None:
     """Dictionary + corpus stats from the live (tombstone-filtered)
-    postings — metadata-scale aggregates, same policy as the main
-    index's `_reaggregate` (idf/df never drift after adds/deletes)."""
+    postings — same policy as the main index's `_reaggregate` (idf/df
+    never drift after adds/deletes). The OUTPUT is metadata-scale, but
+    the aggregation reads the postings' skinny columns once per call:
+    batch your mutations to whatever cadence amortizes that scan."""
     live = _live_postings(spark, out_dir)
     terms = (live.groupBy("term")
              .agg(F.count_distinct("doc_id").alias("df"),
@@ -236,7 +238,10 @@ def bm25f_topk(
     `candidate_docs` (a doc_id frame — e.g. `matching_docs` output from
     a sibling boolean index, or a dedup survivor set) semi-joins the
     scan BEFORE aggregation, the same contract as `bm25_topk`; idf stays
-    corpus-global, matching pg/Lucene filtered-query semantics."""
+    corpus-global, matching pg/Lucene filtered-query semantics. Phrase-
+    or boolean-FILTERED BM25F composes exactly this way: build the main
+    positional index over the concatenated fields and pass its
+    `matching_docs(query)` here (tested)."""
     import math
 
     spark = index.postings.sparkSession

@@ -981,3 +981,35 @@ class TestFieldedIncremental:
         assert raw.where((F.col("doc_id") == victim)
                          & (F.col("term") == "spark")
                          & (F.col("field") == 0)).count() == 1
+
+
+def test_fielded_bm25f_phrase_filtered_composition(spark, tmp_path):
+    """Phrase-filtered BM25F: the main positional index (built over the
+    concatenated fields) supplies matching_docs as the candidate set."""
+    from pg_ts_semantic_headline_spark.plans.fielded import (
+        bm25f_topk, build_fielded_index, load_fielded_index)
+    rows = TestBm25F()._docs()
+    # plant an exact phrase in a few docs' bodies
+    rows = [(i, t, (b + " needle phrase") if i % 5 == 0 else b)
+            for i, t, b in rows]
+    df = spark.createDataFrame(rows, ["doc_id", "title", "body"])
+    fd = str(tmp_path / "fidx")
+    build_fielded_index(spark, df, fd, ["title", "body"],
+                        config="simple", n_buckets=4)
+    fidx = load_fielded_index(spark, fd)
+    md = str(tmp_path / "midx")
+    build_index(spark,
+                df.select("doc_id",
+                          F.concat_ws(" ", "title", "body").alias("content")),
+                md, config="simple", n_buckets=4, block_span=8)
+    midx = load_index(spark, md)
+    cands = matching_docs(midx, phraseto_tspquery("simple", "needle phrase"))
+    got = [r["doc_id"] for r in
+           bm25f_topk(fidx, {"title": 2.0, "body": 1.0},
+                      ["spark", "window"], k=100,
+                      candidate_docs=cands).collect()]
+    full = [r["doc_id"] for r in
+            bm25f_topk(fidx, {"title": 2.0, "body": 1.0},
+                       ["spark", "window"], k=100).collect()]
+    want = [d for d in full if d % 5 == 0]
+    assert got == want and got   # phrase docs only, BM25F order kept
