@@ -1051,13 +1051,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     _gate_fielded: dict = {}
 
-    def q65(spark, sf):
-        # BM25F from the PERSISTED per-field index — must reproduce the
-        # ad-hoc q64 oracle bit-for-bit (exact integer length sums, one
-        # division; strictly positive weights)
+    def _fielded_gate_index(spark, sf):
+        # one persisted per-field index (title = tokens 1..8, body = 9..)
+        # shared by every fielded gate entry
         import tempfile
         from pg_ts_semantic_headline_spark.plans.fielded import (
-            bm25f_topk, build_fielded_index, load_fielded_index)
+            build_fielded_index, load_fielded_index)
         key = (id(spark), sf)
         if key not in _gate_fielded:
             s = F.split(F.col("text"), " ")
@@ -1071,11 +1070,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             build_fielded_index(spark, d, fdir, ["title", "body"],
                                 config="simple", n_buckets=8)
             _gate_fielded[key] = load_fielded_index(spark, fdir)
-        return (bm25f_topk(_gate_fielded[key],
+        return _gate_fielded[key]
+
+    def q65(spark, sf):
+        # BM25F from the PERSISTED per-field index — must reproduce the
+        # ad-hoc q64 oracle bit-for-bit (exact integer length sums, one
+        # division; strictly positive weights)
+        from pg_ts_semantic_headline_spark.plans.fielded import bm25f_topk
+        return (bm25f_topk(_fielded_gate_index(spark, sf),
                            {"title": 2.0, "body": 1.0},
                            ["spark", "window"], k=100_000)
                 .withColumn("score_e4", _e4(F.col("score")))
                 .select("doc_id", "score_e4"))
+
+    def q66(spark, sf):
+        # batch fielded retrieval: 3 BM25F queries in ONE plan (single
+        # postings scan) over the persisted per-field index; k covers the
+        # corpus so the full scored set per query is compared. Rank is
+        # omitted (e4-boundary-sensitive); per-query rank identity vs
+        # bm25f_topk is pinned by pytest. Queries stay ≤2 terms so the
+        # per-doc float sum is order-free (commutative, not associative).
+        from pg_ts_semantic_headline_spark.plans.fielded import (
+            bm25f_topk_batch)
+        qs = {"f_a": ["spark", "window"], "f_b": ["merge", "batch"],
+              "f_c": ["query"]}
+        return (bm25f_topk_batch(_fielded_gate_index(spark, sf),
+                                 {"title": 2.0, "body": 1.0}, qs,
+                                 k=100_000)
+                .withColumn("score_e4", _e4(F.col("score")))
+                .select("query_id", "doc_id", "score_e4"))
 
     return {
         "tsp_indexable_text": q01,
@@ -1143,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_page": q63,
         "bm25f_topk": q64,
         "bm25f_topk_indexed": q65,
+        "bm25f_topk_batch": q66,
     }
 
 
@@ -1376,6 +1400,56 @@ SELECT doc_id,
 FROM per CROSS JOIN s
 WHERE ({any_pos}) > 0
 """
+
+
+def _bm25f_batch_sql(queries: dict[str, list[str]]) -> str:
+    """Batch BM25F oracle: one shared per-doc weighted-tf table over the
+    union of all query terms (same split/weights as `_bm25f_sql`), then
+    one UNION ALL branch per query summing ITS terms in sorted order."""
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    ix = {t: i for i, t in enumerate(all_terms)}
+    wtfs = ",\n         ".join(
+        f"2.0 * len(list_filter(ft, x -> x = '{t}'))"
+        f" + 1.0 * len(list_filter(fb, x -> x = '{t}')) AS wtf_{i}"
+        for i, t in enumerate(all_terms))
+    dfs = ",\n         ".join(
+        f"SUM(CASE WHEN wtf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(all_terms)))
+    parts = []
+    for qid in sorted(queries):
+        ts = sorted(set(queries[qid]))
+        score = " + ".join(
+            f"CASE WHEN wtf_{ix[t]} > 0 THEN"
+            f" ln(1 + (s.n - s.df_{ix[t]} + 0.5)/(s.df_{ix[t]} + 0.5))"
+            f" * wtf_{ix[t]} * ({K1_SQL} + 1)"
+            f" / (wtf_{ix[t]} + {K1_SQL} * (1 - {B_SQL} + {B_SQL}"
+            f" * wdl / s.a)) ELSE 0.0 END"
+            for t in ts)
+        any_pos = " + ".join(f"wtf_{ix[t]}" for t in ts)
+        parts.append(
+            f"SELECT '{qid}' AS query_id, doc_id,\n"
+            f"       CAST(ROUND(({score}) * 10000) AS BIGINT) AS score_e4\n"
+            f"FROM per CROSS JOIN s\n"
+            f"WHERE ({any_pos}) > 0")
+    return f"""
+WITH fx AS (
+  SELECT doc_id,
+         list_filter(array_slice(string_split(text, ' '), 1, 8),
+                     x -> x <> '') AS ft,
+         list_filter(array_slice(string_split(text, ' '), 9, 1000000000),
+                     x -> x <> '') AS fb
+  FROM documents
+),
+per AS (
+  SELECT doc_id,
+         2.0 * len(ft) + 1.0 * len(fb) AS wdl,
+         {wtfs}
+  FROM fx
+),
+s AS (SELECT count(*) AS n, avg(wdl) AS a,
+         {dfs}
+      FROM per)
+""" + "\nUNION ALL\n".join(parts)
 
 
 def _phrase_values(pairs) -> str:
@@ -2161,4 +2235,7 @@ FROM s GROUP BY user_id, sess
                                      cursor_score=2.5, cursor_doc=40),
         "bm25f_topk": _bm25f_sql(["spark", "window"]),
         "bm25f_topk_indexed": _bm25f_sql(["spark", "window"]),
+        "bm25f_topk_batch": _bm25f_batch_sql(
+            {"f_a": ["spark", "window"], "f_b": ["merge", "batch"],
+             "f_c": ["query"]}),
     }

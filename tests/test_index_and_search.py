@@ -912,6 +912,64 @@ def test_fielded_bm25f_candidate_filter(spark, tmp_path):
     assert got == [(d_, s) for d_, s in full if d_ in keep]
 
 
+class TestFieldedBatch:
+    def _fidx(self, spark, tmp_path):
+        from pg_ts_semantic_headline_spark.plans.fielded import (
+            build_fielded_index, load_fielded_index)
+        rows = TestBm25F()._docs()
+        df = spark.createDataFrame(rows, ["doc_id", "title", "body"])
+        d = str(tmp_path / "fidx_batch")
+        build_fielded_index(spark, df, d, ["title", "body"],
+                            config="simple", n_buckets=4)
+        return load_fielded_index(spark, d)
+
+    def test_batch_rank_identical_to_per_query(self, spark, tmp_path):
+        from pg_ts_semantic_headline_spark.plans.fielded import (
+            bm25f_topk, bm25f_topk_batch)
+        fidx = self._fidx(spark, tmp_path)
+        w = {"title": 2.0, "body": 1.0}
+        queries = {
+            "q_a": ["spark", "window"],
+            "q_b": ["merge", "batch", "query"],
+            "q_c": ["spark", "spark"],          # duplicate terms collapse
+            "q_d": ["nosuchterm"],              # empty result set
+        }
+        batch = bm25f_topk_batch(fidx, w, queries, k=7).collect()
+        by_q = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for qid, terms in queries.items():
+            got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+            want = bm25f_topk(fidx, w, terms, k=7).collect()
+            assert [r["doc_id"] for r in got] == \
+                [r["doc_id"] for r in want], qid
+            for g, wv in zip(got, want):
+                assert abs(g["score"] - wv["score"]) < 1e-9
+            assert [r["rank"] for r in got] == list(range(1, len(want) + 1))
+
+    def test_batch_single_scan_plan(self, spark, tmp_path):
+        # the whole workload must read postings ONCE: the returned plan's
+        # only file scan is the postings read (idf + query tables are
+        # driver-built local relations), regardless of query count.
+        # NB: match bare "FileScan" — toString truncates the Location
+        # path, so "postings" may be cut out of the line.
+        from pg_ts_semantic_headline_spark.plans.fielded import (
+            bm25f_topk_batch)
+        fidx = self._fidx(spark, tmp_path)
+        plan = (bm25f_topk_batch(fidx, {"title": 2.0, "body": 1.0},
+                                 {"a": ["spark"], "b": ["merge"],
+                                  "c": ["batch", "window"]}, k=5)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert sum("FileScan" in ln for ln in plan.splitlines()) == 1
+
+    def test_batch_unknown_field_raises(self, spark, tmp_path):
+        from pg_ts_semantic_headline_spark.plans.fielded import (
+            bm25f_topk_batch)
+        fidx = self._fidx(spark, tmp_path)
+        with pytest.raises(ValueError, match="unknown fields"):
+            bm25f_topk_batch(fidx, {"headline": 1.0}, {"a": ["x"]})
+
+
 class TestFieldedIncremental:
     def _frames(self, spark):
         rows = TestBm25F()._docs()
