@@ -1100,6 +1100,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("score_e4", _e4(F.col("score")))
                 .select("query_id", "doc_id", "score_e4"))
 
+    def q67(spark, sf):
+        # per-doc keyword extraction: integer-only ranking (tf desc, df
+        # asc, term asc) — no float tie risk anywhere in the entry
+        from pg_ts_semantic_headline_spark.operators.collocations import (
+            doc_keywords)
+        return doc_keywords(_docs(spark, sf), top_n=5)
+
+    def q68(spark, sf):
+        # PMI bigram collocations; every PMI input is an exact integer
+        # count and the formula is evaluated in one fixed order on both
+        # engines, so e4 rounding is far above any ulp drift
+        from pg_ts_semantic_headline_spark.operators.collocations import (
+            pmi_collocations)
+        return (pmi_collocations(_docs(spark, sf), min_count=5)
+                .withColumn("pmi_e4", _e4(F.col("pmi")))
+                .select("w1", "w2", "pair_count", "pmi_e4"))
+
+    def q69(spark, sf):
+        # grouped top-k per facet over the persisted index: k covers the
+        # corpus so the FULL scored set per source value is compared;
+        # rank omitted (e4-boundary-sensitive — the k-cut + rank
+        # contract is pinned by pytest)
+        from pg_ts_semantic_headline_spark.plans.search import top_per_facet
+        index = _built_index(spark, sf)
+        meta = _docs(spark, sf).select("doc_id", "source")
+        return (top_per_facet(index, ["spark", "window"], meta, "source",
+                              k=100_000)
+                .withColumn("score_e4", _e4(F.col("score")))
+                .select("facet_value", "doc_id", "score_e4"))
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -1167,6 +1197,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": q64,
         "bm25f_topk_indexed": q65,
         "bm25f_topk_batch": q66,
+        "doc_keywords": q67,
+        "pmi_collocations": q68,
+        "top_per_facet": q69,
     }
 
 
@@ -1665,6 +1698,11 @@ SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4
 FROM scored
 ORDER BY CAST(ROUND(score * 10000) AS BIGINT) DESC, doc_id
 LIMIT 20
+""",
+        "top_per_facet": _bm25_score_sql(["spark", "window"]) + """
+SELECT d.source AS facet_value, s.doc_id,
+       CAST(ROUND(s.score * 10000) AS BIGINT) AS score_e4
+FROM scored s JOIN documents d USING (doc_id)
 """,
         "bm25_phrase_filtered": _bm25_score_sql(["batch"]) + """
 , hits AS (
@@ -2238,4 +2276,47 @@ FROM s GROUP BY user_id, sess
         "bm25f_topk_batch": _bm25f_batch_sql(
             {"f_a": ["spark", "window"], "f_b": ["merge", "batch"],
              "f_c": ["query"]}),
+        # integer-only keyword ranking: tf desc, df asc, term asc
+        "doc_keywords": f"""
+WITH {TOKS_CTE.strip()},
+tf AS (SELECT doc_id, token AS term, count(*) AS tf
+       FROM toks GROUP BY doc_id, token),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+r AS (SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS BIGINT) AS tf, CAST(dfq.df AS BIGINT) AS df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dfq.df ASC,
+                                         tf.term ASC) AS rnk
+      FROM tf JOIN dfq USING (term))
+SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rank
+FROM r WHERE rnk <= 5
+""",
+        # PMI over adjacent pairs: same fixed-order formula as the
+        # operator — (c/Nb) / ((c1/Nu) * (c2/Nu)), then ln
+        "pmi_collocations": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+uni AS (SELECT w, count(*) AS c
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+nu AS (SELECT CAST(sum(c) AS DOUBLE) AS nu FROM uni),
+nb AS (SELECT CAST(sum(len(t) - 1) AS DOUBLE) AS nb
+       FROM toks WHERE len(t) >= 2),
+big AS (
+  SELECT t1.w1, t1.w2, count(*) AS pair_count FROM (
+    SELECT doc_id,
+           unnest(array_slice(t, 1, len(t) - 1)) AS w1,
+           unnest(array_slice(t, 2, len(t))) AS w2
+    FROM toks WHERE len(t) >= 2
+  ) t1 GROUP BY t1.w1, t1.w2 HAVING count(*) >= 5
+)
+SELECT big.w1, big.w2, CAST(big.pair_count AS BIGINT) AS pair_count,
+       CAST(ROUND(ln((big.pair_count / nb.nb)
+                     / ((u1.c / nu.nu) * (u2.c / nu.nu))) * 10000)
+            AS BIGINT) AS pmi_e4
+FROM big
+JOIN uni u1 ON u1.w = big.w1
+JOIN uni u2 ON u2.w = big.w2
+CROSS JOIN nb CROSS JOIN nu
+""",
     }

@@ -61,6 +61,7 @@ from .trigram import (
     trigrams_col,
 )
 from .textstats import doc_fingerprint, lang_id, quality_score, token_counts
+from .collocations import doc_keywords, pmi_collocations
 from .decontaminate import (
     attach_decontaminator,
     contamination_report,

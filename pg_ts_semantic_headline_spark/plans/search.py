@@ -952,6 +952,56 @@ def facet_counts(
             .agg(F.count("*").alias("doc_count")))
 
 
+def top_per_facet(
+    index: Index,
+    terms: list[str],
+    meta: DataFrame,
+    facet_col: str,
+    k: int = 3,
+    candidate_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k BM25 results WITHIN each facet value — the "best 3 hits per
+    source / per language" result-diversification query (Elasticsearch
+    `top_hits` inside a terms aggregation). Complements `facet_counts`:
+    that returns the sidebar counts, this returns the documents.
+
+    One pruned postings scan → per-doc BM25 sum (match-set-sized), an
+    equi-join onto the metadata table for the facet column (AQE
+    broadcasts the match side when it is small — the metadata table is
+    never shuffled by hand), then one row_number window per facet value.
+    Ties break score desc, doc_id asc. `candidate_docs` pre-filters the
+    scan (boolean/phrase compositions), same contract as `bm25_topk`.
+
+    Skew note: the window sorts each facet partition, so one dominant
+    facet value costs a sort of its match subset — acceptable because the
+    input is the MATCH set, not the corpus; for stopword-scale queries
+    over a near-single-valued facet, cut the match set first (filters or
+    a global `bm25_topk` pre-pass).
+
+    Returns (facet_value, doc_id, score, rank), rank 1-based per value;
+    NULL facet values rank in their own group like SQL GROUP BY."""
+    from pyspark.sql import Window
+
+    ts = sorted(set(terms))
+    if not ts:
+        return index.postings.sparkSession.createDataFrame(
+            [], "facet_value string, doc_id long, score double, rank int")
+    scored = _scored(index, ts)
+    if candidate_docs is not None:
+        scored = scored.join(candidate_docs.select("doc_id"), on="doc_id",
+                             how="left_semi")
+    per_doc = scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+    sel = per_doc.join(
+        meta.select("doc_id",
+                    F.col(facet_col).cast("string").alias("facet_value")),
+        on="doc_id")
+    win = (Window.partitionBy("facet_value")
+           .orderBy(F.desc("score"), F.asc("doc_id")))
+    return (sel.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .select("facet_value", "doc_id", "score", "rank"))
+
+
 def more_like_this(
     index: Index,
     content: str,

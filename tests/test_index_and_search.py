@@ -640,6 +640,31 @@ class TestSearchExtras:
         with pytest.raises(ValueError):
             facet_counts(index, q, spark.range(1), [])
 
+    def test_top_per_facet_equals_filtered_full_ranking(self, spark, index,
+                                                        corpus):
+        from pg_ts_semantic_headline_spark.plans.search import top_per_facet
+        meta = spark.createDataFrame(
+            [(i, "en" if i % 3 else "de") for i, _ in corpus],
+            ["doc_id", "lang"])
+        terms = ["spark", "window"]
+        full = bm25_topk(index, terms, k=10_000, mode="exact").collect()
+        lang = {i: ("en" if i % 3 else "de") for i, _ in corpus}
+        want = {}
+        for r in full:
+            fv = lang[r["doc_id"]]
+            if len(want.setdefault(fv, [])) < 2:
+                want[fv].append((r["doc_id"],
+                                 pytest.approx(r["score"], rel=1e-12)))
+        got = {}
+        for r in sorted(top_per_facet(index, terms, meta, "lang",
+                                      k=2).collect(),
+                        key=lambda r: (r["facet_value"], r["rank"])):
+            got.setdefault(r["facet_value"], []).append(
+                (r["doc_id"], r["score"]))
+            assert r["rank"] == len(got[r["facet_value"]])
+        assert got == want
+        assert set(got) == {"en", "de"}  # non-vacuous: both facets hit
+
     def test_more_like_this_matches_python(self, index, corpus):
         from collections import Counter
 

@@ -638,3 +638,77 @@ def test_prepare_corpus_repetition_gate(spark):
            prepare_corpus(df, max_top_bigram_frac=0.2,
                           exact_dedup=False).collect()}
     assert out[1] == "repetitive" and out[2] is None
+
+
+class TestCollocations:
+    CORPUS = [
+        (1, "new york is a big city"),
+        (2, "new york has a big port"),
+        (3, "york new has nothing here"),
+        (4, "a a a b"),
+        (5, "solo"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+
+    def test_doc_keywords_matches_python(self, spark):
+        from pg_ts_semantic_headline_spark.operators.collocations import (
+            doc_keywords)
+        toks = {i: t.split(" ") for i, t in self.CORPUS}
+        tf = {(i, w): ts.count(w) for i, ts in toks.items() for w in set(ts)}
+        df_ = {}
+        for (i, w) in tf:
+            df_[w] = df_.get(w, 0) + 1
+        want = {}
+        for i, ts in toks.items():
+            ranked = sorted({(w, tf[(i, w)], df_[w]) for w in ts},
+                            key=lambda x: (-x[1], x[2], x[0]))[:3]
+            want[i] = [(w, t, d, r + 1)
+                       for r, (w, t, d) in enumerate(ranked)]
+        got = {}
+        for r in doc_keywords(self._df(spark), top_n=3).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["term"], r["tf"], r["df"], r["rank"]))
+        for i in got:
+            got[i].sort(key=lambda x: x[3])
+        assert got == want
+
+    def test_doc_keywords_single_token_doc(self, spark):
+        from pg_ts_semantic_headline_spark.operators.collocations import (
+            doc_keywords)
+        rows = [r for r in doc_keywords(self._df(spark), top_n=3).collect()
+                if r["doc_id"] == 5]
+        assert [(r["term"], r["tf"], r["rank"]) for r in rows] == \
+            [("solo", 1, 1)]
+
+    def test_pmi_collocations_matches_python(self, spark):
+        from pg_ts_semantic_headline_spark.operators.collocations import (
+            pmi_collocations)
+        toks = {i: t.split(" ") for i, t in self.CORPUS}
+        uni, bi = {}, {}
+        for ts in toks.values():
+            for w in ts:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(ts, ts[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        nu = sum(uni.values())
+        nb = sum(len(ts) - 1 for ts in toks.values() if len(ts) >= 2)
+        want = {(a, b): (c, math.log((c / nb) /
+                                     ((uni[a] / nu) * (uni[b] / nu))))
+                for (a, b), c in bi.items() if c >= 2}
+        got = {(r["w1"], r["w2"]): (r["pair_count"], r["pmi"]) for r in
+               pmi_collocations(self._df(spark), min_count=2).collect()}
+        assert set(got) == set(want)
+        # "new york" appears twice (docs 1, 2); "york new" only once
+        assert ("new", "york") in got and ("york", "new") not in got
+        for k in want:
+            assert got[k][0] == want[k][0]
+            assert got[k][1] == pytest.approx(want[k][1], rel=1e-12)
+
+    def test_pmi_min_count_and_short_docs(self, spark):
+        from pg_ts_semantic_headline_spark.operators.collocations import (
+            pmi_collocations)
+        # min_count above every pair count -> empty; the 1-token doc
+        # must not crash the slice-window bigram expression
+        assert pmi_collocations(self._df(spark), min_count=99).count() == 0
