@@ -1117,6 +1117,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("pmi_e4", _e4(F.col("pmi")))
                 .select("w1", "w2", "pair_count", "pmi_e4"))
 
+    def q70(spark, sf):
+        # per-term score explanation over the persisted index: raw
+        # integers (tf, dl, df) plus e4 idf/term/doc scores; 2-term
+        # query keeps the doc total an order-free 2-addend sum
+        from pg_ts_semantic_headline_spark.plans.search import explain_score
+        index = _built_index(spark, sf)
+        return (explain_score(index, ["spark", "window"])
+                .withColumn("idf_e4", _e4(F.col("idf")))
+                .withColumn("term_score_e4", _e4(F.col("term_score")))
+                .withColumn("doc_score_e4", _e4(F.col("doc_score")))
+                .select("doc_id", "term",
+                        F.col("tf").cast("long").alias("tf"),
+                        F.col("dl").cast("long").alias("dl"),
+                        F.col("df").cast("long").alias("df"),
+                        "idf_e4", "term_score_e4", "doc_score_e4"))
+
     def q69(spark, sf):
         # grouped top-k per facet over the persisted index: k covers the
         # corpus so the FULL scored set per source value is compared;
@@ -1200,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": q67,
         "pmi_collocations": q68,
         "top_per_facet": q69,
+        "explain_score": q70,
     }
 
 
@@ -1698,6 +1715,31 @@ SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4
 FROM scored
 ORDER BY CAST(ROUND(score * 10000) AS BIGINT) DESC, doc_id
 LIMIT 20
+""",
+        # same formula/CTEs as bm25_topk, exploded to per-(doc, term)
+        # rows with a per-doc window total
+        "explain_score": f"""
+WITH {TOKS_CTE.strip()}, {BM25_CTE.strip()}
+SELECT tf.doc_id, tf.term,
+       CAST(tf.tf AS BIGINT) AS tf,
+       CAST(docstats.dl AS BIGINT) AS dl,
+       CAST(dfreq.df AS BIGINT) AS df,
+       CAST(ROUND(ln(1.0 + (corpus.n_docs - dfreq.df + 0.5)
+                     / (dfreq.df + 0.5)) * 10000) AS BIGINT) AS idf_e4,
+       CAST(ROUND(( ln(1.0 + (corpus.n_docs - dfreq.df + 0.5)/(dfreq.df + 0.5))
+                    * (tf.tf * ({K1_SQL} + 1))
+                    / (tf.tf + {K1_SQL} * (1 - {B_SQL} + {B_SQL} * docstats.dl / corpus.avgdl))
+                  ) * 10000) AS BIGINT) AS term_score_e4,
+       CAST(ROUND(SUM( ln(1.0 + (corpus.n_docs - dfreq.df + 0.5)/(dfreq.df + 0.5))
+                       * (tf.tf * ({K1_SQL} + 1))
+                       / (tf.tf + {K1_SQL} * (1 - {B_SQL} + {B_SQL} * docstats.dl / corpus.avgdl))
+                     ) OVER (PARTITION BY tf.doc_id) * 10000) AS BIGINT)
+         AS doc_score_e4
+FROM tf
+JOIN docstats USING (doc_id)
+JOIN dfreq USING (term)
+CROSS JOIN corpus
+WHERE tf.term IN ('spark', 'window')
 """,
         "top_per_facet": _bm25_score_sql(["spark", "window"]) + """
 SELECT d.source AS facet_value, s.doc_id,

@@ -96,6 +96,43 @@ def _idf_lookup(index: Index, terms: list[str],
             .select(*cols))
 
 
+def explain_score(
+    index: Index,
+    terms: list[str],
+    doc_ids: list[int] | None = None,
+) -> DataFrame:
+    """Per-term BM25 score breakdown — the "why did this document rank
+    here" debugging view (Elasticsearch `_explain`). One row per
+    (doc_id, term) the doc matches: the raw integers the formula saw
+    (tf, dl, df), the idf, this term's score contribution, and the
+    doc's total. Same pruned-scan + broadcast-idf plan as `bm25_topk`,
+    plus one doc_id-partitioned window for the total; `doc_ids` narrows
+    the scan to the documents under investigation (pass the top-k ids —
+    explaining a whole corpus is a smell, not a plan).
+
+    Returns (doc_id, term, tf, dl, df, idf, term_score, doc_score),
+    deterministic order left to the caller."""
+    from pyspark.sql import Window
+
+    ts = sorted(set(terms))
+    if not ts:
+        return index.postings.sparkSession.createDataFrame(
+            [], "doc_id long, term string, tf int, dl int, df long, "
+                "idf double, term_score double, doc_score double")
+    rows = _pruned_postings(index, ts)
+    if doc_ids is not None:
+        rows = rows.where(F.col("doc_id").isin([int(d) for d in doc_ids]))
+    out = (rows.join(F.broadcast(_idf_lookup(index, ts,
+                                             cols=("term", "idf", "df"))),
+                     on="term")
+           .withColumn("term_score", _score_col(index.avgdl))
+           .withColumn("doc_score",
+                       F.sum("term_score").over(
+                           Window.partitionBy("doc_id"))))
+    return out.select("doc_id", "term", "tf", "dl", "df", "idf",
+                      "term_score", "doc_score")
+
+
 def _scored(index: Index, terms: list[str]) -> DataFrame:
     """(doc_id, term, tf, dl, positions, score) for query terms."""
     rows = _pruned_postings(index, terms)

@@ -322,6 +322,37 @@ class TestSearch:
             assert "<b>needle phrase target</b>" in r["headline"]
 
 
+class TestExplainScore:
+    def test_breakdown_sums_to_bm25(self, index):
+        from pg_ts_semantic_headline_spark.plans.search import explain_score
+        terms = ["spark", "window"]
+        full = {r["doc_id"]: r["score"] for r in
+                bm25_topk(index, terms, k=10_000, mode="exact").collect()}
+        rows = explain_score(index, terms).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+            # idf recomputed from the row's own df must match
+            n = index.n_docs
+            assert r["idf"] == pytest.approx(
+                math.log(1 + (n - r["df"] + 0.5) / (r["df"] + 0.5)),
+                rel=1e-12)
+        assert set(by_doc) == set(full)
+        for d, rs in by_doc.items():
+            assert sum(r["term_score"] for r in rs) == \
+                pytest.approx(full[d], rel=1e-9)
+            for r in rs:
+                assert r["doc_score"] == pytest.approx(full[d], rel=1e-9)
+
+    def test_doc_ids_filter_and_empty_terms(self, spark, index):
+        from pg_ts_semantic_headline_spark.plans.search import explain_score
+        some = [r["doc_id"] for r in
+                bm25_topk(index, ["spark"], k=3, mode="exact").collect()]
+        rows = explain_score(index, ["spark"], doc_ids=some).collect()
+        assert {r["doc_id"] for r in rows} == set(some)
+        assert explain_score(index, []).count() == 0
+
+
 class TestBatchSearch:
     def test_batch_rank_identical_to_per_query(self, index):
         from pg_ts_semantic_headline_spark.plans.search import bm25_topk_batch
