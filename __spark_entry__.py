@@ -1133,6 +1133,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.col("df").cast("long").alias("df"),
                         "idf_e4", "term_score_e4", "doc_score_e4"))
 
+    def q71(spark, sf):
+        # keyword extraction OFF THE PERSISTED INDEX (tf from postings,
+        # df from the dictionary — zero re-tokenization); must reproduce
+        # the ad-hoc doc_keywords oracle exactly under the simple config
+        from pg_ts_semantic_headline_spark.operators.collocations import (
+            doc_keywords_indexed)
+        return doc_keywords_indexed(_built_index(spark, sf), top_n=5)
+
     def q69(spark, sf):
         # grouped top-k per facet over the persisted index: k covers the
         # corpus so the FULL scored set per source value is compared;
@@ -1217,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q68,
         "top_per_facet": q69,
         "explain_score": q70,
+        "doc_keywords_indexed": q71,
     }
 
 
@@ -1449,6 +1458,22 @@ SELECT doc_id,
        CAST(ROUND(({score}) * 10000) AS BIGINT) AS score_e4
 FROM per CROSS JOIN s
 WHERE ({any_pos}) > 0
+"""
+
+
+_DOC_KEYWORDS_SQL = f"""
+WITH {TOKS_CTE.strip()},
+tf AS (SELECT doc_id, token AS term, count(*) AS tf
+       FROM toks GROUP BY doc_id, token),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+r AS (SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS BIGINT) AS tf, CAST(dfq.df AS BIGINT) AS df,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dfq.df ASC,
+                                         tf.term ASC) AS rnk
+      FROM tf JOIN dfq USING (term))
+SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rank
+FROM r WHERE rnk <= 5
 """
 
 
@@ -2318,21 +2343,11 @@ FROM s GROUP BY user_id, sess
         "bm25f_topk_batch": _bm25f_batch_sql(
             {"f_a": ["spark", "window"], "f_b": ["merge", "batch"],
              "f_c": ["query"]}),
-        # integer-only keyword ranking: tf desc, df asc, term asc
-        "doc_keywords": f"""
-WITH {TOKS_CTE.strip()},
-tf AS (SELECT doc_id, token AS term, count(*) AS tf
-       FROM toks GROUP BY doc_id, token),
-dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-r AS (SELECT tf.doc_id, tf.term,
-             CAST(tf.tf AS BIGINT) AS tf, CAST(dfq.df AS BIGINT) AS df,
-             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
-                                ORDER BY tf.tf DESC, dfq.df ASC,
-                                         tf.term ASC) AS rnk
-      FROM tf JOIN dfq USING (term))
-SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rank
-FROM r WHERE rnk <= 5
-""",
+        # integer-only keyword ranking: tf desc, df asc, term asc;
+        # the indexed form must reproduce the same oracle (simple
+        # config == whitespace tokenization on this corpus)
+        "doc_keywords": _DOC_KEYWORDS_SQL,
+        "doc_keywords_indexed": _DOC_KEYWORDS_SQL,
         # PMI over adjacent pairs: same fixed-order formula as the
         # operator — (c/Nb) / ((c1/Nu) * (c2/Nu)), then ln
         "pmi_collocations": """

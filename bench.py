@@ -345,6 +345,14 @@ def main():
         timings["decontaminate_5gram"] = min_of(
             lambda: decontaminate(tr_docs, ev_docs, n=5).count())
 
+        # corpus vocabulary analysis: per-doc keywords (integer tf/df
+        # ranking) + PMI bigram collocations, each one action
+        from pg_ts_semantic_headline_spark.operators.collocations import (
+            doc_keywords, pmi_collocations)
+        timings["keywords_pmi"] = min_of(
+            lambda: (doc_keywords(raw_docs, top_n=5).count(),
+                     pmi_collocations(raw_docs, min_count=5).count()))
+
         # ad-hoc 1:1 ts_headline replacement (pg-style passage selection +
         # fast path over the passage only), normalized per 1k docs
         from pg_ts_semantic_headline_spark.plans.headline import (

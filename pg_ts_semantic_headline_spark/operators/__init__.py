@@ -61,7 +61,8 @@ from .trigram import (
     trigrams_col,
 )
 from .textstats import doc_fingerprint, lang_id, quality_score, token_counts
-from .collocations import doc_keywords, pmi_collocations
+from .collocations import (doc_keywords, doc_keywords_indexed,
+                           pmi_collocations)
 from .decontaminate import (
     attach_decontaminator,
     contamination_report,

@@ -48,6 +48,31 @@ def doc_keywords(docs: DataFrame, top_n: int = 5,
             .select("doc_id", "term", "tf", "df", "rank"))
 
 
+def doc_keywords_indexed(index, top_n: int = 5) -> DataFrame:
+    """`doc_keywords` off the persisted inverted index — the 100 TB
+    path: tf per (doc, term) is already materialized in the postings
+    and df sits in the dictionary, so keyword extraction never
+    re-tokenizes a byte of text. One postings scan (skinny columns:
+    doc_id, term, tf — positions/payloads pruned), one join with the
+    metadata-scale dictionary, one per-doc window. Identical output to
+    the ad-hoc form whenever the index was built with an analyzer that
+    matches the ad-hoc whitespace tokenization (tested with the
+    `simple` config); with a stemming config the keywords are the
+    index's lexemes, which is usually what a search UI wants anyway."""
+    from pyspark.sql import Window
+
+    tf = index.postings.select("doc_id", "term", "tf")
+    dft = index.terms.select("term", "df")
+    win = (Window.partitionBy("doc_id")
+           .orderBy(F.desc("tf"), F.asc("df"), F.asc("term")))
+    return (tf.join(dft, on="term")
+            .withColumn("rank", F.row_number().over(win).cast("long"))
+            .where(F.col("rank") <= top_n)
+            .select("doc_id", "term",
+                    F.col("tf").cast("long").alias("tf"),
+                    "df", "rank"))
+
+
 def pmi_collocations(docs: DataFrame, min_count: int = 5,
                      text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:

@@ -322,6 +322,22 @@ class TestSearch:
             assert "<b>needle phrase target</b>" in r["headline"]
 
 
+def test_doc_keywords_indexed_equals_adhoc(spark, index, corpus):
+    # the indexed form (tf from postings, df from the dictionary) must
+    # reproduce the ad-hoc tokenize-and-count form under the simple
+    # config, where the analyzer IS whitespace tokenization
+    from pg_ts_semantic_headline_spark.operators.collocations import (
+        doc_keywords, doc_keywords_indexed)
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    key = lambda r: (r["doc_id"], r["rank"])  # noqa: E731
+    adhoc = [(r["doc_id"], r["term"], r["tf"], r["df"], r["rank"])
+             for r in sorted(doc_keywords(df, top_n=4).collect(), key=key)]
+    idxd = [(r["doc_id"], r["term"], r["tf"], r["df"], r["rank"])
+            for r in sorted(doc_keywords_indexed(index, top_n=4).collect(),
+                            key=key)]
+    assert idxd == adhoc and len(idxd) == 60 * 4
+
+
 class TestExplainScore:
     def test_breakdown_sums_to_bm25(self, index):
         from pg_ts_semantic_headline_spark.plans.search import explain_score
