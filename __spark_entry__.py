@@ -1141,6 +1141,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             doc_keywords_indexed)
         return doc_keywords_indexed(_built_index(spark, sf), top_n=5)
 
+    def q72(spark, sf):
+        # CCNet-shaped LM quality filter: bigram LM trained on the
+        # doc_id%20==0 "trusted" slice scores the rest. All-integer
+        # output (quantized-logprob sum) — exact in any agg order
+        from pg_ts_semantic_headline_spark.operators.lm import (
+            bigram_lm_score)
+        d = _docs(spark, sf)
+        lm = d.where(F.col("doc_id") % 20 == 0)
+        sc = d.where(F.col("doc_id") % 20 != 0)
+        return bigram_lm_score(sc, lm)
+
     def q69(spark, sf):
         # grouped top-k per facet over the persisted index: k covers the
         # corpus so the FULL scored set per source value is compared;
@@ -1226,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_per_facet": q69,
         "explain_score": q70,
         "doc_keywords_indexed": q71,
+        "bigram_lm_score": q72,
     }
 
 
@@ -1740,6 +1752,41 @@ SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4
 FROM scored
 ORDER BY CAST(ROUND(score * 10000) AS BIGINT) DESC, doc_id
 LIMIT 20
+""",
+        # Laplace bigram LM trained on the %20==0 slice; per-bigram
+        # quantized logprobs summed as exact integers
+        "bigram_lm_score": """
+WITH lmdocs AS (SELECT doc_id, string_split(text, ' ') AS t
+                FROM documents WHERE doc_id % 20 = 0),
+scdocs AS (SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents WHERE doc_id % 20 <> 0),
+uni AS (SELECT w1, count(*) AS c1
+        FROM (SELECT unnest(t) AS w1 FROM lmdocs) GROUP BY w1),
+vv AS (SELECT count(*) AS v FROM uni),
+lmbi AS (SELECT w1, w2, count(*) AS c12 FROM (
+    SELECT unnest(array_slice(t, 1, len(t) - 1)) AS w1,
+           unnest(array_slice(t, 2, len(t))) AS w2
+    FROM lmdocs WHERE len(t) >= 2) GROUP BY w1, w2),
+ev AS (SELECT doc_id,
+              unnest(array_slice(t, 1, len(t) - 1)) AS w1,
+              unnest(array_slice(t, 2, len(t))) AS w2
+       FROM scdocs WHERE len(t) >= 2),
+x AS (SELECT ev.doc_id,
+             count(*) AS n,
+             SUM(CASE WHEN lmbi.c12 IS NULL THEN 1 ELSE 0 END) AS oov,
+             SUM(CAST(ROUND(ln((COALESCE(lmbi.c12, 0) + 1.0)
+                               / (COALESCE(uni.c1, 0) + vv.v)) * 10000)
+                      AS BIGINT)) AS s
+      FROM ev
+      LEFT JOIN lmbi USING (w1, w2)
+      LEFT JOIN uni USING (w1)
+      CROSS JOIN vv
+      GROUP BY ev.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(x.n, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(x.oov, 0) AS BIGINT) AS oov_bigrams,
+       CAST(COALESCE(x.s, 0) AS BIGINT) AS sum_logprob_q4
+FROM scdocs d LEFT JOIN x USING (doc_id)
 """,
         # same formula/CTEs as bm25_topk, exploded to per-(doc, term)
         # rows with a per-doc window total

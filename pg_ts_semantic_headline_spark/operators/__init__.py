@@ -63,6 +63,7 @@ from .trigram import (
 from .textstats import doc_fingerprint, lang_id, quality_score, token_counts
 from .collocations import (doc_keywords, doc_keywords_indexed,
                            pmi_collocations)
+from .lm import bigram_lm_score, train_bigram_lm
 from .decontaminate import (
     attach_decontaminator,
     contamination_report,

@@ -712,3 +712,61 @@ class TestCollocations:
         # min_count above every pair count -> empty; the 1-token doc
         # must not crash the slice-window bigram expression
         assert pmi_collocations(self._df(spark), min_count=99).count() == 0
+
+
+class TestBigramLm:
+    LM = [
+        (101, "the cat sat on the mat"),
+        (102, "the cat ate the fish"),
+    ]
+    SCORE = [
+        (1, "the cat sat"),            # all bigrams seen
+        (2, "fish ate cat"),           # w1s seen, bigrams unseen
+        (3, "zz qq"),                  # fully OOV
+        (4, "solo"),                   # no bigrams
+    ]
+
+    def _score_python(self):
+        uni, bi = {}, {}
+        for _, t in self.LM:
+            ws = t.split(" ")
+            for w in ws:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(ws, ws[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        v = len(uni)
+        out = {}
+        for d, t in self.SCORE:
+            ws = t.split(" ")
+            evs = list(zip(ws, ws[1:]))
+            s = sum(round(math.log((bi.get(p, 0) + 1)
+                                   / (uni.get(p[0], 0) + v)) * 10000)
+                    for p in evs)
+            oov = sum(1 for p in evs if p not in bi)
+            out[d] = (len(evs), oov, s)
+        return out
+
+    def test_matches_python_oracle(self, spark):
+        from pg_ts_semantic_headline_spark.operators.lm import (
+            bigram_lm_score)
+        lm = spark.createDataFrame(self.LM, "doc_id long, text string")
+        sc = spark.createDataFrame(self.SCORE, "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_bigrams"], r["oov_bigrams"],
+                             r["sum_logprob_q4"])
+               for r in bigram_lm_score(sc, lm).collect()}
+        assert got == self._score_python()
+        # every input doc present, incl. the bigram-less one
+        assert got[4] == (0, 0, 0)
+
+    def test_reference_like_beats_gibberish(self, spark):
+        from pg_ts_semantic_headline_spark.operators.lm import (
+            bigram_lm_score)
+        lm = spark.createDataFrame(self.LM, "doc_id long, text string")
+        sc = spark.createDataFrame(
+            [(1, "the cat sat on the mat"), (2, "qq zz xx yy ww vv")],
+            "doc_id long, text string")
+        r = {x["doc_id"]: x for x in bigram_lm_score(sc, lm).collect()}
+        mean1 = r[1]["sum_logprob_q4"] / r[1]["n_bigrams"]
+        mean2 = r[2]["sum_logprob_q4"] / r[2]["n_bigrams"]
+        assert mean1 > mean2
+        assert r[2]["oov_bigrams"] == r[2]["n_bigrams"]
