@@ -53,18 +53,28 @@ def prepare_corpus(
     cache: bool = False,
     redact: bool = False,
     max_top_bigram_frac: float | None = None,
+    lm_docs: DataFrame | None = None,
+    min_lm_mean_logprob: float = -9.0,
 ) -> DataFrame:
     """Annotated corpus with a `drop_reason` column (NULL = kept).
 
     Columns: doc_id, <text_col>, n_tokens, quality, lang_pred,
     drop_reason in {'too_short','too_long','low_quality','lang',
-    'repetitive' (when max_top_bigram_frac is set),'exact_dup',
+    'repetitive' (when max_top_bigram_frac is set),
+    'lm_quality' (when lm_docs is set),'exact_dup',
     'near_dup', NULL}. Reasons apply in that order (first
     failing rule wins); dedup stages only consider rows that passed the
     row-local filters, and within a duplicate cluster the lowest doc_id
     is kept. `redact=True` runs `redact_pii` FIRST, so stats, filters
     and dedup all see the masked text (PII-only differences dedup
     together) and per-kind `pii_*` count columns ride along.
+
+    `lm_docs` enables the CCNet-style LM gate: a Laplace bigram LM is
+    trained on that trusted slice (`lm.bigram_lm_score`) and documents
+    whose mean per-bigram logprob (nats) falls below
+    `min_lm_mean_logprob` are dropped as 'lm_quality'. The post-PII
+    text is what gets scored; a `lm_mean_logprob` column rides along
+    (NULL for docs with no bigram events — those always pass).
 
     `cache=True` persists the annotated frame(s) so the dedup joins do
     not recompute the annotate projection per reference — recommended
@@ -116,6 +126,19 @@ def prepare_corpus(
                    q["quality"].alias("quality"),
                    lang_pred.alias("lang_pred"),
                    *pii_cols, *ann_extra))
+    if lm_docs is not None:
+        # LM gate: scores computed over the same (post-PII) frame the
+        # other annotations see; mean logprob in nats from the exact
+        # integer quantized sum. Docs with no bigrams keep NULL (pass).
+        from .lm import bigram_lm_score
+        scores = bigram_lm_score(df, lm_docs, text_col=text_col,
+                                 id_col=id_col)
+        mean = F.when(
+            F.col("n_bigrams") > 0,
+            F.col("sum_logprob_q4") / (F.col("n_bigrams") * 10000.0))
+        ann = (ann.join(scores.select("doc_id",
+                                      mean.alias("lm_mean_logprob")),
+                        on="doc_id", how="left"))
 
     reason = F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
     if max_tokens is not None:
@@ -129,6 +152,10 @@ def prepare_corpus(
     if max_top_bigram_frac is not None:
         reason = reason.when(F.col("_topg") > max_top_bigram_frac,
                              F.lit("repetitive"))
+    if lm_docs is not None:
+        reason = reason.when(
+            F.col("lm_mean_logprob") < float(min_lm_mean_logprob),
+            F.lit("lm_quality"))
     ann = ann.withColumn("drop_reason", reason).drop("_topg")
 
     if not (exact_dedup or near_dedup):
@@ -188,6 +215,8 @@ def corpus_report(prepared: DataFrame) -> DataFrame:
         n_where(r == "too_long").alias("n_too_long"),
         n_where(r == "low_quality").alias("n_low_quality"),
         n_where(r == "lang").alias("n_lang"),
+        n_where(r == "repetitive").alias("n_repetitive"),
+        n_where(r == "lm_quality").alias("n_lm_quality"),
         n_where(r == "exact_dup").alias("n_exact_dup"),
         n_where(r == "near_dup").alias("n_near_dup"))
 

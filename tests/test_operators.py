@@ -448,6 +448,7 @@ class TestPipeline:
         row = r[0].asDict()
         assert row == {"n_input": 6, "n_kept": 1, "n_too_short": 1,
                        "n_too_long": 0, "n_low_quality": 1, "n_lang": 1,
+                       "n_repetitive": 0, "n_lm_quality": 0,
                        "n_exact_dup": 1, "n_near_dup": 1}
 
     def test_filters_only_keeps_every_row(self, prep_input):
@@ -770,3 +771,25 @@ class TestBigramLm:
         mean2 = r[2]["sum_logprob_q4"] / r[2]["n_bigrams"]
         assert mean1 > mean2
         assert r[2]["oov_bigrams"] == r[2]["n_bigrams"]
+
+
+def test_prepare_corpus_lm_gate(spark):
+    from pg_ts_semantic_headline_spark.operators.pipeline import (
+        corpus_report, prepare_corpus)
+    lm = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat and the dog ate the fish")
+         for i in range(3)], "doc_id long, text string")
+    df = spark.createDataFrame([
+        (1, "the cat sat on the mat and the dog ate the fish today"),
+        (2, "zz qq ww rr tt yy uu ii oo pp aa ss dd ff gg hh"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           prepare_corpus(df, min_tokens=2, exact_dedup=False,
+                          lm_docs=lm, min_lm_mean_logprob=-2.0).collect()}
+    assert out[1]["drop_reason"] is None
+    assert out[2]["drop_reason"] == "lm_quality"
+    assert out[1]["lm_mean_logprob"] > out[2]["lm_mean_logprob"]
+    rep = corpus_report(
+        prepare_corpus(df, min_tokens=2, exact_dedup=False, lm_docs=lm,
+                       min_lm_mean_logprob=-2.0)).collect()[0]
+    assert rep["n_lm_quality"] == 1 and rep["n_kept"] == 1
