@@ -1152,6 +1152,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sc = d.where(F.col("doc_id") % 20 != 0)
         return bigram_lm_score(sc, lm)
 
+    def q73(spark, sf):
+        # fuzzy record-linkage self-join: all doc pairs with trigram
+        # Jaccard >= 0.85 (prefix-filtered candidates, exact verify);
+        # similarity is one integer division -> e6-stable
+        from pg_ts_semantic_headline_spark.operators.trigram import (
+            similarity_join)
+        return (similarity_join(_docs(spark, sf), threshold=0.85)
+                .withColumn("sim_e6",
+                            F.round(F.col("similarity") * 1_000_000)
+                            .cast("long"))
+                .select("a", "b", "sim_e6"))
+
     def q69(spark, sf):
         # grouped top-k per facet over the persisted index: k covers the
         # corpus so the FULL scored set per source value is compared;
@@ -1238,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explain_score": q70,
         "doc_keywords_indexed": q71,
         "bigram_lm_score": q72,
+        "trigram_similarity_join": q73,
     }
 
 
@@ -1752,6 +1765,33 @@ SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4
 FROM scored
 ORDER BY CAST(ROUND(score * 10000) AS BIGINT) DESC, doc_id
 LIMIT 20
+""",
+        # exact trigram-Jaccard all-pairs via shared-trigram counts
+        # (the unfiltered equivalent of the prefix-filtered join)
+        "trigram_similarity_join": """
+WITH tg AS (
+  SELECT doc_id, list_distinct(flatten(list_transform(
+      list_transform(
+        list_filter(string_split(regexp_replace(lower(text),
+                                                '[^a-z0-9]+', ' ', 'g'),
+                    ' '), w -> w <> ''),
+        w -> '  ' || w || ' '),
+      pw -> list_transform(range(1, length(pw) - 1),
+                           i -> substring(pw, CAST(i AS INT), 3)))))
+      AS t
+  FROM documents),
+ex AS (SELECT doc_id, unnest(t) AS g FROM tg),
+n AS (SELECT doc_id, len(t) AS n FROM tg WHERE len(t) > 0),
+inter AS (SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS i
+          FROM ex e1 JOIN ex e2
+            ON e1.g = e2.g AND e1.doc_id < e2.doc_id
+          GROUP BY 1, 2)
+SELECT a, b,
+       CAST(ROUND(i / (na.n + nb.n - i) * 1000000) AS BIGINT) AS sim_e6
+FROM inter
+JOIN n na ON na.doc_id = a
+JOIN n nb ON nb.doc_id = b
+WHERE i / (na.n + nb.n - i) >= 0.85
 """,
         # Laplace bigram LM trained on the %20==0 slice; per-bigram
         # quantized logprobs summed as exact integers

@@ -53,6 +53,7 @@ from .trigram import (
     pattern_trigrams,
     regex_search,
     similarity_col,
+    similarity_join,
     similarity_topk,
     substring_search,
     suggest_terms,

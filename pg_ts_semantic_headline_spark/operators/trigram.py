@@ -456,6 +456,88 @@ def similarity_col(text_col: str, query: str) -> F.Column:
     return inter / (F.size(d) + F.lit(len(qtg)) - inter)
 
 
+def similarity_join(
+    left: DataFrame,
+    right: DataFrame | None = None,
+    threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs with pg_trgm trigram-Jaccard ≥ threshold — the fuzzy
+    record-linkage join (pg's `a.name % b.name`). `right=None` is a
+    self-join (a < b); otherwise left×right with (a, b) = (left id,
+    right id). Returns (a, b, similarity), exact Jaccard over the
+    DISTINCT padded-trigram sets (`trigrams_col`).
+
+    Never a cross join: candidates come from a PREFIX-FILTERED equi-join
+    on shared trigrams (the SSJoin prefix-filter principle — Chaudhuri,
+    Ganti & Kaushik, ICDE'06). The LEFT side keeps only its
+    |tg| - ⌈t·|tg|⌉ + 1 RAREST trigrams (one global frequency order:
+    df asc, trigram asc) as join keys; Jaccard ≥ t forces overlap
+    ≥ ⌈t·|tg_left|⌉, which cannot fit in the left suffix alone, so at
+    least one shared trigram lies in the left PREFIX and the asymmetric
+    prefix ⋈ full join is lossless (NOT prefix ⋈ prefix, whose missed
+    elements can split across the two suffixes; completeness is pinned
+    by a brute-force pytest). For the self-join both orientations are
+    generated before canonicalizing (a, b) = (min, max), so either
+    record's prefix can witness the pair. The globally hottest trigrams
+    (' a ', 'th '…) enter a left prefix only for records made entirely
+    of hot trigrams — the quadratic fan-out keys are gone at corpus
+    scale. Candidates are verified with one exact `array_intersect`
+    against the full sets; similarity is a single integer division
+    (identical doubles on any engine).
+
+    Plan shape at 100×: two explodes + one vocabulary-sized frequency
+    aggregation + a per-record window (records are short), one
+    prefix⋈full equi-join, one verify join. No driver-side state."""
+    from pyspark.sql import Window
+
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    self_join = right is None
+
+    def prep(df, a_name):
+        return (df.select(F.col(id_col).alias(a_name),
+                          trigrams_col(text_col).alias(f"tg_{a_name}"))
+                .withColumn(f"n_{a_name}", F.size(f"tg_{a_name}"))
+                .where(F.col(f"n_{a_name}") > 0))
+
+    L = prep(left, "a")
+    R = (L.select(F.col("a").alias("b"), F.col("tg_a").alias("tg_b"),
+                  F.col("n_a").alias("n_b"))
+         if self_join else prep(right, "b"))
+
+    ex_l = L.select("a", "n_a", F.explode("tg_a").alias("tg"))
+    ex_r = R.select("b", F.explode("tg_b").alias("tg"))
+    freq_src = (ex_l.select("tg") if self_join
+                else ex_l.select("tg").unionByName(ex_r.select("tg")))
+    freq = freq_src.groupBy("tg").agg(F.count("*").alias("_df"))
+
+    win = Window.partitionBy("a").orderBy(F.asc("_df"), F.asc("tg"))
+    plen = (F.col("n_a")
+            - F.ceil(F.lit(float(threshold)) * F.col("n_a")) + 1)
+    pref_l = (ex_l.join(freq, on="tg")
+              .withColumn("_r", F.row_number().over(win))
+              .where(F.col("_r") <= plen)
+              .select("a", "tg"))
+
+    raw = pref_l.join(ex_r, on="tg")
+    if self_join:
+        cand = (raw.where(F.col("a") != F.col("b"))
+                .select(F.least("a", "b").alias("a"),
+                        F.greatest("a", "b").alias("b"))
+                .distinct())
+    else:
+        cand = raw.select("a", "b").distinct()
+
+    inter = F.size(F.array_intersect("tg_a", "tg_b")).cast("double")
+    return (cand.join(L, on="a").join(R, on="b")
+            .withColumn("similarity",
+                        inter / (F.col("n_a") + F.col("n_b") - inter))
+            .where(F.col("similarity") >= threshold)
+            .select("a", "b", "similarity"))
+
+
 def suggest_terms(terms_df: DataFrame, word: str, k: int = 5,
                   threshold: float = 0.3,
                   term_col: str = "term") -> DataFrame:

@@ -460,3 +460,67 @@ def test_streaming_trigram_ingest(spark, corpus_df, tmp_path):
     assert idx.max_gen >= 1
     assert ids(substring_search(idx, corpus_df, "merge join")) == \
         brute_contains("merge join")
+
+
+class TestSimilarityJoin:
+    NAMES = [
+        "jonathan smith", "jonathon smith", "jon smith", "jane smyth",
+        "alexander hamilton", "aleksander hamilton", "alex hamilton",
+        "wolfgang amadeus mozart", "w a mozart", "ludwig van beethoven",
+        "completely unrelated entry", "another different record",
+        "spark structured streaming", "spark structured steaming",
+    ]
+
+    def _brute(self, rows, threshold, rows_b=None):
+        from pg_ts_semantic_headline_spark.operators.trigram import (
+            text_trigrams)
+        tg = {i: text_trigrams(t) for i, t in rows}
+        if rows_b is None:
+            ids = sorted(tg)
+            pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+            tg_b = tg
+        else:
+            tg_b = {i: text_trigrams(t) for i, t in rows_b}
+            pairs = [(a, b) for a in tg for b in tg_b]
+        out = {}
+        for a, b in pairs:
+            inter = len(tg[a] & tg_b[b])
+            union = len(tg[a]) + len(tg_b[b]) - inter
+            if union and inter / union >= threshold:
+                out[(a, b)] = inter / union
+        return out
+
+    @pytest.mark.parametrize("threshold", [0.2, 0.4, 0.7])
+    def test_self_join_complete_vs_bruteforce(self, spark, threshold):
+        from pg_ts_semantic_headline_spark.operators.trigram import (
+            similarity_join)
+        rows = list(enumerate(self.NAMES))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {(r["a"], r["b"]): r["similarity"]
+               for r in similarity_join(df, threshold=threshold).collect()}
+        want = self._brute(rows, threshold)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], rel=1e-12)
+        assert want, "vacuous: no qualifying pairs at this threshold"
+
+    def test_two_table_join(self, spark):
+        from pg_ts_semantic_headline_spark.operators.trigram import (
+            similarity_join)
+        rows_l = list(enumerate(self.NAMES[:7]))
+        rows_r = [(100 + i, t) for i, t in enumerate(self.NAMES[5:])]
+        dl = spark.createDataFrame(rows_l, ["doc_id", "text"])
+        dr = spark.createDataFrame(rows_r, ["doc_id", "text"])
+        got = {(r["a"], r["b"]): r["similarity"] for r in
+               similarity_join(dl, dr, threshold=0.3).collect()}
+        want = self._brute(rows_l, 0.3, rows_b=rows_r)
+        assert set(got) == set(want)
+        # left "alexander hamilton" must link to right "aleksander ..."
+        assert any(a == 4 for a, _ in got)
+
+    def test_threshold_validation(self, spark):
+        from pg_ts_semantic_headline_spark.operators.trigram import (
+            similarity_join)
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            similarity_join(df, threshold=0.0)
