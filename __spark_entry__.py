@@ -1164,6 +1164,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             .cast("long"))
                 .select("a", "b", "sim_e6"))
 
+    def q74(spark, sf):
+        # corpus card per (lang, source): all-integer aggregates (counts,
+        # token/char sums, e6-quantized-quality sum, distinct texts) —
+        # exact in any aggregation order
+        from pg_ts_semantic_headline_spark.operators.textstats import (
+            corpus_profile)
+        return corpus_profile(_docs(spark, sf), ["lang", "source"])
+
     def q69(spark, sf):
         # grouped top-k per facet over the persisted index: k covers the
         # corpus so the FULL scored set per source value is compared;
@@ -1251,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords_indexed": q71,
         "bigram_lm_score": q72,
         "trigram_similarity_join": q73,
+        "corpus_profile": q74,
     }
 
 
@@ -1765,6 +1774,24 @@ SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4
 FROM scored
 ORDER BY CAST(ROUND(score * 10000) AS BIGINT) DESC, doc_id
 LIMIT 20
+""",
+        # same quality formula as prepare_corpus, quantized per doc
+        # then summed as integers
+        "corpus_profile": f"""
+WITH base AS (SELECT lang, source, text,
+                     string_split(text, ' ') AS l FROM documents)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(l)) AS BIGINT) AS sum_tokens,
+       CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_chars,
+       CAST(sum(CAST(ROUND((least(len(l) / 100.0, 1.0)
+         + least(CAST(len(list_filter(l, t -> t IN ('{stop6}')))
+                 AS DOUBLE) / greatest(len(l), 1) * 5, 1.0)
+         + CAST(len(list_distinct(l)) AS DOUBLE) / greatest(len(l), 1))
+         / 3 * 1000000) AS BIGINT)) AS BIGINT) AS sum_quality_e6,
+       CAST(count(DISTINCT md5(coalesce(text, ''))) AS BIGINT)
+         AS n_unique_texts
+FROM base GROUP BY lang, source
 """,
         # exact trigram-Jaccard all-pairs via shared-trigram counts
         # (the unfiltered equivalent of the prefix-filtered join)

@@ -61,7 +61,8 @@ from .trigram import (
     text_trigrams,
     trigrams_col,
 )
-from .textstats import doc_fingerprint, lang_id, quality_score, token_counts
+from .textstats import (corpus_profile, doc_fingerprint, lang_id,
+                        quality_score, token_counts)
 from .collocations import (doc_keywords, doc_keywords_indexed,
                            pmi_collocations)
 from .lm import bigram_lm_score, train_bigram_lm

@@ -214,3 +214,33 @@ def repetition_stats(df, text_col: str = "text",
         top_frac.alias("top_bigram_frac"),
         ((dup_line > max_dup_line_frac)
          | (top_frac > max_top_bigram_frac)).alias("repetitive"))
+
+
+def corpus_profile(df: DataFrame, group_cols: list | tuple = ("lang",),
+                   text_col: str = "text") -> DataFrame:
+    """Corpus card: one row per group with ALL-INTEGER aggregates, so the
+    result is exact under any aggregation order (floats like mean
+    quality reconstruct driver-side: sum_quality_e6 / (1e6·n_docs)).
+
+    Columns: <group_cols...>, n_docs, sum_tokens, sum_chars,
+    sum_quality_e6, n_unique_texts. One groupBy (map-side combined) plus
+    the same single-split annotate projection the other textstats use;
+    n_unique_texts is an exact distinct-count of md5(text) per group —
+    the dedup headroom number a mixing plan starts from."""
+    gcols = list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must name at least one column")
+    t = _tok(F.col(text_col))
+    q = quality_exprs(t)
+    ann = df.select(
+        *gcols,
+        q["n_tokens"].alias("_nt"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("_nc"),
+        F.round(q["quality"] * 1_000_000).cast("long").alias("_q6"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_h"))
+    return (ann.groupBy(*gcols)
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("_nt").alias("sum_tokens"),
+                 F.sum("_nc").alias("sum_chars"),
+                 F.sum("_q6").alias("sum_quality_e6"),
+                 F.count_distinct("_h").alias("n_unique_texts")))

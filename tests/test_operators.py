@@ -793,3 +793,27 @@ def test_prepare_corpus_lm_gate(spark):
         prepare_corpus(df, min_tokens=2, exact_dedup=False, lm_docs=lm,
                        min_lm_mean_logprob=-2.0)).collect()[0]
     assert rep["n_lm_quality"] == 1 and rep["n_kept"] == 1
+
+
+def test_corpus_profile(spark):
+    from pg_ts_semantic_headline_spark.operators.textstats import (
+        corpus_profile)
+    rows = [
+        (1, "en", "the quick brown fox and the dog"),
+        (2, "en", "the quick brown fox and the dog"),     # exact dup of 1
+        (3, "en", "a completely different document here"),
+        (4, "de", "der schnelle braune fuchs"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["lang"]: r for r in corpus_profile(df, ["lang"]).collect()}
+    assert got["en"]["n_docs"] == 3
+    assert got["en"]["sum_tokens"] == 7 + 7 + 5
+    assert got["en"]["n_unique_texts"] == 2      # dup collapses
+    assert got["en"]["sum_chars"] == sum(len(t) for _, l, t in rows
+                                         if l == "en")
+    assert got["de"]["n_docs"] == 1 and got["de"]["n_unique_texts"] == 1
+    # quality reconstructs: 0 <= mean <= 1
+    mean_q = got["en"]["sum_quality_e6"] / (1e6 * got["en"]["n_docs"])
+    assert 0.0 <= mean_q <= 1.0
+    with pytest.raises(ValueError):
+        corpus_profile(df, [])
