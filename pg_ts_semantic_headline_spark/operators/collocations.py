@@ -75,34 +75,45 @@ def doc_keywords_indexed(index, top_n: int = 5) -> DataFrame:
 
 def pmi_collocations(docs: DataFrame, min_count: int = 5,
                      text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
-    """Pointwise mutual information over ADJACENT word pairs:
-    pmi = ln( (c_ab/Nb) / ((c_a/Nu) * (c_b/Nu)) ) with Nb = total bigram
-    events and Nu = total tokens. Pairs with fewer than `min_count`
-    occurrences are dropped (PMI is noise at tiny counts). Returns
-    (w1, w2, pair_count, pmi).
+                     id_col: str = "doc_id",
+                     window: int = 1) -> DataFrame:
+    """Pointwise mutual information over word pairs at distance
+    1..`window` (window=1 → classic adjacent bigrams; larger windows →
+    skip-gram collocations à la word2vec contexts):
+    pmi = ln( (c_ab/Nb) / ((c_a/Nu) * (c_b/Nu) ) ) with Nb = total pair
+    events in the window and Nu = total tokens. Pairs with fewer than
+    `min_count` occurrences are dropped (PMI is noise at tiny counts).
+    Returns (w1, w2, pair_count, pmi); (a, b) at distance d and
+    (b, a) at distance d' are distinct ordered events.
 
-    Bigrams come from a zip of two array slices — no self-join of the
+    Pairs come from zips of shifted array slices — no self-join of the
     token stream; the only wide ops are the two count aggregations.
-    Docs shorter than 2 tokens contribute no pairs (explicit guard:
-    `slice` with length ≤ 0 would error on the short side)."""
+    Docs shorter than d+1 tokens contribute no distance-d pairs
+    (explicit guard: `slice` with length ≤ 0 would error)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
     toks = _toks(docs, text_col, id_col)
     n = F.size("_t")
     uni = (toks.select(F.explode("_t").alias("w"))
            .groupBy("w").agg(F.count("*").alias("c")))
-    pairs = (toks.where(n >= 2)
-             .select(F.explode(F.zip_with(
-                 F.slice("_t", 1, n - 1),
-                 F.slice("_t", 2, n - 1),
-                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
-                 .alias("p"))
+
+    def shifted(d):
+        return F.when(n >= d + 1, F.zip_with(
+            F.slice("_t", 1, n - d),
+            F.slice("_t", 1 + d, n - d),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+        ).otherwise(F.array())
+
+    ev = F.flatten(F.array(*[shifted(d) for d in range(1, window + 1)]))
+    pairs = (toks.select(F.explode(ev).alias("p"))
              .select("p.w1", "p.w2")
              .groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
              .where(F.col("pair_count") >= min_count))
     nu = uni.agg(F.sum("c").alias("nu"))
-    # Nb must count ALL bigram events, not just the ones above min_count
-    all_pairs_nb = (toks.where(n >= 2)
-                    .agg(F.sum(n - 1).alias("nb")))
+    # Nb must count ALL pair events, not just the ones above min_count
+    all_pairs_nb = (toks.agg(F.sum(
+        sum((F.greatest(n - d, F.lit(0))
+             for d in range(1, window + 1)), F.lit(0))).alias("nb")))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     out = (pairs.join(u1, on="w1").join(u2, on="w2")

@@ -72,6 +72,10 @@ def bigram_lm_score(docs: DataFrame, lm_docs: DataFrame,
                      mean log-prob = sum_logprob_q4 / (10⁴·n_bigrams),
                      perplexity = exp(-mean). Lower (more negative) =
                      less reference-like; threshold or bucket on it.
+
+    The LM corpus is read twice (once for the vocabulary-size action,
+    once through the count joins) — persist `lm_docs` when the trusted
+    slice is not already small relative to the corpus being scored.
     """
     uni, bi, v = train_bigram_lm(lm_docs, text_col, id_col)
     events = _bigrams(docs, text_col, id_col)

@@ -817,3 +817,31 @@ def test_corpus_profile(spark):
     assert 0.0 <= mean_q <= 1.0
     with pytest.raises(ValueError):
         corpus_profile(df, [])
+
+
+def test_pmi_skipgram_window(spark):
+    from pg_ts_semantic_headline_spark.operators.collocations import (
+        pmi_collocations)
+    rows = [(1, "a b c a b"), (2, "c a b"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uni, ev = {}, {}
+    for _, t in rows:
+        ws = t.split(" ")
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for d in (1, 2):
+            for a, b in zip(ws, ws[d:]):
+                ev[(a, b)] = ev.get((a, b), 0) + 1
+    nu = sum(uni.values())
+    nb = sum(max(len(t.split(" ")) - d, 0) for _, t in rows for d in (1, 2))
+    want = {p: (c, math.log((c / nb) / ((uni[p[0]] / nu)
+                                        * (uni[p[1]] / nu))))
+            for p, c in ev.items() if c >= 2}
+    got = {(r["w1"], r["w2"]): (r["pair_count"], r["pmi"]) for r in
+           pmi_collocations(df, min_count=2, window=2).collect()}
+    assert set(got) == set(want) and want
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], rel=1e-12)
+    with pytest.raises(ValueError):
+        pmi_collocations(df, window=0)
