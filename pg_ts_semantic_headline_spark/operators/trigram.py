@@ -516,7 +516,10 @@ def similarity_join(
     win = Window.partitionBy("a").orderBy(F.asc("_df"), F.asc("tg"))
     plen = (F.col("n_a")
             - F.ceil(F.lit(float(threshold)) * F.col("n_a")) + 1)
-    pref_l = (ex_l.join(freq, on="tg")
+    # the trigram vocabulary is bounded (≤ 37³ padded alnum trigrams),
+    # so the frequency table ALWAYS broadcasts — the exploded stream is
+    # never shuffled for the frequency lookup
+    pref_l = (ex_l.join(F.broadcast(freq), on="tg")
               .withColumn("_r", F.row_number().over(win))
               .where(F.col("_r") <= plen)
               .select("a", "tg"))
