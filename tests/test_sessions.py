@@ -108,3 +108,25 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     got = rows_to_dict(last.values())
     want = rows_to_dict(sessionize(df, gap_seconds=1800).collect())
     assert got == want
+
+
+def test_recommended_conf():
+    from pg_ts_semantic_headline_spark.session import recommended_conf
+    c = recommended_conf(32)
+    assert c["spark.sql.shuffle.partitions"] == "64"
+    assert c["spark.sql.adaptive.enabled"] == "true"
+    assert "spark.sql.files.maxPartitionBytes" not in c
+    big = recommended_conf(512, sf_hint_gb=100_000)
+    assert big["spark.sql.shuffle.partitions"] == "1024"
+    assert big["spark.sql.files.maxPartitionBytes"] == str(256 << 20)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        recommended_conf(0)
+
+
+def test_configured_builder_smoke():
+    from pg_ts_semantic_headline_spark.session import configured_builder
+    b = configured_builder(8, master="local[2]")
+    # builder accumulates options without starting a JVM; the options
+    # map is internal, so just assert the fluent API returned a builder
+    assert hasattr(b, "getOrCreate")
