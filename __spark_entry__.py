@@ -1185,6 +1185,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("score_e4", _e4(F.col("score")))
                 .select("facet_value", "doc_id", "score_e4"))
 
+    def q75(spark, sf):
+        # corpus-global keep-first paragraph dedup over docs with an
+        # INJECTED shared paragraph (7 variants by doc_id % 7, so each
+        # variant's first doc keeps it and every later doc loses it);
+        # both engines augment identically
+        from pg_ts_semantic_headline_spark.operators import dedup_paragraphs
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(F.coalesce(F.col("text"), F.lit("")),
+                     F.lit("\nshared passage "),
+                     (F.col("doc_id") % 7).cast("string")).alias("text"))
+        return dedup_paragraphs(docs, sep="\n")
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -1260,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score": q72,
         "trigram_similarity_join": q73,
         "corpus_profile": q74,
+        "dedup_paragraphs": q75,
     }
 
 
@@ -1777,6 +1791,42 @@ LIMIT 20
 """,
         # same quality formula as prepare_corpus, quantized per doc
         # then summed as integers
+        # keep-first paragraph dedup: window row_number stands in for
+        # the engine's min(struct(doc_id, pos)) — the oracle only needs
+        # the same winner, not the same plan
+        "dedup_paragraphs": """
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '') || chr(10) || 'shared passage '
+           || CAST(doc_id % 7 AS VARCHAR) AS text
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, i AS pos, l[i] AS raw, trim(l[i]) AS norm
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug),
+       LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) t
+),
+kept AS (
+  SELECT doc_id, pos, raw FROM (
+    SELECT doc_id, pos, raw,
+           row_number() OVER (PARTITION BY norm
+                              ORDER BY doc_id, pos) AS rn
+    FROM paras WHERE length(norm) >= 1)
+  WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, pos, raw FROM paras WHERE length(norm) < 1
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(raw, chr(10) ORDER BY pos) AS text_dedup,
+         count(*) AS _kept
+  FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id,
+       coalesce(r.text_dedup, '') AS text_dedup,
+       CAST(len(string_split(a.text, chr(10)))
+            - coalesce(r._kept, 0) AS INTEGER) AS n_paras_removed
+FROM aug a LEFT JOIN rebuilt r ON a.doc_id = r.doc_id
+""",
         "corpus_profile": f"""
 WITH base AS (SELECT lang, source, text,
                      string_split(text, ' ') AS l FROM documents)

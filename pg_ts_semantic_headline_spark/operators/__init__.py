@@ -40,7 +40,7 @@ from .chunking import (
     sample_token_budget,
     sample_token_budget_exact,
 )
-from .pipeline import (corpus_report, prepare_corpus,
+from .pipeline import (corpus_report, dedup_paragraphs, prepare_corpus,
                        remove_boilerplate_lines)
 from .trigram import (
     TrigramIndex,

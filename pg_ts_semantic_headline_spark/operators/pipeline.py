@@ -30,6 +30,7 @@ each over the filtered survivor set.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -265,3 +266,68 @@ def remove_boilerplate_lines(df: DataFrame, max_doc_ratio: float = 0.2,
                     F.coalesce("text_clean", F.lit("")).alias("text_clean"),
                     (F.col("_total") - F.coalesce("_kept", F.lit(0)))
                     .cast("int").alias("n_lines_removed")))
+
+
+def dedup_paragraphs(df: DataFrame, sep: str = "\n\n",
+                     min_chars: int = 1,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Corpus-GLOBAL exact paragraph dedup, keep-first occurrence:
+    split every document on `sep`, and remove each paragraph copy that
+    already occurred earlier in the corpus — "earlier" meaning the
+    smallest (doc_id, position) — including repeats WITHIN one doc.
+    Returns (doc_id, text_dedup, n_paras_removed).
+
+    Complements `remove_boilerplate_lines`: that drops only lines
+    frequent across >= ratio·N docs, so a passage duplicated in just two
+    documents sails through; this removes EVERY later copy — the
+    paragraph-granularity recipe of CCNet and of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"), the
+    standard between-doc-exact and doc-level-near dedup stages.
+    Paragraphs shorter than `min_chars` after trim (blanks, stray
+    separators) pass through unexamined — they are structure, not
+    content, and would otherwise collapse every blank line in the
+    corpus into one.
+
+    Scale shape: one shuffle keyed on the trimmed paragraph text itself
+    (exact — no hash-collision false drops), `min(struct(doc_id, pos))`
+    as the keep-winner (partial-aggregatable, map-side combined), a
+    rejoin on the same key (co-partitioned, no second shuffle of the
+    big side under AQE), then per-doc reassembly. No global sort or
+    window; nothing driver-side.
+    """
+    # split() takes a REGEX; sep is a plain string everywhere else in
+    # this function (the re-join), so quote it for the split side
+    sep_re = re.escape(sep)
+    paras = (df.select(F.col(id_col).alias("doc_id"),
+                       F.posexplode(F.split(F.col(text_col), sep_re, -1))
+                       .alias("pos", "raw"))
+             .withColumn("norm", F.trim(F.col("raw"))))
+    cand = paras.where(F.length("norm") >= min_chars)
+    firsts = (cand.groupBy("norm")
+              .agg(F.min(F.struct("doc_id", "pos")).alias("first")))
+    kept_cand = (cand.join(firsts, on="norm")
+                 .where((F.col("doc_id") == F.col("first.doc_id"))
+                        & (F.col("pos") == F.col("first.pos")))
+                 .select("doc_id", "pos", "raw"))
+    passthru = (paras.where(F.length("norm") < min_chars)
+                .select("doc_id", "pos", "raw"))
+    rebuilt = (kept_cand.unionByName(passthru)
+               .groupBy("doc_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "raw"))),
+                            lambda s: s["raw"]),
+                        sep).alias("text_dedup"),
+                    F.count("*").alias("_kept")))
+    all_ids = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.col(text_col).isNull(), F.lit(0))
+         .otherwise(F.size(F.split(F.col(text_col), sep_re, -1)))
+         .alias("_total"))
+    return (all_ids.join(rebuilt, on="doc_id", how="left")
+            .select("doc_id",
+                    F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+                    (F.col("_total") - F.coalesce("_kept", F.lit(0)))
+                    .cast("int").alias("n_paras_removed")))

@@ -845,3 +845,50 @@ def test_pmi_skipgram_window(spark):
         assert got[k][1] == pytest.approx(want[k][1], rel=1e-12)
     with pytest.raises(ValueError):
         pmi_collocations(df, window=0)
+
+
+def test_dedup_paragraphs(spark):
+    from pg_ts_semantic_headline_spark.operators import dedup_paragraphs
+    df = spark.createDataFrame([
+        (1, "alpha para\n\nshared passage\n\nbeta para"),
+        (2, "shared passage\n\ngamma para"),          # later copy: removed
+        (3, "delta\n\ndelta\n\nepsilon"),             # within-doc repeat
+        (4, "\n\nzeta only\n\n"),                     # blank paras pass through
+        (5, None),
+    ], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    # first occurrence (smallest doc_id) keeps the shared passage
+    assert rows[1]["text_dedup"] == "alpha para\n\nshared passage\n\nbeta para"
+    assert rows[1]["n_paras_removed"] == 0
+    assert rows[2]["text_dedup"] == "gamma para"
+    assert rows[2]["n_paras_removed"] == 1
+    # within-doc duplicate keeps only the first copy
+    assert rows[3]["text_dedup"] == "delta\n\nepsilon"
+    assert rows[3]["n_paras_removed"] == 1
+    # blank paragraphs are structure, not dedup keys
+    assert rows[4]["text_dedup"] == "\n\nzeta only\n\n"
+    assert rows[4]["n_paras_removed"] == 0
+    assert rows[5]["text_dedup"] == "" and rows[5]["n_paras_removed"] == 0
+
+
+def test_dedup_paragraphs_custom_sep_and_min_chars(spark):
+    from pg_ts_semantic_headline_spark.operators import dedup_paragraphs
+    df = spark.createDataFrame([
+        (1, "aa|common chunk|bb"),
+        (2, "common chunk|cc"),
+    ], "doc_id long, text string")
+    # '|' is a regex metachar — must be treated literally
+    rows = {r["doc_id"]: r for r in
+            dedup_paragraphs(df, sep="|").collect()}
+    assert rows[1]["text_dedup"] == "aa|common chunk|bb"
+    assert rows[2]["text_dedup"] == "cc"
+    # min_chars: short paragraphs are never deduped
+    rows = {r["doc_id"]: r for r in
+            dedup_paragraphs(df, sep="|", min_chars=3).collect()}
+    assert rows[1]["text_dedup"] == "aa|common chunk|bb"
+    assert rows[2]["text_dedup"] == "cc"
+    df2 = spark.createDataFrame([(1, "xy|ab"), (2, "ab|xy")],
+                                "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            dedup_paragraphs(df2, sep="|", min_chars=3).collect()}
+    assert rows[2]["text_dedup"] == "ab|xy"          # 2-char paras kept
