@@ -1,0 +1,289 @@
+"""Index integrity checker (fsck) for the persisted inverted index.
+
+`verify_index` audits an on-disk index directory against the engine's
+own invariants and returns a report DataFrame — the pre-flight an
+operator runs before pointing query traffic at an index that was
+copied, restored from backup, or survived a crashed writer. The
+reference keeps its index consistent transactionally inside Postgres;
+a file-based index has no transaction log, so the contract is
+re-checkable invariants + this checker.
+
+Invariants audited (each is a documented consequence of how the build
+and the incremental writers behave — see plans/index_build.py and
+streaming/incremental.py):
+
+shallow (metadata reads + count-only column-pruned scans):
+  - stats readable, prep_version matches the engine
+  - tokens/postings/terms directories present
+  - manifest internal consistency: per (stage, signature), the sum of
+    per-file footer row counts equals the observed global row count
+  - current physical file row counts vs the manifest: equal to a build
+    signature's count at gen 0; >= it after appends (append-only tables)
+  - stats.n_docs / stats.avgdl equal the live (tombstone-filtered)
+    tokens table — `_reaggregate` republishes both on every mutation
+  - terms dictionary bucket routing (bucket == xxhash64(term) mod NB)
+  - stale-marker state: packed present while a stale marker says it is
+    invalid -> compaction pending (warn, matches the loader's behavior)
+  - tombstone generations never exceed the published stats generation
+
+deep (adds full scans / one groupBy over postings):
+  - postings + packed bucket routing (zero misrouted rows)
+  - terms.df / terms.cf == live postings per-term count / sum(tf)
+  - per-term packed block doc totals == live postings df (only when the
+    packed store is live; a stale marker skips the check, and a
+    mismatch WITHOUT a marker is exactly the crash-corruption this
+    tool exists to find)
+  - build-signature checksums recomputed from the current files vs the
+    manifest's observed xor-of-xxhash64 (gen 0, single signature only —
+    appends legitimately change the xor)
+
+Everything driver-side is bounded (scalar aggregates, the small terms
+table); no check collects data rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index_build import (PREP_VERSION, IndexPaths, _apply_tombstones,
+                          _path_exists)
+
+REPORT_SCHEMA = ("check string, status string, expected string, "
+                 "actual string, detail string")
+
+
+def _footer_rows(spark: SparkSession, path: str) -> int | None:
+    """Total row count from parquet footers (driver-side metadata read,
+    no Spark job); None when the directory is absent/unreadable."""
+    try:
+        files = spark.read.parquet(path).inputFiles()
+        import pyarrow.parquet as pq
+
+        def n(f):
+            local = f[len("file:"):] if f.startswith("file:") else f
+            return pq.ParquetFile(local).metadata.num_rows
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            return int(sum(pool.map(n, files)))
+    except Exception:
+        return None
+
+
+def verify_index(spark: SparkSession, index_dir: str,
+                 deep: bool = False) -> DataFrame:
+    """Audit the index at `index_dir`; returns (check, status, expected,
+    actual, detail) rows with status ok | fail | warn | skip. `deep=True`
+    adds the full-scan reconciliations (bucket routing on the big tables,
+    dictionary-vs-postings, packed-vs-postings, build checksums)."""
+    paths = IndexPaths(index_dir)
+    rows: list[tuple] = []
+
+    def add(check, status, expected="", actual="", detail=""):
+        rows.append((check, status, str(expected), str(actual), detail))
+
+    # ---- stats + layout ----
+    try:
+        stats = spark.read.parquet(paths.stats).first()
+    except Exception as exc:
+        add("stats_readable", "fail", "readable stats/", type(exc).__name__,
+            "cannot read stats; aborting remaining checks")
+        return spark.createDataFrame(rows, REPORT_SCHEMA)
+    add("stats_readable", "ok")
+    if stats["prep_version"] != PREP_VERSION:
+        add("prep_version", "fail", PREP_VERSION, stats["prep_version"],
+            "index layout predates this engine build; rebuild or upgrade")
+    else:
+        add("prep_version", "ok", PREP_VERSION, stats["prep_version"])
+    gen = int(stats["gen"])
+    n_buckets = int(stats["n_buckets"])
+
+    present = {}
+    for name in ("tokens", "postings", "terms"):
+        present[name] = _path_exists(spark, getattr(paths, name))
+        add(f"layout_{name}", "ok" if present[name] else "fail",
+            "directory present", present[name])
+    if not (present["tokens"] and present["postings"] and present["terms"]):
+        return spark.createDataFrame(rows, REPORT_SCHEMA)
+    packed_dir = _path_exists(spark, paths.packed)
+    stale = _path_exists(spark, paths.stale)
+    tombs_dir = _path_exists(spark, paths.tombstones)
+
+    # ---- manifest internal consistency + files vs manifest ----
+    manifest = None
+    try:
+        manifest = spark.read.parquet(paths.manifest)
+    except Exception:
+        add("manifest_readable", "warn", "readable _manifest/", "absent",
+            "no lineage to audit; file-count checks skipped")
+    stage_globals: dict[str, list[int]] = {}
+    if manifest is not None:
+        agg = (manifest.groupBy("stage", "sig_n", "sig_h")
+               .agg(F.sum(F.when(F.col("partition_id") >= 0,
+                                 F.col("row_count"))).alias("file_sum"),
+                    F.max(F.when(F.col("partition_id") == -1,
+                                 F.col("row_count"))).alias("global_n"))
+               .collect())
+        bad = []
+        for r in agg:
+            stage_globals.setdefault(r["stage"], [])
+            if r["global_n"] is not None:
+                stage_globals[r["stage"]].append(int(r["global_n"]))
+            if r["file_sum"] is not None and r["global_n"] is not None \
+                    and int(r["file_sum"]) != int(r["global_n"]):
+                bad.append(f"{r['stage']}@sig({r['sig_n']},{r['sig_h']}): "
+                           f"files={r['file_sum']} observed={r['global_n']}")
+        add("manifest_internal", "fail" if bad else "ok",
+            "sum(file rows) == observed count per stage+signature",
+            "; ".join(bad) if bad else "consistent",
+            "per-file footer counts vs the write-pass Observation")
+
+        for name in ("tokens", "postings", "terms", "packed"):
+            expect = stage_globals.get(name, [])
+            if not expect:
+                continue
+            if name == "packed" and not packed_dir:
+                add("files_vs_manifest_packed", "skip", "", "",
+                    "packed/ absent (lean layout or removed by a merge)")
+                continue
+            cur = _footer_rows(spark, getattr(paths, name))
+            if cur is None:
+                add(f"files_vs_manifest_{name}", "warn", expect, "unreadable",
+                    "could not read parquet footers")
+            elif gen == 0 and cur in expect:
+                add(f"files_vs_manifest_{name}", "ok", expect, cur)
+            elif gen > 0 and any(cur >= e for e in expect):
+                add(f"files_vs_manifest_{name}", "ok", f">= one of {expect}",
+                    cur, f"append-only table at gen {gen}")
+            else:
+                add(f"files_vs_manifest_{name}", "fail", expect, cur,
+                    "physical rows lost since the manifest was written "
+                    "(truncated/partial copy?)")
+
+    # ---- live row tables (tombstone-filtered, as load_index sees them) ----
+    tokens = spark.read.parquet(paths.tokens)
+    postings = spark.read.parquet(paths.postings)
+    if tombs_dir:
+        tombs = spark.read.parquet(paths.tombstones)
+        tokens = _apply_tombstones(tokens, tombs)
+        postings = _apply_tombstones(postings, tombs)
+        tgen = tombs.agg(F.max("before_gen").alias("m")).first()["m"]
+        if tgen is not None and int(tgen) > gen:
+            add("tombstone_gen", "fail", f"<= stats.gen={gen}", tgen,
+                "a tombstone postdates the published generation — a "
+                "writer died between tombstone append and stats publish")
+        else:
+            add("tombstone_gen", "ok", f"<= stats.gen={gen}", tgen)
+
+    live = tokens.agg(F.count("*").alias("n"),
+                      F.avg("dl").alias("a")).first()
+    n_live, avgdl_live = int(live["n"]), float(live["a"] or 0.0)
+    if n_live != int(stats["n_docs"]):
+        add("stats_n_docs", "fail", stats["n_docs"], n_live,
+            "stats.n_docs != live tokens count — idf/BM25 norms are wrong")
+    else:
+        add("stats_n_docs", "ok", stats["n_docs"], n_live)
+    if abs(avgdl_live - float(stats["avgdl"])) > 1e-6 * max(1.0, avgdl_live):
+        add("stats_avgdl", "fail", stats["avgdl"], avgdl_live,
+            "stats.avgdl drifted from the live tokens table")
+    else:
+        add("stats_avgdl", "ok", stats["avgdl"], avgdl_live)
+
+    # ---- bucket routing: terms is dictionary-scale, always checked ----
+    def misrouted(df):
+        return (df.where(F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+                         .cast("int") != F.col("bucket")).count())
+
+    terms = spark.read.parquet(paths.terms)
+    bad_terms = misrouted(terms)
+    add("bucket_routing_terms", "fail" if bad_terms else "ok",
+        0, bad_terms,
+        "bucket != xxhash64(term) % n_buckets breaks directory pruning")
+
+    # ---- packed store state ----
+    if stale and packed_dir:
+        add("packed_state", "warn", "no stale marker", "stale marker set",
+            "packed/ is invalid until compact_index runs; loaders already "
+            "treat it as absent (blockmax disabled)")
+    elif packed_dir:
+        add("packed_state", "ok", "", "packed live")
+    else:
+        add("packed_state", "ok", "", "no packed store",
+            "lean layout — blockmax unavailable by construction")
+
+    if not deep:
+        return spark.createDataFrame(rows, REPORT_SCHEMA)
+
+    # ---- deep: bucket routing on the big tables ----
+    bad_post = misrouted(postings)
+    add("bucket_routing_postings", "fail" if bad_post else "ok", 0, bad_post)
+
+    # ---- deep: dictionary vs live postings (one groupBy + join) ----
+    per_term = (postings.groupBy("term")
+                .agg(F.count("*").alias("df_live"),
+                     F.sum("tf").alias("cf_live")))
+    dict_bad = (terms.join(per_term, on="term", how="full")
+                .where(F.coalesce("df", F.lit(-1))
+                       != F.coalesce("df_live", F.lit(-1)))
+                .count())
+    cf_bad = (terms.join(per_term, on="term")
+              .where(F.col("cf") != F.col("cf_live")).count())
+    add("terms_vs_postings_df", "fail" if dict_bad else "ok", 0, dict_bad,
+        "terms with df != live postings count (or present on one side only)")
+    add("terms_vs_postings_cf", "fail" if cf_bad else "ok", 0, cf_bad)
+
+    # ---- deep: packed blocks vs live postings ----
+    if packed_dir and not stale:
+        packed = spark.read.parquet(paths.packed)
+        bad_packed = misrouted(packed)
+        add("bucket_routing_packed", "fail" if bad_packed else "ok",
+            0, bad_packed)
+        per_term_packed = (packed.groupBy("term")
+                           .agg(F.sum("n_docs").alias("df_packed")))
+        pk_bad = (per_term_packed.join(per_term, on="term", how="full")
+                  .where(F.coalesce("df_packed", F.lit(-1))
+                         != F.coalesce("df_live", F.lit(-1)))
+                  .count())
+        add("packed_vs_postings", "fail" if pk_bad else "ok", 0, pk_bad,
+            "terms whose packed block doc totals disagree with live "
+            "postings — stale packed data WITHOUT a stale marker")
+    else:
+        add("packed_vs_postings", "skip", "", "",
+            "packed absent or already flagged stale")
+
+    # ---- deep: recompute build-signature checksums ----
+    sigs = (manifest.select("sig_n", "sig_h").distinct().count()
+            if manifest is not None else 0)
+    if manifest is None or gen != 0 or tombs_dir or sigs != 1:
+        add("build_checksums", "skip", "", "",
+            "only meaningful at gen 0 with a single build signature "
+            "(appends/tombstones legitimately change the xor)")
+    else:
+        spec = {
+            "tokens": F.xxhash64("doc_id"),
+            "postings": F.xxhash64(F.concat_ws("|", "term", "doc_id")),
+            "terms": F.xxhash64("term"),
+        }
+        if packed_dir:
+            spec["packed"] = F.xxhash64(
+                F.concat_ws("|", "term", "block_id"))
+        recorded = {r["stage"]: int(r["checksum"]) for r in
+                    manifest.where((F.col("partition_id") == -1)
+                                   & F.col("checksum").isNotNull())
+                    .select("stage", "checksum").collect()}
+        for name, col in spec.items():
+            if name not in recorded:
+                add(f"build_checksum_{name}", "skip", "", "",
+                    "no observed checksum row in the manifest")
+                continue
+            got = (spark.read.parquet(getattr(paths, name))
+                   .agg(F.coalesce(F.bit_xor(col), F.lit(0)).alias("h"))
+                   .first()["h"])
+            ok = int(got) == recorded[name]
+            add(f"build_checksum_{name}", "ok" if ok else "fail",
+                recorded[name], got,
+                "" if ok else "file contents differ from what the build "
+                "wrote (bitrot / partial restore)")
+
+    return spark.createDataFrame(rows, REPORT_SCHEMA)
