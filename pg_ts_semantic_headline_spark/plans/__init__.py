@@ -1,3 +1,4 @@
+from .fsck import verify_index
 from .query_compiler import (
     CompiledQuery,
     Phrase,
@@ -8,5 +9,5 @@ from .query_compiler import (
 
 __all__ = [
     "CompiledQuery", "Phrase", "TSQueryParseError",
-    "phraseto_tspquery", "to_tspquery",
+    "phraseto_tspquery", "to_tspquery", "verify_index",
 ]
