@@ -170,6 +170,36 @@ WITH {TOKS_CTE.strip()}, {BM25_CTE.strip()},
 """
 
 
+def _min_span_cte(terms: list[str]) -> str:
+    """`minspan` CTE: per-doc smallest window covering every term — the
+    same running-max formulation the engine's min_span_docs uses (at each
+    position, span = pos - least(last seen pos per term) + 1 once all
+    terms have appeared). Integers only."""
+    ts = sorted(set(terms))
+    lits = ", ".join(f"'{t}'" for t in ts)
+    lasts = ",\n         ".join(
+        f"max(CASE WHEN token = '{t}' THEN pos END) OVER "
+        f"(PARTITION BY doc_id ORDER BY pos) AS p{i}"
+        for i, t in enumerate(ts))
+    notnull = " AND ".join(f"p{i} IS NOT NULL" for i in range(len(ts)))
+    if len(ts) == 1:
+        span_expr = "1"
+    else:
+        least = "least(" + ", ".join(f"p{i}" for i in range(len(ts))) + ")"
+        span_expr = f"pos - {least} + 1"
+    return f"""
+spanrun AS (
+  SELECT doc_id, pos,
+         {lasts}
+  FROM toks WHERE token IN ({lits})
+),
+minspan AS (
+  SELECT doc_id, CAST(min({span_expr}) AS INT) AS span
+  FROM spanrun WHERE {notnull}
+  GROUP BY doc_id
+)"""
+
+
 def _ann_sql(n_planes: int = 8, seed: int = 42, dim: int = 64,
              k: int = 10) -> str:
     """Persisted-ANN oracle: the deterministic hyperplanes are inlined as
@@ -1198,6 +1228,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      (F.col("doc_id") % 7).cast("string")).alias("text"))
         return dedup_paragraphs(docs, sep="\n")
 
+    def q76(spark, sf):
+        # minimal all-terms window per doc from the persisted positional
+        # store (packed decode pruned to the query terms' buckets);
+        # integers only — no cross-engine float surface at all
+        from pg_ts_semantic_headline_spark.plans.ranking import min_span_docs
+        return min_span_docs(_built_index(spark, sf), ["spark", "query"])
+
+    def q77(spark, sf):
+        # proximity-boosted BM25 over the FULL matching set (k covers the
+        # corpus at gate scale — q34 rationale: no top-k float boundary);
+        # depth > 512 exercises the in-plan candidate-join branch. Two
+        # query terms keep the BM25 sum order-free (2 addends), and the
+        # boost is one multiply — e4 rounding is bit-stable cross-engine
+        from pg_ts_semantic_headline_spark.plans.ranking import (
+            proximity_rerank)
+        index = _built_index(spark, sf)
+        return (proximity_rerank(index, ["spark", "query"], k=100000,
+                                 depth=100000, alpha=2.0)
+                .select("doc_id", _e4(F.col("score")).alias("score_e4"),
+                        "span"))
+
+    def q78(spark, sf):
+        # RM3 pseudo-relevance-feedback expansion terms: top-10 feedback
+        # docs vote, selection is the integer-only (fb_tf desc, df asc,
+        # term asc) rule — the only float in play is which docs make the
+        # feedback cut, and the gate terms' top-10 is well separated
+        from pg_ts_semantic_headline_spark.plans.ranking import rm3_expand
+        return rm3_expand(_built_index(spark, sf), ["merge", "join"],
+                          fb_docs=10, max_terms=10)
+
+    def q79(spark, sf):
+        # LTR feature extraction over every matching doc: integer
+        # features + fixed-order e4 BM25 + min-span (null when a term is
+        # missing) — the reproducible-training-file contract under the
+        # gate
+        from pg_ts_semantic_headline_spark.plans.ranking import ltr_features
+        return (ltr_features(_built_index(spark, sf), ["spark", "window"])
+                .select("doc_id", "n_matched", "sum_tf", "dl",
+                        _e4(F.col("bm25")).alias("bm25_e4"), "span"))
+
+    def q80(spark, sf):
+        # full PRF loop: expand 'merge join' by RM3, re-rank the corpus
+        # with BM25 over the union (full set again — no k boundary)
+        from pg_ts_semantic_headline_spark.plans.ranking import prf_search
+        return (prf_search(_built_index(spark, sf), ["merge", "join"],
+                           k=100000, fb_docs=10, max_terms=5)
+                .select("doc_id", _e4(F.col("score")).alias("score_e4")))
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -1274,6 +1352,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_similarity_join": q73,
         "corpus_profile": q74,
         "dedup_paragraphs": q75,
+        "min_span": q76,
+        "proximity_rerank": q77,
+        "rm3_expansion": q78,
+        "ltr_features": q79,
+        "prf_search": q80,
     }
 
 
@@ -2539,5 +2622,102 @@ FROM big
 JOIN uni u1 ON u1.w = big.w1
 JOIN uni u2 ON u2.w = big.w2
 CROSS JOIN nb CROSS JOIN nu
+""",
+        # minimal all-terms window (pure integers)
+        "min_span": f"""
+WITH {TOKS_CTE.strip()},
+{_min_span_cte(["spark", "query"]).strip()}
+SELECT doc_id, span FROM minspan
+""",
+        # proximity-boosted BM25: score · (1 + 2/span), full matching set
+        "proximity_rerank": _bm25_score_sql(["spark", "query"]) + f"""
+, {_min_span_cte(["spark", "query"]).strip()}
+SELECT s.doc_id,
+       CAST(ROUND(CASE WHEN m.span IS NOT NULL
+                       THEN s.score * (1.0 + 2.0 / m.span)
+                       ELSE s.score END * 10000) AS BIGINT) AS score_e4,
+       m.span
+FROM scored s LEFT JOIN minspan m USING (doc_id)
+""",
+        # RM3 expansion: top-10 feedback docs by BM25('join','merge'),
+        # candidate terms ranked by the integer-only
+        # (fb_tf desc, df asc, term asc) rule
+        "rm3_expansion": _bm25_score_sql(["join", "merge"]) + """
+, fb AS (
+  SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+),
+fbtf AS (
+  SELECT token AS term, count(*) AS fb_tf
+  FROM toks JOIN fb USING (doc_id)
+  WHERE token NOT IN ('join', 'merge')
+  GROUP BY token
+),
+ranked AS (
+  SELECT term, fb_tf, df FROM fbtf JOIN dfreq USING (term)
+  ORDER BY fb_tf DESC, df ASC, term ASC LIMIT 10
+)
+SELECT CAST(row_number() OVER (ORDER BY fb_tf DESC, df ASC, term ASC)
+            AS INT) AS "rank",
+       term, CAST(fb_tf AS BIGINT) AS fb_tf, CAST(df AS BIGINT) AS df
+FROM ranked
+""",
+        # LTR features: integer stats + e4 BM25 + min-span per matching doc
+        "ltr_features": f"""
+WITH {TOKS_CTE.strip()}, {BM25_CTE.strip()},
+{_min_span_cte(["spark", "window"]).strip()},
+feat AS (
+  SELECT tf.doc_id,
+         CAST(count(*) AS INT) AS n_matched,
+         CAST(sum(tf.tf) AS BIGINT) AS sum_tf,
+         CAST(any_value(docstats.dl) AS INT) AS dl,
+         SUM( ln(1.0 + (corpus.n_docs - dfreq.df + 0.5)/(dfreq.df + 0.5))
+              * (tf.tf * ({K1_SQL} + 1))
+              / (tf.tf + {K1_SQL} * (1 - {B_SQL} + {B_SQL} * docstats.dl / corpus.avgdl))
+         ) AS bm25
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN docstats USING (doc_id)
+  CROSS JOIN corpus
+  WHERE tf.term IN ('spark', 'window')
+  GROUP BY tf.doc_id
+)
+SELECT f.doc_id, f.n_matched, f.sum_tf, f.dl,
+       CAST(ROUND(f.bm25 * 10000) AS BIGINT) AS bm25_e4, m.span
+FROM feat f LEFT JOIN minspan m USING (doc_id)
+""",
+        # PRF retrieval: BM25 over original ∪ RM3-expansion(5) terms
+        "prf_search": _bm25_score_sql(["join", "merge"]) + f"""
+, fb AS (
+  SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+),
+fbtf AS (
+  SELECT token AS term, count(*) AS fb_tf
+  FROM toks JOIN fb USING (doc_id)
+  WHERE token NOT IN ('join', 'merge')
+  GROUP BY token
+),
+ranked AS (
+  SELECT term, fb_tf, df FROM fbtf JOIN dfreq USING (term)
+  ORDER BY fb_tf DESC, df ASC, term ASC LIMIT 5
+),
+expanded AS (
+  SELECT term FROM ranked
+  UNION SELECT 'join' UNION SELECT 'merge'
+),
+scored2 AS (
+  SELECT tf.doc_id,
+         SUM( ln(1.0 + (corpus.n_docs - dfreq.df + 0.5)/(dfreq.df + 0.5))
+              * (tf.tf * ({K1_SQL} + 1))
+              / (tf.tf + {K1_SQL} * (1 - {B_SQL} + {B_SQL} * docstats.dl / corpus.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN docstats USING (doc_id)
+  CROSS JOIN corpus
+  WHERE tf.term IN (SELECT term FROM expanded)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4
+FROM scored2
 """,
     }

@@ -6,8 +6,16 @@ from .query_compiler import (
     phraseto_tspquery,
     to_tspquery,
 )
+from .ranking import (
+    ltr_features,
+    min_span_docs,
+    prf_search,
+    proximity_rerank,
+    rm3_expand,
+)
 
 __all__ = [
     "CompiledQuery", "Phrase", "TSQueryParseError",
-    "phraseto_tspquery", "to_tspquery", "verify_index",
+    "ltr_features", "min_span_docs", "phraseto_tspquery", "prf_search",
+    "proximity_rerank", "rm3_expand", "to_tspquery", "verify_index",
 ]

@@ -1,0 +1,283 @@
+"""Ranking extensions over the persisted index: positional proximity,
+RM3-style pseudo-relevance feedback, and learning-to-rank features.
+
+The reference engine's only ranking signal is fragment cover density
+(/root/reference/sql/ts_fast_headline_cover_density.sql:96); these are
+engine additions in the bm25_topk spirit — the query-time ranking
+features a search page and an LTR training pipeline layer on top of a
+fulltext index.
+
+Scale notes (the 100 TB contract):
+
+- ``min_span_docs`` is ONE window per candidate set (partition by
+  doc_id, order by pos, k running aggregates inside a single window
+  spec — one sort, no self-join, no quadratic blowup). Positions are
+  decoded only for candidate docs/blocks: `_positions_hay` prunes the
+  scan to doc-id IN-literals or block semi-joins BEFORE any
+  explode/decode, so the window input is O(candidates × query tf),
+  never the corpus.
+- ``proximity_rerank`` = top-`depth` BM25 (the pruned, optionally
+  block-max plan) + min-span over ≤ depth docs: rerank cost is
+  independent of corpus size, which is the only shape that survives at
+  10^12 docs (computing spans corpus-wide before ranking would decode
+  every posting).
+- ``rm3_expand`` point-reads the feedback docs' recall vectors
+  (parquet row-group min/max pruning on doc_id literals — the
+  more_like_this_by_id trick) and selects expansion terms DRIVER-side
+  with an integer-only rule (tf desc, df asc, term asc), so feedback
+  never scans the corpus and there is no cross-engine float-tie risk
+  in which terms get picked. The expanded retrieval is one more
+  bucket-pruned postings scan.
+- ``ltr_features`` shares bm25_topk's single pruned-scan shape and
+  emits integer-dominant features; the BM25 feature uses the
+  fixed-order per-term summation from bm25_topk_paged, so feature
+  files regenerate bit-identically across runs — training-data
+  reproducibility is a feature contract, not a nicety.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .index_build import Index
+from .query_compiler import CompiledQuery
+from .search import (_idf_lookup, _positions_hay, _pruned_postings,
+                     _scored, bm25_topk)
+
+__all__ = ["min_span_docs", "proximity_rerank", "rm3_expand",
+           "prf_search", "ltr_features"]
+
+
+def _terms_of(query) -> list[str]:
+    if isinstance(query, CompiledQuery):
+        return sorted(set(query.lexemes))
+    return sorted(set(query))
+
+
+def min_span_docs(
+    index: Index,
+    terms: list[str],
+    candidate_ids: list | None = None,
+    candidate_docs: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, span): the length in token positions of the smallest
+    window containing EVERY query term at least once. Docs missing any
+    term produce no row.
+
+    Streaming formulation (one ordered pass, not the quadratic
+    all-windows join): walking positions in order, the best window
+    ending at position p is ``p - min_t last_pos_t + 1`` once every
+    term has been seen — so k running ``max(CASE term)`` aggregates
+    inside ONE window spec give every candidate window, and a plain
+    min-aggregate picks the answer. Single sort per doc partition,
+    whole-stage codegen throughout, no UDF.
+    """
+    ts = sorted(set(terms))
+    spark = index.postings.sparkSession
+    if not ts:
+        return spark.createDataFrame([], "doc_id long, span int")
+    hay = _positions_hay(index, ts, candidate_docs=candidate_docs,
+                         candidate_ids=candidate_ids)
+    # the packed path prunes to BLOCKS (span-sized doc ranges), so
+    # block-mates of the candidates ride along the decode — re-filter to
+    # the exact candidate set (row-positions mode already did this; the
+    # predicate is a no-op there)
+    if candidate_ids is not None:
+        hay = hay.where(F.col("doc_id").isin([int(d)
+                                              for d in candidate_ids]))
+    elif candidate_docs is not None:
+        hay = hay.join(F.broadcast(candidate_docs.select("doc_id")),
+                       on="doc_id", how="left_semi")
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lasts = [F.max(F.when(F.col("term") == F.lit(t), F.col("pos"))).over(w)
+             .alias(f"_p{i}") for i, t in enumerate(ts)]
+    rows = hay.select("doc_id", "pos", *lasts)
+    pcols = [F.col(f"_p{i}") for i in range(len(ts))]
+    seen_all = pcols[0].isNotNull()
+    for c in pcols[1:]:
+        seen_all = seen_all & c.isNotNull()
+    if len(ts) == 1:
+        span = F.lit(1)
+    else:
+        span = F.col("pos") - F.least(*pcols) + F.lit(1)
+    return (rows.where(seen_all)
+            .groupBy("doc_id")
+            .agg(F.min(span).cast("int").alias("span")))
+
+
+def proximity_rerank(
+    index: Index,
+    query: CompiledQuery | list[str],
+    k: int = 10,
+    depth: int = 100,
+    alpha: float = 1.0,
+    mode: str = "exact",
+) -> DataFrame:
+    """BM25 top-`depth` candidates reranked by query-term proximity:
+
+        score' = bm25 · (1 + alpha / span)
+
+    where span is the doc's minimal all-terms window; docs that never
+    hold all terms keep their plain BM25 score (span = ∞ ⇒ boost 1).
+    Returns (doc_id, score, span) — span null when unboosted — top-k by
+    (score desc, doc_id asc).
+
+    depth ≤ 512 collects the candidate ids driver-side so the positional
+    scan row-group-prunes on IN-literals (the search_with_headlines
+    winners trick); deeper reranks switch to an in-plan semi-join.
+    """
+    terms = _terms_of(query)
+    spark = index.postings.sparkSession
+    out_schema = "doc_id long, score double, span int"
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    hits = bm25_topk(index, terms, k=depth, mode=mode)
+    if depth <= 512:
+        rows = hits.collect()
+        if not rows:
+            return spark.createDataFrame([], out_schema)
+        ids = [int(r["doc_id"]) for r in rows]
+        hits = spark.createDataFrame(rows, hits.schema)
+        spans = min_span_docs(index, terms, candidate_ids=ids)
+    else:
+        spans = min_span_docs(index, terms,
+                              candidate_docs=hits.select("doc_id"))
+    boost = F.lit(1.0) + F.lit(float(alpha)) / F.col("span").cast("double")
+    boosted = (hits.join(spans, on="doc_id", how="left")
+               .withColumn("score",
+                           F.when(F.col("span").isNotNull(),
+                                  F.col("score") * boost)
+                           .otherwise(F.col("score"))))
+    return (boosted.select("doc_id", "score", "span")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+def rm3_expand(
+    index: Index,
+    query: CompiledQuery | list[str],
+    fb_docs: int = 10,
+    max_terms: int = 10,
+    mode: str = "exact",
+) -> DataFrame:
+    """Pseudo-relevance-feedback expansion terms (the RM3 first stage):
+    the top-`fb_docs` BM25 hits are treated as relevant, their term
+    statistics vote, and the best `max_terms` NEW terms (the original
+    query terms never expand onto themselves) come back as
+    (rank, term, fb_tf, df).
+
+    Selection is the integer-only more_like_this rule — feedback term
+    frequency desc, then rarest-first (df asc), then term asc — which
+    is deterministic and engine-portable (no float relevance weights to
+    tie-break). fb term stats come from re-analyzing the feedback docs'
+    recall vectors: the tokens column is the analyzer's own canonical
+    output, so re-analysis reproduces the postings' lexeme stream
+    exactly (same guarantee more_like_this_by_id relies on), and the
+    whole feedback stage touches fb_docs rows, not the corpus.
+    """
+    from collections import Counter
+
+    from ..functions.lexize import analyze_text_simple
+
+    terms = _terms_of(query)
+    spark = index.postings.sparkSession
+    out_schema = "rank int, term string, fb_tf long, df long"
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    fb = bm25_topk(index, terms, k=fb_docs, mode=mode).collect()
+    ids = [int(r["doc_id"]) for r in fb]
+    if not ids:
+        return spark.createDataFrame([], out_schema)
+    tok_rows = (index.tokens.where(F.col("doc_id").isin(ids))
+                .select("tokens").collect())
+    tf: Counter = Counter()
+    for r in tok_rows:
+        tf.update(lx for lx in analyze_text_simple(
+            " ".join(r["tokens"]), index.config) if lx is not None)
+    cands = sorted(t for t in tf if t not in set(terms))
+    if not cands:
+        return spark.createDataFrame([], out_schema)
+    # bounded dictionary lookup: one df row per distinct candidate term
+    dfs = {r["term"]: int(r["df"]) for r in
+           _idf_lookup(index, cands, cols=("term", "df")).collect()}
+    ranked = sorted((t for t in cands if t in dfs),
+                    key=lambda t: (-tf[t], dfs[t], t))[:max_terms]
+    return spark.createDataFrame(
+        [(i + 1, t, int(tf[t]), dfs[t]) for i, t in enumerate(ranked)],
+        out_schema)
+
+
+def prf_search(
+    index: Index,
+    query: CompiledQuery | list[str],
+    k: int = 10,
+    fb_docs: int = 10,
+    max_terms: int = 10,
+    mode: str = "exact",
+) -> DataFrame:
+    """Full PRF retrieval: expand with `rm3_expand`, then BM25 over the
+    union of original + expansion terms (uniform term weights — the
+    Rocchio-style simplification; the expansion SET carries the
+    feedback signal, selection already being feedback-frequency-ranked).
+    Two pruned postings scans total (feedback pass + expanded pass),
+    independent of corpus size. Returns (doc_id, score) in rank order.
+    """
+    terms = _terms_of(query)
+    spark = index.postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    expansion = [r["term"] for r in
+                 rm3_expand(index, terms, fb_docs=fb_docs,
+                            max_terms=max_terms, mode=mode).collect()]
+    return bm25_topk(index, sorted(set(terms) | set(expansion)),
+                     k=k, mode=mode)
+
+
+def ltr_features(
+    index: Index,
+    query: CompiledQuery | list[str],
+    candidate_ids: list | None = None,
+) -> DataFrame:
+    """Per-document feature vector for learning-to-rank training:
+
+        (doc_id, n_matched, sum_tf, dl, bm25, span)
+
+    n_matched = how many distinct query terms the doc contains,
+    sum_tf = total query-term occurrences, dl = doc length, bm25 = the
+    engine score, span = minimal all-terms window (null when the doc
+    lacks a term). Integer-dominant by design; the BM25 feature uses
+    the fixed-order per-term summation (bm25_topk_paged's trick) so a
+    regenerated feature file is bit-identical to the last one — LTR
+    training data must be reproducible, and hash-aggregate float sums
+    are not.
+
+    `candidate_ids` narrows every scan to the docs under consideration
+    (pass the retrieval top-k — featurizing a whole corpus per query is
+    a smell); omit it to featurize all matching docs (the offline
+    training-set sweep, still one pruned scan + one window).
+    """
+    terms = _terms_of(query)
+    spark = index.postings.sparkSession
+    out_schema = ("doc_id long, n_matched int, sum_tf long, dl int, "
+                  "bm25 double, span int")
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    rows = _scored(index, terms)
+    if candidate_ids is not None:
+        ids = [int(d) for d in candidate_ids]
+        rows = rows.where(F.col("doc_id").isin(ids))
+    aggs = [F.sum(F.when(F.col("term") == t, F.col("score")))
+            .alias(f"_s{i}") for i, t in enumerate(terms)]
+    per_doc = rows.groupBy("doc_id").agg(
+        F.count_distinct("term").cast("int").alias("n_matched"),
+        F.sum("tf").cast("long").alias("sum_tf"),
+        F.first("dl").cast("int").alias("dl"),
+        *aggs)
+    total = F.coalesce(F.col("_s0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    feats = per_doc.withColumn("bm25", total)
+    spans = min_span_docs(index, terms, candidate_ids=candidate_ids)
+    return (feats.join(spans, on="doc_id", how="left")
+            .select("doc_id", "n_matched", "sum_tf", "dl", "bm25", "span"))

@@ -1,0 +1,226 @@
+"""Ranking-extension tests: min-span proximity, RM3 expansion, PRF
+retrieval, and LTR feature extraction vs pure-Python oracles."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_ts_semantic_headline_spark.plans.index_build import (
+    B, K1, build_index, load_index)
+from pg_ts_semantic_headline_spark.plans.ranking import (
+    ltr_features, min_span_docs, prf_search, proximity_rerank, rm3_expand)
+from pg_ts_semantic_headline_spark.plans.search import bm25_topk
+
+CONFIG = "simple"
+VOCAB = ("spark index query batch stream merge sort join filter scan "
+         "window hash shuffle column row table part key value data").split()
+
+
+def make_corpus(n=60):
+    rng = random.Random(7)
+    docs = []
+    for i in range(n):
+        words = [VOCAB[min(int(rng.expovariate(0.35)), len(VOCAB) - 1)]
+                 for _ in range(rng.randint(30, 120))]
+        if i % 5 == 0:
+            # guaranteed tight co-occurrence for the proximity tests
+            words[3:3] = ["needle", "target"]
+        if i % 11 == 0:
+            words.append("needle")
+            words.insert(0, "target")
+        docs.append((i, " ".join(words)))
+    return docs
+
+
+def brute_min_span(words, terms):
+    """O(n^2) independent oracle: smallest window covering all terms."""
+    need = set(terms)
+    best = None
+    for i, w in enumerate(words):
+        if w not in need:
+            continue
+        seen = set()
+        for j in range(i, len(words)):
+            if words[j] in need:
+                seen.add(words[j])
+            if seen == need:
+                s = j - i + 1
+                best = s if best is None or s < best else best
+                break
+    return best
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_corpus()
+
+
+@pytest.fixture(scope="module")
+def lean_index(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("rank_idx_lean"))
+    df = spark.createDataFrame(corpus, ["doc_id", "content"])
+    build_index(spark, df, out, config=CONFIG, n_buckets=8, block_span=8)
+    return load_index(spark, out)
+
+
+@pytest.fixture(scope="module")
+def row_index(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("rank_idx_row"))
+    df = spark.createDataFrame(corpus, ["doc_id", "content"])
+    build_index(spark, df, out, config=CONFIG, n_buckets=8, block_span=8,
+                row_positions=True)
+    return load_index(spark, out)
+
+
+@pytest.mark.parametrize("terms", [["needle", "target"],
+                                   ["spark", "query", "window"]])
+def test_min_span_matches_bruteforce(lean_index, row_index, corpus, terms):
+    expected = {}
+    for doc_id, text in corpus:
+        s = brute_min_span(text.split(" "), terms)
+        if s is not None:
+            expected[doc_id] = s
+    for idx in (lean_index, row_index):
+        got = {r["doc_id"]: r["span"]
+               for r in min_span_docs(idx, terms).collect()}
+        assert got == expected
+
+
+def test_min_span_single_term(lean_index, corpus):
+    got = {r["doc_id"]: r["span"]
+           for r in min_span_docs(lean_index, ["needle"]).collect()}
+    expected = {doc_id: 1 for doc_id, text in corpus
+                if "needle" in text.split(" ")}
+    assert got == expected
+
+
+def test_min_span_candidate_pruning(lean_index, corpus):
+    terms = ["needle", "target"]
+    full = {r["doc_id"]: r["span"]
+            for r in min_span_docs(lean_index, terms).collect()}
+    some = sorted(full)[:3]
+    got = {r["doc_id"]: r["span"]
+           for r in min_span_docs(lean_index, terms,
+                                  candidate_ids=some).collect()}
+    assert got == {d: full[d] for d in some}
+
+
+def _py_bm25(corpus, terms, config_words=None):
+    """Pure-Python BM25 with the engine's formula, fixed-order term sum."""
+    docs = {d: t.split(" ") for d, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n
+    out = {}
+    for t in sorted(set(terms)):
+        df = sum(1 for w in docs.values() if t in w)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for d, words in docs.items():
+            tf = words.count(t)
+            if tf:
+                s = idf * (tf * (K1 + 1)) / (
+                    tf + K1 * (1 - B + B * len(words) / avgdl))
+                out[d] = out.get(d, 0.0) + s
+    return out
+
+
+def test_proximity_rerank_boosts_tight_windows(lean_index, corpus):
+    terms = ["needle", "target"]
+    base = {r["doc_id"]: r["score"]
+            for r in bm25_topk(lean_index, terms, k=1000).collect()}
+    spans = {r["doc_id"]: r["span"]
+             for r in min_span_docs(lean_index, terms).collect()}
+    res = proximity_rerank(lean_index, terms, k=1000, depth=1000,
+                           alpha=2.0).collect()
+    assert res, "expected matches"
+    got = {r["doc_id"]: (r["score"], r["span"]) for r in res}
+    for d, (score, span) in got.items():
+        if d in spans:
+            assert span == spans[d]
+            assert score == pytest.approx(
+                base[d] * (1 + 2.0 / spans[d]), rel=1e-12)
+        else:
+            assert span is None
+            assert score == pytest.approx(base[d], rel=1e-12)
+    # rank order is (score desc, doc_id asc)
+    scores = [(r["score"], -r["doc_id"]) for r in res]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_proximity_rerank_deep_branch_agrees(lean_index):
+    terms = ["spark", "window"]
+    shallow = [(r["doc_id"], round(r["score"], 9))
+               for r in proximity_rerank(lean_index, terms, k=20,
+                                         depth=500).collect()]
+    deep = [(r["doc_id"], round(r["score"], 9))
+            for r in proximity_rerank(lean_index, terms, k=20,
+                                      depth=600).collect()]
+    assert shallow == deep
+
+
+def test_rm3_expand_selection_rule(lean_index, corpus):
+    from collections import Counter
+
+    terms = ["needle", "target"]
+    fb = [int(r["doc_id"])
+          for r in bm25_topk(lean_index, terms, k=5).collect()]
+    docs = dict(corpus)
+    tf = Counter()
+    for d in fb:
+        tf.update(docs[d].split(" "))
+    dfs = Counter()
+    for _, text in corpus:
+        dfs.update(set(text.split(" ")))
+    cands = sorted(t for t in tf if t not in set(terms))
+    expected = sorted(cands, key=lambda t: (-tf[t], dfs[t], t))[:6]
+    got = rm3_expand(lean_index, terms, fb_docs=5, max_terms=6).collect()
+    assert [r["term"] for r in got] == expected
+    assert [r["rank"] for r in got] == list(range(1, len(expected) + 1))
+    for r in got:
+        assert r["fb_tf"] == tf[r["term"]]
+        assert r["df"] == dfs[r["term"]]
+
+
+def test_prf_search_is_bm25_over_union(lean_index):
+    terms = ["needle", "target"]
+    exp = [r["term"] for r in
+           rm3_expand(lean_index, terms, fb_docs=5, max_terms=4).collect()]
+    want = [(r["doc_id"], round(r["score"], 9)) for r in
+            bm25_topk(lean_index, sorted(set(terms) | set(exp)),
+                      k=15).collect()]
+    got = [(r["doc_id"], round(r["score"], 9)) for r in
+           prf_search(lean_index, terms, k=15, fb_docs=5,
+                      max_terms=4).collect()]
+    assert got == want
+
+
+def test_ltr_features_values(lean_index, corpus):
+    terms = ["spark", "query", "window"]
+    docs = {d: t.split(" ") for d, t in corpus}
+    bm25 = _py_bm25(corpus, terms)
+    rows = ltr_features(lean_index, terms).collect()
+    assert rows
+    for r in rows:
+        words = docs[r["doc_id"]]
+        matched = [t for t in terms if t in words]
+        assert r["n_matched"] == len(matched)
+        assert r["sum_tf"] == sum(words.count(t) for t in terms)
+        assert r["dl"] == len(words)
+        assert r["bm25"] == pytest.approx(bm25[r["doc_id"]], rel=1e-9)
+        assert r["span"] == brute_min_span(words, terms)
+    # every matching doc appears
+    assert {r["doc_id"] for r in rows} == set(bm25)
+
+
+def test_ltr_features_candidate_narrowing(lean_index):
+    terms = ["spark", "window"]
+    full = {r["doc_id"]: r for r in ltr_features(lean_index, terms).collect()}
+    ids = sorted(full)[:4]
+    got = ltr_features(lean_index, terms, candidate_ids=ids).collect()
+    assert {r["doc_id"] for r in got} == set(ids)
+    for r in got:
+        assert r["bm25"] == pytest.approx(full[r["doc_id"]]["bm25"],
+                                          rel=1e-12)
