@@ -361,6 +361,19 @@ def main():
             lambda: ts_semantic_headline(
                 sample, phraseto_tspquery("english", "merge"),
                 config="english").count())
+
+        # ranking extensions: proximity rerank over top-100 candidates
+        # (positional decode pruned to the candidates' blocks) and LTR
+        # feature extraction over every matching doc
+        from pg_ts_semantic_headline_spark.plans.ranking import (
+            ltr_features, proximity_rerank)
+        rank_qs = [list(to_tspquery("english", "merge & sort").lexemes),
+                   list(to_tspquery("english", "spark & window").lexemes)]
+        timings["proximity_rerank_x2"] = min_of(
+            lambda: [proximity_rerank(index, ts, k=10, depth=100).collect()
+                     for ts in rank_qs])
+        timings["ltr_features_full"] = min_of(
+            lambda: ltr_features(index, rank_qs[0]).count())
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
