@@ -1276,6 +1276,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            k=100000, fb_docs=10, max_terms=5)
                 .select("doc_id", _e4(F.col("score")).alias("score_e4")))
 
+    def q81(spark, sf):
+        # offline ranking-quality metrics over a deterministic synthetic
+        # run: per-lang "queries", integer fake scores (doc_id % 97,
+        # ties by doc_id) and modular-arithmetic judgments — exercises
+        # the full metric math (graded gains, e6-quantized DCG summands,
+        # recall/MRR) with no cross-engine float-order surface
+        from pg_ts_semantic_headline_spark.plans.ranking import rank_metrics
+        d = _docs(spark, sf)
+        results = d.select(
+            F.col("lang").alias("query_id"), "doc_id",
+            (F.col("doc_id") % 97).cast("double").alias("score"))
+        qrels = (d.select(
+            F.col("lang").alias("query_id"), "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, 2)
+             .when(F.col("doc_id") % 3 == 0, 1)
+             .otherwise(0).alias("rel"))
+            .where(F.col("rel") > 0))
+        return rank_metrics(results, qrels, k=10)
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -1357,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rm3_expansion": q78,
         "ltr_features": q79,
         "prf_search": q80,
+        "rank_metrics": q81,
     }
 
 
@@ -2719,5 +2739,61 @@ scored2 AS (
 )
 SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4
 FROM scored2
+""",
+        # ranking-quality metrics (trec_eval core) over a deterministic
+        # synthetic run; all outputs are integers built from e6-quantized
+        # per-item summands
+        "rank_metrics": """
+WITH results AS (
+  SELECT lang AS query_id, doc_id, CAST(doc_id % 97 AS DOUBLE) AS score
+  FROM documents
+),
+qrels AS (
+  SELECT lang AS query_id, doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 2
+              WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS rel
+  FROM documents
+  WHERE doc_id % 7 = 0 OR doc_id % 3 = 0
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM results
+),
+topk AS (SELECT * FROM ranked WHERE rnk <= 10),
+hit AS (
+  SELECT t.query_id,
+         count(*) AS hits_at_k,
+         min(t.rnk) AS first_rank,
+         SUM(CAST(ROUND(1e6 * (pow(2, q.rel) - 1) / log2(t.rnk + 1))
+                  AS BIGINT)) AS dcg
+  FROM topk t
+  JOIN qrels q ON t.query_id = q.query_id AND t.doc_id = q.doc_id
+  GROUP BY t.query_id
+),
+ideal AS (
+  SELECT query_id,
+         count(*) AS n_rel,
+         SUM(CASE WHEN irank <= 10
+                  THEN CAST(ROUND(1e6 * (pow(2, rel) - 1) / log2(irank + 1))
+                            AS BIGINT) END) AS idcg
+  FROM (SELECT query_id, rel, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, doc_id ASC) AS irank
+        FROM qrels)
+  GROUP BY query_id
+)
+SELECT i.query_id,
+       CAST(i.n_rel AS BIGINT) AS n_rel,
+       CAST(coalesce(h.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+       CAST(ROUND(1e4 * coalesce(h.hits_at_k, 0) / i.n_rel) AS BIGINT)
+         AS recall_at_k_e4,
+       CAST(coalesce(ROUND(1e6 / h.first_rank), 0) AS BIGINT) AS mrr_e6,
+       CAST(coalesce(h.dcg, 0) AS BIGINT) AS dcg_at_k_e6,
+       CAST(i.idcg AS BIGINT) AS idcg_at_k_e6,
+       CAST(ROUND(1e4 * coalesce(h.dcg, 0) / i.idcg) AS BIGINT)
+         AS ndcg_at_k_e4
+FROM ideal i LEFT JOIN hit h USING (query_id)
 """,
     }

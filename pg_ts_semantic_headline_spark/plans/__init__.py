@@ -11,11 +11,13 @@ from .ranking import (
     min_span_docs,
     prf_search,
     proximity_rerank,
+    rank_metrics,
     rm3_expand,
 )
 
 __all__ = [
     "CompiledQuery", "Phrase", "TSQueryParseError",
     "ltr_features", "min_span_docs", "phraseto_tspquery", "prf_search",
-    "proximity_rerank", "rm3_expand", "to_tspquery", "verify_index",
+    "proximity_rerank", "rank_metrics", "rm3_expand", "to_tspquery",
+    "verify_index",
 ]

@@ -46,7 +46,7 @@ from .search import (_idf_lookup, _positions_hay, _pruned_postings,
                      _scored, bm25_topk)
 
 __all__ = ["min_span_docs", "proximity_rerank", "rm3_expand",
-           "prf_search", "ltr_features"]
+           "prf_search", "ltr_features", "rank_metrics"]
 
 
 def _terms_of(query) -> list[str]:
@@ -281,3 +281,92 @@ def ltr_features(
     spans = min_span_docs(index, terms, candidate_ids=candidate_ids)
     return (feats.join(spans, on="doc_id", how="left")
             .select("doc_id", "n_matched", "sum_tf", "dl", "bm25", "span"))
+
+
+def rank_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Offline ranking-quality evaluation (the trec_eval core): per-query
+    recall@k, MRR, and nDCG@k for a result set against relevance
+    judgments — the measurement half of an LTR pipeline (`ltr_features`
+    makes the training file; this scores the model's rankings).
+
+    `results`: (query_id, doc_id, score) — rank is derived as
+    (score desc, doc_id asc), so any engine ranking (BM25, PRF, hybrid,
+    a learned model's predictions) plugs in directly.
+    `qrels`:   (query_id, doc_id, rel) with integer rel ≥ 0; rel > 0 is
+    relevant, graded gains use 2^rel − 1.
+
+    Returns one row per query IN QRELS (queries the judgment file knows
+    about — unjudged queries cannot be scored):
+
+        (query_id, n_rel, hits_at_k, recall_at_k_e4, mrr_e6,
+         dcg_at_k_e6, idcg_at_k_e6, ndcg_at_k_e4)
+
+    Metric values are e4/e6-quantized integers built from per-item
+    integer summands (Σ round(1e6·gain/log2(rank+1))): integer sums are
+    addition-order-free, so the numbers are bit-identical across runs,
+    partitionings, and engines — a float DCG from a hash aggregate is
+    not. Cost: one window over the results (partitioned by query_id),
+    one over the qrels, two small aggregates, one join on query_id —
+    no corpus access at all, scales with |results| + |qrels|.
+    """
+    spark = results.sparkSession
+    kk = int(k)
+
+    w_res = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    ranked = (results.select("query_id", "doc_id", "score")
+              .withColumn("rank", F.row_number().over(w_res))
+              .where(F.col("rank") <= kk))
+
+    rel = qrels.select("query_id", "doc_id",
+                       F.col("rel").cast("int").alias("rel"))
+    relevant = rel.where(F.col("rel") > 0)
+
+    gain = F.pow(F.lit(2.0), F.col("rel").cast("double")) - F.lit(1.0)
+    dcg_item = F.round(F.lit(1e6) * gain
+                       / F.log2(F.col("rank").cast("double") + F.lit(1.0))
+                       ).cast("long")
+    hit = (ranked.join(relevant, on=["query_id", "doc_id"], how="inner")
+           .groupBy("query_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("hits_at_k"),
+                F.min("rank").alias("_first_rank"),
+                F.sum(dcg_item).alias("dcg_at_k_e6")))
+
+    # ideal DCG: the judgments themselves in best order (rel desc, doc_id
+    # asc for a deterministic tie order), cut at k
+    w_ideal = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("doc_id"))
+    igain = F.pow(F.lit(2.0), F.col("rel").cast("double")) - F.lit(1.0)
+    ideal = (relevant.withColumn("_irank", F.row_number().over(w_ideal))
+             .groupBy("query_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_rel"),
+                  F.sum(F.when(
+                      F.col("_irank") <= kk,
+                      F.round(F.lit(1e6) * igain
+                              / F.log2(F.col("_irank").cast("double")
+                                       + F.lit(1.0))).cast("long")))
+                  .alias("idcg_at_k_e6")))
+
+    out = (ideal.join(hit, on="query_id", how="left")
+           .select(
+               "query_id",
+               "n_rel",
+               F.coalesce(F.col("hits_at_k"), F.lit(0)).alias("hits_at_k"),
+               F.round(F.lit(1e4)
+                       * F.coalesce(F.col("hits_at_k"), F.lit(0))
+                       / F.col("n_rel")).cast("long")
+               .alias("recall_at_k_e4"),
+               F.coalesce(F.round(F.lit(1e6) / F.col("_first_rank")),
+                          F.lit(0)).cast("long").alias("mrr_e6"),
+               F.coalesce(F.col("dcg_at_k_e6"), F.lit(0))
+               .alias("dcg_at_k_e6"),
+               "idcg_at_k_e6",
+               F.round(F.lit(1e4)
+                       * F.coalesce(F.col("dcg_at_k_e6"), F.lit(0))
+                       / F.col("idcg_at_k_e6")).cast("long")
+               .alias("ndcg_at_k_e4")))
+    return out

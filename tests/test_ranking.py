@@ -10,7 +10,8 @@ from pyspark.sql import functions as F
 from pg_ts_semantic_headline_spark.plans.index_build import (
     B, K1, build_index, load_index)
 from pg_ts_semantic_headline_spark.plans.ranking import (
-    ltr_features, min_span_docs, prf_search, proximity_rerank, rm3_expand)
+    ltr_features, min_span_docs, prf_search, proximity_rerank,
+    rank_metrics, rm3_expand)
 from pg_ts_semantic_headline_spark.plans.search import bm25_topk
 
 CONFIG = "simple"
@@ -224,3 +225,92 @@ def test_ltr_features_candidate_narrowing(lean_index):
     for r in got:
         assert r["bm25"] == pytest.approx(full[r["doc_id"]]["bm25"],
                                           rel=1e-12)
+
+
+def _py_rank_metrics(results, qrels, k):
+    """Pure-Python oracle for rank_metrics (same quantization contract)."""
+    from collections import defaultdict
+
+    by_q = defaultdict(list)
+    for q, d, s in results:
+        by_q[q].append((d, s))
+    rel = defaultdict(dict)
+    for q, d, r in qrels:
+        if r > 0:
+            rel[q][d] = r
+    out = {}
+    for q, judged in rel.items():
+        ranked = sorted(by_q.get(q, []), key=lambda x: (-x[1], x[0]))[:k]
+        hits, first, dcg = 0, None, 0
+        for i, (d, _) in enumerate(ranked, start=1):
+            if d in judged:
+                hits += 1
+                first = i if first is None else first
+                dcg += round(1e6 * (2 ** judged[d] - 1) / math.log2(i + 1))
+        ideal = sorted(judged.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        idcg = sum(round(1e6 * (2 ** r - 1) / math.log2(i + 1))
+                   for i, (_, r) in enumerate(ideal, start=1))
+        out[q] = (len(judged), hits, round(1e4 * hits / len(judged)),
+                  round(1e6 / first) if first else 0, dcg, idcg,
+                  round(1e4 * dcg / idcg))
+    return out
+
+
+def test_rank_metrics_against_python_oracle(spark):
+    results = [
+        # q1: perfect ranking of its 2 relevant docs
+        ("q1", 10, 9.0), ("q1", 11, 8.0), ("q1", 12, 7.0),
+        # q2: relevant docs at ranks 2 and 4, one judged doc missed
+        ("q2", 20, 9.0), ("q2", 21, 8.0), ("q2", 22, 7.0), ("q2", 23, 6.0),
+        # q3: retrieves only irrelevant docs
+        ("q3", 30, 5.0), ("q3", 31, 4.0),
+        # score tie inside q4 broken by doc_id asc
+        ("q4", 41, 3.0), ("q4", 40, 3.0), ("q4", 42, 2.0),
+    ]
+    qrels = [
+        ("q1", 10, 2), ("q1", 11, 1),
+        ("q2", 21, 2), ("q2", 23, 1), ("q2", 99, 3),
+        ("q3", 77, 1),
+        ("q4", 40, 1), ("q4", 42, 2),
+        # q5 judged but never retrieved at all
+        ("q5", 50, 1),
+    ]
+    res_df = spark.createDataFrame(results,
+                                   "query_id string, doc_id long, score double")
+    qrel_df = spark.createDataFrame(qrels,
+                                    "query_id string, doc_id long, rel int")
+    got = {r["query_id"]: (r["n_rel"], r["hits_at_k"], r["recall_at_k_e4"],
+                           r["mrr_e6"], r["dcg_at_k_e6"], r["idcg_at_k_e6"],
+                           r["ndcg_at_k_e4"])
+           for r in rank_metrics(res_df, qrel_df, k=3).collect()}
+    want = _py_rank_metrics(results, qrels, k=3)
+    assert got == want
+    # spot-check the headline values
+    assert got["q1"][6] == 10000          # perfect nDCG
+    assert got["q1"][3] == 1000000        # MRR 1.0
+    assert got["q3"] == (1, 0, 0, 0, 0, 1000000, 0)
+    assert "q5" in got and got["q5"][1] == 0
+
+
+def test_rank_metrics_on_real_bm25(spark, lean_index, corpus):
+    # evaluate actual engine rankings against synthetic judgments:
+    # docs containing both terms adjacent are rel=2, both terms rel=1
+    terms = ["needle", "target"]
+    qrels = []
+    for doc_id, text in corpus:
+        words = text.split(" ")
+        if all(t in words for t in terms):
+            span = brute_min_span(words, terms)
+            qrels.append(("q", doc_id, 2 if span == 2 else 1))
+    res = (bm25_topk(lean_index, terms, k=10)
+           .withColumn("query_id", F.lit("q"))
+           .select("query_id", "doc_id", "score"))
+    qrel_df = spark.createDataFrame(qrels,
+                                    "query_id string, doc_id long, rel int")
+    rows = rank_metrics(res, qrel_df, k=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_rel"] == len(qrels)
+    assert 0 < r["hits_at_k"] <= 10
+    assert 0 < r["ndcg_at_k_e4"] <= 10000
+    assert r["mrr_e6"] == 1000000  # top BM25 hit must contain both terms
