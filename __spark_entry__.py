@@ -1295,6 +1295,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .where(F.col("rel") > 0))
         return rank_metrics(results, qrels, k=10)
 
+    def q82(spark, sf):
+        # websearch_to_tsquery parity: the end-user search-box syntax
+        # (quoted phrase, -negation, OR keyword, never-raises garbage
+        # handling) compiled to the same phrase-table shape as q07/q08
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            websearch_to_tspquery)
+        a = _phrase_rows(spark, websearch_to_tspquery(
+            "simple", '"merge sort" -spark or window'), "w_a")
+        b = _phrase_rows(spark, websearch_to_tspquery(
+            "english", 'signal -"segmentation fault"'), "w_b")
+        c = _phrase_rows(spark, websearch_to_tspquery(
+            "english", '""" )( dummy \\ query <-> or "sad cat"'), "w_c")
+        return a.unionByName(b).unionByName(c)
+
+    def q83(spark, sf):
+        # end-to-end websearch retrieval over the persisted index: the
+        # compiled OR(AND(phrase, NOT term), term) tree drives
+        # matching_docs, BM25 ranks the survivors; k covers the corpus
+        # so the full scored set is compared (rank via score_e4)
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            websearch_to_tspquery)
+        from pg_ts_semantic_headline_spark.plans.search import search
+        index = _built_index(spark, sf)
+        q = websearch_to_tspquery("simple", '"merge sort" -spark or window')
+        return (search(index, q, k=100000, mode="blockmax")
+                .withColumn("score_e4", _e4(F.col("score")))
+                .select("doc_id", "score_e4"))
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -1377,6 +1405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltr_features": q79,
         "prf_search": q80,
         "rank_metrics": q81,
+        "websearch_to_tspquery": q82,
+        "websearch_search": q83,
     }
 
 
@@ -1688,7 +1718,7 @@ def _phrase_values(pairs) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from pg_ts_semantic_headline_spark.plans.query_compiler import (
-        phraseto_tspquery, to_tspquery)
+        phraseto_tspquery, to_tspquery, websearch_to_tspquery)
 
     def phrase_rows(compiled, qid):
         return [(qid, pid, lex, pos, plen, pspan)
@@ -1696,6 +1726,12 @@ def oracle_sql() -> dict[str, str]:
 
     q07_rows = (phrase_rows(to_tspquery("simple", "batch<2>stream|window<->join"), "q_a")
                 + phrase_rows(to_tspquery("english", "child-bearing & !discarded"), "q_b"))
+    q82_rows = (phrase_rows(websearch_to_tspquery(
+                    "simple", '"merge sort" -spark or window'), "w_a")
+                + phrase_rows(websearch_to_tspquery(
+                    "english", 'signal -"segmentation fault"'), "w_b")
+                + phrase_rows(websearch_to_tspquery(
+                    "english", '""" )( dummy \\ query <-> or "sad cat"'), "w_c"))
     q08_rows = (phrase_rows(phraseto_tspquery("english", "fortune, through the kingdom"), "p_a")
                 + phrase_rows(phraseto_tspquery("english", "decide negatively"), "p_b")
                 + phrase_rows(phraseto_tspquery("simple", "merge sort JOIN"), "p_c"))
@@ -1816,6 +1852,21 @@ FROM documents
 """,
         "to_tspquery": _phrase_values(q07_rows),
         "phraseto_tspquery": _phrase_values(q08_rows),
+        "websearch_to_tspquery": _phrase_values(q82_rows),
+        "websearch_search": _bm25_score_sql(["merge", "sort", "window"]) + """
+, hits AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT t1.doc_id
+    FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+    WHERE t1.token = 'merge' AND t2.token = 'sort'
+      AND t1.doc_id NOT IN (SELECT doc_id FROM toks WHERE token = 'spark')
+    UNION
+    SELECT doc_id FROM toks WHERE token = 'window'
+  )
+)
+SELECT s.doc_id, CAST(ROUND(s.score * 10000) AS BIGINT) AS score_e4
+FROM scored s JOIN hits USING (doc_id)
+""",
         "tsp_filter_tsvector": f"""
 WITH {TOKS_CTE.strip()}
 SELECT doc_id, token AS term, count(*) AS tf, min(pos) AS first_pos

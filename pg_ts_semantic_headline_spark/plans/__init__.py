@@ -5,6 +5,7 @@ from .query_compiler import (
     TSQueryParseError,
     phraseto_tspquery,
     to_tspquery,
+    websearch_to_tspquery,
 )
 from .ranking import (
     ltr_features,
@@ -19,5 +20,5 @@ __all__ = [
     "CompiledQuery", "Phrase", "TSQueryParseError",
     "ltr_features", "min_span_docs", "phraseto_tspquery", "prf_search",
     "proximity_rerank", "rank_metrics", "rm3_expand", "to_tspquery",
-    "verify_index",
+    "verify_index", "websearch_to_tspquery",
 ]

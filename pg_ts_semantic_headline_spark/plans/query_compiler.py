@@ -305,6 +305,93 @@ def to_tspquery(config: str, query_string: str | None = None) -> CompiledQuery:
     return CompiledQuery(config, query_string, root, phrases)
 
 
+def _phrase_node(text: str, config: str) -> Node | None:
+    """Analyze free text into one positional-phrase Node (None when every
+    word lexizes away) — the shared core of phraseto/websearch phrases."""
+    lexemes = analyze_text_simple(text, config)
+    items = tuple(
+        (lex, pos) for pos, lex in enumerate(lexemes, start=1) if lex is not None
+    )
+    if not items:
+        return None
+    base = min(p for _, p in items)
+    return Node("phrase", phrase=Phrase(tuple((lx, p - base + 1)
+                                              for lx, p in items)))
+
+
+def websearch_to_tspquery(config: str, text: str | None = None) -> CompiledQuery:
+    """PostgreSQL's `websearch_to_tsquery`: the end-user search-box syntax
+    (pg docs §12.3.2; the reference inherits it from core PG — it has no
+    file of its own, so this is the engine's arity/semantics parity with
+    `websearch_to_tsquery(regconfig, text)`):
+
+    - unquoted words are AND-ed;
+    - `"quoted text"` becomes a positional phrase (stopwords drop but
+      keep their gaps, exactly like `phraseto_tspquery`);
+    - `-word` / `-"phrase"` negates the unit that follows (no space);
+    - the bare word `or` (any case) is the OR operator between AND-groups;
+    - every other character is plain text: `& | ! ( ) < >` have no special
+      meaning, and the function NEVER raises a parse error.
+
+    Deviations from PG, both following this repo's established analyzer:
+    an unquoted compound like `child-bearing` becomes the `<1>`-gapped
+    phrase `to_tspquery` produces (PG emits compound+parts), and an `or`
+    with a missing operand is dropped rather than literalized.
+    With one argument, the session default config applies."""
+    if text is None:
+        config, text = _DEFAULT_CONFIG, config
+    s = unaccent(text)
+    units: list = []          # Node|('OR',)|None entries, in reading order
+    i, n = 0, len(s)
+    while i < n:
+        if s[i].isspace():
+            i += 1
+            continue
+        neg = False
+        if s[i] == "-":
+            i += 1
+            while i < n and s[i] == "-":
+                i += 1
+            if i >= n or s[i].isspace():
+                continue              # bare '-' is punctuation: ignored
+            neg = True
+        if s[i] == '"':
+            j = s.find('"', i + 1)
+            if j == -1:
+                # unclosed quote: PG treats the '"' as punctuation and the
+                # rest as plain unquoted words ('""" dummy query' → AND)
+                i += 1
+                continue
+            seg, i = s[i + 1:j], j + 1
+            node = _phrase_node(seg, config)
+        else:
+            j = i
+            while j < n and not s[j].isspace() and s[j] != '"':
+                j += 1
+            word, i = s[i:j], j
+            if not neg and word.lower() == "or":
+                units.append(("OR",))
+                continue
+            node = _phrase_node(word, config)
+        if node is not None and neg:
+            node = Node("not", (node,))
+        units.append(node)            # None (all-stopword unit) kept as a
+        #                               no-op so '-the' vanishes silently
+    # split on OR markers; AND within a group, OR across non-empty groups
+    groups: list[list[Node]] = [[]]
+    for u in units:
+        if u == ("OR",):
+            groups.append([])
+        elif u is not None:
+            groups[-1].append(u)
+    alts = [g[0] if len(g) == 1 else Node("and", tuple(g))
+            for g in groups if g]
+    root = (None if not alts
+            else alts[0] if len(alts) == 1 else Node("or", tuple(alts)))
+    phrases = _dedupe(_collect_positive_phrases(root))
+    return CompiledQuery(config, text, root, phrases)
+
+
 def phraseto_tspquery(config: str, phrase_text: str | None = None) -> CompiledQuery:
     """Compile a plain human phrase; stopwords drop but keep their gaps.
     With one argument, the session default config applies."""

@@ -3,6 +3,7 @@ from pg_ts_semantic_headline_spark.plans.query_compiler import (
     phraseto_tspquery,
     set_default_text_search_config,
     to_tspquery,
+    websearch_to_tspquery,
 )
 
 
@@ -102,3 +103,81 @@ class TestPhrasetoTspquery:
         assert (0, "best", 1, 2, 2, "'best' <2> 'time'") in rows
         assert (1, "time", 3, 2, 2, "'worst' <2> 'time'") in rows
         assert q.lexemes == ("best", "time", "worst")
+
+
+def _render(n):
+    if n is None:
+        return "<empty>"
+    if n.op == "phrase":
+        return n.phrase.render()
+    if n.op == "not":
+        return "!(" + _render(n.children[0]) + ")"
+    sep = " & " if n.op == "and" else " | "
+    return "(" + sep.join(_render(c) for c in n.children) + ")"
+
+
+class TestWebsearchToTspquery:
+    """PG doc examples (§12.3.2 websearch_to_tsquery) plus the
+    never-raises contract."""
+
+    def test_plain_words_and(self):
+        assert _render(websearch_to_tspquery(
+            "english", "The fat rats").root) == "('fat' & 'rat')"
+
+    def test_quoted_phrase_and_negation(self):
+        q = websearch_to_tspquery("english", '"supernovae stars" -crab')
+        assert _render(q.root) == "('supernova' <-> 'star' & !('crab'))"
+        # negated branch never reaches highlighting
+        assert [p.render() for p in q.phrases] == ["'supernova' <-> 'star'"]
+
+    def test_or_between_phrases(self):
+        q = websearch_to_tspquery("english", '"sad cat" or "fat rat"')
+        assert _render(q.root) == "('sad' <-> 'cat' | 'fat' <-> 'rat')"
+
+    def test_negated_phrase(self):
+        q = websearch_to_tspquery("english", 'signal -"segmentation fault"')
+        assert _render(q.root) == "('signal' & !('segment' <-> 'fault'))"
+
+    def test_garbage_never_raises(self):
+        q = websearch_to_tspquery("english", '""" )( dummy \\ query <->')
+        assert _render(q.root) == "('dummi' & 'queri')"
+
+    def test_operator_chars_are_plain_text(self):
+        q = websearch_to_tspquery("english", "cat & dog | !rat (bat)")
+        assert _render(q.root) == "('cat' & 'dog' & 'rat' & 'bat')"
+
+    def test_dangling_or_dropped(self):
+        assert _render(websearch_to_tspquery("english", "fat or").root) == "'fat'"
+        assert _render(websearch_to_tspquery("english", "or cat").root) == "'cat'"
+        assert websearch_to_tspquery("english", "or or or").root is None
+
+    def test_negation_first_alternative(self):
+        assert _render(websearch_to_tspquery(
+            "simple", "-cat or dog").root) == "(!('cat') | 'dog')"
+
+    def test_stopword_units_vanish(self):
+        assert websearch_to_tspquery("english", "-the").root is None
+        assert _render(websearch_to_tspquery(
+            "english", "the fat or the").root) == "'fat'"
+
+    def test_stopword_gaps_in_quoted_phrase(self):
+        q = websearch_to_tspquery("english", '"fortune, through the kingdom"')
+        assert q.phrases[0].items == (("fortun", 1), ("kingdom", 4))
+
+    def test_intraword_delimiter_repo_convention(self):
+        # documented deviation: repo's to_tspquery intra-word convention
+        q = websearch_to_tspquery("english", "child-bearing rats")
+        assert _render(q.root) == "('child' <-> 'bear' & 'rat')"
+
+    def test_unclosed_quote_falls_back_to_words(self):
+        q = websearch_to_tspquery("english", 'sad "cat dog')
+        assert _render(q.root) == "('sad' & 'cat' & 'dog')"
+
+    def test_arity_one_uses_session_default(self):
+        assert get_default_text_search_config() == "english"
+        assert _render(websearch_to_tspquery("The fat rats").root) \
+            == "('fat' & 'rat')"
+
+    def test_lexemes_exclude_negated(self):
+        q = websearch_to_tspquery("english", '"fat rat" -cat or dog')
+        assert q.lexemes == ("fat", "rat", "dog")
