@@ -1323,6 +1323,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("score_e4", _e4(F.col("score")))
                 .select("doc_id", "score_e4"))
 
+    def q84(spark, sf):
+        # tsquery prefix matching ('s':*) over the persisted index:
+        # deterministic (df desc, term asc) expansion capped at 8, each
+        # expansion scored with its own idf; full scored set at e4
+        import warnings
+
+        from pg_ts_semantic_headline_spark.plans.search import prefix_search
+        index = _built_index(spark, sf)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # cap warning is expected here
+            out = prefix_search(index, "s", k=100000, max_expansions=8)
+        return (out.withColumn("score_e4", _e4(F.col("score")))
+                .select("doc_id", "score_e4"))
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -1407,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_metrics": q81,
         "websearch_to_tspquery": q82,
         "websearch_search": q83,
+        "prefix_search": q84,
     }
 
 
@@ -2113,6 +2128,15 @@ FROM scored
 )
 SELECT s.doc_id, CAST(ROUND(s.score * 10000) AS BIGINT) AS score_e4
 FROM scored s JOIN hits USING (doc_id)
+""",
+        "prefix_search": f"""
+WITH {TOKS_CTE.strip()}, {BM25_CTE.strip()},
+exp AS (
+  SELECT term FROM dfreq WHERE term LIKE 's%'
+  ORDER BY df DESC, term ASC LIMIT 8
+),
+{_bm25_scored_cte("SELECT term FROM exp").strip()}
+SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4 FROM scored
 """,
         "dedup_exact": """
 WITH h AS (SELECT doc_id, md5(text) AS fingerprint FROM documents),

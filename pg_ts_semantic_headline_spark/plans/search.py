@@ -1287,3 +1287,63 @@ def fuzzy_bm25_topk(
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     return bm25_topk(index, sorted(set(terms)), k=k, mode=mode)
+
+
+def expand_prefix(index: Index, prefix: str,
+                  max_expansions: int = 32) -> list[str]:
+    """Dictionary terms starting with the lexized `prefix`, most frequent
+    first — the expansion set behind tsquery's `'pre':*`.
+
+    The prefix is normalized through the index's own analyzer (PG stems
+    it too: `to_tsquery('english','running:*')` → `'run':*`); a prefix
+    that lexizes away (stopword) expands to nothing, with a warning.
+    Selection is deterministic: (df desc, term asc), capped at
+    `max_expansions` — the Lucene `max_expansions` contract — and a hit
+    count past the cap warns rather than truncating silently.
+
+    Scale shape: the dictionary is the vocabulary-sized SMALL table; a
+    prefix predicate cannot bucket-prune (buckets are term-hash routed),
+    so this is one pruned two-column scan of terms/ — O(|vocab|) rows
+    read in parallel, ≤ max_expansions + 1 rows ever reach the driver."""
+    import warnings
+
+    from ..functions.lexize import lexize_word
+
+    lx = lexize_word(prefix, index.config)
+    if lx is None:
+        warnings.warn(f"prefix {prefix!r} lexizes to a stopword; "
+                      "prefix query matches nothing")
+        return []
+    rows = (index.terms.where(F.col("term").startswith(lx))
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions + 1).collect())
+    if len(rows) > max_expansions:
+        warnings.warn(
+            f"prefix {prefix!r} matches more than {max_expansions} "
+            f"dictionary terms; scoring the {max_expansions} most frequent")
+        rows = rows[:max_expansions]
+    return [r["term"] for r in rows]
+
+
+def prefix_search(
+    index: Index,
+    prefix: str,
+    k: int = 10,
+    max_expansions: int = 32,
+    mode: str = "exact",
+) -> DataFrame:
+    """tsquery prefix matching (`'pre':*`) as retrieval: every dictionary
+    term starting with the lexized prefix ORs into one BM25 top-k — docs
+    matching any expansion score by the expansions they contain.
+
+    Each expansion keeps its own idf (Lucene's "blended" multi-term
+    scoring rather than PG's rank-agnostic match): rare full words under
+    a common prefix still contribute their full specificity. Cost is one
+    dictionary scan (see `expand_prefix`) + the ordinary ≤32-term BM25
+    plan — posting scans stay bucket-pruned per expansion term."""
+    spark = index.postings.sparkSession
+    terms = expand_prefix(index, prefix, max_expansions)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    return bm25_topk(index, sorted(terms), k=k, mode=mode)

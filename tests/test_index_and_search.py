@@ -1143,3 +1143,49 @@ def test_fielded_bm25f_phrase_filtered_composition(spark, tmp_path):
                        ["spark", "window"], k=100).collect()]
     want = [d for d in full if d % 5 == 0]
     assert got == want and got   # phrase docs only, BM25F order kept
+
+
+class TestPrefixSearch:
+    def test_expansion_df_order_and_cap_warning(self, index, corpus):
+        import warnings
+
+        from pg_ts_semantic_headline_spark.plans.search import expand_prefix
+
+        post, _ = python_postings(corpus)
+        by_df = sorted(((t, len(d)) for t, d in post.items()
+                        if t.startswith("s")), key=lambda x: (-x[1], x[0]))
+        assert len(by_df) > 4  # corpus has spark/stream/sort/scan/shuffle/...
+        with pytest.warns(UserWarning, match="more than 4"):
+            exp = expand_prefix(index, "s", max_expansions=4)
+        assert exp == [t for t, _ in by_df[:4]]
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # under the cap: no warning
+            full = expand_prefix(index, "s", max_expansions=len(by_df))
+        assert full == [t for t, _ in by_df]
+
+    def test_prefix_search_is_bm25_over_expansions(self, index):
+        from pg_ts_semantic_headline_spark.plans.search import (
+            expand_prefix, prefix_search)
+
+        exp = expand_prefix(index, "s", max_expansions=8)
+        got = prefix_search(index, "s", k=10, max_expansions=8).collect()
+        want = bm25_topk(index, sorted(exp), k=10).collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in got] \
+            == [(r["doc_id"], round(r["score"], 9)) for r in want]
+
+    def test_unknown_prefix_empty(self, index):
+        from pg_ts_semantic_headline_spark.plans.search import prefix_search
+
+        assert prefix_search(index, "zzz", k=5).count() == 0
+
+    def test_stopword_prefix_warns_empty(self, index):
+        # the index fixture is config=simple (no stopwords), so exercise
+        # the lexize-away path through an english-config clone of the
+        # handle: expand_prefix only touches .config and .terms
+        from dataclasses import replace
+
+        from pg_ts_semantic_headline_spark.plans.search import expand_prefix
+
+        eng = replace(index, config="english")
+        with pytest.warns(UserWarning, match="stopword"):
+            assert expand_prefix(eng, "the") == []
