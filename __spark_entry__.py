@@ -1337,6 +1337,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (out.withColumn("score_e4", _e4(F.col("score")))
                 .select("doc_id", "score_e4"))
 
+    _gate_syn: dict = {}
+
+    def q85(spark, sf):
+        # synonym-dictionary config end-to-end: 'spark' and 'window' both
+        # index as the lexeme 'sparkle' through a synonym file ahead of
+        # the 'simple' base; querying 'sparkle' must score the union —
+        # the oracle applies the same token mapping in SQL
+        import tempfile
+
+        from pg_ts_semantic_headline_spark.functions.lexize import (
+            make_synonym_config)
+        from pg_ts_semantic_headline_spark.plans.index_build import (
+            build_index, load_index)
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            to_tspquery)
+        from pg_ts_semantic_headline_spark.plans.search import bm25_topk
+        key = (id(spark), sf)
+        if key not in _gate_syn:
+            fd, path = tempfile.mkstemp(suffix=".json")
+            import os
+            os.close(fd)
+            cfg = make_synonym_config(
+                "simple", {"spark": "sparkle", "window": "sparkle"}, path)
+            idx_dir = tempfile.mkdtemp(prefix="tsp_gate_syn_")
+            build_index(spark, _docs(spark, sf).selectExpr(
+                "doc_id", "text as content"), idx_dir, config=cfg,
+                n_buckets=8, block_span=128, resume=False)
+            _gate_syn[key] = (load_index(spark, idx_dir), cfg)
+        index, cfg = _gate_syn[key]
+        return (bm25_topk(index, to_tspquery(cfg, "sparkle"), k=100000)
+                .withColumn("score_e4", _e4(F.col("score")))
+                .select("doc_id", "score_e4"))
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -1422,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "websearch_to_tspquery": q82,
         "websearch_search": q83,
         "prefix_search": q84,
+        "synonym_search": q85,
     }
 
 
@@ -2128,6 +2162,22 @@ FROM scored
 )
 SELECT s.doc_id, CAST(ROUND(s.score * 10000) AS BIGINT) AS score_e4
 FROM scored s JOIN hits USING (doc_id)
+""",
+        "synonym_search": f"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, pos,
+         CASE WHEN tok IN ('spark', 'window') THEN 'sparkle' ELSE tok END
+           AS token
+  FROM raw
+), {BM25_CTE.strip()},
+{_bm25_scored_cte("'sparkle'").strip()}
+SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4 FROM scored
 """,
         "prefix_search": f"""
 WITH {TOKS_CTE.strip()}, {BM25_CTE.strip()},

@@ -1,6 +1,8 @@
 from .chars import BELL, SMC_CLASS, SPACE_MAKING_CHARS
 from .lexize import (
     SUPPORTED_CONFIGS,
+    is_supported_config,
+    make_synonym_config,
     analyze_document,
     analyze_text_simple,
     lexize_chunk,
@@ -14,6 +16,7 @@ from .unaccent import unaccent
 
 __all__ = [
     "BELL", "SMC_CLASS", "SPACE_MAKING_CHARS", "SUPPORTED_CONFIGS",
+    "is_supported_config", "make_synonym_config",
     "analyze_document", "analyze_text_simple", "lexize_chunk", "lexize_word",
     "stem_german", "stem_english", "ENGLISH_STOPWORDS", "GERMAN_STOPWORDS",
     "STOPWORDS_BY_CONFIG", "to_tsp_text_array", "tsp_indexable_text",

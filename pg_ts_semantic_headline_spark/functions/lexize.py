@@ -40,6 +40,67 @@ _STEMMERS = {
 
 SUPPORTED_CONFIGS = tuple(_STEMMERS)
 
+# Derived configs with a synonym dictionary in front of a base config —
+# PG's `CREATE TEXT SEARCH DICTIONARY ... (TEMPLATE = synonym)` analog.
+# The dictionary is DATA, not driver state: the config string embeds the
+# JSON file's path ("synonym:<base>:<path>"), so the per-row config column
+# flowing into the Arrow analysis UDFs is self-contained — every executor
+# process lazily loads (and memoizes) the file, exactly like PG workers
+# read dictionary files from $SHAREDIR. On a multi-node cluster ship the
+# file with `spark-submit --files` or put it on shared storage, the same
+# assumption the index directory already makes. Files are treated as
+# immutable once written (the loader memoizes by path): to change a
+# mapping, write a NEW file.
+SYNONYM_PREFIX = "synonym:"
+
+
+def make_synonym_config(base: str, synonyms: dict, path: str) -> str:
+    """Write a synonym dictionary file and return its config string.
+
+    `synonyms` maps a surface token to its output lexeme; both sides are
+    casefolded (PG casefolds synonym files). Map a token to None/"" to
+    make it a custom stopword (the position is kept, like any stopword).
+    A matched token bypasses the base pipeline entirely — PG's synonym
+    dictionary is ahead of the stemmer and stops processing on a hit —
+    so 'colour: color' indexes 'color' unstemmed; misses fall through to
+    `base` ('english'/'german'/'simple')."""
+    import json
+
+    if base not in _STEMMERS:
+        raise ValueError(f"unknown base config {base!r}")
+    norm = {str(k).lower(): (str(v).lower() if v not in (None, "") else None)
+            for k, v in synonyms.items()}
+    with open(path, "w") as f:
+        json.dump(norm, f, sort_keys=True)
+    return f"{SYNONYM_PREFIX}{base}:{path}"
+
+
+@lru_cache(maxsize=64)
+def _synonym_spec(config: str) -> tuple[str, dict]:
+    """(base, mapping) for a synonym: config string; memoized per process
+    so the file is read once per executor, not per row."""
+    base, _, path = config[len(SYNONYM_PREFIX):].partition(":")
+    if base not in _STEMMERS or not path:
+        raise ValueError(f"malformed synonym config {config!r}")
+    import json
+
+    with open(path) as f:
+        return base, json.load(f)
+
+
+@lru_cache(maxsize=131_072)
+def is_supported_config(config: str) -> bool:
+    """True for a base config or a well-formed, loadable synonym config."""
+    if config in _STEMMERS:
+        return True
+    if isinstance(config, str) and config.startswith(SYNONYM_PREFIX):
+        try:
+            _synonym_spec(config)
+            return True
+        except Exception:
+            return False
+    return False
+
 
 @lru_cache(maxsize=131_072)
 def lexize_chunk(chunk: str, config: str) -> str | None:
@@ -54,6 +115,11 @@ def lexize_chunk(chunk: str, config: str) -> str | None:
     if not core:
         return None
     lower = core.lower()
+    if config.startswith(SYNONYM_PREFIX):
+        base, mapping = _synonym_spec(config)
+        if lower in mapping:
+            return mapping[lower]
+        config = base
     stemmer = _STEMMERS[config]
     if stemmer is None:
         return lower

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, IntegerType, StringType,
                                StructField, StructType)
 
-from ..functions.lexize import SUPPORTED_CONFIGS, analyze_document
+from ..functions.lexize import analyze_document, is_supported_config
 
 ANALYSIS_SCHEMA = StructType([
     StructField("tokens", ArrayType(StringType()), True),
@@ -36,7 +36,7 @@ def _analyze_batch(content: pd.Series, config: pd.Series) -> pd.DataFrame:
             toks_out.append(None)
             lex_out.append(None)
             continue
-        cfg = cfg if cfg in SUPPORTED_CONFIGS else "simple"
+        cfg = cfg if is_supported_config(cfg) else "simple"
         toks, lexs = analyze_document(text, cfg)
         toks_out.append(toks)
         lex_out.append(lexs)
@@ -93,7 +93,7 @@ def _analyze_index_batch(content: pd.Series, config: pd.Series) -> pd.DataFrame:
             dl_out.append(None)
             post_out.append(None)
             continue
-        cfg = cfg if cfg in SUPPORTED_CONFIGS else "simple"
+        cfg = cfg if is_supported_config(cfg) else "simple"
         toks, lexs = analyze_document(text, cfg)
         d: dict = {}
         dl = 0

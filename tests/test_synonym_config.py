@@ -1,0 +1,104 @@
+"""Synonym-dictionary configs: PG's `CREATE TEXT SEARCH DICTIONARY
+(TEMPLATE = synonym)` analog — a casefolded token→lexeme map ahead of a
+base config, shipped as a dictionary FILE whose path rides inside the
+config string so every executor can load it (lexize.py SYNONYM_PREFIX)."""
+
+import pytest
+
+from pg_ts_semantic_headline_spark.functions.lexize import (
+    analyze_document,
+    is_supported_config,
+    lexize_chunk,
+    make_synonym_config,
+)
+
+
+@pytest.fixture(scope="module")
+def syn_config(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dict") / "syn.json")
+    # colour→color (spelling normalization), pgsql→postgres (alias),
+    # noise→None (custom stopword)
+    return make_synonym_config(
+        "english",
+        {"colour": "color", "PGSQL": "postgres", "noise": None},
+        path)
+
+
+class TestLexize:
+    def test_hit_bypasses_stemmer(self, syn_config):
+        # PG synonym semantics: a hit STOPS the pipeline — the output is
+        # the mapped lexeme verbatim, never re-stemmed
+        assert lexize_chunk("colour", syn_config) == "color"
+        assert lexize_chunk("Colour", syn_config) == "color"  # casefolded
+        assert lexize_chunk("pgsql", syn_config) == "postgres"
+
+    def test_miss_falls_through_to_base(self, syn_config):
+        assert lexize_chunk("running", syn_config) == "run"
+        assert lexize_chunk("the", syn_config) is None   # base stopword
+        # the SURFACE token is matched, not the stem: 'colours' misses
+        # the map and stems to 'colour' (list both forms, like PG files)
+        assert lexize_chunk("colours", syn_config) == "colour"
+
+    def test_none_mapping_is_custom_stopword(self, syn_config):
+        assert lexize_chunk("noise", syn_config) is None
+        _, lexs = analyze_document("a noise remains", syn_config)
+        assert lexs == [None, None, "remain"]  # position held, like PG
+
+    def test_supported_and_malformed(self, syn_config):
+        assert is_supported_config(syn_config)
+        assert is_supported_config("english")
+        assert not is_supported_config("synonym:english:/nonexistent.json")
+        assert not is_supported_config("synonym:klingon:/tmp/x.json")
+        assert not is_supported_config("klingon")
+
+    def test_base_validation(self, tmp_path):
+        with pytest.raises(ValueError, match="unknown base"):
+            make_synonym_config("klingon", {}, str(tmp_path / "x.json"))
+
+
+class TestDistributed:
+    def test_index_query_headline_roundtrip(self, spark, syn_config,
+                                            tmp_path_factory):
+        from pg_ts_semantic_headline_spark.plans.index_build import (
+            build_index, load_index)
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            to_tspquery)
+        from pg_ts_semantic_headline_spark.plans.search import (
+            bm25_topk, search_with_headlines)
+
+        docs = [(0, "the colour of water"),
+                (1, "color theory for painters"),
+                (2, "noise in pgsql replication streams"),
+                (3, "running dogs run fast")]
+        out = str(tmp_path_factory.mktemp("synidx"))
+        df = spark.createDataFrame(docs, ["doc_id", "content"])
+        build_index(spark, df, out, config=syn_config, n_buckets=4,
+                    block_span=8)
+        index = load_index(spark, out)
+        # the config string round-trips through the persisted stats
+        assert index.config == syn_config
+
+        # 'colour' and 'color' unify through the dictionary: querying
+        # either retrieves docs 0 AND 1
+        for qword in ("colour", "color"):
+            got = {r["doc_id"] for r in
+                   bm25_topk(index, to_tspquery(syn_config, qword),
+                             k=10).collect()}
+            assert got == {0, 1}, qword
+
+        # alias: 'pgsql' query matches via the mapped lexeme
+        got = {r["doc_id"] for r in
+               bm25_topk(index, to_tspquery(syn_config, "PGSQL"),
+                         k=10).collect()}
+        assert got == {2}
+
+        # custom stopword indexes nothing: 'noise' lexizes away and the
+        # compiled query is empty
+        assert to_tspquery(syn_config, "noise").root is None
+
+        # headline recall still highlights the ORIGINAL surface form
+        hits = search_with_headlines(
+            index, to_tspquery(syn_config, "colour"), k=10).collect()
+        heads = {r["doc_id"]: r["headline"] for r in hits}
+        assert "<b>colour</b>" in heads[0]
+        assert "<b>color</b>" in heads[1]
