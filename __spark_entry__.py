@@ -1370,6 +1370,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("score_e4", _e4(F.col("score")))
                 .select("doc_id", "score_e4"))
 
+    def q86(spark, sf):
+        # PG ts_rank_cd shape: Clarke cover-density rank over the
+        # persisted index — exact integer Σ round(1e6/width) per doc, so
+        # the gate is addition-order-free on both engines
+        from pg_ts_semantic_headline_spark.plans.ranking import ts_rank_cd
+        index = _built_index(spark, sf)
+        return ts_rank_cd(index, ["spark", "window"]) \
+            .select("doc_id", "rank_e6")
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -1456,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "websearch_search": q83,
         "prefix_search": q84,
         "synonym_search": q85,
+        "ts_rank_cd": q86,
     }
 
 
@@ -2162,6 +2172,26 @@ FROM scored
 )
 SELECT s.doc_id, CAST(ROUND(s.score * 10000) AS BIGINT) AS score_e4
 FROM scored s JOIN hits USING (doc_id)
+""",
+        "ts_rank_cd": f"""
+WITH {TOKS_CTE.strip()},
+spanrun AS (
+  SELECT doc_id, pos,
+         max(CASE WHEN token = 'spark' THEN pos END) OVER
+           (PARTITION BY doc_id ORDER BY pos) AS p0,
+         max(CASE WHEN token = 'window' THEN pos END) OVER
+           (PARTITION BY doc_id ORDER BY pos) AS p1
+  FROM toks WHERE token IN ('spark', 'window')
+),
+cand AS (
+  SELECT doc_id, least(p0, p1) AS l, pos
+  FROM spanrun WHERE p0 IS NOT NULL AND p1 IS NOT NULL
+),
+covers AS (SELECT doc_id, l, min(pos) AS p FROM cand GROUP BY doc_id, l)
+SELECT doc_id,
+       CAST(SUM(CAST(ROUND(1000000.0 / (p - l + 1)) AS BIGINT)) AS BIGINT)
+         AS rank_e6
+FROM covers GROUP BY doc_id
 """,
         "synonym_search": f"""
 WITH raw AS (

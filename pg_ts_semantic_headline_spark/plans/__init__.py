@@ -14,11 +14,13 @@ from .ranking import (
     proximity_rerank,
     rank_metrics,
     rm3_expand,
+    ts_rank_cd,
 )
 
 __all__ = [
     "CompiledQuery", "Phrase", "TSQueryParseError",
     "ltr_features", "min_span_docs", "phraseto_tspquery", "prf_search",
     "proximity_rerank", "rank_metrics", "rm3_expand", "to_tspquery",
+    "ts_rank_cd",
     "verify_index", "websearch_to_tspquery",
 ]

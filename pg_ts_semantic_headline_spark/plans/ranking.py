@@ -46,7 +46,7 @@ from .search import (_idf_lookup, _positions_hay, _pruned_postings,
                      _scored, bm25_topk)
 
 __all__ = ["min_span_docs", "proximity_rerank", "rm3_expand",
-           "prf_search", "ltr_features", "rank_metrics"]
+           "prf_search", "ltr_features", "rank_metrics", "ts_rank_cd"]
 
 
 def _terms_of(query) -> list[str]:
@@ -105,6 +105,81 @@ def min_span_docs(
     return (rows.where(seen_all)
             .groupBy("doc_id")
             .agg(F.min(span).cast("int").alias("span")))
+
+
+def ts_rank_cd(
+    index: Index,
+    query: CompiledQuery | list[str],
+    candidate_ids: list | None = None,
+    candidate_docs: DataFrame | None = None,
+    normalization: int = 0,
+) -> DataFrame:
+    """Cover-density document ranking — PG's `ts_rank_cd` shape (Clarke,
+    Cormack & Tudhope 2000, the formula at the core of tsrank.c's
+    calc_rank_cd, without PG's per-position weight classes):
+
+        rank = Σ over minimal covers c of  1 / width(c)
+
+    where a *minimal cover* is a window holding every query term that
+    contains no smaller such window. Returns (doc_id, rank_e6, rank):
+    `rank_e6` is the exact integer Σ round(1e6/width) — addition-order-
+    free, so bit-identical across runs, partitionings, and engines (the
+    rank_metrics trick) — and `rank` is the float form after
+    `normalization` (PG's bitmask, supported values: 0 none,
+    1 ÷(1+ln dl), 2 ÷dl, 32 r/(r+1)).
+
+    Cover extraction reuses min_span_docs' streaming formulation: with
+    running per-term last-position maxes inside ONE window spec,
+    l(p) = least(lasts) is non-decreasing in p, so the minimal covers
+    are exactly {(l, min p) per distinct l} — one sort per doc
+    partition, one aggregate, no self-join, no UDF. Positions decode
+    only for candidate docs/blocks (`_positions_hay`), so cost is
+    O(candidates × query tf) like every other ranking operator here.
+    """
+    if normalization not in (0, 1, 2, 32):
+        raise ValueError("normalization must be one of 0, 1, 2, 32")
+    ts = _terms_of(query)
+    spark = index.postings.sparkSession
+    out_schema = "doc_id long, rank_e6 long, rank double"
+    if not ts:
+        return spark.createDataFrame([], out_schema)
+    hay = _positions_hay(index, ts, candidate_docs=candidate_docs,
+                         candidate_ids=candidate_ids)
+    if candidate_ids is not None:
+        hay = hay.where(F.col("doc_id").isin([int(d)
+                                              for d in candidate_ids]))
+    elif candidate_docs is not None:
+        hay = hay.join(F.broadcast(candidate_docs.select("doc_id")),
+                       on="doc_id", how="left_semi")
+    w = (Window.partitionBy("doc_id").orderBy("pos")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    lasts = [F.max(F.when(F.col("term") == F.lit(t), F.col("pos"))).over(w)
+             .alias(f"_p{i}") for i, t in enumerate(ts)]
+    rows = hay.select("doc_id", "pos", *lasts)
+    pcols = [F.col(f"_p{i}") for i in range(len(ts))]
+    seen_all = pcols[0].isNotNull()
+    for c in pcols[1:]:
+        seen_all = seen_all & c.isNotNull()
+    left = pcols[0] if len(ts) == 1 else F.least(*pcols)
+    covers = (rows.where(seen_all)
+              .select("doc_id", left.alias("l"), "pos")
+              .groupBy("doc_id", "l")
+              .agg(F.min("pos").alias("p")))
+    summand = F.round(F.lit(1_000_000.0)
+                      / (F.col("p") - F.col("l") + 1)).cast("long")
+    ranked = (covers.groupBy("doc_id")
+              .agg(F.sum(summand).alias("rank_e6")))
+    raw = F.col("rank_e6") / 1e6
+    if normalization == 0:
+        return ranked.select("doc_id", "rank_e6", raw.alias("rank"))
+    if normalization == 32:
+        return ranked.select("doc_id", "rank_e6",
+                             (raw / (raw + 1)).alias("rank"))
+    dls = index.tokens.select("doc_id", "dl")
+    divisor = (F.lit(1.0) + F.log(F.col("dl"))
+               if normalization == 1 else F.col("dl").cast("double"))
+    return (ranked.join(dls, on="doc_id")
+            .select("doc_id", "rank_e6", (raw / divisor).alias("rank")))
 
 
 def proximity_rerank(

@@ -314,3 +314,89 @@ def test_rank_metrics_on_real_bm25(spark, lean_index, corpus):
     assert 0 < r["hits_at_k"] <= 10
     assert 0 < r["ndcg_at_k_e4"] <= 10000
     assert r["mrr_e6"] == 1000000  # top BM25 hit must contain both terms
+
+
+def brute_rank_cd(words, terms):
+    """Independent O(n^2) cover-density oracle: enumerate ALL windows
+    [i, j] with both endpoints query-term occurrences that cover every
+    term, keep the minimal ones (no smaller cover nested inside), sum
+    round(1e6/width). Returns None when the doc never covers the terms."""
+    need = set(terms)
+    occ = [i for i, w in enumerate(words) if w in need]
+    wins = []
+    for a in range(len(occ)):
+        seen = set()
+        for b in range(a, len(occ)):
+            seen.add(words[occ[b]])
+            if seen == need:
+                wins.append((occ[a], occ[b]))
+                break
+    minimal = [w for w in wins
+               if not any(v != w and v[0] >= w[0] and v[1] <= w[1]
+                          for v in wins)]
+    if not minimal:
+        return None
+    return sum(round(1_000_000.0 / (j - i + 1)) for i, j in minimal)
+
+
+@pytest.mark.parametrize("terms", [["needle", "target"],
+                                   ["spark", "query", "window"],
+                                   ["needle"]])
+def test_ts_rank_cd_matches_bruteforce(lean_index, row_index, corpus, terms):
+    from pg_ts_semantic_headline_spark.plans.ranking import ts_rank_cd
+
+    expected = {}
+    for doc_id, text in corpus:
+        r = brute_rank_cd(text.split(" "), terms)
+        if r is not None:
+            expected[doc_id] = r
+    assert expected, "corpus must exercise the operator"
+    for idx in (lean_index, row_index):
+        got = {r["doc_id"]: r["rank_e6"]
+               for r in ts_rank_cd(idx, terms).collect()}
+        assert got == expected
+
+
+def test_ts_rank_cd_single_term_is_tf(lean_index, corpus):
+    # every occurrence of a 1-term query is its own width-1 cover
+    from pg_ts_semantic_headline_spark.plans.ranking import ts_rank_cd
+
+    got = {r["doc_id"]: r["rank_e6"]
+           for r in ts_rank_cd(lean_index, ["needle"]).collect()}
+    for doc_id, text in corpus:
+        tf = text.split(" ").count("needle")
+        if tf:
+            assert got[doc_id] == tf * 1_000_000
+
+
+def test_ts_rank_cd_normalization(lean_index, corpus):
+    from pg_ts_semantic_headline_spark.plans.ranking import ts_rank_cd
+
+    terms = ["needle", "target"]
+    raw = {r["doc_id"]: r["rank"]
+           for r in ts_rank_cd(lean_index, terms).collect()}
+    dls = {doc_id: len(text.split(" ")) for doc_id, text in corpus}
+    n1 = {r["doc_id"]: r["rank"]
+          for r in ts_rank_cd(lean_index, terms, normalization=1).collect()}
+    n2 = {r["doc_id"]: r["rank"]
+          for r in ts_rank_cd(lean_index, terms, normalization=2).collect()}
+    n32 = {r["doc_id"]: r["rank"]
+           for r in ts_rank_cd(lean_index, terms, normalization=32).collect()}
+    for d, r in raw.items():
+        assert n1[d] == pytest.approx(r / (1 + math.log(dls[d])))
+        assert n2[d] == pytest.approx(r / dls[d])
+        assert n32[d] == pytest.approx(r / (r + 1))
+    with pytest.raises(ValueError):
+        ts_rank_cd(lean_index, terms, normalization=4)
+
+
+def test_ts_rank_cd_candidate_narrowing(lean_index, corpus):
+    from pg_ts_semantic_headline_spark.plans.ranking import ts_rank_cd
+
+    full = {r["doc_id"]: r["rank_e6"]
+            for r in ts_rank_cd(lean_index, ["needle", "target"]).collect()}
+    some = sorted(full)[:3]
+    got = {r["doc_id"]: r["rank_e6"]
+           for r in ts_rank_cd(lean_index, ["needle", "target"],
+                               candidate_ids=some).collect()}
+    assert got == {d: full[d] for d in some}
