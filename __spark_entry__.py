@@ -1370,6 +1370,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("score_e4", _e4(F.col("score")))
                 .select("doc_id", "score_e4"))
 
+    _gate_thes: dict = {}
+
+    def q87(spark, sf):
+        # thesaurus-dictionary config end-to-end: adjacent 'merge sort'
+        # collapses to the single lexeme 'mergesort' (first position,
+        # None hole after — positions NOT renumbered); the oracle
+        # rebuilds the same mapped lexeme stream with lead/lag and
+        # drops the holes from dl, exactly like the engine's analyzer
+        import tempfile
+
+        from pg_ts_semantic_headline_spark.functions.lexize import (
+            make_thesaurus_config)
+        from pg_ts_semantic_headline_spark.plans.index_build import (
+            build_index, load_index)
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            to_tspquery)
+        from pg_ts_semantic_headline_spark.plans.search import bm25_topk
+        key = (id(spark), sf)
+        if key not in _gate_thes:
+            fd, path = tempfile.mkstemp(suffix=".json")
+            import os
+            os.close(fd)
+            cfg = make_thesaurus_config(
+                "simple", {"merge sort": "mergesort"}, path)
+            idx_dir = tempfile.mkdtemp(prefix="tsp_gate_thes_")
+            build_index(spark, _docs(spark, sf).selectExpr(
+                "doc_id", "text as content"), idx_dir, config=cfg,
+                n_buckets=8, block_span=128, resume=False)
+            _gate_thes[key] = (load_index(spark, idx_dir), cfg)
+        index, cfg = _gate_thes[key]
+        return (bm25_topk(index, to_tspquery(cfg, "mergesort"), k=100000)
+                .withColumn("score_e4", _e4(F.col("score")))
+                .select("doc_id", "score_e4"))
+
     def q86(spark, sf):
         # PG ts_rank_cd shape: Clarke cover-density rank over the
         # persisted index — exact integer Σ round(1e6/width) per doc, so
@@ -1466,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_search": q84,
         "synonym_search": q85,
         "ts_rank_cd": q86,
+        "thesaurus_search": q87,
     }
 
 
@@ -2172,6 +2207,27 @@ FROM scored
 )
 SELECT s.doc_id, CAST(ROUND(s.score * 10000) AS BIGINT) AS score_e4
 FROM scored s JOIN hits USING (doc_id)
+""",
+        "thesaurus_search": f"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+mapped AS (
+  SELECT doc_id, pos,
+         CASE WHEN tok = 'merge' AND lead(tok) OVER w = 'sort'
+                THEN 'mergesort'
+              WHEN tok = 'sort' AND lag(tok) OVER w = 'merge'
+                THEN NULL
+              ELSE tok END AS token
+  FROM raw WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+toks AS (SELECT doc_id, pos, token FROM mapped WHERE token IS NOT NULL),
+{BM25_CTE.strip()},
+{_bm25_scored_cte("'mergesort'").strip()}
+SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4 FROM scored
 """,
         "ts_rank_cd": f"""
 WITH {TOKS_CTE.strip()},

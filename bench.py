@@ -125,6 +125,25 @@ def main():
                 index, phraseto_tspquery("english", "merge sort"),
                 k=10).collect())
 
+        # query-language surface: websearch syntax, dictionary-prefix
+        # expansion, and cover-density ranking in one section
+        def run_query_lang():
+            import warnings
+
+            from pg_ts_semantic_headline_spark.plans.query_compiler import (
+                websearch_to_tspquery)
+            from pg_ts_semantic_headline_spark.plans.ranking import ts_rank_cd
+            from pg_ts_semantic_headline_spark.plans.search import (
+                prefix_search)
+            wq = websearch_to_tspquery("english", '"merge sort" or window')
+            search(index, wq, k=10).collect()
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                prefix_search(index, "s", k=10, max_expansions=16).collect()
+            ts_rank_cd(index, ["merge", "sort"]).count()
+
+        timings["websearch_prefix_rankcd_x3"] = min_of(run_query_lang)
+
         # headline throughput: every matching doc (ad-hoc fast path) —
         # normalized to per-1k-docs
         from pg_ts_semantic_headline_spark.plans.analyze import with_analysis

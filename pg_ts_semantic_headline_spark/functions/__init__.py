@@ -3,6 +3,7 @@ from .lexize import (
     SUPPORTED_CONFIGS,
     is_supported_config,
     make_synonym_config,
+    make_thesaurus_config,
     analyze_document,
     analyze_text_simple,
     lexize_chunk,
@@ -16,7 +17,7 @@ from .unaccent import unaccent
 
 __all__ = [
     "BELL", "SMC_CLASS", "SPACE_MAKING_CHARS", "SUPPORTED_CONFIGS",
-    "is_supported_config", "make_synonym_config",
+    "is_supported_config", "make_synonym_config", "make_thesaurus_config",
     "analyze_document", "analyze_text_simple", "lexize_chunk", "lexize_word",
     "stem_german", "stem_english", "ENGLISH_STOPWORDS", "GERMAN_STOPWORDS",
     "STOPWORDS_BY_CONFIG", "to_tsp_text_array", "tsp_indexable_text",

@@ -75,6 +75,96 @@ def make_synonym_config(base: str, synonyms: dict, path: str) -> str:
     return f"{SYNONYM_PREFIX}{base}:{path}"
 
 
+# Thesaurus configs — PG's `TEMPLATE = thesaurus`: multi-word phrases
+# replaced by one lexeme. Like PG, matching happens on the OUTPUT of the
+# subdictionary (the base config's lexemes), so 'supernovae stars' in the
+# file matches 'supernova star' in text; a base stopword inside a file
+# phrase lexizes to None and then matches ANY stopword at that slot (PG's
+# `?` wildcard, by construction). The substitute lexeme takes the FIRST
+# matched word's position and the rest become None holes — positions are
+# NOT renumbered (PG renumbers), keeping this engine's lexeme-position ==
+# recall-array-index invariant; headlines therefore highlight the first
+# word of a substituted phrase. Same file-path-in-config-string transport
+# as synonym configs.
+THESAURUS_PREFIX = "thesaurus:"
+
+
+def make_thesaurus_config(base: str, entries: dict, path: str) -> str:
+    """Write a thesaurus dictionary file and return its config string.
+
+    `entries` maps a space-separated phrase (surface words) to its
+    substitute lexeme; phrases are base-lexized at load time (PG runs the
+    subdictionary over the file too). A phrase whose FIRST word lexizes
+    to a stopword cannot anchor a match and is rejected."""
+    import json
+
+    if base not in _STEMMERS:
+        raise ValueError(f"unknown base config {base!r}")
+    norm = {}
+    for phrase, sub in entries.items():
+        words = str(phrase).split()
+        if not words or sub in (None, ""):
+            raise ValueError(f"bad thesaurus entry {phrase!r}: {sub!r}")
+        key = [lexize_chunk(w.lower(), base) for w in words]
+        if key[0] is None:
+            raise ValueError(
+                f"thesaurus phrase {phrase!r} starts with a stopword")
+        norm[" ".join("?" if k is None else k for k in key)] = \
+            str(sub).lower()
+    with open(path, "w") as f:
+        json.dump(norm, f, sort_keys=True)
+    return f"{THESAURUS_PREFIX}{base}:{path}"
+
+
+@lru_cache(maxsize=64)
+def _thesaurus_spec(config: str) -> tuple[str, dict]:
+    """(base, trie) for a thesaurus: config — trie maps first lexeme →
+    list of (lexeme_pattern_tuple, substitute), longest first; '?' slots
+    match any stopword (None)."""
+    base, _, path = config[len(THESAURUS_PREFIX):].partition(":")
+    if base not in _STEMMERS or not path:
+        raise ValueError(f"malformed thesaurus config {config!r}")
+    import json
+
+    with open(path) as f:
+        raw = json.load(f)
+    trie: dict = {}
+    for key, sub in raw.items():
+        pat = tuple(None if w == "?" else w for w in key.split(" "))
+        trie.setdefault(pat[0], []).append((pat, sub))
+    for pats in trie.values():
+        pats.sort(key=lambda e: (-len(e[0]), e[0][1:] or ("",)))
+    return base, trie
+
+
+def apply_thesaurus(lexemes: list, config: str) -> list:
+    """Greedy longest-match substitution over a base-lexeme stream
+    (None = stopword slot). Output is position-aligned with the input:
+    the substitute sits at the first matched slot, the rest become None."""
+    _, trie = _thesaurus_spec(config)
+    out = list(lexemes)
+    n = len(out)
+    i = 0
+    while i < n:
+        lx = out[i]
+        cands = trie.get(lx) if lx is not None else None
+        if cands:
+            for pat, sub in cands:
+                m = len(pat)
+                if i + m <= n and all(
+                        out[i + j] == pat[j] for j in range(1, m)):
+                    out[i] = sub
+                    for j in range(1, m):
+                        out[i + j] = None
+                    i += m
+                    break
+            else:
+                i += 1
+        else:
+            i += 1
+    return out
+
+
 @lru_cache(maxsize=64)
 def _synonym_spec(config: str) -> tuple[str, dict]:
     """(base, mapping) for a synonym: config string; memoized per process
@@ -93,10 +183,14 @@ def is_supported_config(config: str) -> bool:
     """True for a base config or a well-formed, loadable synonym config."""
     if config in _STEMMERS:
         return True
-    if isinstance(config, str) and config.startswith(SYNONYM_PREFIX):
+    if isinstance(config, str):
         try:
-            _synonym_spec(config)
-            return True
+            if config.startswith(SYNONYM_PREFIX):
+                _synonym_spec(config)
+                return True
+            if config.startswith(THESAURUS_PREFIX):
+                _thesaurus_spec(config)
+                return True
         except Exception:
             return False
     return False
@@ -120,6 +214,10 @@ def lexize_chunk(chunk: str, config: str) -> str | None:
         if lower in mapping:
             return mapping[lower]
         config = base
+    elif config.startswith(THESAURUS_PREFIX):
+        # per-chunk lexize uses the subdictionary only; the multi-word
+        # substitution is a stream pass (apply_thesaurus) over the result
+        config = _thesaurus_spec(config)[0]
     stemmer = _STEMMERS[config]
     if stemmer is None:
         return lower
@@ -133,8 +231,13 @@ def lexize_chunk(chunk: str, config: str) -> str | None:
 
 
 def lexize_word(word: str, config: str) -> str | None:
-    """Lexize a bare word (query-side helper; word may carry punctuation)."""
-    return lexize_chunk(word, config)
+    """Lexize a bare word (query-side helper; word may carry punctuation).
+    Under a thesaurus config, single-word entries still substitute (a
+    bare word can never match a multi-word phrase)."""
+    lx = lexize_chunk(word, config)
+    if lx is not None and config.startswith(THESAURUS_PREFIX):
+        return apply_thesaurus([lx], config)[0]
+    return lx
 
 
 def analyze_document(content: str, config: str) -> tuple[list[str], list[str | None]]:
@@ -158,6 +261,8 @@ def analyze_document(content: str, config: str) -> tuple[list[str], list[str | N
         indexed = tsp_indexable_text(unaccent(content))
     chunks = indexed.split(" ") if indexed else []
     lexemes = [lexize_chunk(c, config) for c in chunks]
+    if config.startswith(THESAURUS_PREFIX):
+        lexemes = apply_thesaurus(lexemes, config)
     # Unaccenting almost never changes chunk boundaries; guard the invariant
     # cheaply rather than silently misaligning.
     if len(lexemes) != len(tokens):
@@ -173,4 +278,7 @@ def analyze_text_simple(content: str, config: str) -> list[str | None]:
     indexed = tsp_indexable_text(
         content if content.isascii() else unaccent(content))
     chunks = indexed.split(" ") if indexed else []
-    return [lexize_chunk(c, config) for c in chunks]
+    lexemes = [lexize_chunk(c, config) for c in chunks]
+    if config.startswith(THESAURUS_PREFIX):
+        lexemes = apply_thesaurus(lexemes, config)
+    return lexemes

@@ -102,3 +102,84 @@ class TestDistributed:
         heads = {r["doc_id"]: r["headline"] for r in hits}
         assert "<b>colour</b>" in heads[0]
         assert "<b>color</b>" in heads[1]
+
+
+class TestThesaurus:
+    @pytest.fixture(scope="class")
+    def thes_config(self, tmp_path_factory):
+        from pg_ts_semantic_headline_spark.functions.lexize import (
+            make_thesaurus_config)
+        path = str(tmp_path_factory.mktemp("thes") / "thes.json")
+        return make_thesaurus_config(
+            "english",
+            {"supernovae stars": "sn",
+             "supernovae stars explode": "snx",   # longest must win
+             "state of the art": "sota",          # internal stopwords
+             "colour": "color"},                  # single-word entry
+            path)
+
+    def test_subdictionary_matching(self, thes_config):
+        # PG: the file AND the text both pass through the base stemmer,
+        # so inflected forms match
+        _, lexs = analyze_document("supernova star nearby", thes_config)
+        assert lexs == ["sn", None, "nearbi"]
+
+    def test_longest_match_wins_and_position_holes(self, thes_config):
+        toks, lexs = analyze_document(
+            "The supernovae stars explode loudly", thes_config)
+        assert lexs == [None, "snx", None, None, "loud"]
+        assert len(toks) == len(lexs)  # alignment invariant holds
+
+    def test_internal_stopword_wildcard(self, thes_config):
+        # 'of the' lexize to None; the entry's None slots match them
+        _, lexs = analyze_document("truly state of the art", thes_config)
+        assert lexs == ["truli", "sota", None, None, None]
+
+    def test_single_word_entry_and_query_side(self, thes_config):
+        from pg_ts_semantic_headline_spark.functions.lexize import (
+            lexize_word)
+        assert lexize_word("Colour", thes_config) == "color"
+        assert lexize_word("running", thes_config) == "run"
+
+    def test_greedy_no_overlap(self, tmp_path):
+        from pg_ts_semantic_headline_spark.functions.lexize import (
+            make_thesaurus_config)
+        cfg = make_thesaurus_config(
+            "simple", {"sort sort": "ss"}, str(tmp_path / "t.json"))
+        _, lexs = analyze_document("sort sort sort", cfg)
+        assert lexs == ["ss", None, "sort"]
+
+    def test_entry_validation(self, tmp_path):
+        from pg_ts_semantic_headline_spark.functions.lexize import (
+            make_thesaurus_config)
+        with pytest.raises(ValueError, match="starts with a stopword"):
+            make_thesaurus_config("english", {"the art": "x"},
+                                  str(tmp_path / "a.json"))
+        with pytest.raises(ValueError, match="bad thesaurus entry"):
+            make_thesaurus_config("english", {"good": None},
+                                  str(tmp_path / "b.json"))
+
+    def test_index_phrase_query_roundtrip(self, spark, thes_config,
+                                          tmp_path_factory):
+        from pg_ts_semantic_headline_spark.plans.index_build import (
+            build_index, load_index)
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            phraseto_tspquery)
+        from pg_ts_semantic_headline_spark.plans.search import bm25_topk
+
+        docs = [(0, "the supernovae stars are bright"),
+                (1, "a lone supernova star"),
+                (2, "stars without the phrase supernovae nearby"),
+                (3, "nothing relevant here")]
+        out = str(tmp_path_factory.mktemp("thesidx"))
+        build_index(spark, spark.createDataFrame(
+            docs, ["doc_id", "content"]), out, config=thes_config,
+            n_buckets=4, block_span=8)
+        index = load_index(spark, out)
+        assert index.config == thes_config
+        # the phrase query substitutes through the same dictionary, so
+        # 'supernova star' retrieves exactly the docs holding the PHRASE
+        q = phraseto_tspquery(thes_config, "supernova star")
+        assert [p.items for p in q.phrases] == [(("sn", 1),)]
+        got = {r["doc_id"] for r in bm25_topk(index, q, k=10).collect()}
+        assert got == {0, 1}
