@@ -1404,6 +1404,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("score_e4", _e4(F.col("score")))
                 .select("doc_id", "score_e4"))
 
+    _gate_ml: dict = {}
+
+    def q88(spark, sf):
+        # per-document config routing (PG's to_tsvector(config_col,
+        # text)): docs with lang='de' analyze through a synonym config
+        # mapping spark→funke, everything else through plain 'simple' —
+        # ONE index, two analyzers; querying 'funke' must hit exactly
+        # the German docs containing 'spark'. The oracle routes the same
+        # mapping with CASE on lang.
+        import os
+        import tempfile
+
+        from pg_ts_semantic_headline_spark.functions.lexize import (
+            make_synonym_config)
+        from pg_ts_semantic_headline_spark.plans.index_build import (
+            build_index, load_index)
+        from pg_ts_semantic_headline_spark.plans.search import bm25_topk
+        key = (id(spark), sf)
+        if key not in _gate_ml:
+            fd, path = tempfile.mkstemp(suffix=".json")
+            os.close(fd)
+            cfg = make_synonym_config("simple", {"spark": "funke"}, path)
+            idx_dir = tempfile.mkdtemp(prefix="tsp_gate_ml_")
+            build_index(
+                spark,
+                _docs(spark, sf).selectExpr(
+                    "doc_id", "text as content", "lang"),
+                idx_dir,
+                config=F.when(F.col("lang") == "de", cfg)
+                .otherwise("simple"),
+                n_buckets=8, block_span=128, resume=False)
+            _gate_ml[key] = load_index(spark, idx_dir)
+        index = _gate_ml[key]
+        return (bm25_topk(index, ["funke"], k=100000)
+                .withColumn("score_e4", _e4(F.col("score")))
+                .select("doc_id", "score_e4"))
+
     def q86(spark, sf):
         # PG ts_rank_cd shape: Clarke cover-density rank over the
         # persisted index — exact integer Σ round(1e6/width) per doc, so
@@ -1501,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_search": q85,
         "ts_rank_cd": q86,
         "thesaurus_search": q87,
+        "multilang_search": q88,
     }
 
 
@@ -2207,6 +2245,22 @@ FROM scored
 )
 SELECT s.doc_id, CAST(ROUND(s.score * 10000) AS BIGINT) AS score_e4
 FROM scored s JOIN hits USING (doc_id)
+""",
+        "multilang_search": f"""
+WITH raw AS (
+  SELECT doc_id, lang,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, pos,
+         CASE WHEN lang = 'de' AND tok = 'spark' THEN 'funke' ELSE tok END
+           AS token
+  FROM raw
+), {BM25_CTE.strip()},
+{_bm25_scored_cte("'funke'").strip()}
+SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4 FROM scored
 """,
         "thesaurus_search": f"""
 WITH raw AS (

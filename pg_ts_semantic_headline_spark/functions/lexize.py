@@ -218,6 +218,12 @@ def lexize_chunk(chunk: str, config: str) -> str | None:
         # per-chunk lexize uses the subdictionary only; the multi-word
         # substitution is a stream pass (apply_thesaurus) over the result
         config = _thesaurus_spec(config)[0]
+    if config not in _STEMMERS:
+        raise ValueError(
+            f"unknown text search config {config!r}"
+            + ("; this index was built with a per-document config column —"
+               " pass an explicit config= to driver-side re-analysis"
+               if config == "percolumn" else ""))
     stemmer = _STEMMERS[config]
     if stemmer is None:
         return lower

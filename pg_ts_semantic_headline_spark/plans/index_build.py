@@ -285,7 +285,7 @@ def build_index(
     docs: DataFrame,
     out_dir: str,
     content_col: str = "content",
-    config: str = "english",
+    config: "str | Column" = "english",
     doc_id: str = "doc_id",
     n_buckets: int = 32,
     block_span: int = DEFAULT_BLOCK_SPAN,
@@ -316,7 +316,22 @@ def build_index(
     `cache_level`: StorageLevel name for the two inter-stage caches
     (analyzed docs, range-sorted postings); see the note at `storage`
     below for why DISK_ONLY is the scale-safe default.
+    `config` may also be a pyspark Column producing a per-ROW config
+    string (PG's `to_tsvector(config_col, text)` — the multilingual
+    corpus pattern, e.g. `F.when(F.col("lang") == "de", "german")
+    .otherwise("english")`): the analysis UDF already takes config as a
+    per-row value, so routing costs nothing. The persisted stats then
+    record config = "percolumn", and the few driver-side helpers that
+    re-analyze text with the INDEX's config (fuzzy_bm25_topk,
+    expand_prefix, more_like_this, rm3_expand) require an explicit
+    `config=` argument on such an index.
     """
+    from pyspark.sql import Column as _Column
+
+    per_column = isinstance(config, _Column)
+    cfg_col = config if per_column else F.lit(config)
+    cfg_name = "percolumn" if per_column else config
+
     from pyspark import StorageLevel
 
     # `cache_level` names any pyspark StorageLevel constant. DISK_ONLY is
@@ -363,7 +378,7 @@ def build_index(
     # the compact cache (no raw lexeme stream is ever cached or shuffled)
     analyzed = (docs
                 .withColumn("_a", analyze_index_udf(
-                    F.col(content_col), F.lit(config)))
+                    F.col(content_col), cfg_col))
                 .select(F.col(doc_id).alias("doc_id"),
                         F.col("_a.tokens").alias("tokens"),
                         F.col("_a.dl").alias("dl"),
@@ -472,7 +487,7 @@ def build_index(
         terms.observe(term_obs, *term_aggs) \
             .write.mode("overwrite").partitionBy("bucket").parquet(paths.terms)
         spark.createDataFrame(
-            [(n_docs, avgdl, config, PREP_VERSION, n_buckets, block_span,
+            [(n_docs, avgdl, cfg_name, PREP_VERSION, n_buckets, block_span,
               avgdl, 0)],
             STATS_SCHEMA,
         ).write.mode("overwrite").parquet(paths.stats)

@@ -235,6 +235,7 @@ def rm3_expand(
     fb_docs: int = 10,
     max_terms: int = 10,
     mode: str = "exact",
+    config: str | None = None,
 ) -> DataFrame:
     """Pseudo-relevance-feedback expansion terms (the RM3 first stage):
     the top-`fb_docs` BM25 hits are treated as relevant, their term
@@ -269,7 +270,8 @@ def rm3_expand(
     tf: Counter = Counter()
     for r in tok_rows:
         tf.update(lx for lx in analyze_text_simple(
-            " ".join(r["tokens"]), index.config) if lx is not None)
+            " ".join(r["tokens"]), config or index.config)
+            if lx is not None)
     cands = sorted(t for t in tf if t not in set(terms))
     if not cands:
         return spark.createDataFrame([], out_schema)

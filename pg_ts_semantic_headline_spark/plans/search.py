@@ -1046,6 +1046,7 @@ def more_like_this(
     max_terms: int = 10,
     exclude_doc_id: int | None = None,
     mode: str = "exact",
+    config: str | None = None,
 ) -> DataFrame:
     """"More like this": rank the corpus by BM25 similarity to a free-text
     source document (Elasticsearch MLT / the "related articles" query).
@@ -1068,8 +1069,8 @@ def more_like_this(
     from ..functions.lexize import analyze_text_simple
 
     spark = index.postings.sparkSession
-    tf = Counter(lx for lx in analyze_text_simple(content or "", index.config)
-                 if lx is not None)
+    tf = Counter(lx for lx in analyze_text_simple(
+        content or "", config or index.config) if lx is not None)
     if not tf:
         return spark.createDataFrame([], "doc_id long, score double")
     # bounded driver work: one dictionary row per DISTINCT source term
@@ -1235,6 +1236,7 @@ def fuzzy_bm25_topk(
     k: int = 10,
     threshold: float = 0.25,
     mode: str = "exact",
+    config: str | None = None,
 ) -> DataFrame:
     """BM25 top-k with typo tolerance: query words missing from the index
     dictionary are rewritten to their nearest dictionary term by pg_trgm
@@ -1259,7 +1261,7 @@ def fuzzy_bm25_topk(
     spark = index.postings.sparkSession
     lexed: list[str] = []
     for w in words:
-        lx = lexize_word(w, index.config)
+        lx = lexize_word(w, config or index.config)
         if lx is not None and lx not in lexed:
             lexed.append(lx)
     if not lexed:
@@ -1290,7 +1292,8 @@ def fuzzy_bm25_topk(
 
 
 def expand_prefix(index: Index, prefix: str,
-                  max_expansions: int = 32) -> list[str]:
+                  max_expansions: int = 32,
+                  config: str | None = None) -> list[str]:
     """Dictionary terms starting with the lexized `prefix`, most frequent
     first — the expansion set behind tsquery's `'pre':*`.
 
@@ -1309,7 +1312,7 @@ def expand_prefix(index: Index, prefix: str,
 
     from ..functions.lexize import lexize_word
 
-    lx = lexize_word(prefix, index.config)
+    lx = lexize_word(prefix, config or index.config)
     if lx is None:
         warnings.warn(f"prefix {prefix!r} lexizes to a stopword; "
                       "prefix query matches nothing")
@@ -1332,6 +1335,7 @@ def prefix_search(
     k: int = 10,
     max_expansions: int = 32,
     mode: str = "exact",
+    config: str | None = None,
 ) -> DataFrame:
     """tsquery prefix matching (`'pre':*`) as retrieval: every dictionary
     term starting with the lexized prefix ORs into one BM25 top-k — docs
@@ -1343,7 +1347,7 @@ def prefix_search(
     dictionary scan (see `expand_prefix`) + the ordinary ≤32-term BM25
     plan — posting scans stay bucket-pruned per expansion term."""
     spark = index.postings.sparkSession
-    terms = expand_prefix(index, prefix, max_expansions)
+    terms = expand_prefix(index, prefix, max_expansions, config=config)
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     return bm25_topk(index, sorted(terms), k=k, mode=mode)

@@ -183,3 +183,59 @@ class TestThesaurus:
         assert [p.items for p in q.phrases] == [(("sn", 1),)]
         got = {r["doc_id"] for r in bm25_topk(index, q, k=10).collect()}
         assert got == {0, 1}
+
+
+class TestPerColumnConfig:
+    """PG's `to_tsvector(config_col, text)`: one index, per-document
+    analyzer routing through a config COLUMN."""
+
+    @pytest.fixture(scope="class")
+    def ml_index(self, spark, tmp_path_factory):
+        from pyspark.sql import functions as F
+
+        from pg_ts_semantic_headline_spark.plans.index_build import (
+            build_index, load_index)
+        docs = spark.createDataFrame(
+            [(0, "en", "the running dogs jumped"),
+             (1, "de", "die laufenden Hunde sprangen"),
+             (2, "en", "nothing shared here")],
+            ["doc_id", "lang", "content"])
+        out = str(tmp_path_factory.mktemp("mlidx"))
+        build_index(spark, docs, out,
+                    config=F.when(F.col("lang") == "de", "german")
+                    .otherwise("english"),
+                    n_buckets=4, block_span=8)
+        return load_index(spark, out)
+
+    def test_stats_marker_roundtrip(self, ml_index):
+        assert ml_index.config == "percolumn"
+
+    def test_each_doc_got_its_own_analyzer(self, ml_index):
+        from pg_ts_semantic_headline_spark.functions.lexize import (
+            lexize_word)
+        from pg_ts_semantic_headline_spark.plans.search import bm25_topk
+
+        en_lex = lexize_word("running", "english")
+        de_lex = lexize_word("laufenden", "german")
+        assert en_lex != de_lex
+        got_en = {r["doc_id"]
+                  for r in bm25_topk(ml_index, [en_lex], k=10).collect()}
+        got_de = {r["doc_id"]
+                  for r in bm25_topk(ml_index, [de_lex], k=10).collect()}
+        assert got_en == {0} and got_de == {1}
+        # german stopword 'die' never indexed; english stopword 'the'
+        # never indexed — each through its OWN stopword list
+        assert bm25_topk(ml_index, ["die"], k=10).count() == 0
+        assert bm25_topk(ml_index, ["the"], k=10).count() == 0
+
+    def test_reanalysis_helpers_demand_explicit_config(self, ml_index):
+        from pg_ts_semantic_headline_spark.plans.search import (
+            expand_prefix, more_like_this)
+
+        with pytest.raises(ValueError, match="per-document config"):
+            expand_prefix(ml_index, "run")
+        # the explicit-config override unblocks them
+        assert expand_prefix(ml_index, "run", config="english") == ["run"]
+        got = {r["doc_id"] for r in more_like_this(
+            ml_index, "running dogs", k=5, config="english").collect()}
+        assert 0 in got
