@@ -141,7 +141,7 @@ def merge_batch(
     index_dir: str,
     batch_docs: DataFrame,
     content_col: str = "content",
-    config: str = "english",
+    config=None,
     doc_id: str = "doc_id",
     replace: bool = False,
 ) -> None:
@@ -149,16 +149,42 @@ def merge_batch(
 
     `replace=True` tombstones prior generations of the batch's doc_ids
     (doc update); without it a re-ingested doc_id is duplicated until a
-    caller-driven cleanup — the append-only contract."""
+    caller-driven cleanup — the append-only contract.
+
+    `config=None` (the default) analyzes the batch with the INDEX's own
+    persisted config — the only value that keeps the dictionary
+    consistent. Passing a different string warns loudly (mixed-analyzer
+    postings are a silent-corruption class); an index built with a
+    per-document config column (stats config = 'percolumn') cannot
+    default and requires an explicit str or Column, same as
+    build_index."""
+    import warnings
+
+    from pyspark.sql import Column as _Column
+
     paths = IndexPaths(index_dir)
     stats = spark.read.parquet(paths.stats).first()
     n_buckets = int(stats["n_buckets"])
     new_gen = int(stats["gen"]) + 1
 
+    if config is None:
+        if stats["config"] == "percolumn":
+            raise ValueError(
+                "index was built with a per-document config column; pass "
+                "config= (a str or Column) to merge_batch explicitly")
+        config = stats["config"]
+    elif (isinstance(config, str) and stats["config"] != "percolumn"
+            and config != stats["config"]):
+        warnings.warn(
+            f"merge_batch config {config!r} differs from the index's "
+            f"{stats['config']!r}; mixed-analyzer postings will not "
+            "match queries compiled with either config")
+    cfg_col = config if isinstance(config, _Column) else F.lit(config)
+
     from ..plans.analyze import analyze_index_udf
     analyzed = (batch_docs
                 .withColumn("_a", analyze_index_udf(
-                    F.col(content_col), F.lit(config)))
+                    F.col(content_col), cfg_col))
                 .select(F.col(doc_id).alias("doc_id"),
                         F.col("_a.tokens").alias("tokens"),
                         F.col("_a.dl").alias("dl"),
@@ -468,10 +494,12 @@ def attach_incremental_indexer(
     index_dir: str,
     checkpoint_dir: str,
     content_col: str = "content",
-    config: str = "english",
+    config=None,
     trigger_available_now: bool = True,
 ):
-    """writeStream wiring: every micro-batch is merged into the index."""
+    """writeStream wiring: every micro-batch is merged into the index.
+    `config=None` analyzes each batch with the index's own persisted
+    config (see merge_batch)."""
     spark = stream_docs.sparkSession
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:

@@ -256,3 +256,50 @@ def test_streaming_foreachbatch(spark, index_dir, tmp_path):
     q.awaitTermination(120)
     after = load_index(spark, index_dir)
     assert after.n_docs == 22
+
+
+def test_merge_batch_config_defaults_and_guards(spark, tmp_path_factory):
+    import warnings
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pg_ts_semantic_headline_spark.plans.index_build import (
+        build_index, load_index)
+    from pg_ts_semantic_headline_spark.plans.search import bm25_topk
+
+    out = str(tmp_path_factory.mktemp("cfg_merge_idx"))
+    build_index(spark, spark.createDataFrame(
+        [(0, "running dogs")], ["doc_id", "content"]), out,
+        config="english", n_buckets=4, block_span=8)
+    # default config=None analyzes with the INDEX's config: the new
+    # doc's 'jumping' must stem ('jump'), proving english was applied
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        merge_batch(spark, out, spark.createDataFrame(
+            [(1, "jumping cats")], ["doc_id", "content"]))
+    got = {r["doc_id"] for r in
+           bm25_topk(load_index(spark, out), ["jump"], k=10).collect()}
+    assert got == {1}
+    # explicit mismatching config warns loudly
+    with _pytest.warns(UserWarning, match="differs from the index"):
+        merge_batch(spark, out, spark.createDataFrame(
+            [(2, "more cats")], ["doc_id", "content"]), config="simple")
+    # per-column index refuses the default
+    out2 = str(tmp_path_factory.mktemp("cfg_merge_ml"))
+    build_index(spark, spark.createDataFrame(
+        [(0, "en", "running dogs")], ["doc_id", "lang", "content"]), out2,
+        config=F.when(F.col("lang") == "de", "german").otherwise("english"),
+        n_buckets=4, block_span=8)
+    with _pytest.raises(ValueError, match="per-document config"):
+        merge_batch(spark, out2, spark.createDataFrame(
+            [(1, "jumping cats")], ["doc_id", "content"]))
+    # ...but an explicit Column routes per row, like build_index
+    merge_batch(spark, out2, spark.createDataFrame(
+        [(1, "de", "laufenden Hunde")], ["doc_id", "lang", "content"]),
+        config=F.when(F.col("lang") == "de", "german").otherwise("english"))
+    from pg_ts_semantic_headline_spark.functions.lexize import lexize_word
+    got = {r["doc_id"] for r in bm25_topk(
+        load_index(spark, out2),
+        [lexize_word("laufenden", "german")], k=10).collect()}
+    assert got == {1}
