@@ -140,6 +140,35 @@ def _scored(index: Index, terms: list[str]) -> DataFrame:
                 .withColumn("score", _score_col(index.avgdl)))
 
 
+def choose_bm25_mode(index: Index, terms: list[str],
+                     skew_ratio: float = 100.0,
+                     common_frac: float = 0.05) -> str:
+    """Cost-based physical-strategy pick for `bm25_topk(mode="auto")`.
+
+    The two strategies are rank-identical; what differs is bytes
+    decoded. Measured on this engine (BENCH/BASELINE.md §2c-2d): the
+    lean row scan wins whenever term selectivities are similar (block-max
+    bounds are near-equal, θ prunes nothing, and the seed pass is pure
+    overhead), while per-block-sum pruning wins ~20× in decoded bytes
+    exactly when the query mixes a COMMON term (many blocks) with a RARE
+    one (few blocks survive θ). So: pick blockmax iff a packed store
+    exists AND the widest df is both a real chunk of the corpus
+    (≥ common_frac·n_docs) and ≥ skew_ratio× the narrowest df. The
+    decision costs one bucket-pruned dictionary lookup (≤ |terms| rows
+    to the driver) — the same rows the scoring join reads anyway."""
+    ts = sorted(set(terms))
+    if index.packed is None or len(ts) < 2:
+        return "exact"
+    dfs = [int(r["df"]) for r in
+           _idf_lookup(index, ts, cols=("term", "df")).collect()]
+    if len(dfs) < 2:
+        return "exact"
+    mx, mn = max(dfs), min(dfs)
+    if mx >= common_frac * index.n_docs and mx >= skew_ratio * max(mn, 1):
+        return "blockmax"
+    return "exact"
+
+
 def bm25_topk(
     index: Index,
     query: CompiledQuery | list[str],
@@ -147,11 +176,16 @@ def bm25_topk(
     mode: str = "exact",
     candidate_docs: DataFrame | None = None,
 ) -> DataFrame:
-    """Top-k (doc_id, score), deterministic order (score desc, doc_id asc)."""
+    """Top-k (doc_id, score), deterministic order (score desc, doc_id asc).
+    `mode`: "exact", "blockmax", or "auto" (cost-based pick between the
+    two rank-identical strategies — see choose_bm25_mode)."""
     terms = list(query.lexemes) if isinstance(query, CompiledQuery) else list(query)
     if not terms:
         spark = index.postings.sparkSession
         return spark.createDataFrame([], "doc_id long, score double")
+
+    if mode == "auto":
+        mode = choose_bm25_mode(index, terms)
 
     if mode == "blockmax" and index.packed is not None:
         return _bm25_topk_blockmax(index, terms, k, candidate_docs)

@@ -1189,3 +1189,28 @@ class TestPrefixSearch:
         eng = replace(index, config="english")
         with pytest.warns(UserWarning, match="stopword"):
             assert expand_prefix(eng, "the") == []
+
+
+class TestAutoMode:
+    def test_choose_mode_decisions(self, lean_index, index, corpus):
+        from pg_ts_semantic_headline_spark.plans.search import (
+            choose_bm25_mode)
+
+        # 'spark' is the Zipf head (in nearly every doc); 'snowflake'
+        # appears in one doc — the common+rare shape pruning pays for
+        assert choose_bm25_mode(lean_index, ["spark", "snowflake"],
+                                skew_ratio=10.0) == "blockmax"
+        # similar selectivities: bounds are near-equal, θ prunes nothing
+        assert choose_bm25_mode(lean_index, ["merge", "sort"]) == "exact"
+        # single term / degenerate queries stay on the lean row scan
+        assert choose_bm25_mode(lean_index, ["spark"]) == "exact"
+        assert choose_bm25_mode(lean_index, ["absentterm",
+                                             "spark"]) == "exact"
+
+    def test_auto_rank_identical(self, lean_index, corpus):
+        got = bm25_topk(lean_index, ["spark", "snowflake"], k=10,
+                        mode="auto").collect()
+        want = bm25_topk(lean_index, ["spark", "snowflake"], k=10,
+                         mode="exact").collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in got] \
+            == [(r["doc_id"], round(r["score"], 9)) for r in want]
