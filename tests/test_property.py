@@ -404,3 +404,28 @@ class TestWarcRoundTrip:
             assert rec[1] == f"<urn:x:{rid}-{i}>"
             assert rec[6] == payload, i
             assert rec[5] == len(payload)
+
+
+class TestWebsearchNeverRaises:
+    """PG's websearch_to_tsquery contract: ANY input string is a valid
+    query — no parse error exists. Also: the compiled query's positive
+    phrases must all survive a render/phrase_table round, and negated
+    units never leak into the highlight set."""
+
+    text = st.text(max_size=120) | st.text(
+        alphabet='"-or()<>&|! \t\nabcé', max_size=120)
+
+    @given(text)
+    @settings(max_examples=400, deadline=None)
+    def test_never_raises_and_invariants(self, s):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            websearch_to_tspquery)
+
+        q = websearch_to_tspquery("english", s)
+        # phrase table rows are well-formed for whatever came out
+        for pid, lex, pos, plen, pspan, rendered in q.phrase_table():
+            assert lex and pos >= 1 and plen >= 1 and pspan >= 0
+            assert rendered.startswith("'")
+        # every positive lexeme is consistent with the phrase set
+        from_phrases = {lx for ph in q.phrases for lx, _ in ph.items}
+        assert set(q.lexemes) == from_phrases
