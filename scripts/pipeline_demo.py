@@ -89,8 +89,20 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         config="simple", n_buckets=16, block_span=128) and "ok")
     index = load_index(spark, idx_dir)
     terms = ["spark", "query"]
-    top = bm25_topk(index, terms, k=20).cache()
-    stage("bm25 top-20", top.count)
+    top = bm25_topk(index, terms, k=20, mode="auto").cache()
+    stage("bm25 top-20 (auto mode)", top.count)
+
+    # the end-user query surface over the same index
+    from pg_ts_semantic_headline_spark.plans.query_compiler import (
+        websearch_to_tspquery)
+    from pg_ts_semantic_headline_spark.plans.ranking import ts_rank_cd
+    from pg_ts_semantic_headline_spark.plans.search import search
+    wq = websearch_to_tspquery("simple", '"merge sort" or spark -window')
+    stage("websearch retrieval", search(index, wq, k=10).count)
+    stage("ts_rank_cd (cover density)",
+          lambda: ts_rank_cd(index, terms,
+                             candidate_ids=[r["doc_id"]
+                                            for r in top.collect()]).count())
     feats = ltr_features(
         index, terms,
         candidate_ids=[r["doc_id"] for r in top.collect()])
