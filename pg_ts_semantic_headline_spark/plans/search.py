@@ -169,6 +169,35 @@ def choose_bm25_mode(index: Index, terms: list[str],
     return "exact"
 
 
+def plan_search(index: Index, query: CompiledQuery | list[str]) -> DataFrame:
+    """EXPLAIN for a retrieval: one row per query term with the numbers
+    the planner sees — df, idf, corpus fraction, the bucket its postings
+    scan prunes to, whether the term exists at all — plus the auto-mode
+    decision and packed-store availability repeated on every row. Read
+    this before pointing an expensive query at a 10^12-doc index; cost
+    is one bucket-pruned dictionary lookup, nothing else."""
+    from ..functions.xxhash import term_bucket
+
+    spark = index.postings.sparkSession
+    schema = ("term string, bucket int, df long, idf double, "
+              "corpus_frac double, in_dictionary boolean, "
+              "chosen_mode string, packed boolean")
+    terms = sorted(set(
+        query.lexemes if isinstance(query, CompiledQuery) else query))
+    if not terms:
+        return spark.createDataFrame([], schema)
+    known = {r["term"]: (int(r["df"]), float(r["idf"])) for r in
+             _idf_lookup(index, terms, cols=("term", "df", "idf")).collect()}
+    mode = choose_bm25_mode(index, terms)
+    rows = []
+    for t in terms:
+        df_, idf_ = known.get(t, (0, None))
+        rows.append((t, term_bucket(t, index.n_buckets), df_, idf_,
+                     df_ / max(index.n_docs, 1), t in known, mode,
+                     index.packed is not None))
+    return spark.createDataFrame(rows, schema)
+
+
 def bm25_topk(
     index: Index,
     query: CompiledQuery | list[str],

@@ -1214,3 +1214,21 @@ class TestAutoMode:
                          mode="exact").collect()
         assert [(r["doc_id"], round(r["score"], 9)) for r in got] \
             == [(r["doc_id"], round(r["score"], 9)) for r in want]
+
+
+def test_plan_search_explains_terms(lean_index, corpus):
+    from pg_ts_semantic_headline_spark.plans.search import (
+        choose_bm25_mode, plan_search)
+
+    post, _ = python_postings(corpus)
+    rows = {r["term"]: r for r in plan_search(
+        lean_index, ["spark", "snowflake", "absentterm"]).collect()}
+    assert set(rows) == {"spark", "snowflake", "absentterm"}
+    assert rows["spark"]["df"] == len(post["spark"])
+    assert rows["spark"]["in_dictionary"] and rows["spark"]["packed"]
+    assert 0 < rows["spark"]["corpus_frac"] <= 1.0
+    assert not rows["absentterm"]["in_dictionary"]
+    assert rows["absentterm"]["df"] == 0 and rows["absentterm"]["idf"] is None
+    expected_mode = choose_bm25_mode(
+        lean_index, ["spark", "snowflake", "absentterm"])
+    assert {r["chosen_mode"] for r in rows.values()} == {expected_mode}
