@@ -1232,3 +1232,15 @@ def test_plan_search_explains_terms(lean_index, corpus):
     expected_mode = choose_bm25_mode(
         lean_index, ["spark", "snowflake", "absentterm"])
     assert {r["chosen_mode"] for r in rows.values()} == {expected_mode}
+
+
+def test_headlines_over_websearch_query(lean_index, corpus):
+    from pg_ts_semantic_headline_spark.plans.query_compiler import (
+        websearch_to_tspquery)
+
+    q = websearch_to_tspquery("simple", '"needle phrase" or snowflake')
+    hits = search_with_headlines(lean_index, q, k=5).collect()
+    assert hits, "corpus guarantees needle-phrase docs"
+    for r in hits:
+        h = r["headline"]
+        assert "<b>needle phrase</b>" in h or "<b>snowflake</b>" in h
