@@ -1441,6 +1441,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("score_e4", _e4(F.col("score")))
                 .select("doc_id", "score_e4"))
 
+    def q89(spark, sf):
+        # batched boolean+phrase retrieval: 3 queries (websearch with
+        # phrase+NOT+OR, tsquery with NOT, plain phrase) share one
+        # positional scan and one scored scan; full per-query scored
+        # sets at e4 (rank omitted — e4-boundary-sensitive; per-query
+        # rank identity vs search() is pinned by pytest)
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            websearch_to_tspquery)
+        from pg_ts_semantic_headline_spark.plans.search import search_batch
+        index = _built_index(spark, sf)
+        qs = {
+            "qa": websearch_to_tspquery(
+                "simple", '"merge sort" -spark or window'),
+            "qb": to_tspquery("simple", "batch & !stream"),
+            "qc": phraseto_tspquery("simple", "batch batch"),
+        }
+        return (search_batch(index, qs, k=100000)
+                .withColumn("score_e4", _e4(F.col("score")))
+                .select("query_id", "doc_id", "score_e4"))
+
     def q86(spark, sf):
         # PG ts_rank_cd shape: Clarke cover-density rank over the
         # persisted index — exact integer Σ round(1e6/width) per doc, so
@@ -1539,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rank_cd": q86,
         "thesaurus_search": q87,
         "multilang_search": q88,
+        "search_batch": q89,
     }
 
 
@@ -2245,6 +2266,39 @@ FROM scored
 )
 SELECT s.doc_id, CAST(ROUND(s.score * 10000) AS BIGINT) AS score_e4
 FROM scored s JOIN hits USING (doc_id)
+""",
+        "search_batch": f"""
+WITH {TOKS_CTE.strip()}, {BM25_CTE.strip()},
+{_bm25_scored_cte("'merge', 'sort', 'window'").strip().replace("scored AS", "s_a AS", 1)},
+{_bm25_scored_cte("'batch'").strip().replace("scored AS", "s_b AS", 1)},
+hits_a AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT t1.doc_id
+    FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+    WHERE t1.token = 'merge' AND t2.token = 'sort'
+      AND t1.doc_id NOT IN (SELECT doc_id FROM toks WHERE token = 'spark')
+    UNION
+    SELECT doc_id FROM toks WHERE token = 'window'
+  )
+),
+hits_b AS (
+  SELECT DISTINCT doc_id FROM toks WHERE token = 'batch'
+    AND doc_id NOT IN (SELECT doc_id FROM toks WHERE token = 'stream')
+),
+hits_c AS (
+  SELECT DISTINCT t1.doc_id
+  FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.token = 'batch' AND t2.token = 'batch'
+)
+SELECT 'qa' AS query_id, s.doc_id,
+       CAST(ROUND(s.score * 10000) AS BIGINT) AS score_e4
+FROM s_a s JOIN hits_a USING (doc_id)
+UNION ALL
+SELECT 'qb', s.doc_id, CAST(ROUND(s.score * 10000) AS BIGINT)
+FROM s_b s JOIN hits_b USING (doc_id)
+UNION ALL
+SELECT 'qc', s.doc_id, CAST(ROUND(s.score * 10000) AS BIGINT)
+FROM s_b s JOIN hits_c USING (doc_id)
 """,
         "multilang_search": f"""
 WITH raw AS (

@@ -235,6 +235,7 @@ def bm25_topk_batch(
     index: Index,
     queries: dict[str, CompiledQuery | list[str]],
     k: int = 10,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k for MANY queries in ONE plan — the offline-retrieval shape
     (eval sets, hard-negative mining, distillation): a training pipeline
@@ -247,6 +248,10 @@ def bm25_topk_batch(
     top-k cut. Scan cost is paid once for the whole workload instead of
     once per query, and every per-query result is rank-identical to
     `bm25_topk(mode="exact")` (tested). Ties: score desc, doc_id asc.
+
+    `candidates`, when given, is a (query_id, doc_id) frame restricting
+    each query's scored set (the boolean-match semi-join `search_batch`
+    feeds in); rank is assigned AFTER the restriction.
 
     Returns (query_id, doc_id, score, rank) with rank 1..k."""
     from pyspark.sql import Window
@@ -267,6 +272,9 @@ def bm25_topk_batch(
               .join(F.broadcast(qdf), on="term"))
     agg = (scored.groupBy("query_id", "doc_id")
            .agg(F.sum("score").alias("score")))
+    if candidates is not None:
+        agg = agg.join(candidates.select("query_id", "doc_id"),
+                       on=["query_id", "doc_id"], how="left_semi")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"),
                                                F.asc("doc_id"))
     return (agg.withColumn("rank", F.row_number().over(w))
@@ -897,6 +905,83 @@ def search(
     """
     cands = matching_docs(index, query) if enforce_boolean else None
     return bm25_topk(index, query, k=k, mode=mode, candidate_docs=cands)
+
+
+def search_batch(
+    index: Index,
+    queries: dict[str, CompiledQuery],
+    k: int = 10,
+) -> DataFrame:
+    """N full boolean+phrase retrievals in ONE pair of index scans — the
+    batched form of `search` the way `bm25_topk_batch` batches
+    `bm25_topk` (offline query workloads: eval sets, alert backfills,
+    saved-search refreshes must not launch N driver actions).
+
+    Plan: all queries' phrase patterns flatten into one broadcast table
+    (the percolator's registry shape, streaming/percolate.py); ONE
+    positional scan pruned to the union of every query's lexemes feeds
+    the pos−rel_pos alignment join, and each query's boolean AST folds
+    over its satisfied-phrase set as a JVM CASE expression — per-(doc,
+    query) match decisions with no per-query pass. The match set then
+    semi-joins `bm25_topk_batch`'s single scored scan per query.
+
+    NOT semantics: queries containing a negation must see every corpus
+    doc (a doc matching no phrase can still satisfy them), so those —
+    and only those — pay a corpus×negated-queries evaluation against
+    the column-pruned doc list, exactly like the percolator's batch
+    form. Per-query results are rank-identical to `search` (tested);
+    like `search`, a query with no positive lexeme ranks nothing.
+
+    Returns (query_id, doc_id, score, rank) with rank 1..k per query."""
+    from ..streaming.percolate import (STANDING_TABLE_SCHEMA,
+                                       _flatten_queries, _tree_expr)
+
+    spark = index.postings.sparkSession
+    out_schema = "query_id string, doc_id long, score double, rank int"
+    if not queries:
+        return spark.createDataFrame([], out_schema)
+    rows, meta = _flatten_queries(queries)
+    all_lex = sorted({r[2] for r in rows})
+
+    if all_lex:
+        hay = (_positions_hay(index, all_lex)
+               .select("doc_id", "pos", F.col("term").alias("lex")))
+        qdf = spark.createDataFrame(rows, STANDING_TABLE_SCHEMA)
+        joined = hay.join(F.broadcast(qdf), hay.lex == qdf.q_lexeme)
+        aligned = joined.withColumn(
+            "range_start", F.col("pos") - F.col("q_pos") + F.lit(1))
+        hits = (aligned
+                .groupBy("doc_id", "query_id", "phrase_id", "range_start")
+                .agg(F.count("*").alias("n_hits"),
+                     F.min("pos").alias("p0"), F.max("pos").alias("p1"),
+                     F.first("q_len").alias("q_len"),
+                     F.first("q_span").alias("q_span"))
+                .where((F.col("n_hits") == F.col("q_len"))
+                       & (F.col("p1") - F.col("p0") == F.col("q_span"))))
+        flags = (hits.groupBy("doc_id", "query_id")
+                 .agg(F.collect_set("phrase_id").alias("ok_phrases")))
+    else:
+        flags = spark.createDataFrame(
+            [], "doc_id long, query_id string, ok_phrases array<int>")
+
+    neg_qids = [qid for qid, (_, _, neg) in meta.items() if neg]
+    if neg_qids:
+        universe = (index.tokens.select("doc_id")
+                    .crossJoin(F.broadcast(
+                        spark.createDataFrame([(q,) for q in neg_qids],
+                                              "query_id string"))))
+        flags = (universe.join(flags, on=["doc_id", "query_id"],
+                               how="full")
+                 .withColumn("ok_phrases",
+                             F.coalesce(F.col("ok_phrases"),
+                                        F.array().cast("array<int>"))))
+
+    expr = F.lit(False)
+    for qid, (root, pid_by_items, _) in meta.items():
+        expr = F.when(F.col("query_id") == qid,
+                      _tree_expr(root, pid_by_items)).otherwise(expr)
+    matches = flags.where(expr).select("query_id", "doc_id")
+    return bm25_topk_batch(index, queries, k=k, candidates=matches)
 
 
 def search_with_headlines(

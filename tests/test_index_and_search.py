@@ -1244,3 +1244,49 @@ def test_headlines_over_websearch_query(lean_index, corpus):
     for r in hits:
         h = r["headline"]
         assert "<b>needle phrase</b>" in h or "<b>snowflake</b>" in h
+
+
+class TestSearchBatch:
+    QS = {
+        "qa": ("websearch", '"needle phrase" or snowflake'),
+        "qb": ("tsquery", "spark & !snowflake"),
+        "qc": ("tsquery", "merge<->sort | batch"),
+        "qd": ("phrase", "needle phrase target"),
+    }
+
+    def _compiled(self):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            phraseto_tspquery, to_tspquery, websearch_to_tspquery)
+        out = {}
+        for qid, (kind, text) in self.QS.items():
+            fn = {"websearch": websearch_to_tspquery,
+                  "tsquery": to_tspquery,
+                  "phrase": phraseto_tspquery}[kind]
+            out[qid] = fn(CONFIG, text)
+        return out
+
+    @pytest.mark.parametrize("which", ["lean_index", "index"])
+    def test_rank_identical_to_per_query_search(self, which, request):
+        from pg_ts_semantic_headline_spark.plans.search import (
+            search, search_batch)
+
+        idx = request.getfixturevalue(which)
+        qs = self._compiled()
+        got = search_batch(idx, qs, k=7).collect()
+        by_q: dict = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], round(r["score"], 9)))
+        for qid, q in qs.items():
+            want = [(i + 1, r["doc_id"], round(r["score"], 9))
+                    for i, r in enumerate(search(idx, q, k=7).collect())]
+            assert sorted(by_q.get(qid, [])) == want, qid
+
+    def test_single_scored_scan(self, lean_index):
+        # the whole batch's ranking reads the postings row table ONCE
+        from pg_ts_semantic_headline_spark.plans.search import search_batch
+
+        plan = search_batch(lean_index, self._compiled(), k=5) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan parquet") <= 4  # postings row scan +
+        # packed positional scan + tokens universe (NOT query) + terms idf
