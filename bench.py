@@ -120,6 +120,14 @@ def main():
 
         timings["boolean_phrase_search_x3"] = min_of(run_search)
 
+        # the same 3 boolean/phrase queries as ONE batched plan (shared
+        # positional scan + shared scored scan)
+        from pg_ts_semantic_headline_spark.plans.search import search_batch
+        timings["search_batch_x3_one_plan"] = min_of(
+            lambda: search_batch(
+                index, {f"q{i}": q for i, q in enumerate(queries[:3])},
+                k=10).collect())
+
         timings["search_with_headlines_k10"] = min_of(
             lambda: search_with_headlines(
                 index, phraseto_tspquery("english", "merge sort"),
