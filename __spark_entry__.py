@@ -1461,6 +1461,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("score_e4", _e4(F.col("score")))
                 .select("query_id", "doc_id", "score_e4"))
 
+    def q90(spark, sf):
+        # Lee-et-al exact-substring dedup at 8-token-window granularity:
+        # every 7th doc gets the same appended passage, so its windows
+        # duplicate corpus-wide and every later occurrence is cut; the
+        # oracle replays the identical window/winner/interval algorithm
+        # in SQL (the corpus itself may also contain organic dup windows
+        # — both engines find the same ones)
+        from pg_ts_semantic_headline_spark.operators.dedup import (
+            dedup_substrings)
+        passage = ("alpha beta gamma delta epsilon zeta eta theta "
+                   "iota kappa")
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.col("text"), F.lit(" " + passage)))
+            .otherwise(F.col("text")).alias("text"))
+        return dedup_substrings(docs, n=8)
+
     def q86(spark, sf):
         # PG ts_rank_cd shape: Clarke cover-density rank over the
         # persisted index — exact integer Σ round(1e6/width) per doc, so
@@ -1560,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "thesaurus_search": q87,
         "multilang_search": q88,
         "search_batch": q89,
+        "dedup_substrings": q90,
     }
 
 
@@ -2266,6 +2285,65 @@ FROM scored
 )
 SELECT s.doc_id, CAST(ROUND(s.score * 10000) AS BIGINT) AS score_e4
 FROM scored s JOIN hits USING (doc_id)
+""",
+        "dedup_substrings": """
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' alpha beta gamma delta epsilon zeta eta theta iota kappa'
+              ELSE text END AS text
+  FROM documents
+),
+arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM injected),
+wstart AS (
+  SELECT doc_id, a,
+         unnest(generate_series(1, greatest(len(a) - 7, 0))) AS s
+  FROM arr
+),
+wins AS (
+  SELECT doc_id, s, array_to_string(a[s : s + 7], ' ') AS key
+  FROM wstart
+),
+winners AS (
+  SELECT key, min(doc_id * 1048576 + s) AS wk, count(*) AS c
+  FROM wins GROUP BY key
+),
+dups AS (
+  SELECT w.doc_id, w.s AS s, w.s + 8 AS e
+  FROM wins w JOIN winners x USING (key)
+  WHERE x.c > 1 AND w.doc_id * 1048576 + w.s <> x.wk
+),
+grp AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_grp
+  FROM dups
+),
+grp2 AS (
+  SELECT doc_id, s, e,
+         sum(new_grp) OVER (PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+  FROM grp
+),
+merged AS (SELECT doc_id, gid, min(s) AS s, max(e) AS e
+           FROM grp2 GROUP BY doc_id, gid),
+tok AS (
+  SELECT doc_id, unnest(generate_series(1, len(a))) AS i, unnest(a) AS tk
+  FROM arr
+),
+kept AS (
+  SELECT t.doc_id, t.tk, t.i FROM tok t
+  WHERE NOT EXISTS (SELECT 1 FROM merged m
+                    WHERE m.doc_id = t.doc_id AND t.i >= m.s AND t.i < m.e)
+),
+removed AS (SELECT doc_id, sum(e - s) AS n FROM merged GROUP BY doc_id)
+SELECT a.doc_id,
+       coalesce((SELECT string_agg(k.tk, ' ' ORDER BY k.i)
+                 FROM kept k WHERE k.doc_id = a.doc_id), '') AS text_dedup,
+       CAST(coalesce(r.n, 0) AS BIGINT) AS n_tokens_removed
+FROM arr a LEFT JOIN removed r USING (doc_id)
 """,
         "search_batch": f"""
 WITH {TOKS_CTE.strip()}, {BM25_CTE.strip()},

@@ -426,3 +426,103 @@ def lsh_params(threshold: float, target_recall: float = 0.95,
     raise ValueError(
         f"no (bands, rows) with <= {max_hashes} hashes reaches recall "
         f"{target_recall} at jaccard {threshold}; raise max_hashes")
+
+
+def dedup_substrings(df: DataFrame, n: int = 50,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Corpus-global EXACT-substring dedup at n-token-window granularity,
+    keep-first occurrence — the ExactSubstr recipe of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better", §4.1,
+    published default n=50): any n-token window occurring more than once
+    in the corpus keeps ONLY its first occurrence (smallest (doc_id,
+    start)); every later occurrence's token span is cut out of its
+    document, including repeats WITHIN one document. Overlapping
+    duplicated windows (a shared passage of m > n tokens duplicates
+    m−n+1 windows) coalesce into one removed span. Returns (doc_id,
+    text_dedup, n_tokens_removed); documents shorter than n tokens pass
+    through untouched (text whitespace-normalized to single spaces, the
+    token-level-op convention).
+
+    Scale shape (Lee et al. use a suffix array — a single-machine
+    structure; this is the shuffle formulation):
+    1. one pass emits (md5(window), doc_id, start) per window — the key
+       is a 128-bit fingerprint, so the shuffle moves ~48 bytes per
+       corpus token regardless of n, and false merges are ~(windows²)/2^128
+       ≈ zero at 10^13 windows (keying on the window text itself would
+       be exact but ships n×token bytes);
+    2. winner per key = min(struct(doc_id, start)) — partial-aggregated
+       map-side; keys seen once are DROPPED before the rejoin, so the
+       dup join's build side is only the duplicated tail;
+    3. later occurrences become intervals [start, start+n), merged per
+       doc by the classic sorted running-max grouping (one window over
+       the interval rows — interval count ≤ dup windows, far smaller
+       than the corpus);
+    4. each doc rebuilds by concatenating the ≤ |intervals|+1 uncovered
+       slices with ONE F.aggregate fold over its sorted interval array —
+       no per-token work, no UDF anywhere.
+    """
+    from pyspark.sql import Window
+
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.split(F.col(text_col), " ").alias("toks"))
+    m = F.size("toks")
+
+    wins = (base.where(m >= n)
+            .select("doc_id",
+                    F.posexplode(F.transform(
+                        F.sequence(F.lit(0), m - n),
+                        lambda s: F.md5(F.array_join(
+                            F.slice("toks", s + 1, n), " "))))
+                    .alias("s", "key")))
+    winners = (wins.groupBy("key")
+               .agg(F.min(F.struct("doc_id", F.col("s").alias("start")))
+                    .alias("w"),
+                    F.count("*").alias("c"))
+               .where(F.col("c") > 1)
+               .select("key", "w"))
+    dups = (wins.join(winners, on="key")
+            .where(~((F.col("doc_id") == F.col("w.doc_id"))
+                     & (F.col("s") == F.col("w.start"))))
+            .select("doc_id", "s", (F.col("s") + n).alias("e")))
+
+    # merge overlapping/adjacent intervals: a row starts a new group iff
+    # it begins strictly after everything seen so far ends
+    w_doc = Window.partitionBy("doc_id").orderBy("s")
+    prev_e = F.max("e").over(w_doc.rowsBetween(Window.unboundedPreceding, -1))
+    grouped = (dups
+               .withColumn("_new", F.when(prev_e.isNull()
+                                          | (F.col("s") > prev_e), 1)
+                           .otherwise(0))
+               .withColumn("_gid", F.sum("_new").over(
+                   w_doc.rowsBetween(Window.unboundedPreceding, 0)))
+               .groupBy("doc_id", "_gid")
+               .agg(F.min("s").alias("s"), F.max("e").alias("e")))
+    ivs = (grouped.groupBy("doc_id")
+           .agg(F.array_sort(F.collect_list(F.struct("s", "e")))
+                .alias("ivs"),
+                F.sum(F.col("e") - F.col("s")).alias("n_tokens_removed")))
+
+    # rebuild: fold the sorted disjoint intervals, keeping the gaps
+    joined = base.join(ivs, on="doc_id", how="left")
+    acc0 = F.struct(F.lit(0).alias("p"),
+                    F.array().cast("array<string>").alias("parts"))
+    fold = F.aggregate(
+        "ivs", acc0,
+        lambda acc, iv: F.struct(
+            iv["e"].alias("p"),
+            F.concat(acc["parts"],
+                     F.slice("toks", acc["p"] + 1, iv["s"] - acc["p"]))
+            .alias("parts")),
+        lambda acc: F.array_join(
+            F.concat(acc["parts"],
+                     F.slice("toks", acc["p"] + 1, F.size("toks") - acc["p"])),
+            " "))
+    return joined.select(
+        "doc_id",
+        F.when(F.col("ivs").isNull(), F.array_join("toks", " "))
+         .otherwise(fold).alias("text_dedup"),
+        F.coalesce("n_tokens_removed", F.lit(0)).cast("long")
+         .alias("n_tokens_removed"))

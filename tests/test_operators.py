@@ -892,3 +892,74 @@ def test_dedup_paragraphs_custom_sep_and_min_chars(spark):
     rows = {r["doc_id"]: r for r in
             dedup_paragraphs(df2, sep="|", min_chars=3).collect()}
     assert rows[2]["text_dedup"] == "ab|xy"          # 2-char paras kept
+
+
+class TestDedupSubstrings:
+    def brute(self, docs, n):
+        from collections import defaultdict
+        occs = defaultdict(list)
+        for d, t in docs:
+            toks = t.split(" ")
+            for s in range(len(toks) - n + 1):
+                occs[" ".join(toks[s:s + n])].append((d, s))
+        out = {}
+        for d, t in docs:
+            toks = t.split(" ")
+            drop = [False] * len(toks)
+            for s in range(len(toks) - n + 1):
+                o = occs[" ".join(toks[s:s + n])]
+                if len(o) > 1 and min(o) != (d, s):
+                    for i in range(s, s + n):
+                        drop[i] = True
+            out[d] = (" ".join(tk for tk, dr in zip(toks, drop) if not dr),
+                      sum(drop))
+        return out
+
+    def test_matches_bruteforce_random_corpus(self, spark):
+        import random
+
+        from pg_ts_semantic_headline_spark.operators.dedup import (
+            dedup_substrings)
+
+        rng = random.Random(99)
+        vocab = [f"w{i}" for i in range(12)]
+        shared = " ".join(rng.choice(vocab) for _ in range(9))
+        docs = []
+        for d in range(30):
+            words = [rng.choice(vocab) for _ in range(rng.randint(3, 40))]
+            if d % 4 == 0:   # inject the shared passage at a random spot
+                at = rng.randint(0, len(words))
+                words[at:at] = shared.split(" ")
+            if d == 17:      # within-doc repeat
+                words += shared.split(" ") + shared.split(" ")
+            docs.append((d, " ".join(words)))
+        for n in (4, 6):
+            want = self.brute(docs, n)
+            got = {r["doc_id"]: (r["text_dedup"], r["n_tokens_removed"])
+                   for r in dedup_substrings(
+                       spark.createDataFrame(docs, ["doc_id", "text"]),
+                       n=n).collect()}
+            assert got == want, n
+
+    def test_keep_first_and_short_docs(self, spark):
+        from pg_ts_semantic_headline_spark.operators.dedup import (
+            dedup_substrings)
+
+        docs = [(0, "a b c d e"), (1, "z a b c d e z"), (2, "tiny")]
+        got = {r["doc_id"]: (r["text_dedup"], r["n_tokens_removed"])
+               for r in dedup_substrings(
+                   spark.createDataFrame(docs, ["doc_id", "text"]),
+                   n=5).collect()}
+        assert got[0] == ("a b c d e", 0)    # first occurrence intact
+        assert got[1] == ("z z", 5)          # later copy cut, edges kept
+        assert got[2] == ("tiny", 0)         # shorter than n: passthrough
+
+    def test_n_validation(self, spark):
+        import pytest as _pytest
+
+        from pg_ts_semantic_headline_spark.operators.dedup import (
+            dedup_substrings)
+
+        with _pytest.raises(ValueError):
+            dedup_substrings(spark.range(1).selectExpr(
+                "id as doc_id", "'x' as text"), n=1)
