@@ -56,6 +56,7 @@ def prepare_corpus(
     max_top_bigram_frac: float | None = None,
     lm_docs: DataFrame | None = None,
     min_lm_mean_logprob: float = -9.0,
+    substring_dedup_n: int | None = None,
 ) -> DataFrame:
     """Annotated corpus with a `drop_reason` column (NULL = kept).
 
@@ -77,6 +78,14 @@ def prepare_corpus(
     text is what gets scored; a `lm_mean_logprob` column rides along
     (NULL for docs with no bigram events — those always pass).
 
+    `substring_dedup_n` enables the Lee-et-al ExactSubstr stage
+    (`dedup.dedup_substrings`, published default 50): duplicated
+    n-token windows are cut from every occurrence but the corpus-first,
+    REWRITING the text (whitespace-normalized) right after the PII
+    scrub and before any stat/filter/dedup — so token counts, quality,
+    the LM gate and the doc-level dedups all see the deduplicated
+    text. Adds an `n_substr_tokens_removed` column.
+
     `cache=True` persists the annotated frame(s) so the dedup joins do
     not recompute the annotate projection per reference — recommended
     whenever near_dedup is on (the frame is referenced by the minhash,
@@ -91,6 +100,17 @@ def prepare_corpus(
         df = _redact_pii(df, text_col=text_col, out_col="_red")
         df = df.drop(text_col).withColumnRenamed("_red", text_col)
         pii_cols = [c for c in df.columns if c.startswith("pii_")]
+    substr_cols: list = []
+    if substring_dedup_n is not None:
+        from .dedup import dedup_substrings
+        sub = dedup_substrings(df, n=substring_dedup_n,
+                               text_col=text_col, id_col=id_col)
+        df = (df.drop(text_col)
+              .join(sub.withColumnRenamed("doc_id", id_col), on=id_col)
+              .withColumnRenamed("text_dedup", text_col)
+              .withColumnRenamed("n_tokens_removed",
+                                 "n_substr_tokens_removed"))
+        substr_cols = ["n_substr_tokens_removed"]
     t = F.col("_t")
     lang_pred, _ = lang_exprs(t)
     q = quality_exprs(t)
@@ -121,12 +141,12 @@ def prepare_corpus(
     ann = (df.select(F.col(id_col).alias("doc_id"),
                      F.col(text_col).alias(text_col),
                      _tok(F.col(text_col)).alias("_t"),
-                     *pii_cols)
+                     *pii_cols, *substr_cols)
            .select("doc_id", text_col,
                    q["n_tokens"].alias("n_tokens"),
                    q["quality"].alias("quality"),
                    lang_pred.alias("lang_pred"),
-                   *pii_cols, *ann_extra))
+                   *pii_cols, *substr_cols, *ann_extra))
     if lm_docs is not None:
         # LM gate: scores computed over the same (post-PII) frame the
         # other annotations see; mean logprob in nats from the exact

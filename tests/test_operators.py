@@ -963,3 +963,25 @@ class TestDedupSubstrings:
         with _pytest.raises(ValueError):
             dedup_substrings(spark.range(1).selectExpr(
                 "id as doc_id", "'x' as text"), n=1)
+
+
+def test_prepare_corpus_substring_dedup_stage(spark):
+    from pg_ts_semantic_headline_spark.operators.pipeline import (
+        prepare_corpus)
+
+    shared = "one two three four five six seven eight"
+    docs = [(0, f"start {shared} end of first document body"),
+            (1, f"totally other {shared} trailing words here"),
+            (2, "independent tiny text")]
+    out = {r["doc_id"]: r for r in prepare_corpus(
+        spark.createDataFrame(docs, ["doc_id", "text"]),
+        min_tokens=2, substring_dedup_n=8).collect()}
+    # doc 0 is the corpus-first occurrence: untouched
+    assert out[0]["n_substr_tokens_removed"] == 0
+    assert shared in out[0]["text"]
+    # doc 1's copy is cut BEFORE stats: n_tokens reflects the cut text
+    assert out[1]["n_substr_tokens_removed"] == 8
+    assert shared not in out[1]["text"]
+    assert out[1]["text"] == "totally other trailing words here"
+    assert out[1]["n_tokens"] == 5
+    assert out[2]["n_substr_tokens_removed"] == 0
