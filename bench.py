@@ -166,6 +166,15 @@ def main():
         timings["dedup_minhash_lsh"] = min_of(
             lambda: minhash_lsh_dedup(raw_docs_once, threshold=0.5).count())
 
+        # ExactSubstr window pass at the published n=50 (the synthetic
+        # corpus has few organic 50-gram dups; this measures the
+        # window-emit + fingerprint-shuffle cost, the dominant term)
+        from pg_ts_semantic_headline_spark.operators.dedup import (
+            dedup_substrings)
+        timings["dedup_substrings_n50"] = min_of(
+            lambda: dedup_substrings(raw_docs_once, n=50)
+            .agg(F.sum("n_tokens_removed")).collect())
+
         qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
         timings["embedding_cosine_topk"] = min_of(
             lambda: cosine_topk_arrow(emb, qv, k=10).collect())
