@@ -1479,6 +1479,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .otherwise(F.col("text")).alias("text"))
         return dedup_substrings(docs, n=8)
 
+    def q91(spark, sf):
+        # unordered proximity matching (ES match_phrase slop): docs
+        # where some <= len+slop window holds every term; integer spans
+        from pg_ts_semantic_headline_spark.plans.ranking import (
+            slop_match_docs)
+        index = _built_index(spark, sf)
+        return slop_match_docs(index, ["spark", "window"], slop=4)
+
     def q86(spark, sf):
         # PG ts_rank_cd shape: Clarke cover-density rank over the
         # persisted index — exact integer Σ round(1e6/width) per doc, so
@@ -1579,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multilang_search": q88,
         "search_batch": q89,
         "dedup_substrings": q90,
+        "slop_match": q91,
     }
 
 
@@ -3045,6 +3054,11 @@ CROSS JOIN nb CROSS JOIN nu
 WITH {TOKS_CTE.strip()},
 {_min_span_cte(["spark", "query"]).strip()}
 SELECT doc_id, span FROM minspan
+""",
+        "slop_match": f"""
+WITH {TOKS_CTE.strip()},
+{_min_span_cte(["spark", "window"]).strip()}
+SELECT doc_id, span FROM minspan WHERE span <= 6
 """,
         # proximity-boosted BM25: score · (1 + 2/span), full matching set
         "proximity_rerank": _bm25_score_sql(["spark", "query"]) + f"""

@@ -14,6 +14,7 @@ from .ranking import (
     proximity_rerank,
     rank_metrics,
     rm3_expand,
+    slop_match_docs,
     ts_rank_cd,
 )
 
@@ -21,6 +22,6 @@ __all__ = [
     "CompiledQuery", "Phrase", "TSQueryParseError",
     "ltr_features", "min_span_docs", "phraseto_tspquery", "prf_search",
     "proximity_rerank", "rank_metrics", "rm3_expand", "to_tspquery",
-    "ts_rank_cd",
+    "slop_match_docs", "ts_rank_cd",
     "verify_index", "websearch_to_tspquery",
 ]

@@ -46,7 +46,8 @@ from .search import (_idf_lookup, _positions_hay, _pruned_postings,
                      _scored, bm25_topk)
 
 __all__ = ["min_span_docs", "proximity_rerank", "rm3_expand",
-           "prf_search", "ltr_features", "rank_metrics", "ts_rank_cd"]
+           "prf_search", "ltr_features", "rank_metrics", "slop_match_docs",
+           "ts_rank_cd"]
 
 
 def _terms_of(query) -> list[str]:
@@ -105,6 +106,30 @@ def min_span_docs(
     return (rows.where(seen_all)
             .groupBy("doc_id")
             .agg(F.min(span).cast("int").alias("span")))
+
+
+def slop_match_docs(
+    index: Index,
+    terms: list[str],
+    slop: int = 0,
+    candidate_ids: list | None = None,
+    candidate_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Proximity phrase matching with slack — Elasticsearch's
+    `match_phrase` slop semantics in their UNORDERED reading: a doc
+    matches when some window of ≤ len(terms) + slop token positions
+    holds every query term (slop=0 = all terms adjacent in some order).
+    PG tsquery can say `a <-> b` (exact gap) but has no "near each
+    other, any order" operator; this is that operator over the
+    persisted index. Returns (doc_id, span) for matching docs —
+    span ≤ len(terms) + slop — a thin threshold over `min_span_docs`'
+    single-window plan (same pruned positional scan, no extra pass)."""
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
+    ts = sorted(set(terms))
+    spans = min_span_docs(index, ts, candidate_ids=candidate_ids,
+                          candidate_docs=candidate_docs)
+    return spans.where(F.col("span") <= len(ts) + int(slop))
 
 
 def ts_rank_cd(

@@ -400,3 +400,26 @@ def test_ts_rank_cd_candidate_narrowing(lean_index, corpus):
            for r in ts_rank_cd(lean_index, ["needle", "target"],
                                candidate_ids=some).collect()}
     assert got == {d: full[d] for d in some}
+
+
+def test_slop_match_docs(lean_index, corpus):
+    from pg_ts_semantic_headline_spark.plans.ranking import slop_match_docs
+
+    terms = ["needle", "target"]
+    spans = {}
+    for doc_id, text in corpus:
+        s = brute_min_span(text.split(" "), terms)
+        if s is not None:
+            spans[doc_id] = s
+    for slop in (0, 3, 50):
+        want = {d for d, s in spans.items() if s <= len(terms) + slop}
+        got = {r["doc_id"] for r in
+               slop_match_docs(lean_index, terms, slop=slop).collect()}
+        assert got == want, slop
+    # slop=0 means adjacent-in-some-order; the corpus plants adjacent
+    # needle/target pairs so the tightest setting still matches some
+    assert {r["doc_id"] for r in
+            slop_match_docs(lean_index, terms, slop=0).collect()}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        slop_match_docs(lean_index, terms, slop=-1)
