@@ -462,21 +462,11 @@ def dedup_substrings(df: DataFrame, n: int = 50,
        slices with ONE F.aggregate fold over its sorted interval array —
        no per-token work, no UDF anywhere.
     """
-    from pyspark.sql import Window
-
     if n < 2:
         raise ValueError("n must be >= 2")
     base = df.select(F.col(id_col).alias("doc_id"),
                      F.split(F.col(text_col), " ").alias("toks"))
-    m = F.size("toks")
-
-    wins = (base.where(m >= n)
-            .select("doc_id",
-                    F.posexplode(F.transform(
-                        F.sequence(F.lit(0), m - n),
-                        lambda s: F.md5(F.array_join(
-                            F.slice("toks", s + 1, n), " "))))
-                    .alias("s", "key")))
+    wins = substr_windows(base, n)
     winners = (wins.groupBy("key")
                .agg(F.min(F.struct("doc_id", F.col("s").alias("start")))
                     .alias("w"),
@@ -486,8 +476,31 @@ def dedup_substrings(df: DataFrame, n: int = 50,
     dups = (wins.join(winners, on="key")
             .where(~((F.col("doc_id") == F.col("w.doc_id"))
                      & (F.col("s") == F.col("w.start"))))
-            .select("doc_id", "s", (F.col("s") + n).alias("e")))
+            .select("doc_id", "s"))
+    return cut_spans(base, dups, n)
 
+
+def substr_windows(base: DataFrame, n: int) -> DataFrame:
+    """(doc_id, s, key) — one md5 fingerprint per n-token window of each
+    `(doc_id, toks)` row; docs shorter than n emit nothing."""
+    m = F.size("toks")
+    return (base.where(m >= n)
+            .select("doc_id",
+                    F.posexplode(F.transform(
+                        F.sequence(F.lit(0), m - n),
+                        lambda s: F.md5(F.array_join(
+                            F.slice("toks", s + 1, n), " "))))
+                    .alias("s", "key")))
+
+
+def cut_spans(base: DataFrame, dups: DataFrame, n: int) -> DataFrame:
+    """Remove the n-token span starting at every (doc_id, s) of `dups`
+    from `base` (doc_id, toks): merge overlapping/adjacent spans per doc
+    with one running-max window, then rebuild each doc by folding the
+    uncovered slices. Returns (doc_id, text_dedup, n_tokens_removed)."""
+    from pyspark.sql import Window
+
+    dups = dups.select("doc_id", "s", (F.col("s") + n).alias("e"))
     # merge overlapping/adjacent intervals: a row starts a new group iff
     # it begins strictly after everything seen so far ends
     w_doc = Window.partitionBy("doc_id").orderBy("s")

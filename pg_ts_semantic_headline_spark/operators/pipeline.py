@@ -111,6 +111,10 @@ def prepare_corpus(
               .withColumnRenamed("n_tokens_removed",
                                  "n_substr_tokens_removed"))
         substr_cols = ["n_substr_tokens_removed"]
+    elif "n_substr_tokens_removed" in df.columns:
+        # an upstream stage (the streaming cross-batch cutter) already
+        # rewrote the text: carry its counter through the annotation
+        substr_cols = ["n_substr_tokens_removed"]
     t = F.col("_t")
     lang_pred, _ = lang_exprs(t)
     q = quality_exprs(t)

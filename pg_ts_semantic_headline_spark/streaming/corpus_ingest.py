@@ -103,6 +103,97 @@ def _check_minhash_meta(spark: SparkSession, mh_dir: str, n: int,
             f"bands)={got}; refusing to mix with {(n, num_hashes, bands)}")
 
 
+def _check_substr_meta(spark: SparkSession, sub_dir: str, n: int) -> None:
+    """Pin the window width at first use (a store probed with a different
+    n matches nothing and silently stops deduplicating)."""
+    meta_path = f"{sub_dir}/_meta"
+    try:
+        row = spark.read.parquet(meta_path).first()
+    except AnalysisException:
+        (spark.createDataFrame([(n,)], "n int")
+         .coalesce(1).write.mode("overwrite").parquet(meta_path))
+        return
+    if row["n"] != n:
+        raise ValueError(
+            f"substring store at {sub_dir} was built with n={row['n']}; "
+            f"refusing to mix with n={n}")
+
+
+def _substr_store_keys(spark: SparkSession, sub_dir: str,
+                       before_batch: int) -> DataFrame | None:
+    try:
+        store = spark.read.parquet(f"{sub_dir}/data")
+    except AnalysisException:
+        return None
+    return store.where(F.col("batch_id") < before_batch).select("key")
+
+
+def _cross_substring_cut(spark: SparkSession, batch_df: DataFrame,
+                         out_dir: str, batch_id: int, n: int,
+                         text_col: str, id_col: str) -> DataFrame:
+    """Rewrite the batch's text with ExactSubstr cuts extended ACROSS
+    batches: an n-token window registered by ANY earlier batch cuts
+    every occurrence in this batch; unregistered windows keep their
+    batch-first occurrence (the batch-local Lee-et-al rule). The store
+    is never shuffled — the batch's distinct window fingerprints
+    broadcast INTO the store scan, and only the hits come back. Adds
+    `n_substr_tokens_removed`; text is whitespace-normalized (the
+    token-level-op convention)."""
+    from ..operators.dedup import cut_spans, substr_windows
+
+    sub_dir = f"{out_dir}/_substr"
+    _check_substr_meta(spark, sub_dir, n)
+    base = batch_df.select(F.col(id_col).alias("doc_id"),
+                           F.split(F.col(text_col), " ").alias("toks"))
+    wins = substr_windows(base, n)
+    prior = _substr_store_keys(spark, sub_dir, batch_id)
+    if prior is not None:
+        batch_keys = wins.select("key").distinct()
+        hits = (prior.join(F.broadcast(batch_keys), on="key",
+                           how="left_semi")
+                .distinct().withColumn("_prior", F.lit(True)))
+        wins = wins.join(F.broadcast(hits), on="key", how="left")
+    else:
+        wins = wins.withColumn("_prior", F.lit(None).cast("boolean"))
+    winners = (wins.groupBy("key")
+               .agg(F.min(F.struct("doc_id", F.col("s").alias("start")))
+                    .alias("w"),
+                    F.count("*").alias("c"),
+                    F.first("_prior").alias("_p"))
+               .where((F.col("c") > 1) | F.col("_p"))
+               .select("key", "w", "_p"))
+    cuts = (wins.drop("_prior").join(winners, on="key")
+            .where(F.col("_p")                      # prior: cut ALL
+                   | ~((F.col("doc_id") == F.col("w.doc_id"))
+                       & (F.col("s") == F.col("w.start"))))
+            .select("doc_id", "s"))
+    rebuilt = cut_spans(base, cuts, n)
+    return (batch_df.drop(text_col)
+            .join(rebuilt.withColumnRenamed("doc_id", id_col), on=id_col)
+            .withColumnRenamed("text_dedup", text_col)
+            .withColumnRenamed("n_tokens_removed",
+                               "n_substr_tokens_removed"))
+
+
+def _register_substr_windows(spark: SparkSession, kept: DataFrame,
+                             out_dir: str, batch_id: int, n: int,
+                             text_col: str) -> None:
+    """Register the windows actually SHIPPED (the kept rows' post-cut
+    text) so future batches cut later copies; keys an earlier batch
+    already owns are excluded via the same broadcast-probe shape."""
+    from ..operators.dedup import substr_windows
+
+    sub_dir = f"{out_dir}/_substr"
+    base = kept.select(F.col("doc_id"),
+                       F.split(F.col(text_col), " ").alias("toks"))
+    keys = substr_windows(base, n).select("key").distinct()
+    prior = _substr_store_keys(spark, sub_dir, batch_id)
+    if prior is not None:
+        hits = prior.join(F.broadcast(keys), on="key", how="left_semi")             .distinct()
+        keys = keys.join(F.broadcast(hits), on="key", how="left_anti")
+    keys.write.mode("overwrite")         .parquet(f"{sub_dir}/data/batch_id={batch_id}")
+
+
 def _cross_near_dups(spark: SparkSession, ann: DataFrame, out_dir: str,
                      batch_id: int, text_col: str, n: int, num_hashes: int,
                      bands: int, threshold: float,
@@ -213,6 +304,7 @@ def prepare_corpus_batch(
     near_bands: int = 4,
     near_threshold: float = 0.5,
     near_max_band_size: int | None = 4096,
+    cross_substring_dedup_n: int | None = None,
     index_dir: str | None = None,
     **prep_kwargs,
 ) -> None:
@@ -239,6 +331,14 @@ def prepare_corpus_batch(
     if cross_near_dedup:
         prep_kwargs.setdefault("near_dedup", True)
         prep_kwargs.setdefault("jaccard_threshold", near_threshold)
+    if cross_substring_dedup_n is not None:
+        if prep_kwargs.get("substring_dedup_n") is not None:
+            raise ValueError(
+                "pass cross_substring_dedup_n OR substring_dedup_n, not "
+                "both — the cross-batch form subsumes the batch-local one")
+        batch_df = _cross_substring_cut(
+            spark, batch_df, out_dir, batch_id,
+            cross_substring_dedup_n, text_col, id_col)
     ann = prepare_corpus(batch_df, text_col=text_col, id_col=id_col,
                          **prep_kwargs)
     ann = ann.withColumn("_h", F.md5(F.col(text_col)))
@@ -282,6 +382,9 @@ def prepare_corpus_batch(
                             on="doc_id", how="left_semi")
              .write.mode("overwrite")
              .parquet(f"{out_dir}/_minhash/batch_id={batch_id}"))
+        if cross_substring_dedup_n is not None:
+            _register_substr_windows(spark, kept, out_dir, batch_id,
+                                     cross_substring_dedup_n, text_col)
         (corpus_report(ann).write.mode("overwrite")
          .parquet(f"{out_dir}/_report/batch_id={batch_id}"))
         if index_dir is not None and not kept.isEmpty():
@@ -351,7 +454,7 @@ def compact_corpus_stores(spark: SparkSession, out_dir: str,
     from .incremental import _delete_path, _rename_path
 
     stats: dict = {}
-    for store in ("_seen", "_minhash"):
+    for store in ("_seen", "_minhash", "_substr/data"):
         path = f"{out_dir}/{store}"
         try:
             df = spark.read.parquet(path)

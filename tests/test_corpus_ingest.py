@@ -289,3 +289,106 @@ def test_streaming_with_index_and_periodic_compaction(spark, batches,
     # one indexed copy of each distinct eligible text + the seed doc
     # (which copy survives depends on file-discovery order)
     assert len(live) == 4 and 100 in live
+
+
+class TestCrossBatchSubstringDedup:
+    P = "red orange yellow green blue indigo violet ultra"   # 8 tokens
+
+    def test_cross_batch_cut_and_replay(self, spark, tmp_path):
+        from pg_ts_semantic_headline_spark.operators.dedup import (
+            dedup_substrings)
+
+        out = str(tmp_path / "sub")
+        b1 = spark.createDataFrame(
+            [(1, f"start {self.P} tail words here now"),
+             (2, "plain unrelated document body text")],
+            "doc_id long, text string")
+        b2 = spark.createDataFrame(
+            [(10, f"prefix {self.P} suffix tokens extra"),     # later copy
+             (11, f"{self.P} {self.P} own repeat too")],        # 2 copies
+            "doc_id long, text string")
+        prepare_corpus_batch(b1, out, 0, min_tokens=2,
+                             cross_substring_dedup_n=8)
+        prepare_corpus_batch(b2, out, 1, min_tokens=2,
+                             cross_substring_dedup_n=8)
+        kept = {r["doc_id"]: r for r in
+                spark.read.parquet(f"{out}/data").collect()}
+        assert self.P in kept[1]["text"]                       # first kept
+        assert kept[1]["n_substr_tokens_removed"] == 0
+        assert kept[10]["text"] == "prefix suffix tokens extra"
+        assert kept[10]["n_substr_tokens_removed"] == 8
+        # doc 11: BOTH copies cut — the first occurrence lives in batch 0
+        assert kept[11]["text"] == "own repeat too"
+        assert kept[11]["n_substr_tokens_removed"] == 16
+
+        # stream == batch: same corpus through the one-shot operator
+        both = b1.unionByName(b2)
+        want = {r["doc_id"]: r for r in
+                dedup_substrings(both, n=8).collect()}
+        for d in (1, 2, 10, 11):
+            assert kept[d]["text"] == want[d]["text_dedup"], d
+
+        # replay of batch 1 is byte-identical (store filter < batch_id)
+        prepare_corpus_batch(b2, out, 1, min_tokens=2,
+                             cross_substring_dedup_n=8)
+        kept2 = {r["doc_id"]: r["text"] for r in
+                 spark.read.parquet(f"{out}/data").collect()}
+        assert kept2[10] == kept[10]["text"]
+        assert kept2[11] == kept[11]["text"]
+
+    def test_dropped_docs_do_not_register(self, spark, tmp_path):
+        out = str(tmp_path / "sub2")
+        # the only holder of P is dropped (too_short threshold > doc len)
+        b1 = spark.createDataFrame(
+            [(1, self.P)], "doc_id long, text string")
+        b2 = spark.createDataFrame(
+            [(10, f"keeper doc with {self.P} inside it yes")],
+            "doc_id long, text string")
+        prepare_corpus_batch(b1, out, 0, min_tokens=10,
+                             cross_substring_dedup_n=8)
+        prepare_corpus_batch(b2, out, 1, min_tokens=2,
+                             cross_substring_dedup_n=8)
+        kept = {r["doc_id"]: r for r in
+                spark.read.parquet(f"{out}/data").collect()}
+        assert list(kept) == [10]
+        # batch 0's doc never shipped, so its windows never registered:
+        # doc 10 keeps the passage
+        assert self.P in kept[10]["text"]
+
+    def test_meta_pins_n_and_kwarg_conflict(self, spark, tmp_path):
+        out = str(tmp_path / "sub3")
+        b = spark.createDataFrame([(1, "a b c d e f g h i")],
+                                  "doc_id long, text string")
+        prepare_corpus_batch(b, out, 0, min_tokens=2,
+                             cross_substring_dedup_n=8)
+        with pytest.raises(ValueError, match="built with n=8"):
+            prepare_corpus_batch(b, out, 1, min_tokens=2,
+                                 cross_substring_dedup_n=4)
+        with pytest.raises(ValueError, match="not\\s+both"):
+            prepare_corpus_batch(b, out, 1, min_tokens=2,
+                                 cross_substring_dedup_n=8,
+                                 substring_dedup_n=8)
+
+    def test_compaction_folds_substr_store(self, spark, tmp_path):
+        from pg_ts_semantic_headline_spark.streaming.corpus_ingest import (
+            compact_corpus_stores)
+
+        out = str(tmp_path / "sub4")
+        for i, txt in enumerate(
+                [f"one {self.P} two",
+                 "other words etc making this batch long enough to emit",
+                 "third batch here now also with an eight token window"]):
+            prepare_corpus_batch(
+                spark.createDataFrame([(100 + i, txt)],
+                                      "doc_id long, text string"),
+                out, i, min_tokens=2, cross_substring_dedup_n=8)
+        stats = compact_corpus_stores(spark, out)
+        assert stats.get("_substr/data") == 2
+        # dedup against folded store still works
+        prepare_corpus_batch(
+            spark.createDataFrame([(200, f"copy {self.P} again")],
+                                  "doc_id long, text string"),
+            out, 3, min_tokens=2, cross_substring_dedup_n=8)
+        kept = {r["doc_id"]: r["text"] for r in
+                spark.read.parquet(f"{out}/data").collect()}
+        assert kept[200] == "copy again"
