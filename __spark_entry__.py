@@ -1487,6 +1487,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         index = _built_index(spark, sf)
         return slop_match_docs(index, ["spark", "window"], slop=4)
 
+    _gate_shards: dict = {}
+
+    def q92(spark, sf):
+        # sharded-corpus federation: two half-corpus indexes queried as
+        # one with GLOBAL df/N/avgdl — the full scored set must equal
+        # the monolithic-corpus SQL oracle exactly
+        import tempfile
+
+        from pg_ts_semantic_headline_spark.plans.index_build import (
+            build_index, load_index)
+        from pg_ts_semantic_headline_spark.plans.search import (
+            bm25_topk_federated)
+        key = (id(spark), sf)
+        if key not in _gate_shards:
+            docs = _docs(spark, sf)
+            mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")) \
+                .first()[0]
+            shards = []
+            for i, part in enumerate((docs.where(F.col("doc_id") <= mid),
+                                      docs.where(F.col("doc_id") > mid))):
+                d = tempfile.mkdtemp(prefix=f"tsp_gate_shard{i}_")
+                build_index(spark, part.selectExpr(
+                    "doc_id", "text as content"), d, config="simple",
+                    n_buckets=8, block_span=128, resume=False)
+                shards.append(load_index(spark, d))
+            _gate_shards[key] = shards
+        return (bm25_topk_federated(_gate_shards[key],
+                                    ["merge", "stream"], k=100000)
+                .withColumn("score_e4", _e4(F.col("score")))
+                .select("doc_id", "score_e4"))
+
     def q86(spark, sf):
         # PG ts_rank_cd shape: Clarke cover-density rank over the
         # persisted index — exact integer Σ round(1e6/width) per doc, so
@@ -1588,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_batch": q89,
         "dedup_substrings": q90,
         "slop_match": q91,
+        "bm25_federated": q92,
     }
 
 
@@ -2294,6 +2326,10 @@ FROM scored
 )
 SELECT s.doc_id, CAST(ROUND(s.score * 10000) AS BIGINT) AS score_e4
 FROM scored s JOIN hits USING (doc_id)
+""",
+        "bm25_federated": _bm25_score_sql(["merge", "stream"]) + """
+SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4
+FROM scored
 """,
         "dedup_substrings": """
 WITH injected AS (

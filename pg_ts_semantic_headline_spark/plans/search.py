@@ -169,6 +169,65 @@ def choose_bm25_mode(index: Index, terms: list[str],
     return "exact"
 
 
+def bm25_topk_federated(
+    indexes: list[Index],
+    query: CompiledQuery | list[str],
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k over MANY persisted indexes as if they were one — the
+    sharded layout a 10^12-file corpus actually runs (an index per
+    source / time bucket / repo shard, built and compacted
+    independently), queried with GLOBAL statistics:
+
+        df_g(t) = Σ_shard df,   N_g = Σ n_docs,
+        avgdl_g = Σ (n_docs · avgdl) / N_g
+
+    so scores — and therefore ranks — are IDENTICAL to a single
+    monolithic index over the union (tested; Elasticsearch calls this
+    dfs_query_then_fetch, its non-default mode, because per-shard local
+    idf is cheaper but rank-unstable across shardings).
+
+    Cost: one bounded dictionary lookup per shard (≤ |terms| rows each)
+    to assemble the global constants driver-side, then ONE union plan
+    over the shards' bucket-pruned postings scans — per-shard pruning
+    survives the union, and the per-doc aggregation is a single hash
+    agg (doc_ids must be globally unique across shards, the same
+    contract the shards' builder already assumes)."""
+    terms = sorted(set(
+        query.lexemes if isinstance(query, CompiledQuery) else query))
+    if not indexes:
+        raise ValueError("need at least one index")
+    spark = indexes[0].postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    n_g = sum(ix.n_docs for ix in indexes)
+    total_dl = sum(ix.n_docs * ix.avgdl for ix in indexes)
+    avgdl_g = total_dl / max(n_g, 1)
+    df_g: dict = {}
+    for ix in indexes:
+        for r in _idf_lookup(ix, terms, cols=("term", "df")).collect():
+            df_g[r["term"]] = df_g.get(r["term"], 0) + int(r["df"])
+    if not df_g:
+        return spark.createDataFrame([], "doc_id long, score double")
+    from .index_build import idf_expr
+    idf_rows = spark.createDataFrame(
+        [(t, d) for t, d in sorted(df_g.items())], "term string, df long"
+    ).select("term", idf_expr(F.col("df"), n_g).alias("idf"))
+
+    parts = [_pruned_postings(ix, terms).select("term", "doc_id", "tf", "dl")
+             for ix in indexes]
+    rows = parts[0]
+    for p in parts[1:]:
+        rows = rows.unionByName(p)
+    scored = (rows.join(F.broadcast(idf_rows), on="term")
+              .withColumn("score", _score_col(avgdl_g)))
+    return (scored.groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k))
+
+
 def plan_search(index: Index, query: CompiledQuery | list[str]) -> DataFrame:
     """EXPLAIN for a retrieval: one row per query term with the numbers
     the planner sees — df, idf, corpus fraction, the bucket its postings

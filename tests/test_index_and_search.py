@@ -1290,3 +1290,31 @@ class TestSearchBatch:
             ._jdf.queryExecution().executedPlan().toString()
         assert plan.count("FileScan parquet") <= 4  # postings row scan +
         # packed positional scan + tokens universe (NOT query) + terms idf
+
+
+def test_federated_equals_monolithic(spark, corpus, tmp_path_factory):
+    from pg_ts_semantic_headline_spark.plans.search import (
+        bm25_topk_federated)
+
+    half = len(corpus) // 2
+    shards = []
+    for i, part in enumerate((corpus[:half], corpus[half:])):
+        out = str(tmp_path_factory.mktemp(f"fed{i}"))
+        build_index(spark, spark.createDataFrame(
+            part, ["doc_id", "content"]), out, config=CONFIG,
+            n_buckets=8, block_span=8)
+        shards.append(load_index(spark, out))
+    mono_dir = str(tmp_path_factory.mktemp("fedall"))
+    build_index(spark, spark.createDataFrame(
+        corpus, ["doc_id", "content"]), mono_dir, config=CONFIG,
+        n_buckets=8, block_span=8)
+    mono = load_index(spark, mono_dir)
+
+    for terms in (["spark", "snowflake"], ["needle"], ["merge", "sort"]):
+        got = [(r["doc_id"], round(r["score"], 9)) for r in
+               bm25_topk_federated(shards, terms, k=15).collect()]
+        want = [(r["doc_id"], round(r["score"], 9)) for r in
+                bm25_topk(mono, terms, k=15).collect()]
+        assert got == want, terms
+    # absent term across every shard: empty, not an error
+    assert bm25_topk_federated(shards, ["absentterm"], k=5).count() == 0
