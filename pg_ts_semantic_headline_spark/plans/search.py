@@ -173,6 +173,7 @@ def bm25_topk_federated(
     indexes: list[Index],
     query: CompiledQuery | list[str],
     k: int = 10,
+    candidate_docs: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k over MANY persisted indexes as if they were one — the
     sharded layout a 10^12-file corpus actually runs (an index per
@@ -220,12 +221,33 @@ def bm25_topk_federated(
     rows = parts[0]
     for p in parts[1:]:
         rows = rows.unionByName(p)
+    if candidate_docs is not None:
+        rows = rows.join(candidate_docs.select("doc_id"), on="doc_id",
+                         how="left_semi")
     scored = (rows.join(F.broadcast(idf_rows), on="term")
               .withColumn("score", _score_col(avgdl_g)))
     return (scored.groupBy("doc_id")
             .agg(F.sum("score").alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k))
+
+
+def search_federated(
+    indexes: list[Index],
+    query: CompiledQuery,
+    k: int = 10,
+) -> DataFrame:
+    """`search` over shards: boolean/phrase filtering runs per shard
+    (each shard's `matching_docs` keeps its anchored, bucket-pruned
+    plan; shards hold disjoint doc_ids so the union IS the global match
+    set), then `bm25_topk_federated` ranks the union with global
+    statistics — rank-identical to `search` on a monolithic index."""
+    if not indexes:
+        raise ValueError("need at least one index")
+    cands = matching_docs(indexes[0], query)
+    for ix in indexes[1:]:
+        cands = cands.unionByName(matching_docs(ix, query))
+    return bm25_topk_federated(indexes, query, k=k, candidate_docs=cands)
 
 
 def plan_search(index: Index, query: CompiledQuery | list[str]) -> DataFrame:

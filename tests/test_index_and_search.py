@@ -1318,3 +1318,32 @@ def test_federated_equals_monolithic(spark, corpus, tmp_path_factory):
         assert got == want, terms
     # absent term across every shard: empty, not an error
     assert bm25_topk_federated(shards, ["absentterm"], k=5).count() == 0
+
+
+def test_search_federated_equals_monolithic(spark, corpus,
+                                            tmp_path_factory):
+    from pg_ts_semantic_headline_spark.plans.search import (
+        search, search_federated)
+
+    half = len(corpus) // 2
+    shards = []
+    for i, part in enumerate((corpus[:half], corpus[half:])):
+        out = str(tmp_path_factory.mktemp(f"sfed{i}"))
+        build_index(spark, spark.createDataFrame(
+            part, ["doc_id", "content"]), out, config=CONFIG,
+            n_buckets=8, block_span=8)
+        shards.append(load_index(spark, out))
+    mono_dir = str(tmp_path_factory.mktemp("sfedall"))
+    build_index(spark, spark.createDataFrame(
+        corpus, ["doc_id", "content"]), mono_dir, config=CONFIG,
+        n_buckets=8, block_span=8)
+    mono = load_index(spark, mono_dir)
+
+    for qtext in ("needle<->phrase & !snowflake", "spark & merge",
+                  "unique<->snowflake | target"):
+        q = to_tspquery(CONFIG, qtext)
+        got = [(r["doc_id"], round(r["score"], 9)) for r in
+               search_federated(shards, q, k=12).collect()]
+        want = [(r["doc_id"], round(r["score"], 9)) for r in
+                search(mono, q, k=12).collect()]
+        assert got == want, qtext
