@@ -239,3 +239,25 @@ class TestPerColumnConfig:
         got = {r["doc_id"] for r in more_like_this(
             ml_index, "running dogs", k=5, config="english").collect()}
         assert 0 in got
+
+
+def test_dictionary_config_flows_through_fielded_index(spark, syn_config,
+                                                       tmp_path_factory):
+    # dictionary configs are plain strings, so the per-field analysis of
+    # the BM25F index inherits them with no special handling — pin it
+    from pg_ts_semantic_headline_spark.plans.fielded import (
+        bm25f_topk, build_fielded_index, load_fielded_index)
+
+    docs = spark.createDataFrame(
+        [(0, "colour swatches", "a body about colour mixing"),
+         (1, "color charts", "painting with color pigments"),
+         (2, "unrelated title", "nothing relevant")],
+        ["doc_id", "title", "body"])
+    out = str(tmp_path_factory.mktemp("fsyn"))
+    build_fielded_index(spark, docs, out, ["title", "body"],
+                        config=syn_config, n_buckets=4)
+    fidx = load_fielded_index(spark, out)
+    got = {r["doc_id"] for r in
+           bm25f_topk(fidx, {"title": 2.0, "body": 1.0},
+                      ["color"], k=10).collect()}
+    assert got == {0, 1}   # colour and color unify in BOTH fields
