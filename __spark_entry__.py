@@ -1518,6 +1518,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("score_e4", _e4(F.col("score")))
                 .select("doc_id", "score_e4"))
 
+    _gate_code: dict = {}
+
+    def q93(spark, sf):
+        # the 'code' analyzer end-to-end: every 'spark' substring becomes
+        # 'sparkQuery', the camel boundary splits it into spark|query at
+        # adjacent positions, and BM25 for 'query' must match the oracle
+        # that applies the equivalent 'spark query' text rewrite
+        import tempfile
+
+        from pg_ts_semantic_headline_spark.plans.index_build import (
+            build_index, load_index)
+        from pg_ts_semantic_headline_spark.plans.search import bm25_topk
+        key = (id(spark), sf)
+        if key not in _gate_code:
+            docs = _docs(spark, sf).select(
+                "doc_id",
+                F.replace(F.col("text"), F.lit("spark"),
+                          F.lit("sparkQuery")).alias("text"))
+            d = tempfile.mkdtemp(prefix="tsp_gate_code_")
+            build_index(spark, docs.selectExpr("doc_id",
+                                               "text as content"), d,
+                        config="code", n_buckets=8, block_span=128,
+                        resume=False)
+            _gate_code[key] = load_index(spark, d)
+        return (bm25_topk(_gate_code[key], ["query"], k=100000)
+                .withColumn("score_e4", _e4(F.col("score")))
+                .select("doc_id", "score_e4"))
+
     def q86(spark, sf):
         # PG ts_rank_cd shape: Clarke cover-density rank over the
         # persisted index — exact integer Σ round(1e6/width) per doc, so
@@ -1620,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substrings": q90,
         "slop_match": q91,
         "bm25_federated": q92,
+        "code_search": q93,
     }
 
 
@@ -2326,6 +2355,20 @@ FROM scored
 )
 SELECT s.doc_id, CAST(ROUND(s.score * 10000) AS BIGINT) AS score_e4
 FROM scored s JOIN hits USING (doc_id)
+""",
+        "code_search": f"""
+WITH raw AS (
+  SELECT doc_id, replace(text, 'spark', 'spark query') AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+         unnest(string_split(text, ' ')) AS token
+  FROM raw
+), {BM25_CTE.strip()},
+{_bm25_scored_cte("'query'").strip()}
+SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4 FROM scored
 """,
         "bm25_federated": _bm25_score_sql(["merge", "stream"]) + """
 SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4

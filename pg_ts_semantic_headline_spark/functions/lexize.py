@@ -36,9 +36,42 @@ _STEMMERS = {
     "english": stem_english,
     "german": stem_german,
     "simple": None,
+    # source-code config: lowercase, no stopwords, no stemming (like
+    # simple), plus camelCase splitting in the canonicalization step —
+    # see camel_mark / the base_config checks in analyze_document
+    "code": None,
 }
 
 SUPPORTED_CONFIGS = tuple(_STEMMERS)
+
+# camelCase boundaries for the "code" config: lower/digit→Upper
+# ("fooBar" → foo|Bar) and acronym→word ("HTTPServer" → HTTP|Server).
+# Markers are inserted AFTER tsp_indexable_text, as the single-BELL
+# intra-word split the canonicalizer already produces for "hyphen-ated":
+# the recall token keeps the original characters + BELL, positions stay
+# aligned, and tsp_present_text re-joins the pieces to the EXACT source
+# spelling at display time. snake_case needs nothing ('_' is already a
+# word-breaking delimiter).
+_RE_CAMEL_LOW_UP = re.compile(r"(?<=[a-z0-9])(?=[A-Z])")
+_RE_CAMEL_ACRO = re.compile(r"(?<=[A-Z])(?=[A-Z][a-z])")
+
+
+def camel_mark(canonicalized: str) -> str:
+    """Insert intra-word split markers at camelCase boundaries of an
+    already-canonicalized string (boundaries never span a space, so this
+    only splits within tokens)."""
+    s = _RE_CAMEL_LOW_UP.sub(f"{BELL} ", canonicalized)
+    return _RE_CAMEL_ACRO.sub(f"{BELL} ", s)
+
+
+def base_config(config: str) -> str:
+    """The underlying stemmer config: resolves synonym:/thesaurus:
+    dictionary configs to their base, returns plain configs unchanged."""
+    if config.startswith(SYNONYM_PREFIX):
+        return _synonym_spec(config)[0]
+    if config.startswith(THESAURUS_PREFIX):
+        return _thesaurus_spec(config)[0]
+    return config
 
 # Derived configs with a synonym dictionary in front of a base config —
 # PG's `CREATE TEXT SEARCH DICTIONARY ... (TEMPLATE = synonym)` analog.
@@ -256,6 +289,8 @@ def analyze_document(content: str, config: str) -> tuple[list[str], list[str | N
     if content is None:
         return [], []
     canon = tsp_indexable_text(content)
+    if base_config(config) == "code" and canon:
+        canon = camel_mark(canon)
     tokens = canon.split(" ") if canon else []
     # ASCII fast path: unaccent is the identity, so the unaccented
     # canonicalization IS `canon` — skip the second regex-chain pass
@@ -265,6 +300,8 @@ def analyze_document(content: str, config: str) -> tuple[list[str], list[str | N
         indexed = canon
     else:
         indexed = tsp_indexable_text(unaccent(content))
+        if base_config(config) == "code" and indexed:
+            indexed = camel_mark(indexed)
     chunks = indexed.split(" ") if indexed else []
     lexemes = [lexize_chunk(c, config) for c in chunks]
     if config.startswith(THESAURUS_PREFIX):
@@ -283,6 +320,8 @@ def analyze_text_simple(content: str, config: str) -> list[str | None]:
     """Lexeme array only (used by the semantic re-check on tiny slices)."""
     indexed = tsp_indexable_text(
         content if content.isascii() else unaccent(content))
+    if base_config(config) == "code" and indexed:
+        indexed = camel_mark(indexed)
     chunks = indexed.split(" ") if indexed else []
     lexemes = [lexize_chunk(c, config) for c in chunks]
     if config.startswith(THESAURUS_PREFIX):

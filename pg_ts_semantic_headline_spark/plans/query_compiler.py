@@ -32,6 +32,8 @@ from ..functions.unaccent import unaccent
 # '_' is a delimiter; \w includes it, hence the explicit alternation.
 _RE_INTRAWORD_DELIM = re.compile(r"(\w)((?:[^\w&^<>|!()'\s]|_)+)(\w)")
 _RE_DIST_OP = re.compile(r"<(\d+)>|<->")
+_RE_CAMEL_Q1 = re.compile(r"(?<=[a-z0-9])(?=[A-Z])")
+_RE_CAMEL_Q2 = re.compile(r"(?<=[A-Z])(?=[A-Z][a-z])")
 _RE_TOKEN = re.compile(
     r"\s*(?:(?P<open>\()|(?P<close>\))|(?P<and>&)|(?P<or>\|)|(?P<not>!)"
     r"|(?P<dist><(?:\d+|-)>)|(?P<quoted>'(?:[^']|'')*')|(?P<word>[^\s&|!()<>']+))"
@@ -299,6 +301,12 @@ def to_tspquery(config: str, query_string: str | None = None) -> CompiledQuery:
     # twice, to catch terms with multiple delimited substrings (seek-ing-ly)
     s = _RE_INTRAWORD_DELIM.sub(r"\1\2<1>\3", s)
     s = _RE_INTRAWORD_DELIM.sub(r"\1\2<1>\3", s)
+    from ..functions.lexize import base_config
+    if base_config(config) == "code":
+        # camelCase boundaries become <1> phrase links, the query-side
+        # mirror of the analyzer's camel_mark split
+        s = _RE_CAMEL_Q1.sub("<1>", s)
+        s = _RE_CAMEL_Q2.sub("<1>", s)
     raw_tree = _Parser(_tokenize_query(s), config).parse()
     root = _lexize_tree(raw_tree, config)
     phrases = _dedupe(_collect_positive_phrases(root))

@@ -261,3 +261,76 @@ def test_dictionary_config_flows_through_fielded_index(spark, syn_config,
            bm25f_topk(fidx, {"title": 2.0, "body": 1.0},
                       ["color"], k=10).collect()}
     assert got == {0, 1}   # colour and color unify in BOTH fields
+
+
+class TestCodeConfig:
+    """The 'code' analyzer: camelCase splitting for the source-code
+    corpus the north star names, riding the same single-BELL intra-word
+    machinery as hyphen splits — positions aligned, display exact."""
+
+    def test_camel_and_acronym_split(self):
+        toks, lexs = analyze_document(
+            "def fooBar(HTTPServer): return snake_case", "code")
+        assert lexs == ["def", "foo", "bar", "http", "server",
+                        "return", "snake", "case"]
+        assert len(toks) == len(lexs)   # recall alignment invariant
+
+    def test_present_text_restores_source_exactly(self):
+        from pg_ts_semantic_headline_spark.functions.textprep import (
+            tsp_present_text)
+        src = "call fooBar and HTTPServer now"
+        toks, _ = analyze_document(src, "code")
+        assert tsp_present_text(" ".join(toks)) == src
+
+    def test_query_side_mirrors(self):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            phraseto_tspquery, to_tspquery, websearch_to_tspquery)
+        assert to_tspquery("code", "fooBar").phrases[0].items \
+            == (("foo", 1), ("bar", 2))
+        assert phraseto_tspquery("code", "HTTPServer up").phrases[0].items \
+            == (("http", 1), ("server", 2), ("up", 3))
+        assert websearch_to_tspquery("code", '"fooBar" or baz').lexemes \
+            == ("foo", "bar", "baz")
+
+    def test_other_configs_unaffected(self):
+        _, lexs = analyze_document("fooBar HTTPServer", "simple")
+        assert lexs == ["foobar", "httpserver"]
+
+    def test_no_stopwords_no_stemming(self):
+        _, lexs = analyze_document("the running of DogsHowl", "code")
+        assert lexs == ["the", "running", "of", "dogs", "howl"]
+
+    def test_dictionary_base_code(self, tmp_path):
+        cfg = make_synonym_config("code", {"perf": "performance"},
+                                  str(tmp_path / "c.json"))
+        _, lexs = analyze_document("perf of fooBar", cfg)
+        assert lexs == ["performance", "of", "foo", "bar"]
+
+    def test_index_search_headline_roundtrip(self, spark,
+                                             tmp_path_factory):
+        from pg_ts_semantic_headline_spark.plans.index_build import (
+            build_index, load_index)
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            to_tspquery)
+        from pg_ts_semantic_headline_spark.plans.search import (
+            search, search_with_headlines)
+
+        docs = [(0, "class QueryPlanner builds the queryPlan tree"),
+                (1, "def query_plan(): pass"),
+                (2, "nothing matching at all")]
+        out = str(tmp_path_factory.mktemp("codeidx"))
+        build_index(spark, spark.createDataFrame(
+            docs, ["doc_id", "content"]), out, config="code",
+            n_buckets=4, block_span=8)
+        index = load_index(spark, out)
+        # 'queryPlan' matches camelCase, PascalCase AND snake_case forms
+        q = to_tspquery("code", "queryPlan")
+        got = {r["doc_id"] for r in search(index, q, k=10).collect()}
+        assert got == {0, 1}
+        # headlines highlight the matched pieces and restore the source
+        heads = {r["doc_id"]: r["headline"] for r in
+                 search_with_headlines(index, q, k=10).collect()}
+        assert "<b>QueryPlanner</b>" in heads[0] \
+            or "<b>queryPlan</b>" in heads[0]
+        assert "query_plan" in heads[1].replace("<b>", "").replace(
+            "</b>", "")
