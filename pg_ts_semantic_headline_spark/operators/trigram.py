@@ -149,7 +149,11 @@ def regex_required_trigrams(pattern: str) -> list[str]:
     would demand trigrams no matching document contains (false negatives),
     and these are rare enough in search patterns that a loud full-scan
     verify is the right degradation."""
-    if "|" in pattern or re.search(r"\)[?*{]", pattern):
+    if "|" in pattern or "(?" in pattern or re.search(r"\)[?*{]", pattern):
+        # `(?...)` intro chars are group SYNTAX, not literals: `(?:abc)x`
+        # matches "zabcx", which has no word-initial "abc" trigram, and a
+        # negative lookahead's body is required to be ABSENT — demanding
+        # its trigrams would exclude every true match. Bail to full-scan.
         return []
     pieces: list[str] = []
     cur: list[str] = []

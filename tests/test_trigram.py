@@ -125,6 +125,16 @@ def test_regex_required_trigrams_sound():
     # pieces keep their in-pattern boundaries: " join" is word-initial
     assert regex_required_trigrams(r"mer(ge)+ join") == sorted(
         set(pattern_trigrams("mer")) | set(pattern_trigrams(" join")))
+    # (?...) intro chars are group syntax, not literals: "(?:abc)x" matches
+    # "zabcx", which has NO word-initial-abc trigram, and a negative
+    # lookahead's body must be ABSENT — both must bail to full-scan []
+    for pattern, ex in [(r"(?:abc)x", "zabcx"), (r"(?=foo)foobar", "xfoobar"),
+                        (r"(?!join )joinery", "sjoinery"),
+                        (r"(?i)merge", "zMERGEz")]:
+        assert re.search(pattern, ex), (pattern, ex)
+        req = set(regex_required_trigrams(pattern))
+        assert req <= text_trigrams(ex), (pattern, ex, req)
+    assert regex_required_trigrams(r"(?:abc)x") == []
 
 
 # ----------------------------------------------------------------- search
