@@ -261,6 +261,10 @@ def add_documents(index: FieldedIndex, docs: DataFrame,
         a.unpersist()
     _recompute_meta(spark, index.root, index.fields, index.config,
                     index.n_buckets, gen=new_gen)
+    # advance the handle (as the trigram/ANN handles do): a later
+    # delete_documents through this handle stamps tombstones at index.gen,
+    # and a stale gen would leave just-added rows (gen > tombstone) alive
+    index.gen = new_gen
 
 
 def delete_documents(index: FieldedIndex, doc_ids: list[int]) -> None:

@@ -1112,6 +1112,25 @@ class TestFieldedIncremental:
                          & (F.col("term") == "spark")
                          & (F.col("field") == 0)).count() == 1
 
+    def test_add_then_delete_same_handle(self, spark, tmp_path):
+        # regression: add_documents must advance the handle's gen, or a
+        # delete through the same handle tombstones at the PRE-add gen and
+        # the just-added rows (higher gen) silently survive the delete
+        from pg_ts_semantic_headline_spark.plans.fielded import (
+            add_documents, build_fielded_index, delete_documents,
+            load_fielded_index)
+        d1, d2, _ = self._frames(spark)
+        d = str(tmp_path / "idx")
+        build_fielded_index(spark, d1, d, ["title", "body"],
+                            config="simple", n_buckets=4)
+        fidx = load_fielded_index(spark, d)
+        add_documents(fidx, d2)
+        new_id = d2.select("doc_id").first()["doc_id"]
+        delete_documents(fidx, [new_id])
+        fidx2 = load_fielded_index(spark, d)
+        assert new_id not in [i for i, _ in self._query(fidx2)]
+        assert fidx2.postings.where(F.col("doc_id") == new_id).count() == 0
+
 
 def test_fielded_bm25f_phrase_filtered_composition(spark, tmp_path):
     """Phrase-filtered BM25F: the main positional index (built over the
