@@ -1555,6 +1555,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ts_rank_cd(index, ["spark", "window"]) \
             .select("doc_id", "rank_e6")
 
+    def q94(spark, sf):
+        # PG ts_rewrite over a rules TABLE, then end-to-end retrieval:
+        # 'merge & sort' + rule sort→(sort|window) rewrites to
+        # merge & (sort | window); the second rule matches nothing and
+        # must be a no-op. The oracle replays the REWRITTEN semantics.
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            to_tspquery, ts_rewrite_rules_df)
+        from pg_ts_semantic_headline_spark.plans.search import search
+        index = _built_index(spark, sf)
+        rules = spark.createDataFrame(
+            [("sort", "sort | window"), ("scan<->nomatch", "filter")],
+            "target string, substitute string")
+        q = ts_rewrite_rules_df(to_tspquery("simple", "merge & sort"),
+                                rules)
+        return (search(index, q, k=100000, mode="blockmax")
+                .withColumn("score_e4", _e4(F.col("score")))
+                .select("doc_id", "score_e4"))
+
+    def q95(spark, sf):
+        # ES significant_terms: vocabulary over-represented in the
+        # 'merge & sort' match set vs the corpus; lift is one division
+        # of exact long products, so every column is cross-engine-stable
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            to_tspquery)
+        from pg_ts_semantic_headline_spark.plans.search import (
+            significant_terms)
+        index = _built_index(spark, sf)
+        q = to_tspquery("simple", "merge & sort")
+        return (significant_terms(index, q, top_n=100000, min_fg_df=2)
+                .withColumn("lift_e6",
+                            F.round(F.col("lift") * 1000000).cast("long"))
+                .select("term", "fg_df", "bg_df", "fg_n", "bg_n",
+                        "lift_e6", "rank"))
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -1649,6 +1683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slop_match": q91,
         "bm25_federated": q92,
         "code_search": q93,
+        "ts_rewrite_search": q94,
+        "significant_terms": q95,
     }
 
 
@@ -2108,6 +2144,48 @@ FROM documents
 )
 SELECT s.doc_id, CAST(ROUND(s.score * 10000) AS BIGINT) AS score_e4
 FROM scored s JOIN hits USING (doc_id)
+""",
+        # ts_rewrite_search: 'merge & sort' after the sort→(sort|window)
+        # rule = merge & (sort | window); scored over the positive
+        # lexemes exactly like the engine's search()
+        "ts_rewrite_search": _bm25_score_sql(["merge", "sort", "window"]) + """
+, hits AS (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE token = 'merge'
+    AND doc_id IN (SELECT doc_id FROM toks WHERE token IN ('sort', 'window'))
+)
+SELECT s.doc_id, CAST(ROUND(s.score * 10000) AS BIGINT) AS score_e4
+FROM scored s JOIN hits USING (doc_id)
+""",
+        "significant_terms": f"""
+WITH {TOKS_CTE.strip()},
+fgdocs AS (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE token = 'merge'
+    AND doc_id IN (SELECT doc_id FROM toks WHERE token = 'sort')
+),
+fgn AS (SELECT count(*) AS fg_n FROM fgdocs),
+bgn AS (SELECT count(*) AS bg_n FROM documents),
+fg AS (
+  SELECT token AS term, count(DISTINCT doc_id) AS fg_df
+  FROM toks WHERE doc_id IN (SELECT doc_id FROM fgdocs)
+  GROUP BY token HAVING count(DISTINCT doc_id) >= 2
+),
+bg AS (
+  SELECT token AS term, count(DISTINCT doc_id) AS bg_df
+  FROM toks GROUP BY token
+),
+lifted AS (
+  SELECT f.term, f.fg_df, b.bg_df, fgn.fg_n, bgn.bg_n,
+         CAST(f.fg_df * bgn.bg_n AS DOUBLE)
+         / CAST(fgn.fg_n * b.bg_df AS DOUBLE) AS lift
+  FROM fg f JOIN bg b USING (term) CROSS JOIN fgn CROSS JOIN bgn
+)
+SELECT term, fg_df, bg_df, fg_n, bg_n,
+       CAST(ROUND(lift * 1000000) AS BIGINT) AS lift_e6,
+       CAST(row_number() OVER (ORDER BY lift DESC, term ASC) AS BIGINT)
+         AS rank
+FROM lifted
 """,
         "tsp_filter_tsvector": f"""
 WITH {TOKS_CTE.strip()}

@@ -3,8 +3,11 @@ from .query_compiler import (
     CompiledQuery,
     Phrase,
     TSQueryParseError,
+    empty_tspquery,
     phraseto_tspquery,
     to_tspquery,
+    ts_rewrite,
+    ts_rewrite_rules_df,
     websearch_to_tspquery,
 )
 from .ranking import (
@@ -19,9 +22,10 @@ from .ranking import (
 )
 
 __all__ = [
-    "CompiledQuery", "Phrase", "TSQueryParseError",
+    "CompiledQuery", "Phrase", "TSQueryParseError", "empty_tspquery",
     "ltr_features", "min_span_docs", "phraseto_tspquery", "prf_search",
     "proximity_rerank", "rank_metrics", "rm3_expand", "to_tspquery",
+    "ts_rewrite", "ts_rewrite_rules_df",
     "slop_match_docs", "ts_rank_cd",
     "verify_index", "websearch_to_tspquery",
 ]

@@ -400,6 +400,148 @@ def websearch_to_tspquery(config: str, text: str | None = None) -> CompiledQuery
     return CompiledQuery(config, text, root, phrases)
 
 
+def _canon_key(node: Node) -> tuple:
+    """Hashable canonical form: AND/OR children are flattened (nested
+    same-op nodes absorbed) and order-insensitive, so `a & b` and
+    `b & a` — or `a & (b & c)` and `(a & b) & c` — get the same key.
+    Phrases are atomic (a sub-phrase of a longer phrase never matches)."""
+    if node.op == "phrase":
+        return ("p", node.phrase.items)
+    if node.op == "not":
+        return ("!", _canon_key(node.children[0]))
+    keys: list[tuple] = []
+    stack = list(node.children)
+    while stack:
+        c = stack.pop()
+        if c.op == node.op:
+            stack.extend(c.children)
+        else:
+            keys.append(_canon_key(c))
+    return (node.op, tuple(sorted(keys)))
+
+
+def _make_group(op: str, children: list[Node]) -> Node | None:
+    """AND/OR node from already-rewritten children: flatten nested
+    same-op groups, drop duplicate branches (x|x = x, x&x = x)."""
+    flat: list[Node] = []
+    seen: set[tuple] = set()
+    stack = list(reversed(children))
+    while stack:
+        c = stack.pop()
+        if c.op == op:
+            stack.extend(reversed(c.children))
+            continue
+        k = _canon_key(c)
+        if k not in seen:
+            seen.add(k)
+            flat.append(c)
+    if not flat:
+        return None
+    return flat[0] if len(flat) == 1 else Node(op, tuple(flat))
+
+
+def _rewrite_node(node: Node | None, tkey: tuple, t_root: Node,
+                  sub: Node | None) -> Node | None:
+    """One bottom-up pass of a single (target, substitute) rule.
+    Matches (a) any subtree canonically equal to the target, and (b) for
+    an AND/OR target, any sub-multiset of a same-op group's operands
+    equal to the target's operand multiset (PG: rewriting 'a & b' inside
+    'b & a & c' yields 'substitute & c'). `sub=None` (empty substitute
+    query) deletes the matched subtree."""
+    if node is None:
+        return None
+    if node.op == "not":
+        child = _rewrite_node(node.children[0], tkey, t_root, sub)
+        node = Node("not", (child,)) if child is not None else None
+    elif node.op in ("and", "or"):
+        kids = [_rewrite_node(c, tkey, t_root, sub) for c in node.children]
+        node = _make_group(node.op, [c for c in kids if c is not None])
+        if (node is not None and node.op == t_root.op
+                and t_root.op in ("and", "or")):
+            # subset match on the flattened group's operands
+            want = sorted(tkey[1])
+            have = [(_canon_key(c), c) for c in node.children]
+            keep, pool = [], list(want)
+            for k, c in have:
+                if pool and k in pool:
+                    pool.remove(k)
+                else:
+                    keep.append(c)
+            if not pool and len(keep) < len(have):
+                if sub is not None:
+                    keep.append(sub)
+                node = _make_group(node.op, keep)
+    if node is not None and _canon_key(node) == tkey:
+        return sub
+    return node
+
+
+def ts_rewrite(query: CompiledQuery,
+               rules: "list[tuple[CompiledQuery, CompiledQuery]]",
+               max_passes: int = 10) -> CompiledQuery:
+    """PG `ts_rewrite(query, target, substitute)` over compiled queries
+    (pg docs §12.4.2.1; the reference inherits it from core PG): every
+    subexpression of `query` matching a rule's target is replaced by
+    that rule's substitute. Matching is boolean-aware — operand order is
+    ignored and an AND/OR target matches a subset of a same-op group
+    ('a & b' rewrites inside 'b & a & c') — but phrases are atomic.
+    A rule whose substitute compiled to the empty query deletes the
+    matched subexpression.
+
+    Rules apply in order, each run to a canonical fixpoint (bounded by
+    `max_passes` so self-referential rules like 'a' → 'a | b' terminate:
+    duplicate branches collapse, so the second pass is a no-op). Driver
+    side and O(|tree|·|rules|·passes) — queries are tiny; the rules
+    TABLE form is `ts_rewrite_rules_df`."""
+    root = query.root
+    for target, sub in rules:
+        if target.root is None:
+            raise ValueError("ts_rewrite target compiled to an empty query")
+        tkey = _canon_key(target.root)
+        for _ in range(max_passes):
+            before = None if root is None else _canon_key(root)
+            root = _rewrite_node(root, tkey, target.root, sub.root)
+            after = None if root is None else _canon_key(root)
+            if after == before:
+                break
+    phrases = _dedupe(_collect_positive_phrases(root))
+    return CompiledQuery(query.config, query.raw, root, phrases)
+
+
+def empty_tspquery(config: str | None = None) -> CompiledQuery:
+    """The empty query (PG `''::tsquery`): matches nothing; as a
+    ts_rewrite substitute it deletes the matched subexpression.
+    (`to_tspquery('')` raises, like PG's `to_tsquery('')`.)"""
+    return CompiledQuery(config or _DEFAULT_CONFIG, "", None, ())
+
+
+def ts_rewrite_rules_df(query: CompiledQuery, rules_df,
+                        target_col: str = "target",
+                        substitute_col: str = "substitute",
+                        max_rules: int = 100_000) -> CompiledQuery:
+    """PG's `ts_rewrite(query, 'SELECT target, substitute FROM ...')`
+    form: rules live in a (target, substitute) tsquery-syntax table.
+    The rules table is dictionary-scale by construction (it is authored
+    by humans), so it is collected to the driver — bounded by
+    `max_rules`, loudly, because an unbounded collect is how driver
+    OOMs happen. Rules apply in (target, substitute) lexical order so
+    the rewrite is deterministic regardless of table partitioning."""
+    rows = rules_df.select(target_col, substitute_col) \
+                   .limit(max_rules + 1).collect()
+    if len(rows) > max_rules:
+        raise ValueError(
+            f"rules table exceeds max_rules={max_rules}; ts_rewrite rules "
+            "are driver-side — split or raise the cap explicitly")
+    compiled = sorted(
+        ((r[target_col], r[substitute_col]) for r in rows),
+        key=lambda p: (p[0], p[1]))
+    rules = [(to_tspquery(query.config, t),
+              to_tspquery(query.config, s) if s and s.strip()
+              else empty_tspquery(query.config))
+             for t, s in compiled]
+    return ts_rewrite(query, rules)
+
+
 def phraseto_tspquery(config: str, phrase_text: str | None = None) -> CompiledQuery:
     """Compile a plain human phrase; stopwords drop but keep their gaps.
     With one argument, the session default config applies."""

@@ -1268,6 +1268,68 @@ def top_per_facet(
             .select("facet_value", "doc_id", "score", "rank"))
 
 
+def significant_terms(
+    index: Index,
+    query: CompiledQuery,
+    top_n: int = 20,
+    min_fg_df: int = 2,
+    exclude_query_terms: bool = False,
+) -> DataFrame:
+    """Terms statistically over-represented in the docs matching a query
+    vs the whole corpus — Elasticsearch's `significant_terms` aggregation
+    ("what is this result set ABOUT that the corpus is not?"): search
+    'crash' over a bug corpus and the segfault/backtrace vocabulary
+    surfaces even though it never appeared in the query.
+
+    Scoring is the foreground/background rate lift,
+    `(fg_df / fg_n) / (bg_df / bg_n)`, computed as one division of two
+    exact long products — every input is an integer straight off the
+    index (fg_df from the match set's postings, bg_df from the
+    dictionary, bg_n from stats), so the double is bit-identical across
+    engines/partitionings and the (lift desc, term asc) ranking carries
+    no float-combine-order risk. Lift is ES's "simple" heuristic; JLH /
+    chi² re-rank the same four integers, so callers can recompute.
+
+    Plan shape (the 100 TB audit): `matching_docs` resolves the query
+    with its usual anchored bucket-pruned scans; the match set semi-joins
+    the postings on doc_id — the one heavy edge, and AQE broadcasts it
+    whenever the match set is small, which is the typical case for a
+    selective query; the per-term counts come out of a map-side-combined
+    groupBy (shuffle is match-vocabulary-sized, not postings-sized); the
+    dictionary join runs on the ALREADY-AGGREGATED term table; fg_n
+    rides along as a one-row broadcast cross-join, so the whole result
+    is a single action. `min_fg_df` mirrors ES's `min_doc_count` — a
+    term seen once in the foreground is noise, and the filter runs
+    before the top-n window sorts anything.
+
+    Returns (term, fg_df, bg_df, fg_n, bg_n, lift, rank), rank 1-based
+    by lift desc / term asc, at most `top_n` rows."""
+    from pyspark.sql import Window
+
+    docs = matching_docs(index, query)
+    fg_n = docs.agg(F.count("*").alias("fg_n"))
+    fg = (index.postings.join(docs, on="doc_id", how="left_semi")
+          .groupBy("term").agg(F.count("*").alias("fg_df"))
+          .where(F.col("fg_df") >= min_fg_df))
+    if exclude_query_terms and query.lexemes:
+        fg = fg.where(~F.col("term").isin(*query.lexemes))
+    bg_n = int(index.n_docs)
+    joined = (fg.join(index.terms.select("term",
+                                         F.col("df").alias("bg_df")),
+                      on="term")
+              .crossJoin(F.broadcast(fg_n)))
+    lift = ((F.col("fg_df") * F.lit(bg_n)).cast("double")
+            / (F.col("fg_n") * F.col("bg_df")).cast("double"))
+    win = Window.orderBy(F.desc("lift"), F.asc("term"))
+    return (joined.withColumn("lift", lift)
+            .withColumn("rank", F.row_number().over(win).cast("long"))
+            .where(F.col("rank") <= top_n)
+            .select("term", "fg_df", "bg_df",
+                    F.col("fg_n").cast("long").alias("fg_n"),
+                    F.lit(bg_n).cast("long").alias("bg_n"),
+                    "lift", "rank"))
+
+
 def more_like_this(
     index: Index,
     content: str,

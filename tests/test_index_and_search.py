@@ -1366,3 +1366,66 @@ def test_search_federated_equals_monolithic(spark, corpus,
         want = [(r["doc_id"], round(r["score"], 9)) for r in
                 search(mono, q, k=12).collect()]
         assert got == want, qtext
+
+
+class TestSignificantTerms:
+    """significant_terms vs a brute-force Python oracle on the fixture
+    corpus (ES significant_terms semantics, lift heuristic)."""
+
+    def _oracle(self, corpus, fg_pred, min_fg_df=2, exclude=()):
+        docsets = {i: set(t.split()) for i, t in corpus}
+        fg_ids = [i for i, t in corpus if fg_pred(docsets[i])]
+        fg_n, bg_n = len(fg_ids), len(corpus)
+        from collections import Counter
+        fg_df = Counter(t for i in fg_ids for t in docsets[i])
+        bg_df = Counter(t for i, _ in corpus for t in docsets[i])
+        rows = []
+        for t, f in fg_df.items():
+            if f < min_fg_df or t in exclude:
+                continue
+            lift = (f * bg_n) / (fg_n * bg_df[t])
+            rows.append((t, f, bg_df[t], fg_n, bg_n, lift))
+        rows.sort(key=lambda r: (-r[5], r[0]))
+        return [r + (k,) for k, r in enumerate(rows, start=1)]
+
+    def test_matches_bruteforce(self, spark, corpus, index):
+        from pg_ts_semantic_headline_spark.plans.search import (
+            significant_terms)
+        q = to_tspquery(CONFIG, "needle")
+        want = self._oracle(corpus, lambda s: "needle" in s)[:10]
+        got = [(r["term"], r["fg_df"], r["bg_df"], r["fg_n"], r["bg_n"],
+                r["lift"], r["rank"])
+               for r in significant_terms(index, q, top_n=10)
+               .orderBy("rank").collect()]
+        assert [g[:5] for g in got] == [w[:5] for w in want]
+        assert [g[6] for g in got] == [w[6] for w in want]
+        for g, w in zip(got, want):
+            assert abs(g[5] - w[5]) < 1e-12
+        # the query's own companions dominate: needle docs always carry
+        # phrase+target, so those two (and needle) head the ranking
+        assert {got[0][0], got[1][0], got[2][0]} == \
+            {"needle", "phrase", "target"}
+
+    def test_exclude_query_terms_and_min_df(self, spark, corpus, index):
+        from pg_ts_semantic_headline_spark.plans.search import (
+            significant_terms)
+        q = to_tspquery(CONFIG, "needle")
+        want = self._oracle(corpus, lambda s: "needle" in s,
+                            min_fg_df=3, exclude={"needle"})[:25]
+        got = [(r["term"], r["fg_df"], r["bg_df"], r["rank"])
+               for r in significant_terms(index, q, top_n=25, min_fg_df=3,
+                                          exclude_query_terms=True)
+               .orderBy("rank").collect()]
+        assert got == [(w[0], w[1], w[2], w[6]) for w in want]
+
+    def test_boolean_foreground(self, spark, corpus, index):
+        # the foreground honors full boolean semantics, not just one term
+        from pg_ts_semantic_headline_spark.plans.search import (
+            significant_terms)
+        q = to_tspquery(CONFIG, "needle & !snowflake")
+        want = self._oracle(
+            corpus, lambda s: "needle" in s and "snowflake" not in s)[:5]
+        got = [(r["term"], r["fg_df"], r["bg_df"], r["rank"])
+               for r in significant_terms(index, q, top_n=5)
+               .orderBy("rank").collect()]
+        assert got == [(w[0], w[1], w[2], w[6]) for w in want]

@@ -1,4 +1,6 @@
 from pg_ts_semantic_headline_spark.plans.query_compiler import (
+    ts_rewrite,
+    ts_rewrite_rules_df,
     get_default_text_search_config,
     phraseto_tspquery,
     set_default_text_search_config,
@@ -181,3 +183,101 @@ class TestWebsearchToTspquery:
     def test_lexemes_exclude_negated(self):
         q = websearch_to_tspquery("english", '"fat rat" -cat or dog')
         assert q.lexemes == ("fat", "rat", "dog")
+
+
+class TestTsRewrite:
+    """PG `ts_rewrite` semantics (pg docs §12.4.2.1) on compiled trees."""
+
+    def _q(self, s):
+        return to_tspquery("simple", s)
+
+    def _key(self, q):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import \
+            _canon_key
+        return None if q.root is None else _canon_key(q.root)
+
+    def test_single_term_substitution(self):
+        # PG: ts_rewrite('a & b', 'a', 'foo|bar') = 'b & ( foo | bar )'
+        out = ts_rewrite(self._q("a & b"),
+                         [(self._q("a"), self._q("foo|bar"))])
+        assert self._key(out) == self._key(self._q("b & (foo|bar)"))
+        # phrase list refreshed for highlighting
+        assert {p.items for p in out.phrases} == {
+            (("b", 1),), (("foo", 1),), (("bar", 1),)}
+
+    def test_operand_order_ignored(self):
+        out = ts_rewrite(self._q("b | a"),
+                         [(self._q("a | b"), self._q("x"))])
+        assert self._key(out) == self._key(self._q("x"))
+
+    def test_subset_match_in_group(self):
+        # 'a & b' rewrites inside 'b & a & c'
+        out = ts_rewrite(self._q("b & a & c"),
+                         [(self._q("a & b"), self._q("x"))])
+        assert self._key(out) == self._key(self._q("x & c"))
+
+    def test_nested_same_op_flattening(self):
+        out = ts_rewrite(self._q("(a & b) & c"),
+                         [(self._q("b & c"), self._q("x"))])
+        assert self._key(out) == self._key(self._q("a & x"))
+
+    def test_rewrite_under_negation(self):
+        out = ts_rewrite(self._q("!a & b"), [(self._q("a"), self._q("c"))])
+        assert self._key(out) == self._key(self._q("!c & b"))
+
+    def test_empty_substitute_deletes(self):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import \
+            empty_tspquery
+        out = ts_rewrite(self._q("a & b"),
+                         [(self._q("b"), empty_tspquery("simple"))])
+        assert self._key(out) == self._key(self._q("a"))
+        out2 = ts_rewrite(self._q("a"),
+                          [(self._q("a"), empty_tspquery("simple"))])
+        assert out2.root is None and out2.phrases == ()
+
+    def test_phrases_are_atomic(self):
+        # a sub-phrase of a longer phrase never matches
+        out = ts_rewrite(self._q("x <-> y <-> z"),
+                         [(self._q("x <-> y"), self._q("q"))])
+        assert self._key(out) == self._key(self._q("x <-> y <-> z"))
+        # but an exact phrase match does
+        out2 = ts_rewrite(self._q("(x <-> y) & w"),
+                          [(self._q("x <-> y"), self._q("q"))])
+        assert self._key(out2) == self._key(self._q("q & w"))
+
+    def test_self_referential_rule_terminates(self):
+        # 'a' -> 'a | b' converges because duplicate branches collapse
+        out = ts_rewrite(self._q("a & c"),
+                         [(self._q("a"), self._q("a | b"))])
+        assert self._key(out) == self._key(self._q("(a | b) & c"))
+
+    def test_rules_apply_in_order(self):
+        out = ts_rewrite(self._q("a"), [
+            (self._q("a"), self._q("b")),
+            (self._q("b"), self._q("c")),
+        ])
+        assert self._key(out) == self._key(self._q("c"))
+
+    def test_empty_target_raises(self):
+        import pytest
+        from pg_ts_semantic_headline_spark.plans.query_compiler import \
+            empty_tspquery
+        with pytest.raises(ValueError):
+            ts_rewrite(self._q("a"), [(empty_tspquery("simple"),
+                                       self._q("b"))])
+
+    def test_rules_df_form(self, spark):
+        rules = spark.createDataFrame(
+            [("sort", "sort | quicksort"), ("merge", "blend")],
+            "target string, substitute string")
+        out = ts_rewrite_rules_df(self._q("merge & sort"), rules)
+        assert self._key(out) == \
+            self._key(self._q("blend & (sort | quicksort)"))
+
+    def test_rules_df_cap(self, spark):
+        import pytest
+        rules = spark.createDataFrame(
+            [(f"t{i}", "x") for i in range(5)],
+            "target string, substitute string")
+        with pytest.raises(ValueError, match="max_rules"):
+            ts_rewrite_rules_df(self._q("a"), rules, max_rules=3)
