@@ -402,21 +402,29 @@ def websearch_to_tspquery(config: str, text: str | None = None) -> CompiledQuery
 
 def _canon_key(node: Node) -> tuple:
     """Hashable canonical form: AND/OR children are flattened (nested
-    same-op nodes absorbed) and order-insensitive, so `a & b` and
-    `b & a` — or `a & (b & c)` and `(a & b) & c` — get the same key.
+    same-op nodes absorbed), order-insensitive and DUPLICATE-FREE, and a
+    group left with one distinct operand keys as that operand — so
+    `a & b` / `b & a`, `a & (b & c)` / `(a & b) & c`, and `a & a` / `a`
+    all get the same key (mirroring `_make_group`'s rebuild, which drops
+    duplicate branches and collapses singleton groups: the two
+    normalizations MUST agree or degenerate targets never match).
     Phrases are atomic (a sub-phrase of a longer phrase never matches)."""
     if node.op == "phrase":
         return ("p", node.phrase.items)
     if node.op == "not":
         return ("!", _canon_key(node.children[0]))
-    keys: list[tuple] = []
-    stack = list(node.children)
-    while stack:
-        c = stack.pop()
-        if c.op == node.op:
-            stack.extend(c.children)
+    # flatten on child KEYS, not child nodes: a child whose own dedupe
+    # collapsed it to a same-op group (`(a|b) & (a|b)` inside an OR) must
+    # still be absorbed, or the key would depend on the original nesting
+    keys: set[tuple] = set()
+    for c in node.children:
+        k = _canon_key(c)
+        if k[0] == node.op:
+            keys.update(k[1])
         else:
-            keys.append(_canon_key(c))
+            keys.add(k)
+    if len(keys) == 1:
+        return next(iter(keys))
     return (node.op, tuple(sorted(keys)))
 
 
@@ -440,38 +448,74 @@ def _make_group(op: str, children: list[Node]) -> Node | None:
     return flat[0] if len(flat) == 1 else Node(op, tuple(flat))
 
 
-def _rewrite_node(node: Node | None, tkey: tuple, t_root: Node,
-                  sub: Node | None) -> Node | None:
+def _subtree_ids(node: Node | None) -> set[int]:
+    """ids of every node object in a tree (the substitute is inserted as
+    the SAME object everywhere, so identity marks substituted material)."""
+    out: set[int] = set()
+    stack = [node] if node is not None else []
+    while stack:
+        n = stack.pop()
+        out.add(id(n))
+        if n.op != "phrase":
+            stack.extend(n.children)
+    return out
+
+
+def _rewrite_node(node: Node | None, tkey: tuple, t_want: set | None,
+                  sub: Node | None, protected: set[int]) -> Node | None:
     """One bottom-up pass of a single (target, substitute) rule.
     Matches (a) any subtree canonically equal to the target, and (b) for
-    an AND/OR target, any sub-multiset of a same-op group's operands
-    equal to the target's operand multiset (PG: rewriting 'a & b' inside
-    'b & a & c' yields 'substitute & c'). `sub=None` (empty substitute
-    query) deletes the matched subtree."""
-    if node is None:
-        return None
+    an AND/OR target, any subset of a same-op group's operands equal to
+    the target's operand set (PG: rewriting 'a & b' inside 'b & a & c'
+    yields 'substitute & c'). `t_want` is the target's canonical operand
+    key set when the CANONICAL target is a group, else None (a degenerate
+    `a & a` target collapses to `a` and matches like it). `sub=None`
+    (empty substitute query) deletes the matched subtree. Operand sets
+    are duplicate-free on both sides — `_canon_key`/`_make_group` dedupe
+    — so subset containment is plain set logic.
+
+    The whole-subtree check runs BEFORE descending (and again after the
+    rebuild): a self-similar tree like `a & a & (a & !(a))` canonically
+    equals its own inner group, and bottom-up-only matching would consume
+    the inner occurrence first, leaving the root unmatched.
+
+    `protected` holds ids of substituted material (PG's QTN_NOCHANGE
+    flag, tsquery_rewrite.c): within one rule, matching never re-enters
+    what that rule already inserted, so a substitute containing its own
+    target ('a' → 'a | (a & b)') inserts once instead of re-expanding
+    every fixpoint pass."""
+    if node is None or id(node) in protected:
+        return node
+    if _canon_key(node) == tkey:
+        return sub
     if node.op == "not":
-        child = _rewrite_node(node.children[0], tkey, t_root, sub)
+        child = _rewrite_node(node.children[0], tkey, t_want, sub,
+                              protected)
         node = Node("not", (child,)) if child is not None else None
     elif node.op in ("and", "or"):
-        kids = [_rewrite_node(c, tkey, t_root, sub) for c in node.children]
+        kids = [_rewrite_node(c, tkey, t_want, sub, protected)
+                for c in node.children]
         node = _make_group(node.op, [c for c in kids if c is not None])
-        if (node is not None and node.op == t_root.op
-                and t_root.op in ("and", "or")):
-            # subset match on the flattened group's operands
-            want = sorted(tkey[1])
+        if (node is not None and t_want is not None
+                and node.op == tkey[0]):
+            # subset match on the flattened group's operands, substituted
+            # material excluded (its ids are protected)
             have = [(_canon_key(c), c) for c in node.children]
-            keep, pool = [], list(want)
-            for k, c in have:
-                if pool and k in pool:
-                    pool.remove(k)
-                else:
-                    keep.append(c)
-            if not pool and len(keep) < len(have):
+            free = {k for k, c in have if id(c) not in protected}
+            if t_want <= free:
+                picked: set[tuple] = set()
+                keep = []
+                for k, c in have:
+                    if (k in t_want and k not in picked
+                            and id(c) not in protected):
+                        picked.add(k)
+                    else:
+                        keep.append(c)
                 if sub is not None:
                     keep.append(sub)
                 node = _make_group(node.op, keep)
-    if node is not None and _canon_key(node) == tkey:
+    if (node is not None and id(node) not in protected
+            and _canon_key(node) == tkey):
         return sub
     return node
 
@@ -489,18 +533,21 @@ def ts_rewrite(query: CompiledQuery,
     matched subexpression.
 
     Rules apply in order, each run to a canonical fixpoint (bounded by
-    `max_passes` so self-referential rules like 'a' → 'a | b' terminate:
-    duplicate branches collapse, so the second pass is a no-op). Driver
-    side and O(|tree|·|rules|·passes) — queries are tiny; the rules
-    TABLE form is `ts_rewrite_rules_df`."""
+    `max_passes`); within one rule, substituted material is never
+    re-matched (PG's QTN_NOCHANGE discipline), so self-referential rules
+    like 'a' → 'a | b' insert once and terminate. Driver side and
+    O(|tree|·|rules|·passes) — queries are tiny; the rules TABLE form is
+    `ts_rewrite_rules_df`."""
     root = query.root
     for target, sub in rules:
         if target.root is None:
             raise ValueError("ts_rewrite target compiled to an empty query")
         tkey = _canon_key(target.root)
+        t_want = set(tkey[1]) if tkey[0] in ("and", "or") else None
+        protected = _subtree_ids(sub.root)
         for _ in range(max_passes):
             before = None if root is None else _canon_key(root)
-            root = _rewrite_node(root, tkey, target.root, sub.root)
+            root = _rewrite_node(root, tkey, t_want, sub.root, protected)
             after = None if root is None else _canon_key(root)
             if after == before:
                 break

@@ -429,3 +429,97 @@ class TestWebsearchNeverRaises:
         # every positive lexeme is consistent with the phrase set
         from_phrases = {lx for ph in q.phrases for lx, _ in ph.items}
         assert set(q.lexemes) == from_phrases
+
+
+# -------------------------------------------------------------- ts_rewrite
+
+@st.composite
+def boolean_query_strings(draw, depth=0):
+    """Boolean-only tsquery text (single-lexeme leaves, no <->/<n>), so
+    term-renaming is a semantics-preserving transform: multi-word phrases
+    are atomic under ts_rewrite and would break the renaming property."""
+    if depth >= 3 or draw(st.booleans()):
+        return draw(st.sampled_from(VOCAB))
+    op = draw(st.sampled_from(["&", "|"]))
+    left = draw(boolean_query_strings(depth=depth + 1))
+    right = draw(boolean_query_strings(depth=depth + 1))
+    rhs = f"!({right})" if draw(st.booleans()) else f"({right})"
+    return f"({left}) {op} {rhs}"
+
+
+class TestTsRewriteProperties:
+    """ts_rewrite invariants on randomized trees (pure driver, no Spark).
+    The naive evaluator is the same one the matcher properties use, so
+    these pin the REWRITE's semantics, not just its shape."""
+
+    def _key(self, q):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            _canon_key)
+        return None if q.root is None else _canon_key(q.root)
+
+    @given(query_strings(), query_strings())
+    @settings(max_examples=100, deadline=None)
+    def test_identity_rule_is_noop(self, qtext, ttext):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            ts_rewrite)
+        q = to_tspquery("simple", qtext)
+        t = to_tspquery("simple", ttext)
+        assert self._key(ts_rewrite(q, [(t, t)])) == self._key(q)
+
+    @given(query_strings(), query_strings())
+    @settings(max_examples=100, deadline=None)
+    def test_whole_query_target_replaces_everything(self, qtext, stext):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            ts_rewrite)
+        q = to_tspquery("simple", qtext)
+        s = to_tspquery("simple", stext)
+        assert self._key(ts_rewrite(q, [(q, s)])) == self._key(s)
+
+    @given(query_strings())
+    @settings(max_examples=100, deadline=None)
+    def test_foreign_target_is_noop(self, qtext):
+        # the target's leaf ('zz') appears nowhere in the query, so no
+        # subtree — and no AND/OR operand subset — can match it
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            ts_rewrite)
+        q = to_tspquery("simple", qtext)
+        t = to_tspquery("simple", "zz")
+        s = to_tspquery("simple", "aa | zz")
+        assert self._key(ts_rewrite(q, [(t, s)])) == self._key(q)
+
+    @given(boolean_query_strings(),
+           st.lists(st.sampled_from(VOCAB), min_size=0, max_size=10))
+    @settings(max_examples=100, deadline=None)
+    def test_term_rename_preserves_semantics(self, qtext, doc):
+        # rewriting leaf 'aa' -> fresh term 'zz' must evaluate, on the
+        # correspondingly renamed document, exactly like the original
+        # query on the original document
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            ts_rewrite)
+        q = to_tspquery("simple", qtext)
+        rule = (to_tspquery("simple", "aa"), to_tspquery("simple", "zz"))
+        rewritten = ts_rewrite(q, [rule])
+        renamed_doc = ["zz" if w == "aa" else w for w in doc]
+        assert naive_eval(rewritten.root, renamed_doc) == \
+            naive_eval(q.root, doc)
+
+    @given(boolean_query_strings())
+    @settings(max_examples=100, deadline=None)
+    def test_delete_rule_drops_every_occurrence(self, qtext):
+        # after 'aa' -> empty, no leaf of the result is 'aa'
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            empty_tspquery, ts_rewrite)
+        q = to_tspquery("simple", qtext)
+        out = ts_rewrite(q, [(to_tspquery("simple", "aa"),
+                              empty_tspquery("simple"))])
+
+        def leaves(node):
+            if node is None:
+                return
+            if node.op == "phrase":
+                yield from (lx for lx, _ in node.phrase.items)
+            else:
+                for c in node.children:
+                    yield from leaves(c)
+
+        assert "aa" not in set(leaves(out.root))
