@@ -77,7 +77,18 @@ def main():
         t0 = time.time()
         build_index(spark, docs, idx_dir, config="english",
                     n_buckets=32, block_span=128, resume=False)
-        timings["index_build"] = min(build_a, time.time() - t0)
+        build_b = time.time() - t0
+        timings["index_build"] = min(build_a, build_b)
+        # same steal guard as min_of: two wildly-disagreeing builds mean
+        # at least one landed in a steal window — buy one clean sample
+        if max(build_a, build_b) > 1.5 * min(build_a, build_b):
+            scratch = tempfile.mkdtemp(prefix="tsp_bench_idx3_")
+            t0 = time.time()
+            build_index(spark, docs, scratch, config="english",
+                        n_buckets=32, block_span=128, resume=False)
+            timings["index_build"] = min(timings["index_build"],
+                                         time.time() - t0)
+            shutil.rmtree(scratch, ignore_errors=True)
         index = load_index(spark, idx_dir)
 
         queries = [
@@ -91,14 +102,22 @@ def main():
 
         # min-of-2 on the short query sections: the sandbox VM shows 2-3x
         # run-to-run steal variance, and these are the latency-sensitive
-        # numbers the rounds are compared on
+        # numbers the rounds are compared on. When the two reps disagree
+        # by more than 1.5x, BOTH may have landed in one sustained steal
+        # window (observed: a 1.2s/query section reading 4x once), so an
+        # extra rep buys a clean sample — bounded at one retry to keep the
+        # bench wall time predictable.
         def min_of(fn, reps=2):
-            best = float("inf")
+            samples = []
             for _ in range(reps):
                 t0 = time.time()
                 fn()
-                best = min(best, time.time() - t0)
-            return best
+                samples.append(time.time() - t0)
+            if len(samples) >= 2 and max(samples) > 1.5 * min(samples):
+                t0 = time.time()
+                fn()
+                samples.append(time.time() - t0)
+            return min(samples)
 
         def run_bm25(mode):
             for q in queries:
