@@ -20,8 +20,13 @@ Spark-first design, one plan for ALL standing queries:
    and exact span finds every exact phrase occurrence — identical
    semantics to tsp_query_matches (/root/reference/sql/tsp_query_matches.sql:85-94);
 4. per (doc, query) the satisfied phrase set folds through that query's
-   boolean AST, compiled to ONE JVM CASE expression keyed on query_id —
-   no per-row Python, no per-query pass.
+   boolean AST — compiled to ONE JVM CASE expression keyed on query_id
+   for small registries (no Python anywhere), or evaluated by a
+   vectorized Arrow kernel holding the tree specs when the registry is
+   large (a nested CASE's expression depth grows with the registry;
+   the Arrow form keeps plan size O(1) in #queries and touches only
+   the sparse flag rows). `eval_mode` picks; 'auto' switches at
+   CASE_CHAIN_MAX_QUERIES. Result-identical by test.
 
 NOT semantics: a query whose tree contains a negation can match a document
 that satisfies NO phrase at all, so negated queries are evaluated against
@@ -40,6 +45,7 @@ the streaming form runs in foreachBatch — the same pattern as
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (IntegerType, StringType, StructField,
@@ -104,21 +110,77 @@ def _tree_expr(node: Node | None, pid_by_items) -> F.Column:
     return out
 
 
+def _tree_spec(node: Node | None, pid_by_items):
+    """Boolean AST -> a plain-tuple spec for the executor-side evaluator:
+    ('p', gid) | ('not', spec) | ('and'|'or', (spec, ...))."""
+    if node is None:
+        return ("or", ())
+    if node.op == "phrase":
+        return ("p", pid_by_items[node.phrase.items])
+    if node.op == "not":
+        return ("not", _tree_spec(node.children[0], pid_by_items))
+    return (node.op, tuple(_tree_spec(c, pid_by_items)
+                           for c in node.children))
+
+
+def _eval_spec(spec, ok: set) -> bool:
+    op = spec[0]
+    if op == "p":
+        return spec[1] in ok
+    if op == "not":
+        return not _eval_spec(spec[1], ok)
+    if op == "and":
+        return all(_eval_spec(c, ok) for c in spec[1])
+    return any(_eval_spec(c, ok) for c in spec[1])
+
+
+# above this many standing queries the nested-CASE plan is replaced by a
+# vectorized Arrow evaluator: a CASE chain's expression depth grows with
+# the registry (codegen blow-up / driver planning cliff around 10^3),
+# while the evaluator ships the specs once per executor and touches only
+# the sparse (doc, query) flag rows
+CASE_CHAIN_MAX_QUERIES = 128
+
+
+def _flags_filter_udf(specs: dict):
+    from pyspark.sql.types import BooleanType
+
+    @F.pandas_udf(BooleanType())
+    def ok(query_id: pd.Series, ok_phrases: pd.Series) -> pd.Series:
+        return pd.Series([
+            _eval_spec(specs[q], set(p) if p is not None else set())
+            for q, p in zip(query_id, ok_phrases)])
+
+    return ok
+
+
 def percolate(
     docs: DataFrame,
     queries: dict[str, CompiledQuery],
     doc_id: str = "doc_id",
     content_col: str = "content",
     config: str | None = None,
+    eval_mode: str = "auto",
 ) -> DataFrame:
     """(doc_id, query_id) — every standing query each document satisfies.
 
     `docs` either already carries a `lexemes` column (analyzed form) or raw
     `content_col` + `config` naming the text search config to analyze with
     (defaults to the first standing query's config).
+
+    `eval_mode`: how the per-(doc, query) boolean fold runs — 'case'
+    compiles every tree into one nested JVM CASE expression (zero Python,
+    right for small registries), 'arrow' ships the tree specs to
+    executors once and evaluates the sparse flag rows in a vectorized
+    Arrow batch (plan size independent of registry size — the 10^4+
+    standing-queries shape), 'auto' picks by registry size
+    (CASE_CHAIN_MAX_QUERIES). Both modes are result-identical (tested).
     """
     spark = docs.sparkSession
     out_schema = f"{doc_id} long, query_id string"
+    if eval_mode not in ("auto", "case", "arrow"):
+        raise ValueError(f"eval_mode must be 'auto', 'case' or 'arrow', "
+                         f"got {eval_mode!r}")
     if not queries:
         return spark.createDataFrame([], out_schema)
     rows, meta = _flatten_queries(queries)
@@ -167,10 +229,19 @@ def percolate(
                              F.coalesce(F.col("ok_phrases"),
                                         F.array().cast("array<int>"))))
 
-    expr = F.lit(False)
-    for qid, (root, pid_by_items, _) in meta.items():
-        expr = F.when(F.col("query_id") == qid,
-                      _tree_expr(root, pid_by_items)).otherwise(expr)
+    use_case = (eval_mode == "case"
+                or (eval_mode == "auto"
+                    and len(meta) <= CASE_CHAIN_MAX_QUERIES))
+    if use_case:
+        expr = F.lit(False)
+        for qid, (root, pid_by_items, _) in meta.items():
+            expr = F.when(F.col("query_id") == qid,
+                          _tree_expr(root, pid_by_items)).otherwise(expr)
+    else:
+        specs = {qid: _tree_spec(root, pid_by_items)
+                 for qid, (root, pid_by_items, _) in meta.items()}
+        expr = _flags_filter_udf(specs)(F.col("query_id"),
+                                        F.col("ok_phrases"))
     return (flags.where(expr)
             .select(F.col(doc_id).cast("long").alias(doc_id), "query_id"))
 

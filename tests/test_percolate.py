@@ -118,6 +118,40 @@ class TestPercolateBatch:
         docs = spark.createDataFrame(DOCS, ["doc_id", "content"])
         assert percolate(docs, {}, config=CONFIG).count() == 0
 
+    def test_arrow_mode_identical_to_case(self, spark, queries):
+        """The large-registry Arrow evaluator and the nested-CASE plan
+        are result-identical on every operator shape (incl. negation's
+        phraseless-doc universe rows)."""
+        docs = spark.createDataFrame(DOCS, ["doc_id", "content"])
+        want = expected_matches(queries)
+        for mode in ("case", "arrow"):
+            got = {(r["doc_id"], r["query_id"]) for r in
+                   percolate(docs, queries, config=CONFIG,
+                             eval_mode=mode).collect()}
+            assert got == want, mode
+
+    def test_large_registry_switches_to_arrow(self, spark, queries):
+        """auto mode past CASE_CHAIN_MAX_QUERIES: a registry CASE chains
+        would choke on (expression depth = #queries) runs and matches the
+        independent evaluator; the known queries keep their exact sets."""
+        from pg_ts_semantic_headline_spark.streaming.percolate import (
+            CASE_CHAIN_MAX_QUERIES)
+        big = dict(queries)
+        n_filler = CASE_CHAIN_MAX_QUERIES + 40
+        for i in range(n_filler):
+            # half match some docs (shared fixture lexemes), half never do
+            txt = "fox & dog" if i % 2 == 0 else f"nosuchword{i}"
+            big[f"f{i}"] = to_tspquery(CONFIG, txt)
+        docs = spark.createDataFrame(DOCS, ["doc_id", "content"])
+        got = {(r["doc_id"], r["query_id"]) for r in
+               percolate(docs, big, config=CONFIG).collect()}
+        assert got == expected_matches(big)
+
+    def test_bad_eval_mode_raises(self, spark, queries):
+        docs = spark.createDataFrame(DOCS, ["doc_id", "content"])
+        with pytest.raises(ValueError, match="eval_mode"):
+            percolate(docs, queries, config=CONFIG, eval_mode="nope")
+
 
 class TestPercolateStream:
     def test_stream_equals_batch(self, spark, queries, tmp_path):
