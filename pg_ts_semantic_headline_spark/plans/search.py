@@ -992,6 +992,7 @@ def search_batch(
     index: Index,
     queries: dict[str, CompiledQuery],
     k: int = 10,
+    eval_mode: str = "auto",
 ) -> DataFrame:
     """N full boolean+phrase retrievals in ONE pair of index scans — the
     batched form of `search` the way `bm25_topk_batch` batches
@@ -1002,9 +1003,12 @@ def search_batch(
     (the percolator's registry shape, streaming/percolate.py); ONE
     positional scan pruned to the union of every query's lexemes feeds
     the pos−rel_pos alignment join, and each query's boolean AST folds
-    over its satisfied-phrase set as a JVM CASE expression — per-(doc,
-    query) match decisions with no per-query pass. The match set then
-    semi-joins `bm25_topk_batch`'s single scored scan per query.
+    over its satisfied-phrase set — a JVM CASE expression for small
+    workloads, the percolator's Arrow spec evaluator past
+    CASE_CHAIN_MAX_QUERIES (`eval_mode`, same contract as `percolate`:
+    plan size must not grow with an offline workload's query count).
+    The match set then semi-joins `bm25_topk_batch`'s single scored
+    scan per query.
 
     NOT semantics: queries containing a negation must see every corpus
     doc (a doc matching no phrase can still satisfy them), so those —
@@ -1015,7 +1019,8 @@ def search_batch(
 
     Returns (query_id, doc_id, score, rank) with rank 1..k per query."""
     from ..streaming.percolate import (STANDING_TABLE_SCHEMA,
-                                       _flatten_queries, _tree_expr)
+                                       _boolean_fold_filter,
+                                       _flatten_queries)
 
     spark = index.postings.sparkSession
     out_schema = "query_id string, doc_id long, score double, rank int"
@@ -1057,11 +1062,8 @@ def search_batch(
                              F.coalesce(F.col("ok_phrases"),
                                         F.array().cast("array<int>"))))
 
-    expr = F.lit(False)
-    for qid, (root, pid_by_items, _) in meta.items():
-        expr = F.when(F.col("query_id") == qid,
-                      _tree_expr(root, pid_by_items)).otherwise(expr)
-    matches = flags.where(expr).select("query_id", "doc_id")
+    matches = (_boolean_fold_filter(flags, meta, eval_mode)
+               .select("query_id", "doc_id"))
     return bm25_topk_batch(index, queries, k=k, candidates=matches)
 
 

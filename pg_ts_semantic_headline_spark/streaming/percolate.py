@@ -154,6 +154,31 @@ def _flags_filter_udf(specs: dict):
     return ok
 
 
+def _boolean_fold_filter(flags: DataFrame, meta: dict,
+                         eval_mode: str) -> DataFrame:
+    """Filter (…, query_id, ok_phrases) flag rows to the ones whose
+    query's boolean AST is satisfied — nested-CASE for small registries,
+    the Arrow spec evaluator past CASE_CHAIN_MAX_QUERIES (shared by the
+    percolator and `plans.search.search_batch`)."""
+    if eval_mode not in ("auto", "case", "arrow"):
+        raise ValueError(f"eval_mode must be 'auto', 'case' or 'arrow', "
+                         f"got {eval_mode!r}")
+    use_case = (eval_mode == "case"
+                or (eval_mode == "auto"
+                    and len(meta) <= CASE_CHAIN_MAX_QUERIES))
+    if use_case:
+        expr = F.lit(False)
+        for qid, (root, pid_by_items, _) in meta.items():
+            expr = F.when(F.col("query_id") == qid,
+                          _tree_expr(root, pid_by_items)).otherwise(expr)
+    else:
+        specs = {qid: _tree_spec(root, pid_by_items)
+                 for qid, (root, pid_by_items, _) in meta.items()}
+        expr = _flags_filter_udf(specs)(F.col("query_id"),
+                                        F.col("ok_phrases"))
+    return flags.where(expr)
+
+
 def percolate(
     docs: DataFrame,
     queries: dict[str, CompiledQuery],
@@ -180,7 +205,7 @@ def percolate(
     out_schema = f"{doc_id} long, query_id string"
     if eval_mode not in ("auto", "case", "arrow"):
         raise ValueError(f"eval_mode must be 'auto', 'case' or 'arrow', "
-                         f"got {eval_mode!r}")
+                         f"got {eval_mode!r}")  # fail before any job runs
     if not queries:
         return spark.createDataFrame([], out_schema)
     rows, meta = _flatten_queries(queries)
@@ -229,20 +254,7 @@ def percolate(
                              F.coalesce(F.col("ok_phrases"),
                                         F.array().cast("array<int>"))))
 
-    use_case = (eval_mode == "case"
-                or (eval_mode == "auto"
-                    and len(meta) <= CASE_CHAIN_MAX_QUERIES))
-    if use_case:
-        expr = F.lit(False)
-        for qid, (root, pid_by_items, _) in meta.items():
-            expr = F.when(F.col("query_id") == qid,
-                          _tree_expr(root, pid_by_items)).otherwise(expr)
-    else:
-        specs = {qid: _tree_spec(root, pid_by_items)
-                 for qid, (root, pid_by_items, _) in meta.items()}
-        expr = _flags_filter_udf(specs)(F.col("query_id"),
-                                        F.col("ok_phrases"))
-    return (flags.where(expr)
+    return (_boolean_fold_filter(flags, meta, eval_mode)
             .select(F.col(doc_id).cast("long").alias(doc_id), "query_id"))
 
 
