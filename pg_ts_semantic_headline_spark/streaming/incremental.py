@@ -55,6 +55,13 @@ from ..plans.index_build import (STATS_SCHEMA, IndexPaths, _file_lineage,
                                  _path_exists, _streaming_packer,
                                  _write_manifest, idf_expr, PACKED_SCHEMA)
 
+# compaction ships the tombstoned doc_ids into the packed-decode kernel
+# when the set is at most this big (dead rows are skipped before they are
+# even decoded); a mass delete past the cap switches to a distributed
+# anti-join on the decoded rows so neither the driver nor the task
+# closures ever hold the full id set
+TOMBSTONE_DECODE_CAP = 100_000
+
 
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
@@ -342,10 +349,21 @@ def compact_index(spark: SparkSession, index_dir: str,
     buckets = sorted(range(n_buckets)) if wildcard else sorted(touched)
 
     tomb_ids: set = set()
+    tomb_anti: DataFrame | None = None
     if has_tombs:
-        tomb_ids = {int(r["doc_id"]) for r in
-                    spark.read.parquet(paths.tombstones)
-                    .select("doc_id").distinct().collect()}
+        tomb_dids = (spark.read.parquet(paths.tombstones)
+                     .select("doc_id").distinct())
+        # bounded driver work: a small tombstone set rides the decode
+        # kernel (dead rows are never even decoded); a mass-delete's set
+        # would bloat the driver and every task closure, so past the cap
+        # the drop becomes a distributed anti-join on the decoded rows
+        # instead (sound on doc_id alone: every packed row predates every
+        # live tombstone — see _decode_packed_rows)
+        if tomb_dids.count() <= TOMBSTONE_DECODE_CAP:
+            tomb_ids = {int(r["doc_id"]) for r in tomb_dids.collect()}
+        else:
+            tomb_anti = tomb_dids
+    live_tombs = bool(tomb_ids) or tomb_anti is not None
 
     # ---- gather positional rows for the buckets being repacked ----
     lean = "positions" not in spark.read.parquet(paths.postings).columns
@@ -360,10 +378,12 @@ def compact_index(spark: SparkSession, index_dir: str,
                        _decode_packed_rows(tomb_ids),
                        schema="term string, bucket int, doc_id long, "
                               "tf int, dl int, positions array<int>"))
+            if tomb_anti is not None:
+                src = src.join(tomb_anti, on="doc_id", how="left_anti")
         pending_df = _try_parquet(spark, paths.pending)
         if pending_df is not None:
             pending = pending_df.where(F.col("bucket").isin(buckets))
-            if tomb_ids:
+            if live_tombs:
                 from ..plans.index_build import _apply_tombstones
                 pending = _apply_tombstones(
                     pending, spark.read.parquet(paths.tombstones))
@@ -377,7 +397,7 @@ def compact_index(spark: SparkSession, index_dir: str,
     else:
         rows = (spark.read.parquet(paths.postings)
                 .where(F.col("bucket").isin(buckets)))
-        if tomb_ids:
+        if live_tombs:
             from ..plans.index_build import _apply_tombstones
             rows = _apply_tombstones(
                 rows, spark.read.parquet(paths.tombstones))
@@ -389,7 +409,7 @@ def compact_index(spark: SparkSession, index_dir: str,
     avgdl_packed = float(stats["avgdl_packed"])
     if full:
         tokens = spark.read.parquet(paths.tokens)
-        if tomb_ids:
+        if live_tombs:
             from ..plans.index_build import _apply_tombstones
             tokens = _apply_tombstones(
                 tokens, spark.read.parquet(paths.tombstones))
@@ -422,7 +442,7 @@ def compact_index(spark: SparkSession, index_dir: str,
     _delete_path(spark, packed_tmp)
 
     # ---- physical tombstone apply (only when tombstones exist) ----
-    if tomb_ids:
+    if live_tombs:
         from ..plans.index_build import _apply_tombstones
         tombs = spark.read.parquet(paths.tombstones)
         for tbl, part_by in ((paths.tokens, None),

@@ -170,6 +170,30 @@ class TestCompaction:
         assert 3 not in {d for d, _ in got}
         assert spark.read.parquet(f"{out}/tokens").count() == 19
 
+    def test_mass_delete_compacts_via_anti_join(self, spark, tmp_path,
+                                                monkeypatch):
+        """Past TOMBSTONE_DECODE_CAP the tombstone drop must not collect
+        ids to the driver: force the cap to 0 so the distributed
+        anti-join path runs, and assert it produces exactly the same
+        index as the small-set decode-time drop would."""
+        from pg_ts_semantic_headline_spark.streaming import (
+            compact_index, delete_docs)
+        from pg_ts_semantic_headline_spark.streaming import (
+            incremental as inc)
+        out = self._build(spark, tmp_path)
+        delete_docs(spark, out, [3, 7, 11])
+        monkeypatch.setattr(inc, "TOMBSTONE_DECODE_CAP", 0)
+        compact_index(spark, out)
+        after = load_index(spark, out)
+        assert after.n_docs == 17 and after.packed is not None
+        got = self._assert_rank_identical(after, ["alpha"], k=25)
+        assert {d for d, _ in got} & {3, 7, 11} == set()
+        assert spark.read.parquet(f"{out}/tokens").count() == 17
+        # positions survived the anti-join repack
+        q = phraseto_tspquery(CONFIG, "alpha beta gamma")
+        assert 3 not in {r["doc_id"] for r in
+                         phrase_match_docs(after, q).collect()}
+
     def test_bound_scale_keeps_rank_identity_after_avgdl_shift(
             self, spark, tmp_path, monkeypatch):
         """A targeted compact keeps the OLD avgdl baked into every bound;
