@@ -136,10 +136,12 @@ def _eval_spec(spec, ok: set) -> bool:
 
 # above this many standing queries the nested-CASE plan is replaced by a
 # vectorized Arrow evaluator: a CASE chain's expression depth grows with
-# the registry (codegen blow-up / driver planning cliff around 10^3),
-# while the evaluator ships the specs once per executor and touches only
-# the sparse (doc, query) flag rows
-CASE_CHAIN_MAX_QUERIES = 128
+# the registry, so both codegen time (16.9 s COLD for 128 queries; warm
+# 2.1→4.8 s from 16→128, superlinear) and planning blow up, while the
+# evaluator stays flat (~1.8 s for any registry ≤128 on the same corpus,
+# 1024 queries in 5.9 s — measured, BENCH/BASELINE.md). The threshold
+# keeps the zero-Python CASE plan only where the difference is noise.
+CASE_CHAIN_MAX_QUERIES = 32
 
 
 def _flags_filter_udf(specs: dict):
