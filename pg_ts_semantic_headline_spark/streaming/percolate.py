@@ -286,59 +286,128 @@ def percolate_stream(
     return writer
 
 
+# above this many standing patterns the inline plan (one candidate gate
+# + verify expression PER pattern — plan width grows with the registry,
+# and every pattern re-intersects the doc trigram set) is replaced by
+# the broadcast-join plan, whose width is O(1) in registry size.
+# Measured crossover (1k docs, BENCH/BASELINE.md §3d): inline wins ≤16
+# patterns (0.4-0.6 s vs join's flat ~0.9 s scan+join floor), join wins
+# from 32 up (0.9 s vs 1.0 s) and stays flat where inline grows
+# linearly (256: 1.7 s vs 10.5 s; 1,024: 3.4 s vs off the chart)
+PATTERNS_INLINE_MAX = 16
+
+
 def percolate_patterns(docs: DataFrame, patterns: dict[str, str],
                        kind: str = "substring",
                        id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       plan: str = "auto") -> DataFrame:
     """(doc_id, query_id) for every standing SUBSTRING or REGEX pattern a
     document matches — the keyword/PII-filter counterpart of `percolate`
-    (which handles boolean/phrase TSPQueries). One plan for ALL patterns:
+    (which handles boolean/phrase TSPQueries). One plan for ALL patterns,
+    in either of two result-identical shapes (`plan`, 'auto' switches at
+    PATTERNS_INLINE_MAX):
 
-    each document's trigram set is computed ONCE (`trigrams_col`, pure
-    codegen), and every pattern contributes a cheap candidate predicate —
-    `arrays_overlap`-free ALL-of containment via array_intersect size —
-    from its provably-required trigrams (`pattern_trigrams` /
+    'inline' — each document's trigram set is computed ONCE
+    (`trigrams_col`, pure codegen), and every pattern contributes a
+    cheap candidate predicate — ALL-of containment via array_intersect
+    size — from its provably-required trigrams (`pattern_trigrams` /
     `regex_required_trigrams`, the index-side extraction reused
     driver-side), so the expensive verify (`contains` / `rlike`) runs
-    only on candidate rows. Patterns with no required trigram (too
-    short, alternations) verify every row — same loud degradation
-    contract as the trigram index, minus the warning spam (it would fire
-    per batch): they are simply full-verify predicates.
+    only on candidate rows. Plan width grows with the registry: right
+    for tens of patterns.
 
-    kind: 'substring' (case-insensitive contains) or 'regex' (rlike).
+    'join' — the 10^4-registry shape: required trigrams become ONE
+    broadcast (query_id, tg) table equi-joined against the exploded doc
+    trigram sets; a (doc, query) pair whose matched-trigram count hits
+    the pattern's requirement count is a candidate, and candidates
+    verify with the COLUMN forms of the same predicates
+    (`contains(lower(text), lower(pattern))` / `regexp_like(text,
+    pattern)` — still the JVM regex engine, so 'join' and 'inline'
+    agree on every pattern). Patterns with no required trigram (too
+    short, alternations) verify every row in both shapes — the same
+    loud degradation contract as the trigram index; in 'join' they ride
+    a (docs × ungated) broadcast cross join, so keep them rare.
 
-    Scale boundary: each pattern compiles into the plan (a candidate
-    gate + verify expression), so this shape fits registries up to
-    ~10^3 patterns; beyond that, plan compilation itself dominates —
-    restructure as a broadcast (pattern_id, trigram) table joined
-    against exploded doc trigrams (the `percolate` shape) instead."""
+    kind: 'substring' (case-insensitive contains) or 'regex' (rlike)."""
     from ..operators.trigram import (pattern_trigrams,
                                      regex_required_trigrams, trigrams_col)
 
     if kind not in ("substring", "regex"):
         raise ValueError(f"kind must be 'substring' or 'regex', got {kind!r}")
-    doc_tg = trigrams_col(text_col)
-    hay = F.lower(F.col(text_col))
-    matches = []
+    if plan not in ("auto", "inline", "join"):
+        raise ValueError(f"plan must be 'auto', 'inline' or 'join', "
+                         f"got {plan!r}")
+    spark = docs.sparkSession
+    if not patterns:
+        return spark.createDataFrame([], "doc_id long, query_id string")
+    extract = (pattern_trigrams if kind == "substring"
+               else regex_required_trigrams)
+    if plan == "auto":
+        plan = "inline" if len(patterns) <= PATTERNS_INLINE_MAX else "join"
+
+    if plan == "inline":
+        doc_tg = trigrams_col(text_col)
+        hay = F.lower(F.col(text_col))
+        matches = []
+        for qid, pat in patterns.items():
+            req = extract(pat)
+            verify = (F.contains(hay, F.lit(pat.lower()))
+                      if kind == "substring"
+                      else F.col(text_col).rlike(pat))
+            if req:
+                req_arr = F.array(*[F.lit(t) for t in req])
+                cand = F.size(F.array_intersect(F.col("_tg"), req_arr)) \
+                    == len(req)
+                pred = cand & verify
+            else:
+                pred = verify
+            matches.append(F.when(pred, F.lit(qid)))
+        return (docs
+                .withColumn("_tg", doc_tg)
+                .select(F.col(id_col).alias("doc_id"),
+                        F.explode(F.array_compact(F.array(*matches)))
+                        .alias("query_id")))
+
+    req_rows, meta_rows, ungated = [], [], []
     for qid, pat in patterns.items():
-        req = (pattern_trigrams(pat) if kind == "substring"
-               else regex_required_trigrams(pat))
-        verify = (F.contains(hay, F.lit(pat.lower()))
-                  if kind == "substring"
-                  else F.col(text_col).rlike(pat))
+        req = extract(pat)
         if req:
-            req_arr = F.array(*[F.lit(t) for t in req])
-            cand = F.size(F.array_intersect(F.col("_tg"), req_arr)) \
-                == len(req)
-            pred = cand & verify
+            req_rows += [(qid, t) for t in req]
+            meta_rows.append((qid, len(req), pat))
         else:
-            pred = verify
-        matches.append(F.when(pred, F.lit(qid)))
-    return (docs
-            .withColumn("_tg", doc_tg)
-            .select(F.col(id_col).alias("doc_id"),
-                    F.explode(F.array_compact(F.array(*matches)))
-                    .alias("query_id")))
+            ungated.append((qid, pat))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("_txt"))
+
+    def _verify(frame):
+        pred = (F.contains(F.lower(F.col("_txt")),
+                           F.lower(F.col("pattern")))
+                if kind == "substring"
+                else F.regexp_like(F.col("_txt"), F.col("pattern")))
+        return frame.where(pred).select("doc_id", "query_id")
+
+    out = None
+    if meta_rows:
+        tgdf = spark.createDataFrame(req_rows, "query_id string, tg string")
+        meta = spark.createDataFrame(
+            meta_rows, "query_id string, n_req int, pattern string")
+        # doc trigram sets and per-pattern requirement lists are both
+        # DISTINCT, so a plain count of equi-join hits is the number of
+        # distinct requirements met
+        cand = (base.select("doc_id",
+                            F.explode(trigrams_col("_txt")).alias("tg"))
+                .join(F.broadcast(tgdf), on="tg")
+                .groupBy("doc_id", "query_id")
+                .agg(F.count("*").alias("_n"))
+                .join(F.broadcast(meta), on="query_id")
+                .where(F.col("_n") == F.col("n_req")))
+        out = _verify(cand.join(base, on="doc_id"))
+    if ungated:
+        udf = spark.createDataFrame(ungated, "query_id string, pattern string")
+        o2 = _verify(base.crossJoin(F.broadcast(udf)))
+        out = o2 if out is None else out.unionByName(o2)
+    return out
 
 
 def percolate_patterns_stream(stream_docs: DataFrame,

@@ -207,6 +207,56 @@ class TestPatternPercolation:
         # only the dashed doc matches it
         assert got == {(0, "r_ws"), (1, "r_any")}
 
+    def test_join_plan_identical_to_inline(self, spark):
+        """The 10^4-registry broadcast-join plan and the inline plan are
+        result-identical on both kinds — including patterns with NO
+        required trigram (p_xy / the alternation), which full-verify in
+        both shapes."""
+        from pg_ts_semantic_headline_spark.streaming import (
+            percolate_patterns)
+        docs = spark.createDataFrame(
+            [(0, "alpha merge join beta"), (1, "nothing relevant"),
+             (2, "MERGE JOIN uppercase"), (3, "xy"), (4, None),
+             (5, "merge-join dashed"), (6, "alpha beta gamma")],
+            "doc_id long, text string")
+        cases = [
+            ("substring", {"p_mj": "merge join", "p_xy": "xy",
+                           "p_none": "zzzzz", "p_al": "alpha"}),
+            ("regex", {"r_ws": r"merge\s+join", "r_any": r"merge.join",
+                       "r_alt": r"alpha|uppercase"}),
+        ]
+        for kind, pats in cases:
+            want = {(r["doc_id"], r["query_id"]) for r in
+                    percolate_patterns(docs, pats, kind=kind,
+                                       plan="inline").collect()}
+            got = {(r["doc_id"], r["query_id"]) for r in
+                   percolate_patterns(docs, pats, kind=kind,
+                                      plan="join").collect()}
+            assert got == want, kind
+            assert want  # the fixture actually matches something
+
+    def test_auto_switches_to_join_past_threshold(self, spark):
+        from pg_ts_semantic_headline_spark.streaming import (
+            percolate_patterns)
+        from pg_ts_semantic_headline_spark.streaming.percolate import (
+            PATTERNS_INLINE_MAX)
+        docs = spark.createDataFrame(
+            [(0, "alpha merge join beta"), (1, "nothing relevant")],
+            "doc_id long, text string")
+        pats = {"p_mj": "merge join"}
+        for i in range(PATTERNS_INLINE_MAX + 20):
+            pats[f"f{i}"] = f"nosuchsubstring{i}"
+        got = {(r["doc_id"], r["query_id"]) for r in
+               percolate_patterns(docs, pats).collect()}
+        assert got == {(0, "p_mj")}
+
+    def test_bad_plan_raises(self, spark):
+        from pg_ts_semantic_headline_spark.streaming import (
+            percolate_patterns)
+        docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="plan"):
+            percolate_patterns(docs, {"p": "x"}, plan="nope")
+
     def test_pattern_stream_matches_batch(self, spark, tmp_path):
         from pg_ts_semantic_headline_spark.streaming import (
             percolate_patterns, percolate_patterns_stream)
