@@ -279,6 +279,25 @@ def main():
                 sample.selectExpr("doc_id", "content as text"),
                 pats).count())
 
+        # alerting at registry scale: 256 standing tsqueries (Arrow
+        # boolean fold) + 256 substring patterns (broadcast-trigram join
+        # plan) over the same 1k docs — the 10^4-saved-searches shape
+        _w = ["spark", "window", "batch", "stream", "filter", "merge",
+              "sort", "scan", "query", "vector", "index", "table",
+              "join", "shuffle", "stage", "task"]
+        big_standing = {
+            f"bq{i}": to_tspquery(
+                "simple", f"{_w[i % 16]} & {_w[(i // 16) % 16]}"
+                if _w[i % 16] != _w[(i // 16) % 16] else _w[i % 16])
+            for i in range(256)}
+        big_pats = {f"bp{i}": f"{_w[i % 16]} {_w[(i // 16) % 16]}"
+                    for i in range(256)}
+        sample_txt = sample.selectExpr("doc_id", "content as text")
+        timings["percolate_registry_256q_1k_docs"] = min_of(
+            lambda: percolate(sample, big_standing, config="simple").count())
+        timings["percolate_patterns_256p_1k_docs"] = min_of(
+            lambda: percolate_patterns(sample_txt, big_pats).count())
+
         # trigram index: one-time build, then substring + LIKE + regex +
         # similarity through the bucket-pruned postings (min-of-2 — these
         # are short latency-style queries)
