@@ -569,8 +569,86 @@ def _apply_tombstones(df: DataFrame, tombs: DataFrame) -> DataFrame:
             .drop("_before_gen"))
 
 
+def _alias_versions(spark: SparkSession, alias_dir: str) -> list[int]:
+    """COMPLETE alias versions under `alias_dir`, ascending: `v=N`
+    subdirectories whose Spark commit finished (_SUCCESS present) — a
+    publish that died mid-write is invisible to readers."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(alias_dir)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            try:
+                n = int(name[2:])
+            except ValueError:
+                continue
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(
+                    f"{alias_dir}/{name}/_SUCCESS")):
+                out.append(n)
+    return sorted(out)
+
+
+def publish_index(spark: SparkSession, index_dir: str,
+                  alias_dir: str, keep: int = 2) -> int:
+    """Point `alias_dir` at `index_dir` — the zero-downtime (blue-green)
+    reindex flip: build or compact into a NEW directory, then publish it
+    under the alias every reader loads. Returns the new alias version.
+
+    The flip is crash-safe without renames: each publish writes a fresh
+    `v=N+1` pointer directory, and readers take the highest version whose
+    commit completed (_SUCCESS) — a reader racing a publish sees either
+    the old target or the new one, never a half state. The previous
+    `keep-1` versions are retained so an in-flight reader that already
+    resolved an older pointer can finish against its target; prune the
+    superseded index DIRECTORIES themselves on whatever delay covers the
+    longest-running query. Validates the target before publishing (a
+    typo'd path must not brick every reader at resolve time)."""
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    if not _path_exists(spark, IndexPaths(index_dir).stats):
+        raise ValueError(f"{index_dir} is not a built index (no stats/)")
+    versions = _alias_versions(spark, alias_dir)
+    n = (versions[-1] + 1) if versions else 1
+    (spark.createDataFrame([(index_dir,)], "target string")
+     .coalesce(1).write.mode("overwrite").parquet(f"{alias_dir}/v={n}"))
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(alias_dir).getFileSystem(
+        spark._jsc.hadoopConfiguration())
+    for old in versions[:max(0, len(versions) - (keep - 1))]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{alias_dir}/v={old}"),
+                  True)
+    return n
+
+
+def resolve_index_alias(spark: SparkSession, alias_dir: str) -> str:
+    """Target path of the newest complete alias version; raises if
+    `alias_dir` holds no complete version."""
+    versions = _alias_versions(spark, alias_dir)
+    if not versions:
+        raise ValueError(f"{alias_dir} has no published alias version")
+    return str(spark.read.parquet(f"{alias_dir}/v={versions[-1]}")
+               .first()["target"])
+
+
 def load_index(spark: SparkSession, out_dir: str) -> Index:
     paths = IndexPaths(out_dir)
+    if not _path_exists(spark, paths.stats):
+        # alias indirection: a directory holding v=N pointer versions
+        # instead of index tables redirects to its newest target (ONE
+        # level — an alias must name a real index, not another alias)
+        versions = _alias_versions(spark, out_dir)
+        if versions:
+            target = resolve_index_alias(spark, out_dir)
+            t = IndexPaths(target)
+            if not _path_exists(spark, t.stats):
+                raise ValueError(
+                    f"alias {out_dir} points at {target}, which is not a "
+                    f"built index (chained aliases are not followed)")
+            paths = t
     stats = spark.read.parquet(paths.stats).first()
     if stats["prep_version"] != PREP_VERSION:
         raise ValueError(

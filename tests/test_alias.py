@@ -1,0 +1,80 @@
+"""Index aliasing: the zero-downtime (blue-green) reindex flip."""
+
+import pytest
+
+from pg_ts_semantic_headline_spark.plans.index_build import (
+    _alias_versions, build_index, load_index, publish_index,
+    resolve_index_alias)
+from pg_ts_semantic_headline_spark.plans.search import bm25_topk
+
+CONFIG = "simple"
+
+
+@pytest.fixture(scope="module")
+def two_indexes(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("alias")
+    blue, green = str(root / "blue"), str(root / "green")
+    build_index(spark, spark.createDataFrame(
+        [(1, "blue corpus alpha"), (2, "blue corpus beta")],
+        ["doc_id", "content"]), blue, config=CONFIG, n_buckets=4,
+        block_span=8, build_packed=False)
+    build_index(spark, spark.createDataFrame(
+        [(10, "green corpus alpha"), (11, "green corpus gamma")],
+        ["doc_id", "content"]), green, config=CONFIG, n_buckets=4,
+        block_span=8, build_packed=False)
+    return str(root), blue, green
+
+
+def _hit_ids(index, term):
+    return {r["doc_id"] for r in bm25_topk(index, [term], k=10).collect()}
+
+
+class TestIndexAlias:
+    def test_publish_resolve_load(self, spark, two_indexes):
+        root, blue, green = two_indexes
+        alias = f"{root}/serving"
+        assert publish_index(spark, blue, alias) == 1
+        assert resolve_index_alias(spark, alias) == blue
+        assert _hit_ids(load_index(spark, alias), "blue") == {1, 2}
+
+        # the flip: readers loading the alias now get green
+        assert publish_index(spark, green, alias) == 2
+        idx = load_index(spark, alias)
+        assert _hit_ids(idx, "green") == {10, 11}
+        assert _hit_ids(idx, "blue") == set()
+        # previous version retained for in-flight readers (keep=2)
+        assert _alias_versions(spark, alias) == [1, 2]
+
+        # a third publish prunes v=1
+        assert publish_index(spark, blue, alias) == 3
+        assert _alias_versions(spark, alias) == [2, 3]
+
+    def test_incomplete_version_is_invisible(self, spark, two_indexes,
+                                             tmp_path):
+        import os
+        root, blue, green = two_indexes
+        alias = str(tmp_path / "serving2")
+        publish_index(spark, blue, alias)
+        publish_index(spark, green, alias)
+        # simulate a publish that died mid-commit: _SUCCESS missing
+        os.remove(os.path.join(alias, "v=2", "_SUCCESS"))
+        assert resolve_index_alias(spark, alias) == blue
+        assert _hit_ids(load_index(spark, alias), "blue") == {1, 2}
+
+    def test_publish_validates_target(self, spark, two_indexes, tmp_path):
+        root, _, _ = two_indexes
+        with pytest.raises(ValueError, match="not a built index"):
+            publish_index(spark, str(tmp_path / "nowhere"),
+                          f"{root}/bad_alias")
+
+    def test_resolve_empty_alias_raises(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="no published alias"):
+            resolve_index_alias(spark, str(tmp_path / "empty_alias"))
+
+    def test_chained_alias_rejected(self, spark, two_indexes):
+        root, blue, _ = two_indexes
+        a1, a2 = f"{root}/chain1", f"{root}/chain2"
+        publish_index(spark, blue, a1)
+        # an alias pointing at another alias fails publish's own gate...
+        with pytest.raises(ValueError, match="not a built index"):
+            publish_index(spark, a1, a2)
