@@ -606,11 +606,18 @@ def publish_index(spark: SparkSession, index_dir: str,
     resolved an older pointer can finish against its target; prune the
     superseded index DIRECTORIES themselves on whatever delay covers the
     longest-running query. Validates the target before publishing (a
-    typo'd path must not brick every reader at resolve time)."""
+    typo'd path must not brick every reader at resolve time).
+
+    Works for EVERY persisted index family: the main/fielded indexes
+    carry `stats/`, the trigram and vector (LSH/IVF/IVF-PQ) indexes
+    carry `meta/`. load_index follows an alias transparently; the other
+    families' loaders take `resolve_index_alias(spark, alias_dir)`."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
-    if not _path_exists(spark, IndexPaths(index_dir).stats):
-        raise ValueError(f"{index_dir} is not a built index (no stats/)")
+    if not (_path_exists(spark, IndexPaths(index_dir).stats)
+            or _path_exists(spark, f"{index_dir}/meta")):
+        raise ValueError(
+            f"{index_dir} is not a built index (no stats/ or meta/)")
     versions = _alias_versions(spark, alias_dir)
     n = (versions[-1] + 1) if versions else 1
     (spark.createDataFrame([(index_dir,)], "target string")

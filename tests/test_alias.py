@@ -78,3 +78,21 @@ class TestIndexAlias:
         # an alias pointing at another alias fails publish's own gate...
         with pytest.raises(ValueError, match="not a built index"):
             publish_index(spark, a1, a2)
+
+    def test_other_index_families_publish(self, spark, two_indexes):
+        """Trigram/vector indexes (meta/ marker, no stats/) publish too;
+        their loaders take resolve_index_alias."""
+        from pg_ts_semantic_headline_spark.operators.trigram import (
+            build_trigram_index, load_trigram_index, substring_search)
+        root, _, _ = two_indexes
+        docs = spark.createDataFrame(
+            [(1, "needle in a haystack"), (2, "nothing here")],
+            ["doc_id", "text"])
+        tdir, alias = f"{root}/trgm", f"{root}/trgm_alias"
+        build_trigram_index(docs, tdir)
+        publish_index(spark, tdir, alias)
+        idx = load_trigram_index(spark,
+                                 resolve_index_alias(spark, alias))
+        got = {r["doc_id"] for r in
+               substring_search(idx, docs, "needle").collect()}
+        assert got == {1}
