@@ -268,16 +268,19 @@ def percolate_stream(
     content_col: str = "content",
     config: str | None = None,
     checkpoint_dir: str | None = None,
+    eval_mode: str = "auto",
 ):
     """Run the percolator over a streaming DataFrame via foreachBatch.
 
     `on_batch(matches_df, batch_id)` receives each micro-batch's
     (doc_id, query_id) matches — route them to a sink/alert bus there.
     Returns the StreamingQuery handle (caller owns trigger/await).
+    `eval_mode` forwards to `percolate` (the boolean-fold plan choice).
     """
     def _handle(batch_df, batch_id):
         on_batch(percolate(batch_df, queries, doc_id=doc_id,
-                           content_col=content_col, config=config),
+                           content_col=content_col, config=config,
+                           eval_mode=eval_mode),
                  batch_id)
 
     writer = stream_docs.writeStream.foreachBatch(_handle)
@@ -416,13 +419,14 @@ def percolate_patterns_stream(stream_docs: DataFrame,
                               id_col: str = "doc_id",
                               text_col: str = "text",
                               checkpoint_dir: str | None = None,
-                              trigger_available_now: bool = True):
+                              trigger_available_now: bool = True,
+                              plan: str = "auto"):
     """Streaming form: per micro-batch, `sink_fn(matches_df, batch_id)`
     receives the (doc_id, query_id) matches — same foreachBatch shape as
-    `percolate_stream`."""
+    `percolate_stream`. `plan` forwards to `percolate_patterns`."""
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         sink_fn(percolate_patterns(batch_df, patterns, kind,
-                                   id_col, text_col), batch_id)
+                                   id_col, text_col, plan=plan), batch_id)
 
     from .wiring import start_foreach_batch
     return start_foreach_batch(stream_docs, handle, checkpoint_dir,
