@@ -1589,6 +1589,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("term", "fg_df", "bg_df", "fg_n", "bg_n",
                         "lift_e6", "rank"))
 
+    def q96(spark, sf):
+        # PG ts_rank (tsrank.c OR form): per found term the harmonic
+        # series 0.1*H2(tf)/1.973, e6-quantized per term then integer-
+        # summed per doc — addition-order-free on both engines
+        from pg_ts_semantic_headline_spark.plans.ranking import ts_rank
+        index = _built_index(spark, sf)
+        return (ts_rank(index, ["spark", "window"], variant="or")
+                .select("doc_id", "rank_e6"))
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -1676,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_search": q84,
         "synonym_search": q85,
         "ts_rank_cd": q86,
+        "ts_rank": q96,
         "thesaurus_search": q87,
         "multilang_search": q88,
         "search_batch": q89,
@@ -2600,6 +2610,24 @@ SELECT doc_id,
        CAST(SUM(CAST(ROUND(1000000.0 / (p - l + 1)) AS BIGINT)) AS BIGINT)
          AS rank_e6
 FROM covers GROUP BY doc_id
+""",
+        "ts_rank": f"""
+WITH {TOKS_CTE.strip()},
+tf AS (
+  SELECT doc_id, token AS term, count(*) AS tf
+  FROM toks WHERE token IN ('spark', 'window')
+  GROUP BY doc_id, token
+),
+contrib AS (
+  SELECT doc_id,
+         CAST(ROUND(1000000.0 * 0.1 *
+              list_sum(list_transform(range(1, CAST(tf AS INTEGER) + 1),
+                                      j -> 1.0 / (j * j))) / 1.973)
+              AS BIGINT) AS c
+  FROM tf
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rank_e6
+FROM contrib GROUP BY doc_id
 """,
         "synonym_search": f"""
 WITH raw AS (

@@ -47,7 +47,7 @@ from .search import (_idf_lookup, _positions_hay, _pruned_postings,
 
 __all__ = ["min_span_docs", "proximity_rerank", "rm3_expand",
            "prf_search", "ltr_features", "rank_metrics", "slop_match_docs",
-           "ts_rank_cd"]
+           "ts_rank_cd", "ts_rank"]
 
 
 def _terms_of(query) -> list[str]:
@@ -205,6 +205,190 @@ def ts_rank_cd(
                if normalization == 1 else F.col("dl").cast("double"))
     return (ranked.join(dls, on="doc_id")
             .select("doc_id", "rank_e6", (raw / divisor).alias("rank")))
+
+
+def _query_items(query) -> list[str]:
+    """Query lexemes AS A MULTISET in tree order — PG's ts_rank iterates
+    every QI_VAL item of the query (duplicates count, and lexemes under
+    NOT still contribute), so this walks the whole boolean tree."""
+    if isinstance(query, CompiledQuery):
+        items: list[str] = []
+
+        def walk(n):
+            if n is None:
+                return
+            if n.op == "phrase":
+                items.extend(lex for lex, _ in n.phrase.items)
+            else:
+                for c in n.children:
+                    walk(c)
+
+        walk(query.root)
+        return items
+    return list(query)
+
+
+def _tsrank_variant(query, variant: str) -> str:
+    """PG's calc_rank dispatch: the AND form runs only when the query's
+    TOP operator is AND or a multi-lexeme phrase; everything else
+    (single word, OR, NOT at the top) takes the OR form. A plain term
+    list has no operator — 'auto' reads it as OR."""
+    if variant != "auto":
+        return variant
+    if isinstance(query, CompiledQuery) and query.root is not None:
+        r = query.root
+        if r.op == "and":
+            return "and"
+        if r.op == "phrase" and r.phrase is not None and r.phrase.length > 1:
+            return "and"
+    return "or"
+
+
+def ts_rank(
+    index: Index,
+    query: CompiledQuery | list[str],
+    weights: tuple[float, float, float, float] | None = None,
+    normalization: int = 0,
+    variant: str = "auto",
+    candidate_ids: list | None = None,
+    candidate_docs: DataFrame | None = None,
+) -> DataFrame:
+    """PG's standard frequency/proximity rank — the published tsrank.c
+    algorithm (PostgreSQL src/backend/utils/adt/tsrank.c, public source),
+    reimplemented as pruned-scan column algebra. The reference extension
+    ships no scoring function at all (SURVEY §2.1); `ts_rank` completes
+    the PG ranking pair next to `ts_rank_cd`.
+
+    Two variants, dispatched like PG's calc_rank (`variant="auto"`):
+
+    - **or** (top-level term/OR/NOT): each query item found in a doc
+      contributes w·H2(tf)/1.973 where H2(tf) = Σ_{j=1..tf} 1/j² — the
+      harmonic position-decay series (early occurrences matter most,
+      repeats saturate quadratically); the doc rank is the item sum
+      divided by the item count.
+    - **and** (top-level AND or multi-lexeme phrase): every pair of
+      query items contributes, per position pair at distance d > 0,
+      curw = √(w·w·word_distance(d)) with PG's logistic distance decay
+      word_distance(d) = 1/(1.005 + 0.05·e^(d/1.5 − 2)) (1e-30 past
+      d=100), folded with the noisy-OR rule rank = 1 − Π(1 − curw).
+
+    `weights` is PG's {D, C, B, A} array (defaults {0.1, 0.2, 0.4,
+    1.0}); this index stores no per-position weight labels, so every
+    position ranks at the D weight `weights[0]` — the other three are
+    accepted for signature parity and ignored. Documented deviations
+    from PG: positions are NOT truncated at 256/lexeme (PG truncates at
+    tsvector build time; this index keeps all positions), and docs with
+    no contribution emit no row instead of 0 / 1e-20.
+
+    Returns (doc_id, rank_e6, rank). `rank_e6` is an exact integer sum
+    of e6-quantized per-item (or per-position-pair log) summands —
+    addition-order-free, so bit-identical across runs, partitionings,
+    and engines (the rank_metrics trick; for the and variant it is
+    Σ round(1e6·ln(1 − curw)), a negative long, with
+    rank = 1 − exp(rank_e6/1e6)). `rank` is the float rank after PG's
+    `normalization` bitmask (supported: 0 none, 1 ÷(1+ln dl), 2 ÷dl,
+    32 r/(r+1)).
+
+    Scale shape: the or variant is ONE bucket-pruned postings scan
+    (tf column only — positions never decoded) + one hash aggregate;
+    the and variant decodes positions only for candidate docs/blocks
+    (`_positions_hay`), and its per-doc cost is O(Σ_pairs tf_i·tf_k) —
+    pass the retrieval top-k as candidates (the proximity_rerank
+    shape) rather than ranking a corpus.
+    """
+    if normalization not in (0, 1, 2, 32):
+        raise ValueError("normalization must be one of 0, 1, 2, 32")
+    if variant not in ("auto", "or", "and"):
+        raise ValueError(f"variant must be 'auto', 'or' or 'and', "
+                         f"got {variant!r}")
+    w = list(weights) if weights is not None else [0.1, 0.2, 0.4, 1.0]
+    if len(w) != 4 or any(not 0.0 <= float(x) <= 1.0 for x in w):
+        raise ValueError("weights must be 4 floats in [0, 1] ({D,C,B,A})")
+    w0 = float(w[0])
+
+    items = _query_items(query)
+    spark = index.postings.sparkSession
+    out_schema = "doc_id long, rank_e6 long, rank double"
+    if not items:
+        return spark.createDataFrame([], out_schema)
+    # PG: fewer than two items can never form a pair — calc_rank_and
+    # falls through to calc_rank_or
+    v = _tsrank_variant(query, variant)
+    if len(items) < 2:
+        v = "or"
+    terms = sorted(set(items))
+
+    if v == "or":
+        rows = _pruned_postings(index, terms).select("doc_id", "term", "tf")
+        rows = _narrow_candidates(rows, candidate_ids, candidate_docs)
+        # H2(tf) folds ascending (F.sequence order) — the DuckDB oracle's
+        # list_sum folds the same ascending range, so the doubles agree
+        # bit-for-bit before quantization
+        h2 = F.aggregate(
+            F.sequence(F.lit(1), F.col("tf").cast("int")), F.lit(0.0),
+            lambda acc, j: acc + F.lit(1.0) / (j * j).cast("double"))
+        summand = F.round(F.lit(1e6) * F.lit(w0) * h2
+                          / F.lit(1.973)).cast("long")
+        from collections import Counter
+        mult = Counter(items)
+        mdf = F.broadcast(spark.createDataFrame(
+            sorted(mult.items()), "term string, _m long"))
+        ranked = (rows.join(mdf, on="term")
+                  .groupBy("doc_id")
+                  .agg(F.sum(summand * F.col("_m")).alias("rank_e6")))
+        raw = F.col("rank_e6") / F.lit(1e6) / F.lit(float(len(items)))
+    else:
+        hay = _positions_hay(index, terms, candidate_docs=candidate_docs,
+                             candidate_ids=candidate_ids)
+        hay = _narrow_candidates(hay, candidate_ids, candidate_docs)
+        # every (i, k < i) ordered item pair, driver-side (PG compares
+        # item i's positions against every earlier item's) — duplicates
+        # in the query produce duplicate pair rows, exactly like PG
+        pair_rows = [(pid, items[i], items[k])
+                     for pid, (i, k) in enumerate(
+                         (i, k) for i in range(len(items))
+                         for k in range(i))]
+        pairs = F.broadcast(spark.createDataFrame(
+            pair_rows, "pid int, ta string, tb string"))
+        a = hay.select("doc_id", F.col("term").alias("ta"),
+                       F.col("pos").alias("pa"))
+        b = hay.select("doc_id", F.col("term").alias("tb"),
+                       F.col("pos").alias("pb"))
+        joined = (pairs.join(a, on="ta").join(b, on=["tb", "doc_id"]))
+        dist = F.abs(F.col("pa") - F.col("pb"))
+        wd = F.when(dist > 100, F.lit(1e-30)).otherwise(
+            F.lit(1.0) / (F.lit(1.005)
+                          + F.lit(0.05)
+                          * F.exp(dist.cast("double") / F.lit(1.5)
+                                  - F.lit(2.0))))
+        curw = F.lit(w0) * F.sqrt(wd)
+        summand = F.round(F.lit(1e6)
+                          * F.log(F.lit(1.0) - curw)).cast("long")
+        ranked = (joined.where(dist > 0)
+                  .groupBy("doc_id")
+                  .agg(F.sum(summand).alias("rank_e6")))
+        raw = F.lit(1.0) - F.exp(F.col("rank_e6") / F.lit(1e6))
+
+    if normalization == 0:
+        return ranked.select("doc_id", "rank_e6", raw.alias("rank"))
+    if normalization == 32:
+        return ranked.select("doc_id", "rank_e6",
+                             (raw / (raw + 1)).alias("rank"))
+    dls = index.tokens.select("doc_id", "dl")
+    divisor = (F.lit(1.0) + F.log(F.col("dl"))
+               if normalization == 1 else F.col("dl").cast("double"))
+    return (ranked.join(dls, on="doc_id")
+            .select("doc_id", "rank_e6", (raw / divisor).alias("rank")))
+
+
+def _narrow_candidates(df: DataFrame, candidate_ids, candidate_docs):
+    if candidate_ids is not None:
+        return df.where(F.col("doc_id").isin([int(d)
+                                              for d in candidate_ids]))
+    if candidate_docs is not None:
+        return df.join(F.broadcast(candidate_docs.select("doc_id")),
+                       on="doc_id", how="left_semi")
+    return df
 
 
 def proximity_rerank(

@@ -423,3 +423,127 @@ def test_slop_match_docs(lean_index, corpus):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         slop_match_docs(lean_index, terms, slop=-1)
+
+
+def brute_ts_rank(words, items, variant, w0=0.1):
+    """Pure-Python replay of PG tsrank.c calc_rank_or/calc_rank_and
+    (uniform D-weight positions). Returns the pre-normalization float
+    rank, or None where the engine emits no row."""
+    pos = {}
+    for i, t in enumerate(words):
+        pos.setdefault(t, []).append(i + 1)
+    if variant == "or" or len(items) < 2:
+        total, found = 0.0, False
+        for it in items:
+            ps = pos.get(it)
+            if not ps:
+                continue
+            found = True
+            h2 = sum(1.0 / (j * j) for j in range(1, len(ps) + 1))
+            total += w0 * h2 / 1.973
+        return total / len(items) if found else None
+    res = None
+    for i in range(len(items)):
+        for k in range(i):
+            pa, pb = pos.get(items[i]), pos.get(items[k])
+            if not pa or not pb:
+                continue
+            for x in pa:
+                for y in pb:
+                    d = abs(x - y)
+                    if d == 0:
+                        continue
+                    wd = (1e-30 if d > 100
+                          else 1.0 / (1.005 + 0.05 * math.exp(d / 1.5 - 2.0)))
+                    curw = w0 * math.sqrt(wd)
+                    res = (curw if res is None
+                           else 1.0 - (1.0 - res) * (1.0 - curw))
+    return res
+
+
+@pytest.mark.parametrize("variant,items", [
+    ("or", ["spark", "window"]),
+    ("or", ["needle", "target", "needle"]),   # duplicate item counts twice
+    ("and", ["needle", "target"]),
+    ("and", ["spark", "query", "window"]),
+])
+def test_ts_rank_matches_tsrank_replay(lean_index, row_index, corpus,
+                                       variant, items):
+    from pg_ts_semantic_headline_spark.plans.ranking import ts_rank
+
+    expected = {}
+    for doc_id, text in corpus:
+        r = brute_ts_rank(text.split(" "), items, variant)
+        if r is not None:
+            expected[doc_id] = r
+    assert expected, "oracle found no ranked docs — corpus shape changed?"
+    for idx in (lean_index, row_index):
+        got = {r["doc_id"]: r["rank"]
+               for r in ts_rank(idx, items, variant=variant).collect()}
+        assert set(got) == set(expected)
+        for d, want in expected.items():
+            assert got[d] == pytest.approx(want, rel=2e-3, abs=1e-6), \
+                (d, variant)
+
+
+def test_ts_rank_variant_dispatch(lean_index):
+    from pg_ts_semantic_headline_spark.plans.query_compiler import to_tspquery
+    from pg_ts_semantic_headline_spark.plans.ranking import ts_rank
+
+    q_and = to_tspquery("simple", "needle & target")
+    q_or = to_tspquery("simple", "needle | target")
+    # AND root takes the pairwise-proximity form, OR root the harmonic
+    # form — on this corpus the two give different values
+    r_and = {r["doc_id"]: r["rank"]
+             for r in ts_rank(lean_index, q_and).collect()}
+    r_or = {r["doc_id"]: r["rank"] for r in ts_rank(lean_index, q_or).collect()}
+    forced = {r["doc_id"]: r["rank"]
+              for r in ts_rank(lean_index, q_and, variant="or").collect()}
+    assert r_and and r_or
+    assert forced == r_or  # forcing 'or' on an AND query = OR math
+    assert r_and != r_or
+    # the AND form only ranks docs holding >= 2 query items; OR ranks any
+    assert set(r_and) <= set(r_or)
+
+
+def test_ts_rank_rank_e6_deterministic_and_normalization(lean_index, corpus):
+    from pg_ts_semantic_headline_spark.plans.ranking import ts_rank
+
+    a = {r["doc_id"]: r["rank_e6"]
+         for r in ts_rank(lean_index, ["needle", "target"],
+                          variant="and").collect()}
+    b = {r["doc_id"]: r["rank_e6"]
+         for r in ts_rank(lean_index, ["needle", "target"],
+                          variant="and").collect()}
+    assert a == b and a
+    dls = {doc_id: len(text.split(" ")) for doc_id, text in corpus}
+    raw = {r["doc_id"]: r["rank"]
+           for r in ts_rank(lean_index, ["spark"]).collect()}
+    n2 = {r["doc_id"]: r["rank"]
+          for r in ts_rank(lean_index, ["spark"], normalization=2).collect()}
+    n32 = {r["doc_id"]: r["rank"]
+           for r in ts_rank(lean_index, ["spark"], normalization=32).collect()}
+    for d, v in raw.items():
+        assert n2[d] == pytest.approx(v / dls[d], rel=1e-9)
+        assert n32[d] == pytest.approx(v / (v + 1), rel=1e-9)
+    with pytest.raises(ValueError):
+        ts_rank(lean_index, ["spark"], normalization=4)
+    with pytest.raises(ValueError):
+        ts_rank(lean_index, ["spark"], weights=(2.0, 0.2, 0.4, 1.0))
+    with pytest.raises(ValueError):
+        ts_rank(lean_index, ["spark"], variant="nope")
+
+
+def test_ts_rank_candidate_narrowing(lean_index):
+    from pg_ts_semantic_headline_spark.plans.ranking import ts_rank
+
+    for variant in ("or", "and"):
+        full = {r["doc_id"]: r["rank_e6"]
+                for r in ts_rank(lean_index, ["needle", "target"],
+                                 variant=variant).collect()}
+        some = sorted(full)[:3]
+        got = {r["doc_id"]: r["rank_e6"]
+               for r in ts_rank(lean_index, ["needle", "target"],
+                                variant=variant,
+                                candidate_ids=some).collect()}
+        assert got == {d: full[d] for d in some}, variant
