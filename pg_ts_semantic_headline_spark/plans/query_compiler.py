@@ -555,6 +555,95 @@ def ts_rewrite(query: CompiledQuery,
     return CompiledQuery(query.config, query.raw, root, phrases)
 
 
+def render_tspquery(node: Node | None) -> str:
+    """Text form of a compiled boolean tree — tsquery-syntax output like
+    PG casting a tsquery back to text ('' for the empty query)."""
+    def rend(n: Node, nested: bool) -> str:
+        if n.op == "phrase":
+            s = n.phrase.render()
+            return f"({s})" if nested and n.phrase.length > 1 else s
+        if n.op == "not":
+            return "!" + rend(n.children[0], True)
+        sep = " & " if n.op == "and" else " | "
+        s = sep.join(rend(c, True) for c in n.children)
+        return f"({s})" if nested else s
+
+    return "" if node is None else rend(node, False)
+
+
+def numnode(query: CompiledQuery) -> int:
+    """PG `numnode(tsquery)`: lexeme + operator node count — 0 for the
+    empty query, 5 for '(fat & rat) | cat'. Phrases count each link as
+    one operator ('a <2> b' = 3 nodes) and n-ary groups count their
+    n − 1 binary operators, matching PG's binary storage."""
+    def cnt(n: Node | None) -> int:
+        if n is None:
+            return 0
+        if n.op == "phrase":
+            return 2 * n.phrase.length - 1
+        if n.op == "not":
+            return 1 + cnt(n.children[0])
+        return sum(cnt(c) for c in n.children) + (len(n.children) - 1)
+
+    return cnt(query.root)
+
+
+def querytree(query: CompiledQuery) -> str:
+    """PG `querytree(tsquery)`: the index-usable positive part of the
+    query as text. NOT branches drop; an AND keeps its remaining
+    children, but an OR with a dropped arm drops entirely (a `!x` arm
+    matches almost every document, so the OR cannot narrow an index
+    scan — PG's clean_NOT rule). 'T' when nothing usable remains."""
+    def pos(n: Node | None) -> Node | None:
+        if n is None or n.op == "not":
+            return None
+        if n.op == "phrase":
+            return n
+        kids = [pos(c) for c in n.children]
+        if n.op == "or":
+            if any(k is None for k in kids):
+                return None
+        else:
+            kids = [k for k in kids if k is not None]
+            if not kids:
+                return None
+        return kids[0] if len(kids) == 1 else Node(n.op, tuple(kids))
+
+    p = pos(query.root)
+    return "T" if p is None else render_tspquery(p)
+
+
+def tsquery_phrase(q1: CompiledQuery, q2: CompiledQuery,
+                   distance: int = 1) -> CompiledQuery:
+    """PG `tsquery_phrase(q1, q2[, distance])`: the phrase query
+    'q1 <distance> q2' — q2's match must END `distance` positions after
+    q1's match end, so tsquery_phrase(to_tspquery('fat'),
+    to_tspquery('cat'), 10) renders 'fat <10> cat' and composing onto a
+    multi-lexeme left operand accumulates from its last position.
+
+    Both operands must be plain phrase queries (what to_tspquery /
+    phraseto_tspquery produce for words and phrases); PG's general
+    boolean-operand distribution is out of scope and raises."""
+    if int(distance) < 0:
+        raise ValueError("distance must be >= 0")
+    if q1.config != q2.config:
+        raise TSQueryParseError(
+            f"operand configs differ: {q1.config!r} vs {q2.config!r}")
+    for q in (q1, q2):
+        if q.root is None or q.root.op != "phrase":
+            raise TSQueryParseError(
+                "tsquery_phrase operands must be plain phrase queries "
+                f"(got {render_tspquery(q.root)!r})")
+    left, right = q1.root.phrase, q2.root.phrase
+    left_max = max(p for _, p in left.items)
+    shift = left_max + int(distance) - 1
+    items = left.items + tuple((lx, p + shift) for lx, p in right.items)
+    phrase = Phrase(items)
+    raw = f"({q1.raw}) <{int(distance)}> ({q2.raw})"
+    return CompiledQuery(q1.config, raw, Node("phrase", phrase=phrase),
+                         (phrase,))
+
+
 def empty_tspquery(config: str | None = None) -> CompiledQuery:
     """The empty query (PG `''::tsquery`): matches nothing; as a
     ts_rewrite substitute it deletes the matched subexpression.

@@ -1,3 +1,5 @@
+import pytest
+
 from pg_ts_semantic_headline_spark.plans.query_compiler import (
     ts_rewrite,
     ts_rewrite_rules_df,
@@ -281,3 +283,81 @@ class TestTsRewrite:
             "target string, substitute string")
         with pytest.raises(ValueError, match="max_rules"):
             ts_rewrite_rules_df(self._q("a"), rules, max_rules=3)
+
+
+class TestTsqueryUtilities:
+    """PG tsquery utility parity: numnode / querytree / tsquery_phrase
+    (PG docs §9.13 examples pinned)."""
+
+    def test_numnode_pg_examples(self):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            empty_tspquery, numnode, to_tspquery)
+        q = lambda s: to_tspquery("simple", s)
+        assert numnode(q("(fat & rat) | cat")) == 5
+        assert numnode(q("fat & rat")) == 3
+        assert numnode(q("foo & !bar")) == 4
+        assert numnode(q("cat")) == 1
+        assert numnode(q("a <-> b")) == 3
+        assert numnode(q("a <2> b <-> c")) == 5
+        assert numnode(empty_tspquery("simple")) == 0
+
+    def test_querytree_pg_examples(self):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            querytree, to_tspquery)
+        q = lambda s: to_tspquery("simple", s)
+        assert querytree(q("foo & !bar")) == "'foo'"
+        assert querytree(q("!defined")) == "T"
+        assert querytree(q("a & b")) == "'a' & 'b'"
+        # OR with a negated arm cannot narrow an index scan -> T
+        assert querytree(q("a | !b")) == "T"
+        assert querytree(q("(a | !b) & c")) == "'c'"
+        assert querytree(q("a <-> b")) == "'a' <-> 'b'"
+
+    def test_render_roundtrip_through_compiler(self):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            render_tspquery, to_tspquery)
+        for s in ("a & (b | !c)", "x <2> y", "!(a | b) & c"):
+            q1 = to_tspquery("simple", s)
+            rendered = render_tspquery(q1.root)
+            q2 = to_tspquery("simple", rendered)
+            assert render_tspquery(q2.root) == rendered, s
+
+    def test_tsquery_phrase(self):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            TSQueryParseError, phraseto_tspquery, render_tspquery,
+            to_tspquery, tsquery_phrase)
+        fat = to_tspquery("simple", "fat")
+        cat = to_tspquery("simple", "cat")
+        assert render_tspquery(tsquery_phrase(fat, cat).root) \
+            == "'fat' <-> 'cat'"
+        assert render_tspquery(tsquery_phrase(fat, cat, 10).root) \
+            == "'fat' <10> 'cat'"
+        # multi-lexeme left operand: distance accumulates from its end
+        ab = phraseto_tspquery("simple", "alpha beta")
+        out = tsquery_phrase(ab, cat, 2)
+        assert render_tspquery(out.root) \
+            == "'alpha' <-> 'beta' <2> 'cat'"
+        with pytest.raises(TSQueryParseError):
+            tsquery_phrase(to_tspquery("simple", "a & b"), cat)
+        with pytest.raises(TSQueryParseError):
+            tsquery_phrase(fat, to_tspquery("english", "cat"))
+        with pytest.raises(ValueError):
+            tsquery_phrase(fat, cat, -1)
+
+    def test_tsquery_phrase_is_searchable(self, spark):
+        # the composed phrase drives the ordinary phrase-match plan
+        from pg_ts_semantic_headline_spark.plans.analyze import with_analysis
+        from pg_ts_semantic_headline_spark.plans.matches import (
+            tsp_query_matches)
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            to_tspquery, tsquery_phrase)
+        docs = with_analysis(spark.createDataFrame(
+            [(1, "the fat black cat sat"), (2, "fat dogs and a cat"),
+             (3, "cat fat")], ["doc_id", "content"]), "content", "simple")
+        # 'fat <2> cat': cat exactly two positions after fat
+        q = tsquery_phrase(to_tspquery("simple", "fat"),
+                           to_tspquery("simple", "cat"), 2)
+        got = {r["doc_id"]
+               for r in tsp_query_matches(docs, q, match_limit=10)
+               .select("doc_id").distinct().collect()}
+        assert got == {1}
