@@ -1598,6 +1598,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (ts_rank(index, ["spark", "window"], variant="or")
                 .select("doc_id", "rank_e6"))
 
+    def q97(spark, sf):
+        # PG §9.13 tsvector utilities over the dense tspvector form:
+        # length(strip), length after ts_delete, and strip's first
+        # lexeme (= min, since strip sorts)
+        from pg_ts_semantic_headline_spark.functions.tspvector_ops import (
+            tsp_delete, tsp_length, tsp_strip)
+        a = _analyzed(spark, sf)
+        return a.select(
+            "doc_id",
+            tsp_length("lexemes").alias("n_lex"),
+            tsp_length(tsp_delete("lexemes", "spark")).alias("n_lex_del"),
+            F.element_at(tsp_strip("lexemes"), 1).alias("first_lex"))
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -1686,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_search": q85,
         "ts_rank_cd": q86,
         "ts_rank": q96,
+        "tsvector_ops": q97,
         "thesaurus_search": q87,
         "multilang_search": q88,
         "search_batch": q89,
@@ -2628,6 +2642,16 @@ contrib AS (
 )
 SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rank_e6
 FROM contrib GROUP BY doc_id
+""",
+        "tsvector_ops": f"""
+WITH {TOKS_CTE.strip()},
+lex AS (SELECT doc_id, lower(token) AS lex FROM toks)
+SELECT doc_id,
+       CAST(count(DISTINCT lex) AS INTEGER) AS n_lex,
+       CAST(count(DISTINCT CASE WHEN lex <> 'spark' THEN lex END)
+            AS INTEGER) AS n_lex_del,
+       min(lex) AS first_lex
+FROM lex GROUP BY doc_id
 """,
         "synonym_search": f"""
 WITH raw AS (

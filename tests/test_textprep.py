@@ -158,3 +158,71 @@ class TestAnalyze:
     def test_numeric_tokens_not_stemmed(self):
         _, lex = analyze_document("chapter 16383 ends", "english")
         assert lex == ["chapter", "16383", "end"]
+
+
+class TestTspvectorOps:
+    """PG §9.13 tsvector utilities over the dense (tokens, lexemes)
+    tspvector form — strip/length/ts_delete/concat parity plus the
+    alignment invariant ts_delete must preserve."""
+
+    def _analyzed(self, spark, rows, config="simple"):
+        from pg_ts_semantic_headline_spark.plans.analyze import with_analysis
+        return with_analysis(
+            spark.createDataFrame(rows, ["doc_id", "content"]),
+            "content", config)
+
+    def test_strip_length_delete(self, spark):
+        import pyspark.sql.functions as F
+        from pg_ts_semantic_headline_spark.functions.tspvector_ops import (
+            tsp_delete, tsp_length, tsp_strip)
+        df = self._analyzed(spark, [(1, "fat cat sat fat"), (2, "dog")])
+        got = {r["doc_id"]: r for r in df.select(
+            "doc_id",
+            tsp_strip("lexemes").alias("strip"),
+            tsp_length("lexemes").alias("n"),
+            tsp_delete("lexemes", "fat").alias("del1"),
+            tsp_delete("lexemes", ["fat", "cat"]).alias("del2"),
+        ).collect()}
+        assert got[1]["strip"] == ["cat", "fat", "sat"]   # sorted distinct
+        assert got[1]["n"] == 3 and got[2]["n"] == 1
+        # hole-preserving delete: positions of survivors unchanged
+        assert got[1]["del1"] == [None, "cat", "sat", None]
+        assert got[1]["del2"] == [None, None, "sat", None]
+        assert got[2]["del1"] == ["dog"]
+
+    def test_delete_keeps_phrase_alignment(self, spark):
+        # deleting an unrelated lexeme must not move a phrase match
+        from pg_ts_semantic_headline_spark.functions.tspvector_ops import (
+            tsp_delete)
+        from pg_ts_semantic_headline_spark.plans.matches import (
+            tsp_query_matches)
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            phraseto_tspquery)
+        df = self._analyzed(spark, [(1, "noise fat cat tail")])
+        q = phraseto_tspquery("simple", "fat cat")
+        before = tsp_query_matches(df, q, match_limit=10).collect()
+        after = tsp_query_matches(
+            df.withColumn("lexemes", tsp_delete("lexemes", "noise")),
+            q, match_limit=10).collect()
+        assert [(r["start_pos"], r["end_pos"]) for r in before] == \
+               [(r["start_pos"], r["end_pos"]) for r in after] == [(2, 3)]
+
+    def test_concat_shifts_right_positions(self, spark):
+        import pyspark.sql.functions as F
+        from pg_ts_semantic_headline_spark.functions.tspvector_ops import (
+            tsp_concat)
+        from pg_ts_semantic_headline_spark.plans.matches import (
+            explode_lexemes)
+        left = self._analyzed(spark, [(1, "alpha beta")])
+        right = self._analyzed(spark, [(1, "gamma")]) \
+            .withColumnRenamed("lexemes", "lex_r") \
+            .withColumnRenamed("tokens", "tok_r")
+        both = (left.join(right.select("doc_id", "lex_r", "tok_r"),
+                          on="doc_id")
+                .select("doc_id",
+                        tsp_concat("lexemes", "lex_r").alias("lexemes"),
+                        tsp_concat("tokens", "tok_r").alias("tokens")))
+        rows = {(r["pos"], r["lex"])
+                for r in explode_lexemes(both).collect()}
+        # PG: right positions shift by the left's max position (2)
+        assert rows == {(1, "alpha"), (2, "beta"), (3, "gamma")}
