@@ -448,6 +448,20 @@ def main():
                      for ts in rank_qs])
         timings["ltr_features_full"] = min_of(
             lambda: ltr_features(index, rank_qs[0]).count())
+
+        # PG ts_rank pair: the OR form ranks the whole match set from one
+        # tf-only pruned scan; the AND (pairwise-proximity) form runs in
+        # the rerank shape over the top-100 BM25 candidates
+        from pg_ts_semantic_headline_spark.plans.ranking import ts_rank
+
+        def run_ts_rank():
+            ts_rank(index, rank_qs[0], variant="or").count()
+            cand = [r["doc_id"] for r in
+                    bm25_topk(index, rank_qs[1], k=100).collect()]
+            ts_rank(index, rank_qs[1], variant="and",
+                    candidate_ids=cand).count()
+
+        timings["ts_rank_or_plus_and_rerank"] = min_of(run_ts_rank)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
