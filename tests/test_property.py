@@ -523,3 +523,86 @@ class TestTsRewriteProperties:
                     yield from leaves(c)
 
         assert "aa" not in set(leaves(out.root))
+
+
+class TestTsqueryUtilityProperties:
+    """Driver-side tsquery utility invariants over generated queries."""
+
+    @given(query_strings())
+    @settings(max_examples=120, deadline=None)
+    def test_render_roundtrip_fixpoint(self, qs):
+        # compile -> render -> compile is a fixpoint: the rendered text
+        # parses back to a tree that renders identically
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            render_tspquery, to_tspquery)
+        q1 = to_tspquery("simple", qs)
+        r1 = render_tspquery(q1.root)
+        q2 = to_tspquery("simple", r1)
+        assert render_tspquery(q2.root) == r1
+
+    @given(query_strings())
+    @settings(max_examples=120, deadline=None)
+    def test_querytree_is_positive_subset(self, qs):
+        # the index-usable part never mentions a lexeme outside the query,
+        # never contains a negation, and parses as a valid query
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            querytree, to_tspquery)
+        q = to_tspquery("simple", qs)
+        t = querytree(q)
+        if t == "T":
+            return
+        qt = to_tspquery("simple", t)
+        assert "!" not in t
+        assert set(qt.lexemes) <= set(q.lexemes)
+
+    @given(query_strings())
+    @settings(max_examples=120, deadline=None)
+    def test_numnode_bounds(self, qs):
+        # numnode counts every lexeme occurrence plus >= 0 operators and
+        # is bounded by 2*lexemes-1 per phrase + group operators
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            numnode, to_tspquery)
+        q = to_tspquery("simple", qs)
+        n_lex = sum(ph.length for ph in _all_tree_phrases(q.root))
+        n = numnode(q)
+        assert n >= n_lex
+        assert n <= 2 * n_lex + _count_groups(q.root)
+
+    @given(query_strings())
+    @settings(max_examples=60, deadline=None)
+    def test_querytree_matches_imply_query_relevance(self, qs):
+        # semantic property behind PG's clean_NOT: on any doc, if the
+        # ORIGINAL query matches, the positive part must also match
+        # (querytree only widens) — checked with the naive evaluator
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            querytree, to_tspquery)
+        import itertools
+        q = to_tspquery("simple", qs)
+        t = querytree(q)
+        if t == "T" or q.root is None:
+            return
+        qt = to_tspquery("simple", t)
+        for doc in itertools.product(VOCAB + [None], repeat=3):
+            lexemes = [w for w in doc]
+            if naive_eval(q.root, lexemes):
+                assert naive_eval(qt.root, lexemes), (qs, t, lexemes)
+
+
+def _all_tree_phrases(node):
+    if node is None:
+        return []
+    if node.op == "phrase":
+        return [node.phrase]
+    out = []
+    for c in node.children:
+        out.extend(_all_tree_phrases(c))
+    return out
+
+
+def _count_groups(node):
+    if node is None or node.op == "phrase":
+        return 0
+    if node.op == "not":
+        return 1 + _count_groups(node.children[0])
+    return (len(node.children) - 1
+            + sum(_count_groups(c) for c in node.children))
