@@ -1611,6 +1611,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             tsp_length(tsp_delete("lexemes", "spark")).alias("n_lex_del"),
             F.element_at(tsp_strip("lexemes"), 1).alias("first_lex"))
 
+    def q98(spark, sf):
+        # quality-aware canonical election: cluster near-dups, then keep
+        # the LONGEST member per cluster (token count as the quality
+        # signal — integer, so cross-engine argmax is tie-safe)
+        from pg_ts_semantic_headline_spark.operators.dedup import (
+            duplicate_components, pick_canonicals)
+        docs = _docs(spark, sf)
+        pairs = minhash_lsh_dedup(docs, threshold=0.4)
+        comp = duplicate_components(docs, pairs)
+        scores = docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("score"))
+        return pick_canonicals(comp, scores)
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -1700,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rank_cd": q86,
         "ts_rank": q96,
         "tsvector_ops": q97,
+        "dedup_canonicals": q98,
         "thesaurus_search": q87,
         "multilang_search": q88,
         "search_batch": q89,
@@ -3074,6 +3088,38 @@ SELECT d.doc_id,
        LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS component_id,
        d.doc_id = LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS is_canonical
 FROM documents d LEFT JOIN mins m ON m.n = d.doc_id
+""",
+        "dedup_canonicals": f"""
+WITH RECURSIVE mh AS (
+  {_minhash_sql(16, 4, 0.4)}
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM mh
+  UNION
+  SELECT b AS src, a AS dst FROM mh
+),
+reach AS (
+  SELECT src AS n, dst AS m FROM edges
+  UNION
+  SELECT r.n, e.dst AS m FROM reach r JOIN edges e ON r.m = e.src
+),
+mins AS (SELECT n, min(m) AS mn FROM reach GROUP BY n),
+comp AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS component_id,
+         len(string_split(d.text, ' ')) AS s
+  FROM documents d LEFT JOIN mins m ON m.n = d.doc_id
+),
+best AS (
+  SELECT component_id, doc_id AS canonical_id FROM (
+    SELECT component_id, doc_id,
+           row_number() OVER (PARTITION BY component_id
+                              ORDER BY s DESC, doc_id ASC) AS rn
+    FROM comp) WHERE rn = 1
+)
+SELECT c.doc_id, c.component_id, b.canonical_id,
+       c.doc_id = b.canonical_id AS is_canonical
+FROM comp c JOIN best b USING (component_id)
 """,
         # trigram searches are EXACT (index prunes, verify decides), so the
         # oracles are the plain predicates with no trigram machinery

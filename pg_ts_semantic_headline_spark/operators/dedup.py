@@ -322,6 +322,38 @@ def duplicate_components(
         (F.col("node") == F.col("label")).alias("is_canonical"))
 
 
+def pick_canonicals(components: DataFrame, scores: DataFrame,
+                    score_col: str = "score") -> DataFrame:
+    """Quality-aware canonical election per duplicate component — the
+    keep-BEST step of a real dedup pipeline (`duplicate_components`
+    defaults to keep-min-id, but production dedup keeps the longest /
+    highest-quality cluster member and drops the rest).
+
+    `components`: (doc_id, component_id) — `duplicate_components` output.
+    `scores`:     (doc_id, <score_col>) — any per-doc quality signal
+    (token count, `quality_score` composite, `bigram_lm_score`, ...).
+
+    Returns (doc_id, component_id, canonical_id, is_canonical) where the
+    canonical is the member with the highest score, ties broken to the
+    smallest doc_id; docs missing a score row rank below every scored
+    member. ONE left join + ONE max-struct aggregate on component_id —
+    the shuffle key is the cluster id, so cost is bounded by cluster
+    count, never quadratic in cluster size."""
+    j = (components.select("doc_id", "component_id")
+         .join(scores.select("doc_id",
+                             F.col(score_col).cast("double").alias("_s")),
+               on="doc_id", how="left"))
+    best = (j.groupBy("component_id")
+            .agg(F.max(F.struct(
+                F.coalesce(F.col("_s"), F.lit(float("-inf"))).alias("s"),
+                (-F.col("doc_id")).alias("negid"))).alias("_w")))
+    return (j.join(best, on="component_id")
+            .select("doc_id", "component_id",
+                    (-F.col("_w.negid")).alias("canonical_id"),
+                    (F.col("doc_id") == -F.col("_w.negid"))
+                    .alias("is_canonical")))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5) -> DataFrame:

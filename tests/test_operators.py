@@ -985,3 +985,58 @@ def test_prepare_corpus_substring_dedup_stage(spark):
     assert out[1]["text"] == "totally other trailing words here"
     assert out[1]["n_tokens"] == 5
     assert out[2]["n_substr_tokens_removed"] == 0
+
+
+class TestPickCanonicals:
+    """Quality-aware canonical election: best score wins, ties break to
+    the smallest doc_id, scoreless members rank last."""
+
+    def test_best_score_wins_and_ties_break_low(self, spark):
+        from pg_ts_semantic_headline_spark.operators.dedup import (
+            pick_canonicals)
+        comp = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1),        # cluster 1: best is doc 3
+             (4, 4), (5, 4),                # cluster 4: tie -> doc 4
+             (9, 9)],                       # singleton
+            "doc_id long, component_id long")
+        scores = spark.createDataFrame(
+            [(1, 10.0), (2, 30.0), (3, 99.0),
+             (4, 5.0), (5, 5.0), (9, 1.0)],
+            "doc_id long, score double")
+        got = {r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+               for r in pick_canonicals(comp, scores).collect()}
+        assert got == {1: (3, False), 2: (3, False), 3: (3, True),
+                       4: (4, True), 5: (4, False), 9: (9, True)}
+
+    def test_scoreless_member_ranks_last(self, spark):
+        from pg_ts_semantic_headline_spark.operators.dedup import (
+            pick_canonicals)
+        comp = spark.createDataFrame(
+            [(1, 1), (2, 1)], "doc_id long, component_id long")
+        scores = spark.createDataFrame(
+            [(2, 0.1)], "doc_id long, score double")
+        got = {r["doc_id"]: r["canonical_id"]
+               for r in pick_canonicals(comp, scores).collect()}
+        assert got == {1: 2, 2: 2}
+
+    def test_composes_with_duplicate_components(self, spark):
+        from pg_ts_semantic_headline_spark.operators.dedup import (
+            duplicate_components, minhash_lsh_dedup, pick_canonicals)
+        import pyspark.sql.functions as F
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [(1, base), (2, base + " extra tail words here"),
+             (3, base), (10, "totally different content entirely "
+                             "unrelated words")],
+            ["doc_id", "text"])
+        pairs = minhash_lsh_dedup(docs, threshold=0.3, n=2)
+        comp = duplicate_components(docs, pairs)
+        scores = docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("score"))
+        got = {r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+               for r in pick_canonicals(comp, scores).collect()}
+        # docs 1/2/3 cluster; the longest (doc 2) is canonical
+        assert got[1] == (2, False)
+        assert got[2] == (2, True)
+        assert got[3] == (2, False)
+        assert got[10] == (10, True)
