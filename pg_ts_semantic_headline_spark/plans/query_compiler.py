@@ -644,6 +644,43 @@ def tsquery_phrase(q1: CompiledQuery, q2: CompiledQuery,
                          (phrase,))
 
 
+def tsquery_contains(a: CompiledQuery, b: CompiledQuery) -> bool:
+    """PG `tsquery @> tsquery` in the boolean-aware reading `ts_rewrite`
+    uses: True when some subexpression of `a` canonically equals `b`
+    (operand order and duplicates ignored), including a subset of a
+    same-op group's operands — 'b & a & c' contains 'a & b'. This is
+    exactly the test that decides whether ts_rewrite(a, rule(b → s))
+    would fire, so it shares the rewrite machinery's canonical keys.
+    (PG core's tsq_mcontains is WEAKER — a bag-of-lexemes check that
+    ignores operators; this one respects boolean structure.) Phrases are
+    atomic, like ts_rewrite: 'a <-> b <-> c' does not contain 'a <-> b'.
+    The empty query is contained in everything; nothing non-empty is
+    contained in the empty query."""
+    if b.root is None:
+        return True
+    if a.root is None:
+        return False
+    tkey = _canon_key(b.root)
+    t_want = (set(tkey[1])
+              if isinstance(tkey[0], str) and tkey[0] in ("and", "or")
+              else None)
+
+    def walk(n: Node) -> bool:
+        nk = _canon_key(n)
+        if nk == tkey:
+            return True
+        # subset rule on the flattened operand set (canon keys absorb
+        # nested same-op groups, so this sees 'b & a & c' as one set)
+        if (t_want is not None and nk[0] == tkey[0]
+                and t_want <= set(nk[1])):
+            return True
+        if n.op == "phrase":
+            return False
+        return any(walk(c) for c in n.children)
+
+    return walk(a.root)
+
+
 def empty_tspquery(config: str | None = None) -> CompiledQuery:
     """The empty query (PG `''::tsquery`): matches nothing; as a
     ts_rewrite substitute it deletes the matched subexpression.

@@ -361,3 +361,46 @@ class TestTsqueryUtilities:
                for r in tsp_query_matches(docs, q, match_limit=10)
                .select("doc_id").distinct().collect()}
         assert got == {1}
+
+
+class TestTsqueryContains:
+    """tsquery @> in the boolean-aware (ts_rewrite-consistent) reading."""
+
+    def _q(self, s):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            to_tspquery)
+        return to_tspquery("simple", s)
+
+    def test_containment_cases(self):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            empty_tspquery, tsquery_contains)
+        q = self._q
+        assert tsquery_contains(q("a & b & c"), q("b & a"))      # subset
+        assert tsquery_contains(q("a & b"), q("a"))              # operand
+        assert tsquery_contains(q("!(a & b) | c"), q("a & b"))   # under !
+        assert tsquery_contains(q("a & a"), q("a"))              # dedupe
+        assert not tsquery_contains(q("a | b"), q("a & b"))      # op differs
+        assert not tsquery_contains(q("a & b"), q("a & b & c"))  # superset
+        # phrases are atomic, like ts_rewrite
+        assert not tsquery_contains(q("a <-> b <-> c"), q("a <-> b"))
+        assert tsquery_contains(q("(a <-> b) | c"), q("a <-> b"))
+        # empty-query edges
+        assert tsquery_contains(q("a"), empty_tspquery("simple"))
+        assert not tsquery_contains(empty_tspquery("simple"), q("a"))
+
+    def test_contains_iff_rewrite_fires(self):
+        # the documented contract: containment <=> ts_rewrite changes
+        # the query (for a rule whose substitute differs from its target)
+        import itertools
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            render_tspquery, ts_rewrite, tsquery_contains)
+        q = self._q
+        shapes = ["a", "a & b", "a | b", "b & a & c", "!(a & b)",
+                  "a <-> b", "(a | b) & c", "a & (b | c)"]
+        target = q("a & b")
+        sub = q("zzz")
+        for s in shapes:
+            query = q(s)
+            fired = (render_tspquery(ts_rewrite(query, [(target, sub)]).root)
+                     != render_tspquery(query.root))
+            assert tsquery_contains(query, target) == fired, s
