@@ -534,9 +534,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hits = tsp_query_matches(docs, q, match_limit=1000) \
             .select("doc_id").distinct()
         _, scored = _bm25_per_doc(spark, sf, ["batch"], docs=docs)
+        # no top-k cut: the oracle scores EVERY phrase-hit doc, and a
+        # pre-join limit would truncate once the corpus outgrows it
+        # (first seen at sf0.1: 183 vs 250 rows)
         top = (scored
                .withColumn("score_e4", _e4(F.col("score")))
-               .orderBy(F.desc("score_e4"), F.asc("doc_id")).limit(1000)
                .select("doc_id", "score_e4"))
         return top.join(hits, on="doc_id").select("doc_id", "score_e4")
 
