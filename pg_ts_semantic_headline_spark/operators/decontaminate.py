@@ -26,6 +26,8 @@ n — one vocabulary of "word n-gram" across the corpus-prep suite.
 
 from __future__ import annotations
 
+from ..io_codec import INDEX_CODEC
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -119,7 +121,7 @@ def attach_decontaminator(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         (decontaminate(batch_df, eval_df, n, min_shared, train_id,
                        train_text, eval_id, eval_text, eval_hashes=ev)
-         .write.mode("append").parquet(out_dir))
+         .write.option("compression", INDEX_CODEC).mode("append").parquet(out_dir))
 
     from ..streaming.wiring import start_foreach_batch
     # the cached eval hash set lives for the stream's lifetime only

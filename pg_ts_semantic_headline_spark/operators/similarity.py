@@ -15,6 +15,8 @@ and oracle-checkable.
 
 from __future__ import annotations
 
+from ..io_codec import INDEX_CODEC
+
 import math
 import random
 
@@ -163,11 +165,11 @@ def build_ann_index(df: DataFrame, out_dir: str, n_planes: int = 8,
                F.col(emb_col).alias("embedding"))
        .withColumn("bucket", lsh_bucket_arrow(planes)(F.col("embedding")))
        .withColumn("gen", F.lit(0).cast("long"))
-       .write.mode("overwrite").partitionBy("bucket")
+       .write.option("compression", INDEX_CODEC).mode("overwrite").partitionBy("bucket")
        .parquet(f"{out_dir}/vectors"))
     spark.createDataFrame([(n_planes, seed, dim)],
                           "n_planes int, seed int, dim int") \
-        .write.mode("overwrite").parquet(f"{out_dir}/meta")
+        .write.option("compression", INDEX_CODEC).mode("overwrite").parquet(f"{out_dir}/meta")
 
 
 class AnnIndex:
@@ -309,12 +311,12 @@ def build_ivf_index(df: DataFrame, out_dir: str, n_lists: int = 64,
        .withColumn("list_id",
                    ivf_assign_arrow(centroids)(F.col("embedding")))
        .withColumn("gen", F.lit(0).cast("long"))
-       .write.mode("overwrite").partitionBy("list_id")
+       .write.option("compression", INDEX_CODEC).mode("overwrite").partitionBy("list_id")
        .parquet(f"{out_dir}/vectors"))
     spark.createDataFrame(
         [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
         "list_id int, centroid array<double>") \
-        .write.mode("overwrite").parquet(f"{out_dir}/centroids")
+        .write.option("compression", INDEX_CODEC).mode("overwrite").parquet(f"{out_dir}/centroids")
 
 
 def _nearest_centroid_lists(centroids, query_vec, nprobe: int) -> list[int]:
@@ -544,22 +546,22 @@ def build_ivfpq_index(df: DataFrame, out_dir: str, n_lists: int = 64,
     enc.persist()
     try:
         (enc.select("vec_id", "code", "gen", "list_id")
-            .write.mode("overwrite").partitionBy("list_id")
+            .write.option("compression", INDEX_CODEC).mode("overwrite").partitionBy("list_id")
             .parquet(f"{out_dir}/codes"))
         (enc.drop("code")
-            .write.mode("overwrite").partitionBy("list_id")
+            .write.option("compression", INDEX_CODEC).mode("overwrite").partitionBy("list_id")
             .parquet(f"{out_dir}/vectors"))
     finally:
         enc.unpersist()
     spark.createDataFrame(
         [(i, [float(v) for v in c]) for i, c in enumerate(coarse)],
         "list_id int, centroid array<double>") \
-        .write.mode("overwrite").parquet(f"{out_dir}/centroids")
+        .write.option("compression", INDEX_CODEC).mode("overwrite").parquet(f"{out_dir}/centroids")
     spark.createDataFrame(
         [(j, ci, [float(v) for v in books[j][ci]])
          for j in range(len(books)) for ci in range(books[j].shape[0])],
         "subspace int, code int, centroid array<double>") \
-        .write.mode("overwrite").parquet(f"{out_dir}/pq")
+        .write.option("compression", INDEX_CODEC).mode("overwrite").parquet(f"{out_dir}/pq")
 
 
 class IvfPqIndex:
@@ -703,7 +705,7 @@ def _gen_state(spark, out_dir: str):
 
 def _write_gen_meta(spark, out_dir: str, max_gen: int) -> None:
     spark.createDataFrame([(max_gen,)], "max_gen long") \
-        .write.mode("overwrite").parquet(f"{out_dir}/genmeta")
+        .write.option("compression", INDEX_CODEC).mode("overwrite").parquet(f"{out_dir}/genmeta")
 
 
 def _require_writable(index, fn: str) -> None:
@@ -729,7 +731,7 @@ def ann_add_vectors(index: AnnIndex, df: DataFrame,
        .withColumn("bucket", lsh_bucket_arrow(index.planes)(
            F.col("embedding")))
        .withColumn("gen", F.lit(new_gen).cast("long"))
-       .write.mode("append").partitionBy("bucket")
+       .write.option("compression", INDEX_CODEC).mode("append").partitionBy("bucket")
        .parquet(f"{index.out_dir}/vectors"))
     _write_gen_meta(index.spark, index.out_dir, new_gen)
     index.max_gen = new_gen
@@ -747,7 +749,7 @@ def ivf_add_vectors(index: IvfIndex, df: DataFrame,
        .withColumn("list_id", ivf_assign_arrow(index.centroids)(
            F.col("embedding")))
        .withColumn("gen", F.lit(new_gen).cast("long"))
-       .write.mode("append").partitionBy("list_id")
+       .write.option("compression", INDEX_CODEC).mode("append").partitionBy("list_id")
        .parquet(f"{index.out_dir}/vectors"))
     _write_gen_meta(index.spark, index.out_dir, new_gen)
     index.max_gen = new_gen
@@ -772,10 +774,10 @@ def ivfpq_add_vectors(index: IvfPqIndex, df: DataFrame,
     enc.persist()
     try:
         (enc.select("vec_id", "code", "gen", "list_id")
-            .write.mode("append").partitionBy("list_id")
+            .write.option("compression", INDEX_CODEC).mode("append").partitionBy("list_id")
             .parquet(f"{index.out_dir}/codes"))
         (enc.drop("code")
-            .write.mode("append").partitionBy("list_id")
+            .write.option("compression", INDEX_CODEC).mode("append").partitionBy("list_id")
             .parquet(f"{index.out_dir}/vectors"))
     finally:
         enc.unpersist()
@@ -966,7 +968,7 @@ def delete_vectors(index, vec_ids) -> None:
     index.spark.createDataFrame(
         [(v, index.max_gen) for v in vec_ids],
         f"vec_id {id_type}, gen long") \
-        .write.mode("append").parquet(f"{index.out_dir}/tombstones")
+        .write.option("compression", INDEX_CODEC).mode("append").parquet(f"{index.out_dir}/tombstones")
 
 
 def compact_vector_index(spark, out_dir: str) -> None:
@@ -995,7 +997,7 @@ def compact_vector_index(spark, out_dir: str) -> None:
         df = spark.read.parquet(f"{out_dir}/{tbl}")
         part_col = "bucket" if "bucket" in df.columns else "list_id"
         (live_rows(df, tombs, "vec_id")
-            .write.mode("overwrite").partitionBy(part_col)
+            .write.option("compression", INDEX_CODEC).mode("overwrite").partitionBy(part_col)
             .parquet(f"{out_dir}/{tbl}_tmp"))
     for tbl in tables:
         _delete_path(spark, f"{out_dir}/{tbl}")

@@ -44,6 +44,8 @@ Query planning:
 
 from __future__ import annotations
 
+from ..io_codec import INDEX_CODEC
+
 import re
 import warnings
 
@@ -208,7 +210,7 @@ def _write_trgm_meta(spark: SparkSession, out_dir: str, n_buckets: int,
                      max_gen: int) -> None:
     spark.createDataFrame([(n_buckets, max_gen)],
                           "n_buckets int, max_gen long") \
-        .write.mode("overwrite").parquet(f"{out_dir}/meta")
+        .write.option("compression", INDEX_CODEC).mode("overwrite").parquet(f"{out_dir}/meta")
 
 
 def build_trigram_index(docs: DataFrame, out_dir: str,
@@ -237,13 +239,13 @@ def build_trigram_index(docs: DataFrame, out_dir: str,
          .withColumn("gen", F.lit(0).cast("long"))
          .repartitionByRange(parts, "bucket", "tg", "doc_id")
          .sortWithinPartitions("bucket", "tg", "doc_id")
-         .write.mode("overwrite").partitionBy("bucket")
+         .write.option("compression", INDEX_CODEC).mode("overwrite").partitionBy("bucket")
          .parquet(f"{out_dir}/postings"))
     (docs.select(F.col(id_col).alias("doc_id"),
                  F.size(trigrams_col(text_col)).alias("n_trigrams"),
                  F.lit(0).cast("long").alias("gen"))
          .where(F.col("n_trigrams") > 0)
-         .write.mode("overwrite").parquet(f"{out_dir}/docstats"))
+         .write.option("compression", INDEX_CODEC).mode("overwrite").parquet(f"{out_dir}/docstats"))
     _write_trgm_meta(spark, out_dir, n_buckets, 0)
 
 
@@ -619,13 +621,13 @@ def add_documents(index: TrigramIndex, docs: DataFrame,
          .withColumn("gen", F.lit(new_gen).cast("long"))
          .repartitionByRange(parts, "bucket", "tg", "doc_id")
          .sortWithinPartitions("bucket", "tg", "doc_id")
-         .write.mode("append").partitionBy("bucket")
+         .write.option("compression", INDEX_CODEC).mode("append").partitionBy("bucket")
          .parquet(f"{index.out_dir}/postings"))
     (docs.select(F.col(id_col).alias("doc_id"),
                  F.size(trigrams_col(text_col)).alias("n_trigrams"),
                  F.lit(new_gen).cast("long").alias("gen"))
          .where(F.col("n_trigrams") > 0)
-         .write.mode("append").parquet(f"{index.out_dir}/docstats"))
+         .write.option("compression", INDEX_CODEC).mode("append").parquet(f"{index.out_dir}/docstats"))
     _write_trgm_meta(spark, index.out_dir, index.n_buckets, new_gen)
     index.max_gen = new_gen
 
@@ -639,7 +641,7 @@ def delete_documents(index: TrigramIndex, doc_ids) -> None:
     index.spark.createDataFrame(
         [(int(d), index.max_gen) for d in doc_ids],
         "doc_id long, gen long") \
-        .write.mode("append").parquet(f"{index.out_dir}/tombstones")
+        .write.option("compression", INDEX_CODEC).mode("append").parquet(f"{index.out_dir}/tombstones")
 
 
 def compact_trigram_index(spark: SparkSession, out_dir: str) -> None:
@@ -664,10 +666,10 @@ def compact_trigram_index(spark: SparkSession, out_dir: str) -> None:
     (idx._live(idx.postings)
         .repartitionByRange(parts, "bucket", "tg", "doc_id")
         .sortWithinPartitions("bucket", "tg", "doc_id")
-        .write.mode("overwrite").partitionBy("bucket")
+        .write.option("compression", INDEX_CODEC).mode("overwrite").partitionBy("bucket")
         .parquet(f"{out_dir}/postings_tmp"))
     (idx._live(idx.docstats)
-        .write.mode("overwrite").parquet(f"{out_dir}/docstats_tmp"))
+        .write.option("compression", INDEX_CODEC).mode("overwrite").parquet(f"{out_dir}/docstats_tmp"))
     for tbl in ("postings", "docstats"):
         _delete_path(spark, f"{out_dir}/{tbl}")
         _rename_path(spark, f"{out_dir}/{tbl}_tmp", f"{out_dir}/{tbl}")

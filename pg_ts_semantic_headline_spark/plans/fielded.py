@@ -28,6 +28,8 @@ order-exact double, so the indexed path reproduces
 
 from __future__ import annotations
 
+from ..io_codec import INDEX_CODEC
+
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -71,7 +73,7 @@ def build_fielded_index(
     rows, a = _field_rows(docs, fields, config, n_buckets, id_col, gen=0)
     try:
         (rows.repartition("bucket")
-         .write.mode("overwrite").partitionBy("bucket")
+         .write.option("compression", INDEX_CODEC).mode("overwrite").partitionBy("bucket")
          .parquet(f"{out_dir}/postings"))
     finally:
         a.unpersist()
@@ -130,7 +132,7 @@ def _recompute_meta(spark: SparkSession, out_dir: str, fields: list[str],
     terms = (live.groupBy("term")
              .agg(F.count_distinct("doc_id").alias("df"),
                   F.first("bucket").alias("bucket")))
-    (terms.write.mode("overwrite").partitionBy("bucket")
+    (terms.write.option("compression", INDEX_CODEC).mode("overwrite").partitionBy("bucket")
      .parquet(f"{out_dir}/terms"))
     per_doc = live.groupBy("doc_id").agg(F.first("dls").alias("dls"))
     st = per_doc.agg(F.count("*").alias("n"),
@@ -142,7 +144,7 @@ def _recompute_meta(spark: SparkSession, out_dir: str, fields: list[str],
           fields, config, int(n_buckets), int(gen))],
         "n_docs long, sumdls array<long>, fields array<string>, "
         "config string, n_buckets int, gen long"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/stats")
+    ).coalesce(1).write.option("compression", INDEX_CODEC).mode("overwrite").parquet(f"{out_dir}/stats")
 
 
 def load_fielded_index(spark: SparkSession, out_dir: str) -> FieldedIndex:
@@ -255,7 +257,7 @@ def add_documents(index: FieldedIndex, docs: DataFrame,
                           index.n_buckets, id_col, gen=new_gen)
     try:
         (rows.repartition("bucket")
-         .write.mode("append").partitionBy("bucket")
+         .write.option("compression", INDEX_CODEC).mode("append").partitionBy("bucket")
          .parquet(f"{index.root}/postings"))
     finally:
         a.unpersist()
@@ -275,7 +277,7 @@ def delete_documents(index: FieldedIndex, doc_ids: list[int]) -> None:
     spark = index.postings.sparkSession
     spark.createDataFrame(
         [(int(i), index.gen) for i in doc_ids], "doc_id long, gen long"
-    ).write.mode("append").parquet(f"{index.root}/_tombstones")
+    ).write.option("compression", INDEX_CODEC).mode("append").parquet(f"{index.root}/_tombstones")
     _recompute_meta(spark, index.root, index.fields, index.config,
                     index.n_buckets, gen=index.gen)
 
@@ -295,7 +297,7 @@ def compact_fielded_index(spark: SparkSession, out_dir: str) -> None:
     tmp = f"{out_dir}/.postings_tmp"
     _delete_path(spark, tmp)
     (live.repartition("bucket")
-     .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
+     .write.option("compression", INDEX_CODEC).mode("overwrite").partitionBy("bucket").parquet(tmp))
     _delete_path(spark, f"{out_dir}/postings")
     _rename_path(spark, tmp, f"{out_dir}/postings")
     if _path_exists(spark, f"{out_dir}/_tombstones"):

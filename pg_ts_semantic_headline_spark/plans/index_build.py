@@ -51,6 +51,8 @@ independent runs (disjoint doc subsets, each with a valid bound).
 
 from __future__ import annotations
 
+from ..io_codec import INDEX_CODEC
+
 import time
 from dataclasses import dataclass
 
@@ -172,7 +174,7 @@ def _write_manifest(spark: SparkSession, paths: IndexPaths, stage: str,
     ])
     rows = [(stage, int(p), int(c), None if h is None else int(h), wall_ms,
              signature[0], signature[1]) for p, c, h in partition_rows]
-    spark.createDataFrame(rows, schema).write.mode("append").parquet(paths.manifest)
+    spark.createDataFrame(rows, schema).write.option("compression", INDEX_CODEC).mode("append").parquet(paths.manifest)
 
 
 def _lineage(df: DataFrame, part_col, checksum_col) -> list:
@@ -400,7 +402,7 @@ def build_index(
                      F.avg("dl").alias("avgdl"),
                      F.coalesce(F.bit_xor(F.xxhash64("doc_id")),
                                 F.lit(0)).alias("h"))
-         .write.mode("overwrite").parquet(paths.tokens))
+         .write.option("compression", INDEX_CODEC).mode("overwrite").parquet(paths.tokens))
         metrics["tokens_sec"] = time.time() - t0
         t1 = time.time()
         _write_manifest(spark, paths, "tokens", signature,
@@ -451,7 +453,7 @@ def build_index(
         post_out = post_out.withColumn("gen", F.lit(0))
         (post_out
          .observe(post_obs, *post_aggs)
-         .write.mode("overwrite").partitionBy("bucket").parquet(paths.postings))
+         .write.option("compression", INDEX_CODEC).mode("overwrite").partitionBy("bucket").parquet(paths.postings))
         metrics["postings_sec"] = time.time() - t0
         t1 = time.time()
         _write_manifest(spark, paths, "postings", signature,
@@ -485,12 +487,12 @@ def build_index(
         # prunes to the terms' bucket directories instead of scanning the
         # whole dictionary
         terms.observe(term_obs, *term_aggs) \
-            .write.mode("overwrite").partitionBy("bucket").parquet(paths.terms)
+            .write.option("compression", INDEX_CODEC).mode("overwrite").partitionBy("bucket").parquet(paths.terms)
         spark.createDataFrame(
             [(n_docs, avgdl, cfg_name, PREP_VERSION, n_buckets, block_span,
               avgdl, 0)],
             STATS_SCHEMA,
-        ).write.mode("overwrite").parquet(paths.stats)
+        ).write.option("compression", INDEX_CODEC).mode("overwrite").parquet(paths.stats)
         metrics["terms_sec"] = time.time() - t0
         t1 = time.time()
         _write_manifest(spark, paths, "terms", signature,
@@ -518,7 +520,7 @@ def build_index(
             "packed_lineage", F.concat_ws("|", "term", "block_id"))
         (packed
          .observe(pack_obs, *pack_aggs)
-         .write.mode("overwrite").partitionBy("bucket").parquet(paths.packed))
+         .write.option("compression", INDEX_CODEC).mode("overwrite").partitionBy("bucket").parquet(paths.packed))
         metrics["packed_sec"] = time.time() - t0
         t1 = time.time()
         _write_manifest(spark, paths, "packed", signature,
@@ -621,7 +623,7 @@ def publish_index(spark: SparkSession, index_dir: str,
     versions = _alias_versions(spark, alias_dir)
     n = (versions[-1] + 1) if versions else 1
     (spark.createDataFrame([(index_dir,)], "target string")
-     .coalesce(1).write.mode("overwrite").parquet(f"{alias_dir}/v={n}"))
+     .coalesce(1).write.option("compression", INDEX_CODEC).mode("overwrite").parquet(f"{alias_dir}/v={n}"))
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(alias_dir).getFileSystem(
         spark._jsc.hadoopConfiguration())

@@ -45,6 +45,8 @@ semi-join prunes directories as well.
 
 from __future__ import annotations
 
+from ..io_codec import INDEX_CODEC
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
@@ -94,7 +96,7 @@ def _check_minhash_meta(spark: SparkSession, mh_dir: str, n: int,
     except AnalysisException:
         (spark.createDataFrame([(n, num_hashes, bands)],
                                "n int, num_hashes int, bands int")
-         .coalesce(1).write.mode("overwrite").parquet(meta_path))
+         .coalesce(1).write.option("compression", INDEX_CODEC).mode("overwrite").parquet(meta_path))
         return
     got = (row["n"], row["num_hashes"], row["bands"])
     if got != (n, num_hashes, bands):
@@ -111,7 +113,7 @@ def _check_substr_meta(spark: SparkSession, sub_dir: str, n: int) -> None:
         row = spark.read.parquet(meta_path).first()
     except AnalysisException:
         (spark.createDataFrame([(n,)], "n int")
-         .coalesce(1).write.mode("overwrite").parquet(meta_path))
+         .coalesce(1).write.option("compression", INDEX_CODEC).mode("overwrite").parquet(meta_path))
         return
     if row["n"] != n:
         raise ValueError(
@@ -191,7 +193,7 @@ def _register_substr_windows(spark: SparkSession, kept: DataFrame,
     if prior is not None:
         hits = prior.join(F.broadcast(keys), on="key", how="left_semi")             .distinct()
         keys = keys.join(F.broadcast(hits), on="key", how="left_anti")
-    keys.write.mode("overwrite")         .parquet(f"{sub_dir}/data/batch_id={batch_id}")
+    keys.write.option("compression", INDEX_CODEC).mode("overwrite")         .parquet(f"{sub_dir}/data/batch_id={batch_id}")
 
 
 def _cross_near_dups(spark: SparkSession, ann: DataFrame, out_dir: str,
@@ -370,22 +372,22 @@ def prepare_corpus_batch(
             ann = ann.persist()
             pinned.append(ann)
         kept = ann.where(F.col("drop_reason").isNull())
-        (kept.drop("_h").write.mode("overwrite")
+        (kept.drop("_h").write.option("compression", INDEX_CODEC).mode("overwrite")
          .parquet(f"{out_dir}/data/batch_id={batch_id}"))
         (kept.select(F.col("_h").alias("h")).distinct()
-         .write.mode("overwrite")
+         .write.option("compression", INDEX_CODEC).mode("overwrite")
          .parquet(f"{out_dir}/_seen/batch_id={batch_id}"))
         if new_bands is not None:
             # band rows only for rows that SURVIVED every rule — dropped
             # rows must not shadow future duplicates of the kept copy
             (new_bands.join(F.broadcast(kept.select("doc_id")),
                             on="doc_id", how="left_semi")
-             .write.mode("overwrite")
+             .write.option("compression", INDEX_CODEC).mode("overwrite")
              .parquet(f"{out_dir}/_minhash/batch_id={batch_id}"))
         if cross_substring_dedup_n is not None:
             _register_substr_windows(spark, kept, out_dir, batch_id,
                                      cross_substring_dedup_n, text_col)
-        (corpus_report(ann).write.mode("overwrite")
+        (corpus_report(ann).write.option("compression", INDEX_CODEC).mode("overwrite")
          .parquet(f"{out_dir}/_report/batch_id={batch_id}"))
         if index_dir is not None and not kept.isEmpty():
             _merge_into_index(spark, index_dir, kept.drop("_h"), out_dir,
@@ -423,7 +425,7 @@ def _merge_into_index(spark: SparkSession, index_dir: str, kept: DataFrame,
                         through_gen=int(stats["gen"]) + 2)
     else:
         (spark.createDataFrame([(int(batch_id),)], "batch_id long")
-         .coalesce(1).write.mode("overwrite").parquet(marker))
+         .coalesce(1).write.option("compression", INDEX_CODEC).mode("overwrite").parquet(marker))
     merge_batch(spark, index_dir,
                 kept.select(F.col("doc_id"),
                             F.col(text_col).alias("content")),

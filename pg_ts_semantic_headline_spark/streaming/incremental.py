@@ -45,6 +45,8 @@ a streaming runtime; `attach_incremental_indexer` wires it to a stream.
 
 from __future__ import annotations
 
+from ..io_codec import INDEX_CODEC
+
 import time
 
 import pandas as pd
@@ -107,7 +109,7 @@ def _write_stats(spark: SparkSession, paths: IndexPaths, n_docs: int,
           int(stats_row["n_buckets"]), int(stats_row["block_span"]),
           float(avgdl_packed), int(gen))],
         STATS_SCHEMA,
-    ).write.mode("overwrite").parquet(paths.stats)
+    ).write.option("compression", INDEX_CODEC).mode("overwrite").parquet(paths.stats)
 
 
 def _reaggregate(spark: SparkSession, paths: IndexPaths, stats_row,
@@ -129,7 +131,7 @@ def _reaggregate(spark: SparkSession, paths: IndexPaths, stats_row,
              .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"),
                   F.first("bucket").alias("bucket"))
              .withColumn("idf", idf_expr(F.col("df"), n_docs)))
-    terms.write.mode("overwrite").partitionBy("bucket").parquet(paths.terms)
+    terms.write.option("compression", INDEX_CODEC).mode("overwrite").partitionBy("bucket").parquet(paths.terms)
     _write_stats(spark, paths, n_docs, avgdl, stats_row,
                  avgdl_packed=float(stats_row["avgdl_packed"]),
                  gen=new_gen)
@@ -140,7 +142,7 @@ def _write_stale_marker(spark: SparkSession, paths: IndexPaths,
     """bucket = -1 is the wildcard ("all buckets touched")."""
     spark.createDataFrame(
         [(int(b), int(gen)) for b in buckets], "bucket int, gen int"
-    ).write.mode("append").parquet(paths.stale)
+    ).write.option("compression", INDEX_CODEC).mode("append").parquet(paths.stale)
 
 
 def merge_batch(
@@ -225,7 +227,7 @@ def merge_batch(
 
     analyzed.select("doc_id", "tokens", "dl", "sha256") \
         .withColumn("gen", F.lit(new_gen)) \
-        .write.mode("append").parquet(paths.tokens)
+        .write.option("compression", INDEX_CODEC).mode("append").parquet(paths.tokens)
 
     # match the base table's schema: a positions-free scoring projection
     # (lean layout) stays positions-free in postings/, and the positional
@@ -233,12 +235,12 @@ def merge_batch(
     existing_cols = spark.read.parquet(paths.postings).columns
     if "positions" not in existing_cols:
         (batch_postings.repartition("bucket")
-         .write.mode("append").partitionBy("bucket").parquet(paths.pending))
+         .write.option("compression", INDEX_CODEC).mode("append").partitionBy("bucket").parquet(paths.pending))
         row_out = batch_postings.drop("positions")
     else:
         row_out = batch_postings
     (row_out.repartition("bucket")
-     .write.mode("append").partitionBy("bucket").parquet(paths.postings))
+     .write.option("compression", INDEX_CODEC).mode("append").partitionBy("bucket").parquet(paths.postings))
 
     if replace:
         # tombstones land AFTER the new rows: a mid-merge reader sees a
@@ -247,7 +249,7 @@ def merge_batch(
                analyzed.select("doc_id").distinct().collect()]
         spark.createDataFrame(
             [(int(i), new_gen) for i in ids], "doc_id long, before_gen int"
-        ).write.mode("append").parquet(paths.tombstones)
+        ).write.option("compression", INDEX_CODEC).mode("append").parquet(paths.tombstones)
 
     _reaggregate(spark, paths, stats, new_gen)
     analyzed.unpersist()
@@ -280,7 +282,7 @@ def delete_docs(spark: SparkSession, index_dir: str,
     _write_stale_marker(spark, paths, [-1], new_gen)
     spark.createDataFrame(
         [(int(i), new_gen) for i in doc_ids], "doc_id long, before_gen int"
-    ).write.mode("append").parquet(paths.tombstones)
+    ).write.option("compression", INDEX_CODEC).mode("append").parquet(paths.tombstones)
     _reaggregate(spark, paths, stats, new_gen)
 
 
@@ -428,7 +430,7 @@ def compact_index(spark: SparkSession, index_dir: str,
     # directories; untouched bucket dirs are left byte-identical
     packed_tmp = paths.packed + "_compact_tmp"
     _delete_path(spark, packed_tmp)
-    repacked.write.mode("overwrite").partitionBy("bucket").parquet(packed_tmp)
+    repacked.write.option("compression", INDEX_CODEC).mode("overwrite").partitionBy("bucket").parquet(packed_tmp)
     for b in buckets:
         _delete_path(spark, f"{paths.packed}/bucket={b}")
         if _path_exists(spark, f"{packed_tmp}/bucket={b}"):
@@ -452,7 +454,7 @@ def compact_index(spark: SparkSession, index_dir: str,
                 continue
             filtered = _apply_tombstones(spark.read.parquet(tbl), tombs)
             tmp = tbl + "_compact_tmp"
-            w = filtered.write.mode("overwrite")
+            w = filtered.write.option("compression", INDEX_CODEC).mode("overwrite")
             if part_by:
                 w = w.partitionBy(part_by)
             w.parquet(tmp)
@@ -483,7 +485,7 @@ def compact_index(spark: SparkSession, index_dir: str,
              .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"),
                   F.first("bucket").alias("bucket"))
              .withColumn("idf", idf_expr(F.col("df"), n_docs)))
-    terms.write.mode("overwrite").partitionBy("bucket").parquet(paths.terms)
+    terms.write.option("compression", INDEX_CODEC).mode("overwrite").partitionBy("bucket").parquet(paths.terms)
     _write_stats(spark, paths, n_docs, float(srow["a"] or 0.0), stats,
                  avgdl_packed=avgdl_packed, gen=int(stats["gen"]))
 
