@@ -1,7 +1,7 @@
 from .corpus_ingest import (attach_corpus_preparer, compact_corpus_stores,
                             prepare_corpus_batch)
 from .incremental import (attach_incremental_indexer, compact_index,
-                          delete_docs, merge_batch)
+                          delete_docs, merge_batch, upsert_documents)
 from .percolate import (percolate, percolate_patterns,
                         percolate_patterns_stream, percolate_stream)
 from .sessions import sessionize, sessionize_stream
@@ -17,5 +17,5 @@ __all__ = ["attach_corpus_preparer", "attach_fielded_indexer",
            "doc_arrival_rates", "merge_batch", "percolate",
            "percolate_patterns", "percolate_patterns_stream",
            "percolate_stream", "prepare_corpus_batch",
-           "sessionize", "sessionize_stream",
+           "sessionize", "sessionize_stream", "upsert_documents",
            "windowed_term_counts"]

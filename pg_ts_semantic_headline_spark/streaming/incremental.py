@@ -255,6 +255,70 @@ def merge_batch(
     analyzed.unpersist()
 
 
+def upsert_documents(
+    spark: SparkSession,
+    index_dir: str,
+    docs: DataFrame,
+    content_col: str = "content",
+    doc_id: str = "doc_id",
+    config=None,
+) -> dict:
+    """Re-crawl ingestion: fold `docs` into the index, SKIPPING rows whose
+    content the index already holds — the sha256 recall column doubles as
+    a change detector, so a mostly-unchanged re-crawl (the common case at
+    corpus scale) costs one column-pruned (doc_id, sha256) scan and
+    leaves the index — including its packed block-max store — untouched
+    when nothing changed. Changed doc_ids are replaced (tombstone + new
+    generation, merge_batch semantics); unseen doc_ids append.
+
+    Returns {"unchanged": n, "changed": n, "new": n}.
+
+    Plan shape: the batch's (doc_id, sha256) broadcasts into ONE right
+    join against the live tokens projection — the corpus side is never
+    shuffled and only two columns of it are read. A doc_id holding
+    several live generations counts as unchanged if ANY of them already
+    carries the batch's content hash."""
+    from ..plans.index_build import load_index
+
+    live = (load_index(spark, index_dir).tokens
+            .select("doc_id", F.col("sha256").alias("_old_sha")))
+    bk = docs.select(F.col(doc_id).alias("doc_id"),
+                     F.sha2(F.col(content_col), 256).alias("_sha"))
+    same = F.max(F.when(F.col("_old_sha") == F.col("_sha"), 1)
+                 .otherwise(0))
+    exists = F.max(F.when(F.col("_old_sha").isNotNull(), 1).otherwise(0))
+    flags = (live.join(F.broadcast(bk), on="doc_id", how="right")
+             .groupBy("doc_id")
+             .agg(F.when(exists == 0, F.lit("new"))
+                  .when(same == 1, F.lit("unchanged"))
+                  .otherwise(F.lit("changed")).alias("_status")))
+    # materialize the classification driver-side (batch-sized — the same
+    # contract merge_batch's replace path already relies on). This also
+    # BREAKS the plan's lineage to the index's own parquet files: the
+    # merge appends to tokens/, and Spark's recache-by-path would
+    # otherwise re-evaluate a lazy to_ingest against the already-updated
+    # index, reclassifying everything as unchanged mid-merge.
+    rows = flags.collect()
+    report = {"unchanged": 0, "changed": 0, "new": 0}
+    ingest_ids = []
+    for r in rows:
+        report[r["_status"]] += 1
+        if r["_status"] != "unchanged":
+            ingest_ids.append(int(r["doc_id"]))
+    if not ingest_ids:
+        return report  # no gen bump, no stale marker: blockmax stays live
+    ids_df = spark.createDataFrame([(i,) for i in ingest_ids],
+                                   f"{doc_id} long")
+    to_ingest = docs.join(F.broadcast(ids_df), on=doc_id, how="left_semi")
+    # replace=True tombstones every ingested id; for brand-new ids that
+    # is a no-op (tombstones kill strictly-lower generations only), so
+    # one merge covers both classes
+    merge_batch(spark, index_dir, to_ingest, content_col=content_col,
+                config=config, doc_id=doc_id,
+                replace=report["changed"] > 0)
+    return report
+
+
 def delete_docs(spark: SparkSession, index_dir: str,
                 doc_ids: list[int],
                 through_gen: int | None = None) -> None:

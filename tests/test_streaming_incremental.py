@@ -327,3 +327,77 @@ def test_merge_batch_config_defaults_and_guards(spark, tmp_path_factory):
         load_index(spark, out2),
         [lexize_word("laufenden", "german")], k=10).collect()}
     assert got == {1}
+
+
+class TestUpsertDocuments:
+    """sha256-gated re-crawl ingestion: unchanged batches are free and
+    leave blockmax live; changed docs replace; new docs append."""
+
+    @staticmethod
+    def _build(spark, tmp, docs):
+        from pg_ts_semantic_headline_spark.plans.index_build import (
+            build_index)
+        out = str(tmp)
+        df = spark.createDataFrame(docs, ["doc_id", "content"])
+        build_index(spark, df, out, config="simple", n_buckets=4,
+                    block_span=8, resume=False)
+        return out
+
+    def test_unchanged_recrawl_is_a_noop(self, spark, tmp_path_factory):
+        from pg_ts_semantic_headline_spark.plans.index_build import (
+            load_index)
+        from pg_ts_semantic_headline_spark.streaming.incremental import (
+            upsert_documents)
+        docs = [(1, "alpha beta gamma"), (2, "delta epsilon zeta")]
+        out = self._build(spark, tmp_path_factory.mktemp("ups_noop"), docs)
+        gen_before = load_index(spark, out).gen
+        rep = upsert_documents(
+            spark, out, spark.createDataFrame(docs, ["doc_id", "content"]))
+        assert rep == {"unchanged": 2, "changed": 0, "new": 0}
+        idx = load_index(spark, out)
+        assert idx.gen == gen_before
+        assert idx.packed is not None  # blockmax still live: no merge ran
+
+    def test_changed_and_new_docs(self, spark, tmp_path_factory):
+        from pg_ts_semantic_headline_spark.plans.index_build import (
+            load_index)
+        from pg_ts_semantic_headline_spark.plans.search import bm25_topk
+        from pg_ts_semantic_headline_spark.streaming.incremental import (
+            upsert_documents)
+        docs = [(1, "alpha beta gamma"), (2, "delta epsilon zeta")]
+        out = self._build(spark, tmp_path_factory.mktemp("ups_mix"), docs)
+        batch = spark.createDataFrame(
+            [(1, "alpha beta gamma"),          # unchanged
+             (2, "omega rewritten text"),      # changed
+             (3, "brandnew content here")],    # new
+            ["doc_id", "content"])
+        rep = upsert_documents(spark, out, batch)
+        assert rep == {"unchanged": 1, "changed": 1, "new": 1}
+        idx = load_index(spark, out)
+        # old content of doc 2 is gone; new content of 2 and 3 is live
+        assert not bm25_topk(idx, ["delta"], k=10).collect()
+        assert {r["doc_id"] for r in
+                bm25_topk(idx, ["omega"], k=10).collect()} == {2}
+        assert {r["doc_id"] for r in
+                bm25_topk(idx, ["brandnew"], k=10).collect()} == {3}
+        assert {r["doc_id"] for r in
+                bm25_topk(idx, ["alpha"], k=10).collect()} == {1}
+        # doc 2 is not duplicated
+        assert idx.tokens.where("doc_id = 2").count() == 1
+
+    def test_new_only_batch_appends_without_tombstones(
+            self, spark, tmp_path_factory):
+        from pg_ts_semantic_headline_spark.plans.index_build import (
+            IndexPaths, load_index)
+        from pg_ts_semantic_headline_spark.plans.search import bm25_topk
+        from pg_ts_semantic_headline_spark.streaming.incremental import (
+            _try_parquet, upsert_documents)
+        docs = [(1, "alpha beta gamma")]
+        out = self._build(spark, tmp_path_factory.mktemp("ups_new"), docs)
+        rep = upsert_documents(spark, out, spark.createDataFrame(
+            [(5, "fresh words only")], ["doc_id", "content"]))
+        assert rep == {"unchanged": 0, "changed": 0, "new": 1}
+        assert _try_parquet(spark, IndexPaths(out).tombstones) is None
+        idx = load_index(spark, out)
+        assert {r["doc_id"] for r in
+                bm25_topk(idx, ["fresh"], k=10).collect()} == {5}
