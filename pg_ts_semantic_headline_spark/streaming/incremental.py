@@ -582,17 +582,28 @@ def attach_incremental_indexer(
     content_col: str = "content",
     config=None,
     trigger_available_now: bool = True,
+    mode: str = "merge",
 ):
     """writeStream wiring: every micro-batch is merged into the index.
     `config=None` analyzes each batch with the index's own persisted
-    config (see merge_batch)."""
+    config (see merge_batch). `mode`: "merge" appends every batch row
+    (the append-only contract); "upsert" routes through
+    `upsert_documents` — re-delivered or unchanged rows are skipped by
+    content hash, so a replayed micro-batch (the at-least-once case
+    after a checkpoint restart) is idempotent instead of duplicating."""
+    if mode not in ("merge", "upsert"):
+        raise ValueError(f"mode must be 'merge' or 'upsert', got {mode!r}")
     spark = stream_docs.sparkSession
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        merge_batch(spark, index_dir, batch_df,
-                    content_col=content_col, config=config)
+        if mode == "upsert":
+            upsert_documents(spark, index_dir, batch_df,
+                             content_col=content_col, config=config)
+        else:
+            merge_batch(spark, index_dir, batch_df,
+                        content_col=content_col, config=config)
 
     writer = (stream_docs.writeStream
               .foreachBatch(handle)

@@ -401,3 +401,42 @@ class TestUpsertDocuments:
         idx = load_index(spark, out)
         assert {r["doc_id"] for r in
                 bm25_topk(idx, ["fresh"], k=10).collect()} == {5}
+
+
+def test_streaming_upsert_mode_is_replay_idempotent(spark, tmp_path):
+    """The same rows streamed TWICE through upsert mode index once —
+    the at-least-once replay case merge mode would duplicate."""
+    import time
+    from pg_ts_semantic_headline_spark.plans.index_build import (
+        build_index, load_index)
+    from pg_ts_semantic_headline_spark.plans.search import bm25_topk
+    from pg_ts_semantic_headline_spark.streaming.incremental import (
+        attach_incremental_indexer)
+
+    out = str(tmp_path / "ups_idx")
+    build_index(spark, spark.createDataFrame(
+        [(1, "alpha beta gamma")], ["doc_id", "content"]),
+        out, config="simple", n_buckets=4, block_span=8, resume=False)
+
+    src = str(tmp_path / "src")
+    batch = spark.createDataFrame(
+        [(7, "streamed fresh words")], ["doc_id", "content"])
+    batch.write.parquet(src)
+
+    for rnd in range(2):  # same rows delivered twice
+        ckpt = str(tmp_path / f"ckpt{rnd}")
+        stream = (spark.readStream.schema("doc_id long, content string")
+                  .parquet(src))
+        q = attach_incremental_indexer(stream, out, ckpt, mode="upsert")
+        q.awaitTermination(60)
+        time.sleep(0.2)
+
+    idx = load_index(spark, out)
+    assert idx.tokens.where("doc_id = 7").count() == 1  # not duplicated
+    assert {r["doc_id"] for r in
+            bm25_topk(idx, ["streamed"], k=10).collect()} == {7}
+    import pytest as _p
+    with _p.raises(ValueError):
+        attach_incremental_indexer(
+            spark.readStream.schema("doc_id long, content string")
+            .parquet(src), out, str(tmp_path / "c2"), mode="nope")
