@@ -1626,6 +1626,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.size(F.split("text", " ")).alias("score"))
         return pick_canonicals(comp, scores)
 
+    def q99(spark, sf):
+        # ES-style weighted retrieval: per-term boosts + minimum_should_
+        # match=2 over three terms, scored off the persisted index
+        from pg_ts_semantic_headline_spark.plans.search import (
+            bm25_topk_weighted)
+        index = _built_index(spark, sf)
+        return (bm25_topk_weighted(
+            index, {"spark": 2.0, "window": 0.5, "merge": 1.0},
+            k=100000, min_should_match=2)
+            .withColumn("score_e4", _e4(F.col("score")))
+            .select("doc_id", "score_e4", "n_matched"))
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -1716,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rank": q96,
         "tsvector_ops": q97,
         "dedup_canonicals": q98,
+        "bm25_weighted_msm": q99,
         "thesaurus_search": q87,
         "multilang_search": q88,
         "search_batch": q89,
@@ -3090,6 +3103,28 @@ SELECT d.doc_id,
        LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS component_id,
        d.doc_id = LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS is_canonical
 FROM documents d LEFT JOIN mins m ON m.n = d.doc_id
+""",
+        "bm25_weighted_msm": f"""
+WITH {TOKS_CTE.strip()}, {BM25_CTE.strip()},
+scored AS (
+  SELECT tf.doc_id,
+         SUM( ln(1.0 + (corpus.n_docs - dfreq.df + 0.5)/(dfreq.df + 0.5))
+              * (tf.tf * ({K1_SQL} + 1))
+              / (tf.tf + {K1_SQL} * (1 - {B_SQL} + {B_SQL} * docstats.dl / corpus.avgdl))
+              * CASE tf.term WHEN 'spark' THEN 2.0
+                             WHEN 'window' THEN 0.5 ELSE 1.0 END
+         ) AS score,
+         count(DISTINCT tf.term) AS n_matched
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN docstats USING (doc_id)
+  CROSS JOIN corpus
+  WHERE tf.term IN ('merge', 'spark', 'window')
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(ROUND(score * 10000) AS BIGINT) AS score_e4,
+       CAST(n_matched AS INTEGER) AS n_matched
+FROM scored WHERE n_matched >= 2
 """,
         "dedup_canonicals": f"""
 WITH RECURSIVE mh AS (

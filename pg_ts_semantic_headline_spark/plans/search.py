@@ -312,6 +312,54 @@ def bm25_topk(
             .limit(k))
 
 
+def bm25_topk_weighted(
+    index: Index,
+    weights: dict[str, float],
+    k: int = 10,
+    min_should_match: int = 1,
+    candidate_docs: DataFrame | None = None,
+) -> DataFrame:
+    """ES-style weighted retrieval: per-term query boosts plus
+    `minimum_should_match` over the OR of the query terms —
+
+        score(d) = Σ_t boost_t · bm25_t(d)  over d's matched terms,
+        keep d iff |{t : tf(d, t) > 0}| ≥ min_should_match.
+
+    Exactly bm25_topk's physical plan (one bucket-pruned postings scan,
+    broadcast idf) plus a broadcast (term, boost) join and a
+    count-distinct gate before the top-k — boosts and the match-count
+    filter are plan algebra, no extra scan. min_should_match counts
+    DISTINCT matched terms (ES semantics); boost 0 keeps a term as a
+    match-count voter that contributes no score. Returns
+    (doc_id, score, n_matched), ordered (score desc, doc_id asc)."""
+    if min_should_match < 1:
+        raise ValueError("min_should_match must be >= 1")
+    bad = {t: b for t, b in weights.items() if float(b) < 0.0}
+    if bad:
+        raise ValueError(f"negative boosts: {bad}")
+    terms = sorted(weights)
+    spark = index.postings.sparkSession
+    out_schema = "doc_id long, score double, n_matched int"
+    if not terms or min_should_match > len(terms):
+        return spark.createDataFrame([], out_schema)
+    scored = _scored(index, terms)
+    if candidate_docs is not None:
+        scored = scored.join(candidate_docs.select("doc_id"), on="doc_id",
+                             how="left_semi")
+    wdf = F.broadcast(spark.createDataFrame(
+        [(t, float(b)) for t, b in sorted(weights.items())],
+        "term string, _boost double"))
+    per_doc = (scored.join(wdf, on="term")
+               .groupBy("doc_id")
+               .agg(F.sum(F.col("score") * F.col("_boost")).alias("score"),
+                    F.count_distinct("term").cast("int")
+                    .alias("n_matched")))
+    return (per_doc.where(F.col("n_matched") >= int(min_should_match))
+            .select("doc_id", "score", "n_matched")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k))
+
+
 def bm25_topk_batch(
     index: Index,
     queries: dict[str, CompiledQuery | list[str]],

@@ -1464,3 +1464,57 @@ def test_index_tables_written_zstd(spark, tmp_path):
         assert files, table
         meta = pq.ParquetFile(files[0]).metadata
         assert meta.row_group(0).column(0).compression == "ZSTD", table
+
+
+class TestBm25Weighted:
+    """bm25_topk_weighted: boosts scale per-term contributions and
+    min_should_match gates on distinct matched terms."""
+
+    def test_unit_boosts_match_plain_bm25(self, index):
+        from pg_ts_semantic_headline_spark.plans.search import (
+            bm25_topk, bm25_topk_weighted)
+        terms = ["spark", "window"]
+        plain = [(r["doc_id"], round(r["score"], 9))
+                 for r in bm25_topk(index, terms, k=50).collect()]
+        weighted = [(r["doc_id"], round(r["score"], 9))
+                    for r in bm25_topk_weighted(
+                        index, {t: 1.0 for t in terms}, k=50).collect()]
+        assert weighted == plain
+
+    def test_boost_changes_ranking_and_msm_gates(self, index):
+        from pg_ts_semantic_headline_spark.plans.search import (
+            bm25_topk_weighted)
+        terms = ["spark", "window"]
+        rows = bm25_topk_weighted(index, {"spark": 0.0, "window": 5.0},
+                                  k=1000).collect()
+        assert rows
+        # zero-boosted term contributes no score but still votes for
+        # n_matched; scores must equal 5 * window-only bm25
+        window_only = {r["doc_id"]: r["score"] for r in
+                       bm25_topk_weighted(index, {"window": 1.0},
+                                          k=1000).collect()}
+        for r in rows:
+            if r["doc_id"] in window_only:
+                assert r["score"] == pytest.approx(
+                    5.0 * window_only[r["doc_id"]], rel=1e-9)
+            else:
+                assert r["score"] == 0.0  # matched spark only
+        both = bm25_topk_weighted(index, {t: 1.0 for t in terms},
+                                  min_should_match=2, k=1000).collect()
+        assert both and all(r["n_matched"] == 2 for r in both)
+        one = {r["doc_id"] for r in
+               bm25_topk_weighted(index, {t: 1.0 for t in terms},
+                                  k=1000).collect()}
+        assert {r["doc_id"] for r in both} < one
+
+    def test_validation_and_edges(self, index, spark):
+        from pg_ts_semantic_headline_spark.plans.search import (
+            bm25_topk_weighted)
+        with pytest.raises(ValueError):
+            bm25_topk_weighted(index, {"spark": -1.0})
+        with pytest.raises(ValueError):
+            bm25_topk_weighted(index, {"spark": 1.0}, min_should_match=0)
+        # msm beyond the term count can never match
+        assert not bm25_topk_weighted(index, {"spark": 1.0},
+                                      min_should_match=2).collect()
+        assert not bm25_topk_weighted(index, {}).collect()
