@@ -462,6 +462,19 @@ def main():
                     candidate_ids=cand).count()
 
         timings["ts_rank_or_plus_and_rerank"] = min_of(run_ts_rank)
+
+        # re-crawl change detection: upserting the UNCHANGED corpus must
+        # classify every row as already-indexed and mutate nothing —
+        # this prices the sha256 gate itself (one broadcast join onto a
+        # 2-column tokens projection)
+        from pg_ts_semantic_headline_spark.streaming.incremental import (
+            upsert_documents)
+
+        def run_upsert_noop():
+            rep = upsert_documents(spark, idx_dir, docs)
+            assert rep["changed"] == 0 and rep["new"] == 0, rep
+
+        timings["upsert_recrawl_noop"] = min_of(run_upsert_noop)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
