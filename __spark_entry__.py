@@ -1638,6 +1638,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn("score_e4", _e4(F.col("score")))
             .select("doc_id", "score_e4", "n_matched"))
 
+    def q100(spark, sf):
+        # greedy doc-boundary sequence packing at a 64-token budget,
+        # 4 shards — the recursive-CTE oracle replays the same
+        # first-fit-in-order walk per shard
+        from pg_ts_semantic_headline_spark.operators.chunking import (
+            pack_sequences)
+        return pack_sequences(_docs(spark, sf), 64, n_shards=4)
+
     return {
         "tsp_indexable_text": q01,
         "tsp_present_text": q02,
@@ -1729,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsvector_ops": q97,
         "dedup_canonicals": q98,
         "bm25_weighted_msm": q99,
+        "pack_sequences": q100,
         "thesaurus_search": q87,
         "multilang_search": q88,
         "search_batch": q89,
@@ -3103,6 +3112,28 @@ SELECT d.doc_id,
        LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS component_id,
        d.doc_id = LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS is_canonical
 FROM documents d LEFT JOIN mins m ON m.n = d.doc_id
+""",
+        "pack_sequences": """
+WITH RECURSIVE ordered AS (
+  SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS shard,
+         CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS rn
+  FROM documents
+),
+packed AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN p.fill + o.n_tokens > 64 THEN p.seq_id + 1
+              ELSE p.seq_id END,
+         CASE WHEN p.fill + o.n_tokens > 64 THEN o.n_tokens
+              ELSE p.fill + o.n_tokens END
+  FROM packed p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, shard, seq_id, n_tokens, n_tokens > 64 AS oversize
+FROM packed
 """,
         "bm25_weighted_msm": f"""
 WITH {TOKS_CTE.strip()}, {BM25_CTE.strip()},

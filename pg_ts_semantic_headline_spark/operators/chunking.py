@@ -138,3 +138,69 @@ def source_mix_weights(df: DataFrame, alpha: float = 0.7,
     return (agg.withColumn("weight", scaled / total)
             .select(F.col(by).alias("source"), "n_docs", "n_tokens",
                     "weight"))
+
+
+def pack_sequences(df: DataFrame, max_tokens: int,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   n_shards: int = 64,
+                   shard_col: str | None = None) -> DataFrame:
+    """Greedy doc-boundary sequence packing — the pretraining batch-prep
+    step that concatenates whole documents into fixed-budget training
+    sequences (no document is ever split; `chunk_documents` is the
+    splitting counterpart). Within each shard, documents are taken in
+    doc_id order and appended first-fit-in-order: a doc that would
+    overflow `max_tokens` starts the next sequence; a single doc LONGER
+    than the budget gets a sequence of its own, flagged `oversize`
+    (route those through chunk_documents first if that matters).
+
+    Returns (doc_id, shard, seq_id, n_tokens, oversize) — seq_id is the
+    0-based sequence ordinal within its shard; (shard, seq_id) is the
+    training-sequence key.
+
+    Determinism contract: shard = pmod(doc_id, n_shards) by default (or
+    pass `shard_col` to route by tenant/source), order within a shard is
+    doc_id ascending — the packing is a pure function of (ids, token
+    counts), reproducible across runs, partitionings, and engines (the
+    DuckDB oracle replays it with a recursive CTE).
+
+    Scale shape: packing is inherently sequential PER SHARD (each
+    output sequence depends on everything packed before it), so the
+    sequential state is confined to an `applyInPandas` group whose size
+    the caller controls with `n_shards` — at corpus scale pick shards
+    so one shard's (doc_id, n_tokens) rows fit a worker (two longs per
+    doc; 10M docs/shard ≈ 160 MB), and the loop itself is O(rows) with
+    O(1) state. Token counting is the engine's whitespace contract
+    (`token_counts.ws_tokens`)."""
+    import pandas as pd
+
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if shard_col is None:
+        shard = F.pmod(F.col(id_col).cast("long"),
+                       F.lit(int(n_shards))).cast("int")
+    else:
+        shard = F.col(shard_col).cast("int")
+    base = df.select(F.col(id_col).cast("long").alias("doc_id"),
+                     shard.alias("shard"),
+                     F.size(_tok(F.col(text_col))).cast("int")
+                     .alias("n_tokens"))
+    cap = int(max_tokens)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids = []
+        seq, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            if fill > 0 and fill + int(n) > cap:
+                seq += 1
+                fill = 0
+            seq_ids.append(seq)
+            fill += int(n)
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        pdf["oversize"] = pdf["n_tokens"] > cap
+        return pdf[["doc_id", "shard", "seq_id", "n_tokens", "oversize"]]
+
+    return (base.groupBy("shard").applyInPandas(
+        pack,
+        "doc_id long, shard int, seq_id long, n_tokens int, "
+        "oversize boolean"))

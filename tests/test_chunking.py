@@ -133,3 +133,66 @@ def test_source_mix_weights(spark):
     assert abs(sum(w0.values()) - 1.0) < 1e-12
     # temperature flattens: the small source gains share as alpha drops
     assert w0["s_small"] > w1["s_small"]
+
+
+class TestPackSequences:
+    """Greedy doc-boundary packing: first-fit-in-order per shard,
+    oversize docs isolated, deterministic across partitionings."""
+
+    def _docs(self, spark, sizes):
+        rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(sizes)]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_greedy_packing_matches_python_replay(self, spark):
+        from pg_ts_semantic_headline_spark.operators.chunking import (
+            pack_sequences)
+        sizes = [3, 4, 5, 2, 9, 1, 8, 8, 1, 30, 2, 2]
+        cap = 10
+        df = self._docs(spark, sizes)
+        got = {r["doc_id"]: (r["shard"], r["seq_id"], r["oversize"])
+               for r in pack_sequences(df, cap, n_shards=1).collect()}
+        seq, fill, want = 0, 0, {}
+        for i, n in enumerate(sizes):
+            if fill > 0 and fill + n > cap:
+                seq, fill = seq + 1, 0
+            want[i] = (0, seq, n > cap)
+            fill += n
+        assert got == want
+        # no sequence (except oversize singletons) exceeds the budget
+        from collections import defaultdict
+        per_seq = defaultdict(int)
+        for i, n in enumerate(sizes):
+            per_seq[want[i][1]] += n
+        for s, tot in per_seq.items():
+            members = [i for i in want if want[i][1] == s]
+            assert tot <= cap or (len(members) == 1
+                                  and sizes[members[0]] > cap)
+
+    def test_deterministic_across_partitionings(self, spark):
+        from pg_ts_semantic_headline_spark.operators.chunking import (
+            pack_sequences)
+        import random
+        rng = random.Random(3)
+        sizes = [rng.randint(1, 40) for _ in range(300)]
+        df = self._docs(spark, sizes)
+        a = sorted(map(tuple, pack_sequences(
+            df.repartition(1), 64, n_shards=8).collect()))
+        b = sorted(map(tuple, pack_sequences(
+            df.repartition(13), 64, n_shards=8).collect()))
+        assert a == b
+        # every doc appears exactly once and shards are doc_id % 8
+        assert len(a) == 300
+        assert all(r[1] == r[0] % 8 for r in a)
+
+    def test_shard_col_and_validation(self, spark):
+        import pyspark.sql.functions as F
+        import pytest as _p
+        from pg_ts_semantic_headline_spark.operators.chunking import (
+            pack_sequences)
+        df = self._docs(spark, [2, 2, 2, 2]).withColumn(
+            "src", (F.col("doc_id") < 2).cast("int"))
+        rows = pack_sequences(df, 4, n_shards=99,
+                              shard_col="src").collect()
+        assert {r["shard"] for r in rows} == {0, 1}
+        with _p.raises(ValueError):
+            pack_sequences(df, 0)
