@@ -9,6 +9,7 @@ from .dedup import (
     minhash_signatures,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
+    pick_canonicals,
     shingle_df,
     simhash,
     simhash_near_pairs,
@@ -37,6 +38,7 @@ from .similarity import (
 )
 from .chunking import (
     chunk_documents,
+    pack_sequences,
     sample_token_budget,
     sample_token_budget_exact,
 )
