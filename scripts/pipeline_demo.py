@@ -7,9 +7,12 @@ run needs, chained over the engine's own operators on real testdata.
       → decontaminate       (eval-set n-gram overlap filter)
       → chunk_documents     (sliding token windows)
       → sample_token_budget (stratified token-budget sampling)
+      → pick_canonicals     (quality-aware keep-best per dup cluster)
+      → pack_sequences      (doc-boundary training-sequence packing)
       → build_index + bm25  (retrieval over the cleaned corpus)
       → ltr_features        (training features for the retrieved set)
       → rank_metrics        (ranking quality vs synthetic judgments)
+      → upsert_documents    (day-2 re-crawl: unchanged corpus = no-op)
 
 Run:  python scripts/pipeline_demo.py [sf_dir]   (default sf0.01)
 
@@ -72,7 +75,20 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     clean = decontaminate(kept.select("doc_id", "text"), eval_set, n=8)
     n_clean = stage("decontaminated", clean.count)
 
-    # 3. chunk + budget-sample (what actually feeds a trainer)
+    # 2b. quality-aware canonical election over the near-dup clusters
+    # (keep the LONGEST member instead of prepare_corpus' min-id rule)
+    from pg_ts_semantic_headline_spark.operators.dedup import (
+        duplicate_components, minhash_lsh_dedup, pick_canonicals)
+    pairs = minhash_lsh_dedup(docs, threshold=0.5)
+    comp = duplicate_components(docs, pairs)
+    canon = pick_canonicals(
+        comp, docs.select("doc_id",
+                          F.size(F.split("text", " ")).alias("score")))
+    stage("canonical election",
+          lambda: f"{canon.where('is_canonical').count()} canonicals "
+                  f"of {n_raw}")
+
+    # 3. chunk + budget-sample + sequence-pack (what feeds a trainer)
     chunks = chunk_documents(clean, text_col="text",
                              chunk_tokens=128, overlap=16)
     stage("chunks", chunks.count)
@@ -81,6 +97,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     stage("token-budget sample",
           lambda: sampled.agg(
               F.count(F.lit(1)).alias("docs")).first()["docs"])
+    from pg_ts_semantic_headline_spark.operators.chunking import (
+        pack_sequences)
+    packed = pack_sequences(clean, 512, n_shards=8)
+    stage("sequence packing",
+          lambda: f"{packed.select('shard', 'seq_id').distinct().count()} "
+                  f"training sequences from {n_clean} docs")
 
     # 4. index the cleaned corpus, retrieve, featurize, evaluate
     idx_dir = tempfile.mkdtemp(prefix="tsp_demo_idx_")
@@ -118,6 +140,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         top.select(F.lit("q0").alias("query_id"), "doc_id", "score"),
         qrels, k=10)
     stage("rank metrics", lambda: metrics.collect())
+
+    # 5. the day-2 loop: re-crawl the same corpus — the sha256 gate
+    # classifies everything unchanged and the index is untouched
+    from pg_ts_semantic_headline_spark.streaming.incremental import (
+        upsert_documents)
+    stage("re-crawl upsert (no-op)",
+          lambda: upsert_documents(
+              spark, idx_dir, clean.selectExpr("doc_id",
+                                               "text as content")))
 
     print(f"total {time.time() - t_all:.1f}s")
     spark.stop()
