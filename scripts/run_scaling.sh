@@ -78,5 +78,14 @@ if h8 and h32:
     ceil = (h32 / h8) / (r32["cores"] / r8["cores"])
     out["host_ceiling_efficiency"] = round(ceil, 3)
     out["efficiency_vs_host_ceiling"] = round(eff / ceil, 3)
+# memory-bandwidth ceiling: the Arrow string stages live between the two
+# ceilings; a window where membw at 4N barely exceeds membw at N cannot
+# scale string-heavy stages no matter what the CPU probe says
+m8, m32 = r8.get("host_membw_gb_per_sec"), r32.get("host_membw_gb_per_sec")
+if m8 and m32:
+    mceil = (m32 / m8) / (r32["cores"] / r8["cores"])
+    out["membw_ceiling_efficiency"] = round(mceil, 3)
+    out["membw_gb_per_sec_N"] = m8
+    out["membw_gb_per_sec_4N"] = m32
 print(json.dumps(out))
 EOF

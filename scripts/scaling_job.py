@@ -44,6 +44,46 @@ def host_cpu_probe(procs: int, seconds: float = 6.0) -> float:
     return total / seconds
 
 
+def host_membw_probe(procs: int, seconds: float = 4.0,
+                     mb: int = 256) -> float:
+    """Aggregate memory-bandwidth throughput (GB/s of large-array copies)
+    of `procs` processes — the substrate the cache-resident CPU probe is
+    BLIND to. Measured necessity: a window where the CPU probe read a
+    0.989 ceiling still ran the Arrow string stages at a third of their
+    healthy speed (tokens 122.6 s vs 27–46 s, identical binary/input);
+    only a bandwidth-bound probe exposes that interference. Read a
+    scaling pair against BOTH ceilings: the engine's string-heavy stages
+    sit between them."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def copy_loop(q, barrier):
+        # allocate BEFORE the timed window (spawn + numpy import + a
+        # 2×mb allocation can eat a whole short window otherwise), and
+        # rendezvous so every process measures the same interval
+        src = np.ones(mb * 1024 * 1024 // 8, dtype=np.int64)
+        dst = np.empty_like(src)
+        barrier.wait()
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < seconds:
+            np.copyto(dst, src)
+            n += 1
+        q.put(n * 2 * mb / 1024.0 / (time.time() - t0))
+
+    q = mp.Queue()
+    barrier = mp.Barrier(procs)
+    ps = [mp.Process(target=copy_loop, args=(q, barrier))
+          for _ in range(procs)]
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return total  # aggregate GB/s (each iteration reads+writes mb MB)
+
+
 def main():
     sf_dir, out_dir, replicate = sys.argv[1], sys.argv[2], int(sys.argv[3])
     rep_len = int(sys.argv[4]) if len(sys.argv) > 4 else 1
@@ -89,6 +129,7 @@ def main():
     # build; the before/after mean is the window estimate the efficiency
     # ratio is normalized against
     probe_before = host_cpu_probe(cores)
+    membw_before = host_membw_probe(cores)
     t0 = time.time()
     # min_analyze_partitions=0: input is already repartitioned+cached above;
     # the small-input guard keys off source inputFiles and would add a
@@ -106,6 +147,8 @@ def main():
         "files_per_sec": round(n_files / wall, 2),
         "host_cpu_units_per_sec": round(
             (probe_before + host_cpu_probe(cores)) / 2, 1),
+        "host_membw_gb_per_sec": round(
+            (membw_before + host_membw_probe(cores)) / 2, 2),
         "stages": {k: round(v, 2) for k, v in metrics.items()},
     }))
     spark.stop()
