@@ -61,6 +61,11 @@ def tsp_delete(lexemes: Column | str, targets: Column | str | list) -> Column:
     `targets`: one lexeme, a list of lexemes, or an array column."""
     lex = _col(lexemes)
     if isinstance(targets, list):
+        if not targets:
+            # PG's ts_delete with an empty lexeme[] is the identity; an
+            # explicit short-circuit instead of relying on Spark's
+            # array_contains-against-array<null>() typing edge
+            return lex
         tgt = F.array(*[F.lit(t) for t in targets])
     elif isinstance(targets, str):
         tgt = F.array(F.lit(targets))

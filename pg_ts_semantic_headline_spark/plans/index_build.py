@@ -600,10 +600,14 @@ def publish_index(spark: SparkSession, index_dir: str,
     reindex flip: build or compact into a NEW directory, then publish it
     under the alias every reader loads. Returns the new alias version.
 
-    The flip is crash-safe without renames: each publish writes a fresh
-    `v=N+1` pointer directory, and readers take the highest version whose
-    commit completed (_SUCCESS) — a reader racing a publish sees either
-    the old target or the new one, never a half state. The previous
+    Reader-safe AND writer-safe: each publish writes a fresh pointer
+    under a hidden temp name, then CLAIMS `v=N+1` with a non-overwriting
+    atomic rename — readers take the highest version whose commit
+    completed (_SUCCESS), so a reader racing a publish sees either the
+    old target or the new one, never a half state; and two concurrent
+    publishers that both computed v=N+1 cannot silently clobber each
+    other — rename is atomic on HDFS/local FS, so exactly one claims the
+    version and the loser raises (retry to land at v=N+2). The previous
     `keep-1` versions are retained so an in-flight reader that already
     resolved an older pointer can finish against its target; prune the
     superseded index DIRECTORIES themselves on whatever delay covers the
@@ -620,13 +624,38 @@ def publish_index(spark: SparkSession, index_dir: str,
             or _path_exists(spark, f"{index_dir}/meta")):
         raise ValueError(
             f"{index_dir} is not a built index (no stats/ or meta/)")
+    import uuid
+
     versions = _alias_versions(spark, alias_dir)
     n = (versions[-1] + 1) if versions else 1
+    tmp = f"{alias_dir}/.publish_tmp_{uuid.uuid4().hex}"
     (spark.createDataFrame([(index_dir,)], "target string")
-     .coalesce(1).write.option("compression", INDEX_CODEC).mode("overwrite").parquet(f"{alias_dir}/v={n}"))
+     .coalesce(1).write.option("compression", INDEX_CODEC)
+     .mode("overwrite").parquet(tmp))
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(alias_dir).getFileSystem(
         spark._jsc.hadoopConfiguration())
+    # claim v=N with a non-overwriting rename: if a concurrent publisher
+    # already took it (or rename fails for any reason), fail LOUDLY —
+    # never clobber an already-published pointer. A v=N WITHOUT _SUCCESS
+    # is a dead half-publish (this scheme renames only fully-committed
+    # pointer dirs into place, so a live racer never exposes one):
+    # reclaim it.
+    dst = jvm.org.apache.hadoop.fs.Path(f"{alias_dir}/v={n}")
+    if fs.exists(dst):
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(
+                f"{alias_dir}/v={n}/_SUCCESS")):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+            raise RuntimeError(
+                f"publish race: {alias_dir}/v={n} already exists (another "
+                f"publisher claimed the version) — retry to publish as "
+                f"v={n + 1}")
+        fs.delete(dst, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        raise RuntimeError(
+            f"publish race: lost the rename claim on {alias_dir}/v={n} "
+            f"to a concurrent publisher — retry to publish as v={n + 1}")
     for old in versions[:max(0, len(versions) - (keep - 1))]:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{alias_dir}/v={old}"),
                   True)

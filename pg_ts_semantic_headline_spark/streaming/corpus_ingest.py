@@ -419,10 +419,12 @@ def _merge_into_index(spark: SparkSession, index_dir: str, kept: DataFrame,
     paths = IndexPaths(index_dir)
     stats = spark.read.parquet(paths.stats).first()
     if _path_exists(spark, marker):
-        ids = [int(r["doc_id"]) for r in kept.select("doc_id").collect()]
-        if ids:
-            delete_docs(spark, index_dir, ids,
-                        through_gen=int(stats["gen"]) + 2)
+        # distributed sweep: the kept ids go to delete_docs as a DataFrame
+        # (materialized to a scratch table inside), never to the driver —
+        # a giant replayed batch must not OOM it. Callers guarantee kept
+        # is non-empty (prepare_corpus_batch gates on isEmpty).
+        delete_docs(spark, index_dir, kept.select("doc_id"),
+                    through_gen=int(stats["gen"]) + 2)
     else:
         (spark.createDataFrame([(int(batch_id),)], "batch_id long")
          .coalesce(1).write.option("compression", INDEX_CODEC).mode("overwrite").parquet(marker))

@@ -244,12 +244,17 @@ def merge_batch(
 
     if replace:
         # tombstones land AFTER the new rows: a mid-merge reader sees a
-        # transient duplicate (old+new), never a transiently-missing doc
-        ids = [r["doc_id"] for r in
-               analyzed.select("doc_id").distinct().collect()]
-        spark.createDataFrame(
-            [(int(i), new_gen) for i in ids], "doc_id long, before_gen int"
-        ).write.option("compression", INDEX_CODEC).mode("append").parquet(paths.tombstones)
+        # transient duplicate (old+new), never a transiently-missing doc.
+        # Written distributed — the batch's id set never lands on the
+        # driver (a 10^8-doc re-crawl batch must not OOM it). Lineage is
+        # safe against recache-by-path: `analyzed` is cached (materialized
+        # by the touched-buckets action above) and roots at batch_docs,
+        # never at the index's own tables.
+        (analyzed.select(F.col("doc_id").cast("long").alias("doc_id"))
+         .distinct()
+         .withColumn("before_gen", F.lit(new_gen).cast("int"))
+         .write.option("compression", INDEX_CODEC).mode("append")
+         .parquet(paths.tombstones))
 
     _reaggregate(spark, paths, stats, new_gen)
     analyzed.unpersist()
@@ -262,6 +267,7 @@ def upsert_documents(
     content_col: str = "content",
     doc_id: str = "doc_id",
     config=None,
+    broadcast_ids: bool = True,
 ) -> dict:
     """Re-crawl ingestion: fold `docs` into the index, SKIPPING rows whose
     content the index already holds — the sha256 recall column doubles as
@@ -273,58 +279,82 @@ def upsert_documents(
 
     Returns {"unchanged": n, "changed": n, "new": n}.
 
-    Plan shape: the batch's (doc_id, sha256) broadcasts into ONE right
-    join against the live tokens projection — the corpus side is never
-    shuffled and only two columns of it are read. A doc_id holding
-    several live generations counts as unchanged if ANY of them already
-    carries the batch's content hash."""
+    Plan shape (nothing batch-sized ever lands on the driver):
+
+    1. change detection — the batch's doc_ids semi-join the live tokens
+       projection (only 2 columns of the corpus are read). With
+       `broadcast_ids=True` (default, the micro-batch case) the id set
+       broadcasts so the corpus side is neither shuffled nor built as a
+       hash table; pass False for a giant re-crawl batch and let AQE
+       pick a shuffle join instead. The ≤batch-sized hit set then joins
+       the batch itself. A doc_id holding several live generations
+       counts as unchanged if ANY of them carries the batch's hash.
+    2. the per-doc classification is materialized to a parquet scratch
+       table under the index dir — this breaks the plan's lineage to the
+       index's own parquet files (the merge appends to tokens/, and
+       Spark's recache-by-path would otherwise re-evaluate a lazy
+       to_ingest against the already-updated index, reclassifying
+       everything as unchanged mid-merge) while keeping the id set
+       distributed. The driver collects only the 3-row status counts.
+    3. rows to ingest are recovered with a semi-join against the scratch
+       table and folded in with ONE merge_batch."""
     from ..plans.index_build import load_index
 
     live = (load_index(spark, index_dir).tokens
             .select("doc_id", F.col("sha256").alias("_old_sha")))
     bk = docs.select(F.col(doc_id).alias("doc_id"),
                      F.sha2(F.col(content_col), 256).alias("_sha"))
+    batch_ids = bk.select("doc_id").distinct()
+    if broadcast_ids:
+        batch_ids = F.broadcast(batch_ids)
+    live_hits = live.join(batch_ids, on="doc_id", how="left_semi")
     same = F.max(F.when(F.col("_old_sha") == F.col("_sha"), 1)
                  .otherwise(0))
     exists = F.max(F.when(F.col("_old_sha").isNotNull(), 1).otherwise(0))
-    flags = (live.join(F.broadcast(bk), on="doc_id", how="right")
+    flags = (bk.join(live_hits, on="doc_id", how="left")
              .groupBy("doc_id")
              .agg(F.when(exists == 0, F.lit("new"))
                   .when(same == 1, F.lit("unchanged"))
                   .otherwise(F.lit("changed")).alias("_status")))
-    # materialize the classification driver-side (batch-sized — the same
-    # contract merge_batch's replace path already relies on). This also
-    # BREAKS the plan's lineage to the index's own parquet files: the
-    # merge appends to tokens/, and Spark's recache-by-path would
-    # otherwise re-evaluate a lazy to_ingest against the already-updated
-    # index, reclassifying everything as unchanged mid-merge.
-    rows = flags.collect()
+    scratch = f"{index_dir}/_upsert_scratch"
+    flags.write.option("compression", INDEX_CODEC) \
+        .mode("overwrite").parquet(scratch)
+    flagged = spark.read.parquet(scratch)
     report = {"unchanged": 0, "changed": 0, "new": 0}
-    ingest_ids = []
-    for r in rows:
-        report[r["_status"]] += 1
-        if r["_status"] != "unchanged":
-            ingest_ids.append(int(r["doc_id"]))
-    if not ingest_ids:
+    for r in flagged.groupBy("_status").count().collect():  # ≤ 3 rows
+        report[r["_status"]] = int(r["count"])
+    if report["changed"] + report["new"] == 0:
+        _delete_path(spark, scratch)
         return report  # no gen bump, no stale marker: blockmax stays live
-    ids_df = spark.createDataFrame([(i,) for i in ingest_ids],
-                                   f"{doc_id} long")
-    to_ingest = docs.join(F.broadcast(ids_df), on=doc_id, how="left_semi")
+    ids_df = (flagged.where(F.col("_status") != "unchanged")
+              .select(F.col("doc_id").alias(doc_id)))
+    # no broadcast hint: the ingest set can be the whole batch; both
+    # sides are batch-scale and AQE broadcasts the small side on its own
+    to_ingest = docs.join(ids_df, on=doc_id, how="left_semi")
     # replace=True tombstones every ingested id; for brand-new ids that
     # is a no-op (tombstones kill strictly-lower generations only), so
     # one merge covers both classes
     merge_batch(spark, index_dir, to_ingest, content_col=content_col,
                 config=config, doc_id=doc_id,
                 replace=report["changed"] > 0)
+    _delete_path(spark, scratch)
     return report
 
 
 def delete_docs(spark: SparkSession, index_dir: str,
-                doc_ids: list[int],
+                doc_ids: "list[int] | DataFrame",
                 through_gen: int | None = None) -> None:
     """Tombstone-delete documents: queries stop seeing them immediately
     (broadcast tombstone filter in load_index); compact_index physically
     drops their rows and repacks.
+
+    `doc_ids` is either a driver-side list (ad-hoc deletes) or a
+    single-column DataFrame of ids — the scale form: the id set never
+    lands on the driver. A DataFrame is materialized to a parquet
+    scratch table BEFORE the first index mutation, both to break
+    recache-by-path lineage (an id plan derived from the index's own
+    tables would otherwise re-evaluate against the tombstones this call
+    appends) and to pin the id set against the marker write.
 
     `through_gen` overrides the tombstone generation (default
     stats.gen + 1 — everything currently visible dies). A crash-recovery
@@ -342,12 +372,30 @@ def delete_docs(spark: SparkSession, index_dir: str,
         raise ValueError(
             f"through_gen={new_gen} must exceed the current stats "
             f"generation {int(stats['gen'])}")
+    scratch = None
+    if isinstance(doc_ids, DataFrame):
+        if len(doc_ids.columns) != 1:
+            raise ValueError(
+                f"doc_ids DataFrame must have exactly one column, got "
+                f"{doc_ids.columns}")
+        scratch = f"{index_dir}/_delete_scratch"
+        (doc_ids.select(F.col(doc_ids.columns[0]).cast("long")
+                        .alias("doc_id")).distinct()
+         .write.option("compression", INDEX_CODEC)
+         .mode("overwrite").parquet(scratch))
+        tombs = (spark.read.parquet(scratch)
+                 .withColumn("before_gen", F.lit(new_gen).cast("int")))
+    else:
+        tombs = spark.createDataFrame(
+            [(int(i), new_gen) for i in doc_ids],
+            "doc_id long, before_gen int")
     # deleted docs' postings span arbitrary term buckets → wildcard marker
     _write_stale_marker(spark, paths, [-1], new_gen)
-    spark.createDataFrame(
-        [(int(i), new_gen) for i in doc_ids], "doc_id long, before_gen int"
-    ).write.option("compression", INDEX_CODEC).mode("append").parquet(paths.tombstones)
+    tombs.write.option("compression", INDEX_CODEC).mode("append") \
+        .parquet(paths.tombstones)
     _reaggregate(spark, paths, stats, new_gen)
+    if scratch is not None:
+        _delete_path(spark, scratch)
 
 
 def _decode_packed_rows(tomb_ids: set):

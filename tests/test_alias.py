@@ -96,3 +96,51 @@ class TestIndexAlias:
         got = {r["doc_id"] for r in
                substring_search(idx, docs, "needle").collect()}
         assert got == {1}
+
+
+class TestPublishRace:
+    """Writer-vs-writer safety: a committed v=N is never clobbered; a dead
+    half-publish (no _SUCCESS) is reclaimed."""
+
+    def test_concurrent_publish_raises_not_clobbers(self, spark,
+                                                    two_indexes, tmp_path,
+                                                    monkeypatch):
+        import os
+        from pg_ts_semantic_headline_spark.plans import index_build as ib
+        root, blue, green = two_indexes
+        alias = str(tmp_path / "race")
+        assert publish_index(spark, blue, alias) == 1
+        # simulate the race window: both publishers read versions=[1]
+        # (stale) and compute n=2; the OTHER one claims v=2 first
+        import shutil
+        os.makedirs(os.path.join(alias, "v=2"))
+        for f in os.listdir(os.path.join(alias, "v=1")):
+            shutil.copy(os.path.join(alias, "v=1", f),
+                        os.path.join(alias, "v=2", f))
+        monkeypatch.setattr(ib, "_alias_versions",
+                            lambda spark, d: [1])  # the stale read
+        with pytest.raises(RuntimeError, match="publish race"):
+            publish_index(spark, green, alias)
+        monkeypatch.undo()
+        # the winner's pointer survives untouched; blue (v=1)'s target is
+        # still resolvable via its copied pointer at v=2
+        assert resolve_index_alias(spark, alias) == blue
+        # no temp litter left behind
+        assert not [d for d in os.listdir(alias)
+                    if d.startswith(".publish_tmp_")]
+        # the loser retries with a fresh version read and lands at v=3
+        assert publish_index(spark, green, alias) == 3
+        assert resolve_index_alias(spark, alias) == green
+
+    def test_dead_half_publish_is_reclaimed(self, spark, two_indexes,
+                                            tmp_path):
+        import os
+        root, blue, green = two_indexes
+        alias = str(tmp_path / "halfdead")
+        assert publish_index(spark, blue, alias) == 1
+        # a crashed publisher left v=2 WITHOUT _SUCCESS
+        os.makedirs(os.path.join(alias, "v=2"))
+        with open(os.path.join(alias, "v=2", "part-junk.parquet"), "wb"):
+            pass
+        assert publish_index(spark, green, alias) == 2
+        assert resolve_index_alias(spark, alias) == green

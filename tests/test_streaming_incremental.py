@@ -385,6 +385,41 @@ class TestUpsertDocuments:
         # doc 2 is not duplicated
         assert idx.tokens.where("doc_id = 2").count() == 1
 
+    def test_no_batch_sized_driver_collect(self, spark, tmp_path_factory,
+                                           monkeypatch):
+        """The classification/ingest path must stay distributed: no single
+        driver collect during an upsert may return O(batch) rows (the
+        3-row status counts, ≤n_buckets touched buckets, and 1-row stats
+        reads are the only permitted driver landings). Guards the
+        scale contract: a 10^8-doc re-crawl batch must not OOM the
+        driver."""
+        from pg_ts_semantic_headline_spark.streaming.incremental import (
+            upsert_documents)
+        docs = [(i, f"seed doc number {i} alpha") for i in range(8)]
+        out = self._build(spark, tmp_path_factory.mktemp("ups_dist"), docs)
+        n_batch = 64
+        batch = spark.createDataFrame(
+            [(i, f"rewritten body {i} omega") for i in range(n_batch)],
+            ["doc_id", "content"])  # 8 changed + 56 new
+
+        seen = []
+        DataFrame = type(batch)  # the session's concrete DataFrame class
+        real_collect = DataFrame.collect
+
+        def counting_collect(df):
+            rows = real_collect(df)
+            seen.append(len(rows))
+            return rows
+
+        monkeypatch.setattr(DataFrame, "collect", counting_collect)
+        rep = upsert_documents(spark, out, batch)
+        monkeypatch.undo()
+        assert rep == {"unchanged": 0, "changed": 8, "new": 56}
+        assert seen, "expected at least the status-count collect"
+        assert max(seen) < n_batch, (
+            f"a driver collect returned {max(seen)} rows — batch-sized "
+            f"state landed on the driver: {seen}")
+
     def test_new_only_batch_appends_without_tombstones(
             self, spark, tmp_path_factory):
         from pg_ts_semantic_headline_spark.plans.index_build import (
@@ -401,6 +436,36 @@ class TestUpsertDocuments:
         idx = load_index(spark, out)
         assert {r["doc_id"] for r in
                 bm25_topk(idx, ["fresh"], k=10).collect()} == {5}
+
+
+def test_delete_docs_dataframe_form(spark, tmp_path):
+    """delete_docs with a DataFrame id set (the scale form): ids stay
+    distributed, results identical to the list form, scratch cleaned up,
+    and a multi-column frame is rejected loudly."""
+    import pytest
+    from pg_ts_semantic_headline_spark.plans.index_build import (
+        IndexPaths, build_index, load_index)
+    from pg_ts_semantic_headline_spark.plans.search import bm25_topk
+    from pg_ts_semantic_headline_spark.streaming.incremental import (
+        _path_exists, delete_docs)
+    out = str(tmp_path / "del_df_idx")
+    build_index(spark, spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon zeta")],
+        ["doc_id", "content"]), out, config="simple", n_buckets=4,
+        block_span=8, resume=False)
+    with pytest.raises(ValueError, match="one column"):
+        delete_docs(spark, out, spark.createDataFrame(
+            [(1, "x")], ["doc_id", "junk"]))
+    ids = spark.createDataFrame([(1,), (3,)], ["doc_id"])
+    delete_docs(spark, out, ids)
+    idx = load_index(spark, out)
+    assert sorted(r["doc_id"] for r in
+                  idx.tokens.select("doc_id").collect()) == [2]
+    assert not bm25_topk(idx, ["alpha"], k=5).collect()
+    assert [r["doc_id"] for r in
+            bm25_topk(idx, ["gamma"], k=5).collect()] == [2]
+    assert not _path_exists(spark, f"{out}/_delete_scratch")
+    assert _path_exists(spark, IndexPaths(out).tombstones)
 
 
 def test_streaming_upsert_mode_is_replay_idempotent(spark, tmp_path):

@@ -190,6 +190,16 @@ class TestTspvectorOps:
         assert got[1]["del2"] == [None, None, "sat", None]
         assert got[2]["del1"] == ["dog"]
 
+    def test_delete_empty_targets_is_identity(self, spark):
+        # a computed-empty target list (PG: ts_delete(tsv, '{}')) must be
+        # the identity, not an array<null> typing accident
+        from pg_ts_semantic_headline_spark.functions.tspvector_ops import (
+            tsp_delete)
+        df = self._analyzed(spark, [(1, "fat cat sat fat")])
+        rows = df.select(
+            "lexemes", tsp_delete("lexemes", []).alias("kept")).collect()
+        assert rows[0]["kept"] == rows[0]["lexemes"]
+
     def test_delete_keeps_phrase_alignment(self, spark):
         # deleting an unrelated lexeme must not move a phrase match
         from pg_ts_semantic_headline_spark.functions.tspvector_ops import (
