@@ -1557,6 +1557,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ts_rank_cd(index, ["spark", "window"]) \
             .select("doc_id", "rank_e6")
 
+    def q101(spark, sf):
+        # PG normalization bitmask 4|8 (extent-distance and unique-lexeme
+        # divisors, tsrank.c order) over the same cover-density rank; the
+        # float rank re-quantizes at e6 after IEEE double steps the SQL
+        # oracle replays in the same order, so the gate stays bit-stable
+        from pg_ts_semantic_headline_spark.plans.ranking import ts_rank_cd
+        index = _built_index(spark, sf)
+        return (ts_rank_cd(index, ["spark", "window"], normalization=4 | 8)
+                .withColumn("rank_e6n",
+                            F.round(F.col("rank") * 1000000).cast("long"))
+                .select("doc_id", "rank_e6", "rank_e6n"))
+
     def q94(spark, sf):
         # PG ts_rewrite over a rules TABLE, then end-to-end retrieval:
         # 'merge & sort' + rule sort→(sort|window) rewrites to
@@ -1733,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_search": q84,
         "synonym_search": q85,
         "ts_rank_cd": q86,
+        "ts_rank_cd_normalized": q101,
         "ts_rank": q96,
         "tsvector_ops": q97,
         "dedup_canonicals": q98,
@@ -2662,6 +2675,52 @@ SELECT doc_id,
        CAST(SUM(CAST(ROUND(1000000.0 / (p - l + 1)) AS BIGINT)) AS BIGINT)
          AS rank_e6
 FROM covers GROUP BY doc_id
+""",
+        "ts_rank_cd_normalized": f"""
+WITH {TOKS_CTE.strip()},
+spanrun AS (
+  SELECT doc_id, pos,
+         max(CASE WHEN token = 'spark' THEN pos END) OVER
+           (PARTITION BY doc_id ORDER BY pos) AS p0,
+         max(CASE WHEN token = 'window' THEN pos END) OVER
+           (PARTITION BY doc_id ORDER BY pos) AS p1
+  FROM toks WHERE token IN ('spark', 'window')
+),
+cand AS (
+  SELECT doc_id, least(p0, p1) AS l, pos
+  FROM spanrun WHERE p0 IS NOT NULL AND p1 IS NOT NULL
+),
+covers AS (SELECT doc_id, l, min(pos) AS p FROM cand GROUP BY doc_id, l),
+ranked AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(ROUND(1000000.0 / (p - l + 1)) AS BIGINT)) AS BIGINT)
+           AS rank_e6
+  FROM covers GROUP BY doc_id
+),
+mids AS (SELECT doc_id, (l + p) / 2.0 AS mid FROM covers),
+gaps AS (
+  SELECT doc_id, mid,
+         lag(mid) OVER (PARTITION BY doc_id ORDER BY mid) AS prev
+  FROM mids
+),
+ext AS (
+  SELECT doc_id, count(*) AS n_ext,
+         SUM(CASE WHEN prev IS NOT NULL AND mid > prev
+                  THEN CAST(ROUND(1000000000.0 / (mid - prev)) AS BIGINT)
+             END) AS sumdist_e9
+  FROM gaps GROUP BY doc_id
+),
+uniq AS (SELECT doc_id, count(DISTINCT token) AS nuniq
+         FROM toks GROUP BY doc_id)
+SELECT r.doc_id, r.rank_e6,
+       CAST(ROUND(
+         ((CASE WHEN e.sumdist_e9 IS NOT NULL AND e.sumdist_e9 > 0
+                THEN (r.rank_e6 / 1000000.0)
+                     * (e.sumdist_e9 / 1000000000.0)
+                     / CAST(e.n_ext AS DOUBLE)
+                ELSE r.rank_e6 / 1000000.0 END)
+          / CAST(u.nuniq AS DOUBLE)) * 1000000) AS BIGINT) AS rank_e6n
+FROM ranked r JOIN ext e USING (doc_id) JOIN uniq u USING (doc_id)
 """,
         "ts_rank": f"""
 WITH {TOKS_CTE.strip()},

@@ -56,6 +56,75 @@ def _terms_of(query) -> list[str]:
     return sorted(set(query))
 
 
+# PG tsrank.c's normalization bitmask (RANK_NORM_*): 1 log-length,
+# 2 length, 4 extent distance (ts_rank_cd only), 8 unique-word count,
+# 16 log-unique-word count, 32 rank/(rank+1). Flags compose.
+_NORM_ALL = 1 | 2 | 4 | 8 | 16 | 32
+
+
+def _check_normalization(normalization: int) -> int:
+    n = int(normalization)
+    if n < 0 or (n & ~_NORM_ALL):
+        raise ValueError(
+            "normalization must be a bitmask over {1,2,4,8,16,32} "
+            f"(PG's ts_rank flags, composable), got {normalization}")
+    return n
+
+
+def _doc_uniq(index: Index, ranked: DataFrame) -> DataFrame:
+    """(doc_id, _nuniq): distinct-lexeme count per ranked doc — PG's
+    ``txt->size`` for normalization flags 8/16. ONE postings aggregate
+    semi-joined to the ranked docs with columns pruned to
+    (doc_id, term); its cost scales with the candidate docs' postings,
+    so pass `candidate_ids`/`candidate_docs` on big corpora (the
+    proximity_rerank shape) rather than ranking corpus-wide with these
+    flags."""
+    return (index.postings.select("doc_id", "term")
+            .join(ranked.select("doc_id").distinct(),
+                  on="doc_id", how="left_semi")
+            .groupBy("doc_id")
+            .agg(F.count_distinct("term").cast("long").alias("_nuniq")))
+
+
+def _apply_normalization(index: Index, ranked: DataFrame, raw,
+                         n: int) -> DataFrame:
+    """Fold PG's normalization flags over the raw rank, in tsrank.c's
+    application order (1, 2, [4 pre-joined by the caller], 8, 16, 32).
+    `ranked` holds (doc_id, rank_e6) plus, when flag 4 applies,
+    `_next`/`_sumdist_e9` extent stats. Divisor conventions follow the
+    engine's documented forms (flags 1/16 use 1+ln(x), the PG-docs
+    phrasing, where tsrank.c itself mixes ln and log2 — a documented
+    deviation); flag 4 divides by the mean harmonic distance between
+    extent midpoints, NExtent / Σ 1/gap, exactly tsrank.c's
+    RANK_NORM_EXTDIST with the gap sum e9-quantized so the float rank
+    is addition-order-free like rank_e6."""
+    expr = raw
+    out = ranked
+    if n & (1 | 2):
+        out = out.join(index.tokens.select("doc_id", "dl"), on="doc_id")
+        if n & 1:
+            expr = expr / (F.lit(1.0) + F.log(F.col("dl")))
+        if n & 2:
+            expr = expr / F.col("dl").cast("double")
+    if n & 4 and "_sumdist_e9" in out.columns:
+        # divisor = NExtent / SumDist; applied only when ≥2 extents with
+        # positive midpoint gaps exist (PG: NExtent > 0 && SumDist > 0)
+        expr = F.when(
+            F.col("_sumdist_e9").isNotNull() & (F.col("_sumdist_e9") > 0),
+            expr * (F.col("_sumdist_e9") / F.lit(1e9))
+            / F.col("_next").cast("double")).otherwise(expr)
+    if n & (8 | 16):
+        out = out.join(_doc_uniq(index, ranked), on="doc_id")
+        if n & 8:
+            expr = expr / F.col("_nuniq").cast("double")
+        if n & 16:
+            expr = expr / (F.lit(1.0) + F.log(F.col("_nuniq")
+                                              .cast("double")))
+    if n & 32:
+        expr = expr / (expr + F.lit(1.0))
+    return out.select("doc_id", "rank_e6", expr.alias("rank"))
+
+
 def min_span_docs(
     index: Index,
     terms: list[str],
@@ -150,8 +219,12 @@ def ts_rank_cd(
     `rank_e6` is the exact integer Σ round(1e6/width) — addition-order-
     free, so bit-identical across runs, partitionings, and engines (the
     rank_metrics trick) — and `rank` is the float form after
-    `normalization` (PG's bitmask, supported values: 0 none,
-    1 ÷(1+ln dl), 2 ÷dl, 32 r/(r+1)).
+    `normalization`: PG's full composable bitmask — 1 ÷(1+ln dl), 2 ÷dl,
+    4 ÷ mean harmonic distance between extent midpoints (tsrank.c's
+    RANK_NORM_EXTDIST; no-op when fewer than two extents have positive
+    gaps), 8 ÷ distinct-lexeme count, 16 ÷(1+ln distinct-lexeme count),
+    32 r/(r+1), applied in that order. Flags 8/16 add one
+    candidate-narrowed postings aggregate (see `_doc_uniq`).
 
     Cover extraction reuses min_span_docs' streaming formulation: with
     running per-term last-position maxes inside ONE window spec,
@@ -161,8 +234,7 @@ def ts_rank_cd(
     only for candidate docs/blocks (`_positions_hay`), so cost is
     O(candidates × query tf) like every other ranking operator here.
     """
-    if normalization not in (0, 1, 2, 32):
-        raise ValueError("normalization must be one of 0, 1, 2, 32")
+    norm = _check_normalization(normalization)
     ts = _terms_of(query)
     spark = index.postings.sparkSession
     out_schema = "doc_id long, rank_e6 long, rank double"
@@ -194,17 +266,26 @@ def ts_rank_cd(
                       / (F.col("p") - F.col("l") + 1)).cast("long")
     ranked = (covers.groupBy("doc_id")
               .agg(F.sum(summand).alias("rank_e6")))
+    if norm & 4:
+        # extent stats for RANK_NORM_EXTDIST: midpoints of the minimal
+        # covers in position order, Σ 1/(gap) over consecutive pairs with
+        # a positive gap (tsrank.c tracks PrevExtPos across ALL extents,
+        # so lag() over every midpoint — not just the positive-gap ones —
+        # is the faithful shape). e9-quantized integer sum: order-free.
+        wext = Window.partitionBy("doc_id").orderBy("_mid")
+        mids = covers.select(
+            "doc_id", ((F.col("l") + F.col("p")) / F.lit(2.0)).alias("_mid"))
+        ext = mids.withColumn("_prev", F.lag("_mid").over(wext))
+        extagg = ext.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("_next"),
+            F.sum(F.when(F.col("_prev").isNotNull()
+                         & (F.col("_mid") > F.col("_prev")),
+                         F.round(F.lit(1e9)
+                                 / (F.col("_mid") - F.col("_prev")))
+                         .cast("long"))).alias("_sumdist_e9"))
+        ranked = ranked.join(extagg, on="doc_id", how="left")
     raw = F.col("rank_e6") / 1e6
-    if normalization == 0:
-        return ranked.select("doc_id", "rank_e6", raw.alias("rank"))
-    if normalization == 32:
-        return ranked.select("doc_id", "rank_e6",
-                             (raw / (raw + 1)).alias("rank"))
-    dls = index.tokens.select("doc_id", "dl")
-    divisor = (F.lit(1.0) + F.log(F.col("dl"))
-               if normalization == 1 else F.col("dl").cast("double"))
-    return (ranked.join(dls, on="doc_id")
-            .select("doc_id", "rank_e6", (raw / divisor).alias("rank")))
+    return _apply_normalization(index, ranked, raw, norm)
 
 
 def _query_items(query) -> list[str]:
@@ -286,8 +367,12 @@ def ts_rank(
     and engines (the rank_metrics trick; for the and variant it is
     Σ round(1e6·ln(1 − curw)), a negative long, with
     rank = 1 − exp(rank_e6/1e6)). `rank` is the float rank after PG's
-    `normalization` bitmask (supported: 0 none, 1 ÷(1+ln dl), 2 ÷dl,
-    32 r/(r+1)).
+    full composable `normalization` bitmask: 1 ÷(1+ln dl), 2 ÷dl,
+    8 ÷ distinct-lexeme count, 16 ÷(1+ln distinct-lexeme count),
+    32 r/(r+1), applied in that order. Flag 4 (extent distance) is
+    defined only over ts_rank_cd's covers; like PG's calc_rank, it is
+    accepted here and ignored. Flags 8/16 add one candidate-narrowed
+    postings aggregate (see `_doc_uniq`).
 
     Scale shape: the or variant is ONE bucket-pruned postings scan
     (tf column only — positions never decoded) + one hash aggregate;
@@ -296,8 +381,7 @@ def ts_rank(
     pass the retrieval top-k as candidates (the proximity_rerank
     shape) rather than ranking a corpus.
     """
-    if normalization not in (0, 1, 2, 32):
-        raise ValueError("normalization must be one of 0, 1, 2, 32")
+    norm = _check_normalization(normalization)
     if variant not in ("auto", "or", "and"):
         raise ValueError(f"variant must be 'auto', 'or' or 'and', "
                          f"got {variant!r}")
@@ -369,16 +453,8 @@ def ts_rank(
                   .agg(F.sum(summand).alias("rank_e6")))
         raw = F.lit(1.0) - F.exp(F.col("rank_e6") / F.lit(1e6))
 
-    if normalization == 0:
-        return ranked.select("doc_id", "rank_e6", raw.alias("rank"))
-    if normalization == 32:
-        return ranked.select("doc_id", "rank_e6",
-                             (raw / (raw + 1)).alias("rank"))
-    dls = index.tokens.select("doc_id", "dl")
-    divisor = (F.lit(1.0) + F.log(F.col("dl"))
-               if normalization == 1 else F.col("dl").cast("double"))
-    return (ranked.join(dls, on="doc_id")
-            .select("doc_id", "rank_e6", (raw / divisor).alias("rank")))
+    # flag 4 is extent-based (ts_rank_cd only); calc_rank ignores it
+    return _apply_normalization(index, ranked, raw, norm & ~4)
 
 
 def _narrow_candidates(df: DataFrame, candidate_ids, candidate_docs):

@@ -58,10 +58,14 @@ def main():
     import __spark_entry__ as e
     qs, osql = e.queries(), e.oracle_sql()
 
+    import time
+
     ok = fail = 0
+    t_start = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -87,12 +91,13 @@ def main():
                     print(f"  duck : {dr[i]}")
                 fail += 1
             else:
-                print(f"ok   {name} ({len(sr)} rows)")
+                print(f"ok   {name} ({len(sr)} rows, "
+                      f"{time.time() - t0:.1f}s)", flush=True)
                 ok += 1
         except Exception as ex:
             print(f"ERROR {name}: {type(ex).__name__}: {str(ex)[:300]}")
             fail += 1
-    print(f"\n{ok} ok, {fail} failed")
+    print(f"\n{ok} ok, {fail} failed, {time.time() - t_start:.1f}s total")
     spark.stop()
     sys.exit(1 if fail else 0)
 

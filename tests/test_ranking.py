@@ -386,8 +386,106 @@ def test_ts_rank_cd_normalization(lean_index, corpus):
         assert n1[d] == pytest.approx(r / (1 + math.log(dls[d])))
         assert n2[d] == pytest.approx(r / dls[d])
         assert n32[d] == pytest.approx(r / (r + 1))
-    with pytest.raises(ValueError):
-        ts_rank_cd(lean_index, terms, normalization=4)
+    with pytest.raises(ValueError, match="bitmask"):
+        ts_rank_cd(lean_index, terms, normalization=64)
+    with pytest.raises(ValueError, match="bitmask"):
+        ts_rank_cd(lean_index, terms, normalization=-1)
+
+
+def brute_covers(words, terms):
+    """Minimal covers as (begin, end) 1-based position pairs — the same
+    enumeration brute_rank_cd uses, kept for the extent oracle."""
+    need = set(terms)
+    occ = [i for i, w in enumerate(words) if w in need]
+    wins = []
+    for a in range(len(occ)):
+        seen = set()
+        for b in range(a, len(occ)):
+            seen.add(words[occ[b]])
+            if seen == need:
+                wins.append((occ[a] + 1, occ[b] + 1))
+                break
+    return [w for w in wins
+            if not any(v != w and v[0] >= w[0] and v[1] <= w[1]
+                       for v in wins)]
+
+
+def brute_extdist_divisor(covers):
+    """tsrank.c RANK_NORM_EXTDIST replay: NExtent / Σ 1/gap over
+    consecutive extent midpoints (gap > 0), with the engine's e9 gap-sum
+    quantization. None when the flag is a no-op."""
+    mids = sorted((b + e) / 2.0 for b, e in covers)
+    sumdist_e9 = sum(round(1e9 / (m - p))
+                     for p, m in zip(mids, mids[1:]) if m > p)
+    if not covers or sumdist_e9 <= 0:
+        return None
+    return len(covers) / (sumdist_e9 / 1e9)
+
+
+def test_ts_rank_cd_extdist_replay(lean_index, corpus):
+    """normalization=4 (RANK_NORM_EXTDIST) against a pure-Python replay
+    of tsrank.c's extent bookkeeping over brute-force minimal covers."""
+    from pg_ts_semantic_headline_spark.plans.ranking import ts_rank_cd
+
+    terms = ["needle", "target"]
+    raw = {r["doc_id"]: r["rank"]
+           for r in ts_rank_cd(lean_index, terms).collect()}
+    n4 = {r["doc_id"]: r["rank"]
+          for r in ts_rank_cd(lean_index, terms, normalization=4).collect()}
+    assert set(n4) == set(raw)
+    single_extent_seen = multi_extent_seen = False
+    for doc_id, text in corpus:
+        if doc_id not in raw:
+            continue
+        covers = brute_covers(text.split(" "), terms)
+        div = brute_extdist_divisor(covers)
+        if div is None:
+            single_extent_seen = True
+            assert n4[doc_id] == pytest.approx(raw[doc_id])
+        else:
+            multi_extent_seen = True
+            assert n4[doc_id] == pytest.approx(raw[doc_id] / div,
+                                               rel=1e-9), doc_id
+    assert multi_extent_seen  # corpus must exercise the divisor
+    del single_extent_seen    # no-op branch optional on this corpus
+
+
+def test_ts_rank_cd_uniq_flags_replay(lean_index, corpus):
+    """normalization=8 (÷ distinct lexemes) and 16 (÷(1+ln distinct)):
+    the engine's txt->size analog is the doc's distinct-term count."""
+    from pg_ts_semantic_headline_spark.plans.ranking import ts_rank_cd
+
+    terms = ["needle", "target"]
+    nuniq = {doc_id: len(set(text.split(" "))) for doc_id, text in corpus}
+    raw = {r["doc_id"]: r["rank"]
+           for r in ts_rank_cd(lean_index, terms).collect()}
+    n8 = {r["doc_id"]: r["rank"]
+          for r in ts_rank_cd(lean_index, terms, normalization=8).collect()}
+    n16 = {r["doc_id"]: r["rank"]
+           for r in ts_rank_cd(lean_index, terms,
+                               normalization=16).collect()}
+    assert set(n8) == set(raw) and set(n16) == set(raw)
+    for d, r in raw.items():
+        assert n8[d] == pytest.approx(r / nuniq[d], rel=1e-9)
+        assert n16[d] == pytest.approx(r / (1 + math.log(nuniq[d])),
+                                       rel=1e-9)
+
+
+def test_ts_rank_cd_normalization_composes(lean_index, corpus):
+    """Flags are a bitmask, applied in PG's order — 2|32 divides by dl
+    FIRST, then applies r/(r+1) to the result."""
+    from pg_ts_semantic_headline_spark.plans.ranking import ts_rank_cd
+
+    terms = ["needle", "target"]
+    dls = {doc_id: len(text.split(" ")) for doc_id, text in corpus}
+    raw = {r["doc_id"]: r["rank"]
+           for r in ts_rank_cd(lean_index, terms).collect()}
+    combo = {r["doc_id"]: r["rank"]
+             for r in ts_rank_cd(lean_index, terms,
+                                 normalization=2 | 32).collect()}
+    for d, r in raw.items():
+        v = r / dls[d]
+        assert combo[d] == pytest.approx(v / (v + 1), rel=1e-9)
 
 
 def test_ts_rank_cd_candidate_narrowing(lean_index, corpus):
@@ -523,11 +621,24 @@ def test_ts_rank_rank_e6_deterministic_and_normalization(lean_index, corpus):
           for r in ts_rank(lean_index, ["spark"], normalization=2).collect()}
     n32 = {r["doc_id"]: r["rank"]
            for r in ts_rank(lean_index, ["spark"], normalization=32).collect()}
+    nuniq = {doc_id: len(set(text.split(" "))) for doc_id, text in corpus}
+    n8 = {r["doc_id"]: r["rank"]
+          for r in ts_rank(lean_index, ["spark"], normalization=8).collect()}
+    n16 = {r["doc_id"]: r["rank"]
+           for r in ts_rank(lean_index, ["spark"],
+                            normalization=16).collect()}
+    # flag 4 is extent-based: like PG's calc_rank, accepted and ignored
+    n4 = {r["doc_id"]: r["rank"]
+          for r in ts_rank(lean_index, ["spark"], normalization=4).collect()}
     for d, v in raw.items():
         assert n2[d] == pytest.approx(v / dls[d], rel=1e-9)
         assert n32[d] == pytest.approx(v / (v + 1), rel=1e-9)
-    with pytest.raises(ValueError):
-        ts_rank(lean_index, ["spark"], normalization=4)
+        assert n8[d] == pytest.approx(v / nuniq[d], rel=1e-9)
+        assert n16[d] == pytest.approx(v / (1 + math.log(nuniq[d])),
+                                       rel=1e-9)
+        assert n4[d] == pytest.approx(v, rel=1e-9)
+    with pytest.raises(ValueError, match="bitmask"):
+        ts_rank(lean_index, ["spark"], normalization=64)
     with pytest.raises(ValueError):
         ts_rank(lean_index, ["spark"], weights=(2.0, 0.2, 0.4, 1.0))
     with pytest.raises(ValueError):
