@@ -39,11 +39,21 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+#: memoized analyzed corpus per (session, sf, config): a dozen gate
+#: entries re-run the same Arrow analyze kernel over the same 500-doc
+#: corpus otherwise. persist() is safe here — the gate corpus is tiny
+#: and immutable for the life of the session.
+_analyzed_cache: dict = {}
+
+
 def _analyzed(spark, sf_dir, config="simple"):
     from pg_ts_semantic_headline_spark.plans.analyze import with_analysis
-    return with_analysis(
-        _docs(spark, sf_dir).selectExpr("doc_id", "text as content"),
-        content_col="content", config=config)
+    key = (id(spark), sf_dir, config)
+    if key not in _analyzed_cache:
+        _analyzed_cache[key] = with_analysis(
+            _docs(spark, sf_dir).selectExpr("doc_id", "text as content"),
+            content_col="content", config=config).persist()
+    return _analyzed_cache[key]
 
 
 def _e4(col):
@@ -613,18 +623,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "frame_id", "offset",
                         F.length("frame_bytes").cast("long").alias("frame_len")))
 
+    # vector-index builds shared across the gate entries: each index is
+    # immutable once built and several entries probe the same build
+    # (q36/q52 use the IDENTICAL IVF parameters), so memoize per
+    # (session, sf) like _built_index. Dirs are still mkdtemp-unique
+    # per process — concurrent runs never race on a shared fixed path.
+    _gate_vec: dict = {}
+
+    def _vec_index(spark, sf, kind):
+        import tempfile
+        from pg_ts_semantic_headline_spark.operators import similarity as S
+        key = (id(spark), sf, kind)
+        if key not in _gate_vec:
+            emb = _emb(spark, sf)
+            d = tempfile.mkdtemp(prefix=f"tsp_gate_{kind}_")
+            if kind == "ann":
+                S.build_ann_index(emb, d, n_planes=8, seed=42)
+                _gate_vec[key] = d
+            elif kind == "ivf":
+                S.build_ivf_index(emb, d, n_lists=8, seed=42)
+                _gate_vec[key] = S.load_ivf_index(spark, d)
+            elif kind == "ivfpq":
+                S.build_ivfpq_index(emb, d, n_lists=8, m=8, nbits=8,
+                                    seed=42)
+                _gate_vec[key] = S.load_ivfpq_index(spark, d)
+        return _gate_vec[key]
+
     def q31(spark, sf):
         # persisted-ANN path: build the LSH-bucketed table, then probe it
         # (bucket-pruned scan) and exact-cosine re-rank the candidates
         from pg_ts_semantic_headline_spark.operators.similarity import (
-            ann_candidates, build_ann_index, cosine_similarity_col)
-        # per-run temp dir: concurrent runs on the same sf must not race on
-        # a shared fixed path, and a crashed run must not leave a partial
-        # index a later run probes
-        import tempfile
+            ann_candidates, cosine_similarity_col)
         emb = _emb(spark, sf)
-        ann_dir = tempfile.mkdtemp(prefix="tsp_ann_idx_")
-        build_ann_index(emb, ann_dir, n_planes=8, seed=42)
+        ann_dir = _vec_index(spark, sf, "ann")
         qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
         cands = ann_candidates(spark, ann_dir, qv, multiprobe=True)
         return (cands
@@ -641,12 +672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contract the oracle checks (recall at nprobe<n_lists is pinned
         # by pytest instead; it has no SQL-expressible form)
         from pg_ts_semantic_headline_spark.operators.similarity import (
-            build_ivf_index, load_ivf_index, cosine_similarity_col)
-        import tempfile
+            cosine_similarity_col)
         emb = _emb(spark, sf)
-        ivf_dir = tempfile.mkdtemp(prefix="tsp_ivf_idx_")
-        build_ivf_index(emb, ivf_dir, n_lists=8, seed=42)
-        idx = load_ivf_index(spark, ivf_dir)
+        idx = _vec_index(spark, sf, "ivf")
         qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
         cands = idx.candidates(qv, nprobe=idx.n_lists)
         return (cands
@@ -663,12 +691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kNN join (the oracle contract — approximate recall at
         # nprobe < n_lists is pinned by pytest)
         from pg_ts_semantic_headline_spark.operators.similarity import (
-            build_ivf_index, ivf_knn_join, load_ivf_index)
-        import tempfile
+            ivf_knn_join)
         emb = _emb(spark, sf)
-        d = tempfile.mkdtemp(prefix="tsp_knn_idx_")
-        build_ivf_index(emb, d, n_lists=8, seed=42)
-        idx = load_ivf_index(spark, d)
+        idx = _vec_index(spark, sf, "ivf")
         queries = (emb.where(F.col("vec_id") < 3)
                    .select(F.col("vec_id").alias("query_id"), "embedding"))
         return (ivf_knn_join(idx, queries, k=10, nprobe=idx.n_lists)
@@ -683,14 +708,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality at realistic (nprobe, rerank) is pinned by pytest — the
         # trained codebooks have no SQL-expressible form
         from pg_ts_semantic_headline_spark.operators.similarity import (
-            build_ivfpq_index, load_ivfpq_index)
-        import tempfile
-        emb = _emb(spark, sf)
-        from pg_ts_semantic_headline_spark.operators.similarity import (
             cosine_similarity_col, pq_adc_arrow)
-        pq_dir = tempfile.mkdtemp(prefix="tsp_ivfpq_idx_")
-        build_ivfpq_index(emb, pq_dir, n_lists=8, m=8, nbits=8, seed=42)
-        idx = load_ivfpq_index(spark, pq_dir)
+        emb = _emb(spark, sf)
+        idx = _vec_index(spark, sf, "ivfpq")
         qv = emb.where(F.col("vec_id") == 0).first()["embedding"]
         probes = idx.probe_lists(qv, idx.n_lists)
         adc = pq_adc_arrow(idx.codebooks, idx.splits, qv)
@@ -1614,16 +1634,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q97(spark, sf):
         # PG §9.13 tsvector utilities over the dense tspvector form:
-        # length(strip), length after ts_delete, and strip's first
-        # lexeme (= min, since strip sorts)
+        # length(strip), length after ts_delete, strip's first lexeme
+        # (= min, since strip sorts), and the setweight/ts_filter shim —
+        # positions surviving ts_filter('{a}') after labeling
+        # spark/window 'A' = per-doc occurrence count of those lexemes
         from pg_ts_semantic_headline_spark.functions.tspvector_ops import (
-            tsp_delete, tsp_length, tsp_strip)
+            tsp_delete, tsp_filter, tsp_length, tsp_setweight, tsp_strip)
         a = _analyzed(spark, sf)
+        kept = tsp_filter(
+            "lexemes",
+            tsp_setweight("lexemes", "A", targets=["spark", "window"]),
+            ["a"])
         return a.select(
             "doc_id",
             tsp_length("lexemes").alias("n_lex"),
             tsp_length(tsp_delete("lexemes", "spark")).alias("n_lex_del"),
-            F.element_at(tsp_strip("lexemes"), 1).alias("first_lex"))
+            F.element_at(tsp_strip("lexemes"), 1).alias("first_lex"),
+            F.size(F.filter(kept, lambda x: x.isNotNull()))
+            .cast("int").alias("n_w_a"))
 
     def q98(spark, sf):
         # quality-aware canonical election: cluster near-dups, then keep
@@ -1658,108 +1686,114 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pack_sequences)
         return pack_sequences(_docs(spark, sf), 64, n_shards=4)
 
+    # Ordered cheapest-first (measured at sf0.01): the driver's gate may
+    # stop at a budget, so pure column-algebra entries run before the
+    # entries that pay a shared index build, and each shared-index family
+    # is contiguous (its first member pays the memoized build, the rest
+    # reuse it). Coverage is identical in any order — this only maximizes
+    # how many entries fit a fixed gate budget.
     return {
-        "tsp_indexable_text": q01,
-        "tsp_present_text": q02,
-        "to_tsp_text_array": q03,
-        "tsvector_to_table": q04,
         "slice_array": q05,
-        "replace_multiple_strings": q06,
-        "to_tspquery": q07,
-        "phraseto_tspquery": q08,
-        "tsp_filter_tsvector": q09,
-        "tsp_query_matches": q10,
-        "ts_fast_headline_cover_density": q11,
-        "ts_fast_headline": q12,
-        "ts_semantic_headline": q13,
-        "docstats": q14,
-        "corpus_stats": q15,
-        "postings_term_stats": q16,
-        "bm25_topk": q17,
-        "bm25_phrase_filtered": q18,
-        "dedup_exact": q19,
-        "dedup_minhash_lsh": q20,
-        "dedup_ngram_jaccard": q21,
-        "dedup_simhash": q22,
-        "embedding_cosine_topk": q23,
-        "embedding_near_dup": q24,
-        "lang_id": q25,
-        "quality_score": q26,
         "token_counts": q27,
-        "doc_fingerprint": q28,
         "multimodal_metadata": q29,
-        "multimodal_frame_sample": q30,
-        "lsh_ann_topk": q31,
-        "simhash_near_pairs": q32,
-        "dedup_components": q33,
-        "bm25_topk_indexed": q34,
-        "search_filtered_indexed": q35,
-        "ivf_ann_topk": q36,
-        "percolate_standing": q37,
-        "ivfpq_ann_topk": q38,
-        "prepare_corpus": q39,
-        "trigram_substring_search": q40,
-        "trigram_like_search": q41,
-        "trigram_regex_search": q42,
-        "trigram_similarity": q43,
-        "chunk_documents": q44,
+        "quality_score": q26,
+        "dedup_exact": q19,
+        "embedding_near_dup": q24,
         "sample_token_budget": q45,
-        "bm25_topk_batch": q46,
-        "sessionize_events": q47,
-        "suggest_terms": q48,
-        "decontaminate_report": q49,
-        "decontaminate_kept": q50,
-        "dedup_containment": q51,
-        "knn_join": q52,
+        "tsvector_ops": q97,
+        "tsp_present_text": q02,
+        "replace_multiple_strings": q06,
         "percolate_patterns": q53,
-        "hybrid_search_rrf": q54,
         "source_mix_weights": q55,
         "redact_pii": q56,
-        "remove_boilerplate": q57,
-        "repetition_stats": q58,
-        "facet_counts": q59,
-        "more_like_this": q60,
-        "fuzzy_search": q61,
-        "more_like_this_by_id": q62,
-        "bm25_page": q63,
-        "bm25f_topk": q64,
-        "bm25f_topk_indexed": q65,
-        "bm25f_topk_batch": q66,
-        "doc_keywords": q67,
-        "pmi_collocations": q68,
-        "top_per_facet": q69,
-        "explain_score": q70,
-        "doc_keywords_indexed": q71,
-        "bigram_lm_score": q72,
-        "trigram_similarity_join": q73,
         "corpus_profile": q74,
+        "chunk_documents": q44,
+        "embedding_cosine_topk": q23,
+        "pmi_collocations": q68,
         "dedup_paragraphs": q75,
-        "min_span": q76,
-        "proximity_rerank": q77,
-        "rm3_expansion": q78,
-        "ltr_features": q79,
-        "prf_search": q80,
         "rank_metrics": q81,
         "websearch_to_tspquery": q82,
-        "websearch_search": q83,
-        "prefix_search": q84,
-        "synonym_search": q85,
-        "ts_rank_cd": q86,
-        "ts_rank_cd_normalized": q101,
-        "ts_rank": q96,
-        "tsvector_ops": q97,
-        "dedup_canonicals": q98,
-        "bm25_weighted_msm": q99,
+        "doc_fingerprint": q28,
+        "multimodal_frame_sample": q30,
+        "doc_keywords": q67,
+        "tsp_indexable_text": q01,
+        "tsvector_to_table": q04,
+        "to_tspquery": q07,
+        "docstats": q14,
+        "lang_id": q25,
+        "decontaminate_report": q49,
+        "bigram_lm_score": q72,
+        "to_tsp_text_array": q03,
+        "tsp_filter_tsvector": q09,
         "pack_sequences": q100,
-        "thesaurus_search": q87,
-        "multilang_search": q88,
-        "search_batch": q89,
+        "phraseto_tspquery": q08,
+        "percolate_standing": q37,
+        "sessionize_events": q47,
+        "dedup_ngram_jaccard": q21,
+        "prepare_corpus": q39,
         "dedup_substrings": q90,
+        "corpus_stats": q15,
+        "postings_term_stats": q16,
+        "decontaminate_kept": q50,
+        "dedup_containment": q51,
+        "bm25f_topk": q64,
+        "dedup_simhash": q22,
+        "ts_fast_headline": q12,
+        "ts_fast_headline_cover_density": q11,
+        "remove_boilerplate": q57,
+        "tsp_query_matches": q10,
+        "bm25_topk_indexed": q34,
+        "suggest_terms": q48,
+        "prefix_search": q84,
+        "ts_rank_cd": q86,
+        "ts_rank": q96,
         "slop_match": q91,
-        "bm25_federated": q92,
-        "code_search": q93,
-        "ts_rewrite_search": q94,
+        "explain_score": q70,
+        "doc_keywords_indexed": q71,
+        "min_span": q76,
+        "bm25_weighted_msm": q99,
+        "bm25_page": q63,
+        "top_per_facet": q69,
+        "rm3_expansion": q78,
+        "ltr_features": q79,
         "significant_terms": q95,
+        "bm25_topk_batch": q46,
+        "ts_rank_cd_normalized": q101,
+        "search_filtered_indexed": q35,
+        "proximity_rerank": q77,
+        "prf_search": q80,
+        "more_like_this": q60,
+        "more_like_this_by_id": q62,
+        "fuzzy_search": q61,
+        "search_batch": q89,
+        "ts_rewrite_search": q94,
+        "hybrid_search_rrf": q54,
+        "websearch_search": q83,
+        "facet_counts": q59,
+        "bm25f_topk_indexed": q65,
+        "bm25f_topk_batch": q66,
+        "trigram_substring_search": q40,
+        "trigram_similarity": q43,
+        "trigram_regex_search": q42,
+        "trigram_like_search": q41,
+        "ivf_ann_topk": q36,
+        "knn_join": q52,
+        "ivfpq_ann_topk": q38,
+        "lsh_ann_topk": q31,
+        "multilang_search": q88,
+        "thesaurus_search": q87,
+        "code_search": q93,
+        "synonym_search": q85,
+        "bm25_federated": q92,
+        "dedup_canonicals": q98,
+        "dedup_minhash_lsh": q20,
+        "repetition_stats": q58,
+        "simhash_near_pairs": q32,
+        "bm25_phrase_filtered": q18,
+        "bm25_topk": q17,
+        "dedup_components": q33,
+        "ts_semantic_headline": q13,
+        "trigram_similarity_join": q73,
     }
 
 
@@ -2747,7 +2781,9 @@ SELECT doc_id,
        CAST(count(DISTINCT lex) AS INTEGER) AS n_lex,
        CAST(count(DISTINCT CASE WHEN lex <> 'spark' THEN lex END)
             AS INTEGER) AS n_lex_del,
-       min(lex) AS first_lex
+       min(lex) AS first_lex,
+       CAST(count(CASE WHEN lex IN ('spark', 'window') THEN 1 END)
+            AS INTEGER) AS n_w_a
 FROM lex GROUP BY doc_id
 """,
         "synonym_search": f"""

@@ -23,10 +23,20 @@ as column algebra over that form, all JVM-side (no UDF):
   concatenation is bit-exactly PG's shift. Concat the tokens arrays with
   the same call to keep recall alignment.
 
-``setweight`` / ``ts_filter(weights)`` are deliberately absent: this
-engine stores no per-position weight labels — weighted ranking is the
+``setweight`` / ``ts_filter`` exist as a porting shim over a PARALLEL
+weights array (same dense shape as the lexemes array, one 'A'..'D'
+label or NULL hole per slot):
+
+- ``tsp_setweight``  — PG ``setweight(tsvector, 'A' [, lexemes])``:
+  builds/overwrites the weights array (optionally only on the listed
+  lexemes, like PG's 3-arg form).
+- ``tsp_filter``     — PG ``ts_filter(tsvector, '{a,b}')``: NULLs the
+  slots whose label is not kept, hole-preserving like ``tsp_delete``.
+
+The labels feed filtering/selection only. Weighted RANKING remains the
 fielded index's job (BM25F, plans/fielded.py), which generalizes PG's
-four fixed labels to arbitrary query-time field weights.
+four fixed labels to arbitrary query-time field weights — see the
+README section "Porting setweight from PG".
 """
 
 from __future__ import annotations
@@ -34,7 +44,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["tsp_strip", "tsp_length", "tsp_delete", "tsp_concat"]
+__all__ = ["tsp_strip", "tsp_length", "tsp_delete", "tsp_concat",
+           "tsp_setweight", "tsp_filter"]
+
+#: PG's four weight labels; 'D' is PG's implicit default for unlabeled
+#: positions (tsvector.h), which is why tsp_setweight(None-weights, ...)
+#: treats missing labels as 'D'.
+WEIGHT_LABELS = ("A", "B", "C", "D")
 
 
 def _col(c: Column | str) -> Column:
@@ -74,6 +90,65 @@ def tsp_delete(lexemes: Column | str, targets: Column | str | list) -> Column:
     return F.transform(
         lex, lambda x: F.when(F.array_contains(tgt, x), F.lit(None)
                               .cast("string")).otherwise(x))
+
+
+def tsp_setweight(lexemes: Column | str, label: str,
+                  targets: list | None = None,
+                  weights: Column | str | None = None) -> Column:
+    """Weights array for the vector — PG ``setweight``. Returns a dense
+    array<string> parallel to `lexemes`: `label` at every lexeme slot
+    (2-arg PG form), or — when `targets` is given — only at slots whose
+    lexeme is in `targets` (3-arg PG form), other slots keeping their
+    existing label from `weights` (PG defaults unlabeled positions to
+    'D'). Stopword holes stay NULL so the pair shares the alignment
+    invariant. Labels compose with tsp_concat by concatenating the two
+    weights arrays with the same call."""
+    label = str(label).upper()
+    if label not in WEIGHT_LABELS:
+        raise ValueError(f"setweight label must be one of "
+                         f"{WEIGHT_LABELS}, got {label!r}")
+    lex = _col(lexemes)
+    if targets is None:
+        return F.transform(
+            lex, lambda x: F.when(x.isNotNull(), F.lit(label))
+                            .cast("string"))
+    if not targets:
+        raise ValueError("setweight targets list is empty — pass None to "
+                         "label every position, or list the lexemes")
+    tgt = F.array(*[F.lit(t) for t in targets])
+    if weights is None:
+        # 3-arg form over an unlabeled vector: untargeted slots get PG's
+        # implicit default 'D'
+        prev = F.transform(
+            lex, lambda x: F.when(x.isNotNull(), F.lit("D")).cast("string"))
+    else:
+        prev = _col(weights)
+    return F.zip_with(
+        lex, prev,
+        lambda x, w: F.when(x.isNull(), F.lit(None).cast("string"))
+                      .when(F.array_contains(tgt, x), F.lit(label))
+                      .otherwise(F.coalesce(w, F.lit("D"))))
+
+
+def tsp_filter(lexemes: Column | str, weights: Column | str,
+               keep: list) -> Column:
+    """Keep only the positions labeled with one of `keep` — PG
+    ``ts_filter(tsvector, weights)``. Dropped slots become NULL holes
+    (same deviation as tsp_delete: PG compacts, the dense form keeps
+    alignment). Unlabeled slots count as 'D', matching PG's default."""
+    if not keep:
+        raise ValueError("ts_filter weight list is empty")
+    labels = [str(w).upper() for w in keep]
+    bad = [w for w in labels if w not in WEIGHT_LABELS]
+    if bad:
+        raise ValueError(f"unrecognized weight labels {bad}; "
+                         f"expected letters from {WEIGHT_LABELS}")
+    kp = F.array(*[F.lit(w) for w in labels])
+    return F.zip_with(
+        _col(lexemes), _col(weights),
+        lambda x, w: F.when(
+            F.array_contains(kp, F.coalesce(w, F.lit("D"))), x)
+            .otherwise(F.lit(None).cast("string")))
 
 
 def tsp_concat(a: Column | str, b: Column | str) -> Column:

@@ -72,21 +72,54 @@ def deterministic_fake_decoder(payload: bytes) -> dict:
             "format": ["png", "jpeg", "webp"][h % 3]}
 
 
+#: keys a decoder callable must return; values: width/height int or
+#: None, format str or None. Validated PER ROW inside the Arrow kernel so
+#: a misbehaving user decoder fails with the contract spelled out instead
+#: of a KeyError / Arrow cast error buried in an executor traceback.
+DECODER_CONTRACT_KEYS = ("width", "height", "format")
+
+
+def _validated_meta(m, decoder_name: str) -> dict:
+    import numbers
+    if not isinstance(m, dict) or any(k not in m
+                                      for k in DECODER_CONTRACT_KEYS):
+        raise TypeError(
+            f"decoder {decoder_name!r} violated the contract: must return "
+            f"a dict with keys {DECODER_CONTRACT_KEYS}, got {m!r}")
+    for k in ("width", "height"):
+        v = m[k]
+        if v is not None and (isinstance(v, bool)
+                              or not isinstance(v, numbers.Integral)):
+            raise TypeError(
+                f"decoder {decoder_name!r} violated the contract: "
+                f"{k} must be an int or None, got {type(v).__name__}")
+    if m["format"] is not None and not isinstance(m["format"], str):
+        raise TypeError(
+            f"decoder {decoder_name!r} violated the contract: format "
+            f"must be a str or None, got {type(m['format']).__name__}")
+    return m
+
+
 def decode_media(df: DataFrame,
                  decoder: Callable[[bytes], dict] | None = deterministic_fake_decoder,
                  batch_hint: int = 256) -> DataFrame:
     """mapInPandas decode: Arrow batches of binary payloads → metadata rows.
     This is where a real image decode / resize / feature-extract kernel
     plugs in; the iteration shape (streamed batches, no collect) is the
-    production shape."""
+    production shape. Each decoder return value is validated against
+    DECODER_CONTRACT_KEYS (width/height int|None, format str|None) so a
+    non-conforming user decoder fails loudly with the contract named."""
     if decoder is None:
         raise NotImplementedError(
             "no media codec available in this environment; pass a decoder "
             "callable (e.g. PIL-based) or use deterministic_fake_decoder")
+    decoder_name = getattr(decoder, "__name__", repr(decoder))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = [decoder(bytes(p) if p is not None else None)
+            meta = [_validated_meta(
+                        decoder(bytes(p) if p is not None else None),
+                        decoder_name)
                     for p in pdf["payload"]]
             out = pd.DataFrame({
                 "doc_id": pdf["doc_id"],

@@ -34,8 +34,9 @@ Query planning:
   an exact verify (`contains` / `LIKE` / `rlike`) on only the candidate
   rows makes the result exact — recall is guaranteed because a literal
   occurrence implies every required trigram is present. Patterns too short
-  to yield a trigram degrade to a full-scan verify, loudly (warnings.warn —
-  the no-silent-caps rule).
+  to yield a trigram cannot be index-pruned: they raise by default (at
+  corpus scale an unpruned verify is an accidental full scan) and run as a
+  loud (warnings.warn) full-scan verify only under allow_full_scan=True.
 - similarity: |T(a) ∩ T(b)| / |T(a) ∪ T(b)| exactly as pg_trgm's
   `similarity()`. Indexed form joins the query's trigram literals against
   the pruned postings and the docstats table; the ad-hoc form is one pass
@@ -363,9 +364,17 @@ VERIFY_INLIST_LIMIT = 512
 
 
 def _verified(index: TrigramIndex, docs: DataFrame, required: list[str],
-              verify: F.Column, id_col: str, kind: str) -> DataFrame:
+              verify: F.Column, id_col: str, kind: str,
+              allow_full_scan: bool = False) -> DataFrame:
     cands = index.candidate_ids(required)
     if cands is None:
+        if not allow_full_scan:
+            raise ValueError(
+                f"{kind} pattern yields no required trigram, so the index "
+                "cannot prune and answering it means verifying every "
+                "document in the corpus — at 100 TB that is an accidental "
+                "full scan. Pass allow_full_scan=True to run it anyway "
+                "(the verify stays exact).")
         warnings.warn(f"{kind} pattern yields no required trigram — "
                       "falling back to a full-scan verify", stacklevel=3)
         dead = index.dead_doc_ids()
@@ -389,30 +398,40 @@ def _verified(index: TrigramIndex, docs: DataFrame, required: list[str],
 
 def substring_search(index: TrigramIndex, docs: DataFrame, pattern: str,
                      id_col: str = "doc_id", text_col: str = "text",
-                     case_sensitive: bool = False) -> DataFrame:
+                     case_sensitive: bool = False,
+                     allow_full_scan: bool = False) -> DataFrame:
     """Rows of `docs` whose text contains `pattern` — exact (index prunes,
     `contains` verifies). Case-insensitive by default, like pg_trgm ILIKE
-    acceleration; the trigram prefilter is case-insensitive either way."""
+    acceleration; the trigram prefilter is case-insensitive either way.
+    A pattern too short to yield a trigram cannot be index-pruned: it
+    raises unless allow_full_scan=True opts into the corpus-wide verify."""
     hay = F.col(text_col) if case_sensitive else F.lower(F.col(text_col))
     needle = pattern if case_sensitive else pattern.lower()
     return _verified(index, docs, pattern_trigrams(pattern),
-                     F.contains(hay, F.lit(needle)), id_col, "substring")
+                     F.contains(hay, F.lit(needle)), id_col, "substring",
+                     allow_full_scan)
 
 
 def like_search(index: TrigramIndex, docs: DataFrame, pattern: str,
-                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Rows matching a SQL LIKE pattern (case-sensitive, no escapes)."""
+                id_col: str = "doc_id", text_col: str = "text",
+                allow_full_scan: bool = False) -> DataFrame:
+    """Rows matching a SQL LIKE pattern (case-sensitive, no escapes).
+    Raises on an unprunable pattern unless allow_full_scan=True."""
     return _verified(index, docs, like_pattern_trigrams(pattern),
-                     F.col(text_col).like(pattern), id_col, "LIKE")
+                     F.col(text_col).like(pattern), id_col, "LIKE",
+                     allow_full_scan)
 
 
 def regex_search(index: TrigramIndex, docs: DataFrame, pattern: str,
-                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                 id_col: str = "doc_id", text_col: str = "text",
+                 allow_full_scan: bool = False) -> DataFrame:
     """Rows whose text matches `pattern` (unanchored, Java regex). The
     trigram prefilter uses only literals PROVABLY required by the regex;
-    alternation or an all-optional pattern degrades to full-scan verify."""
+    alternation or an all-optional pattern cannot be index-pruned and
+    raises unless allow_full_scan=True opts into the corpus-wide verify."""
     return _verified(index, docs, regex_required_trigrams(pattern),
-                     F.col(text_col).rlike(pattern), id_col, "regex")
+                     F.col(text_col).rlike(pattern), id_col, "regex",
+                     allow_full_scan)
 
 
 # ------------------------------------------------------------- similarity

@@ -516,6 +516,40 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             decode_media(attach_binary(text_df), decoder=None)
 
+    def test_custom_decoder_contract_happy_path(self, text_df):
+        # a user-supplied decoder that honors the contract plugs into the
+        # same plan and its values come through typed
+        def my_decoder(payload):
+            n = 0 if payload is None else len(payload)
+            return {"width": n, "height": 2 * n, "format": "raw"}
+
+        got = {r["doc_id"]: r for r in decode_media(
+            attach_binary(text_df), decoder=my_decoder).collect()}
+        n0 = len("the quick brown fox jumps over the lazy dog")
+        assert (got[0]["width"], got[0]["height"], got[0]["format"]) == \
+               (n0, 2 * n0, "raw")
+        assert got[0]["n_bytes"] == n0
+
+    def test_custom_decoder_contract_violations_fail_loudly(self, text_df):
+        # the contract is validated per row inside the Arrow kernel:
+        # missing keys / wrong types name the decoder and the contract
+        # instead of dying in a KeyError or an Arrow cast
+        media = attach_binary(text_df)
+        cases = [
+            ("missing_keys", lambda p: {"width": 1}),
+            ("non_dict", lambda p: (1, 2, "png")),
+            ("float_width", lambda p: {"width": 1.5, "height": 2,
+                                       "format": "png"}),
+            ("bool_height", lambda p: {"width": 1, "height": True,
+                                       "format": "png"}),
+            ("int_format", lambda p: {"width": 1, "height": 2,
+                                      "format": 7}),
+        ]
+        for name, bad in cases:
+            bad.__name__ = name
+            with pytest.raises(Exception, match="violated the contract"):
+                decode_media(media, decoder=bad).collect()
+
     def test_frame_sampling_offsets(self, text_df):
         frames = sample_frames(attach_binary(text_df), n_frames=4)
         rows = [r for r in frames.collect() if r["doc_id"] == 0]

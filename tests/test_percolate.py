@@ -277,3 +277,62 @@ class TestPatternPercolation:
                 percolate_patterns(df, {"p": "merge join"}).collect()}
         assert set(seen) == want and want == {(i, "p")
                                               for i in range(0, 12, 3)}
+
+
+class TestRegistryPersistence:
+    """Restart contract: a registry saved before a 'restart' reloads to
+    the SAME standing set — reloaded CompiledQuery objects compare equal
+    and percolation matches are identical pre/post reload."""
+
+    def test_query_registry_roundtrip_exact(self, spark, queries, tmp_path):
+        from pg_ts_semantic_headline_spark.streaming import (
+            load_query_registry, save_query_registry)
+        path = str(tmp_path / "registry")
+        save_query_registry(spark, queries, path)
+        back = load_query_registry(spark, path)
+        # frozen dataclasses -> structural equality covers config, raw,
+        # the full boolean AST and the distinct-phrase list
+        assert back == queries
+
+    def test_restart_reload_equals_pre_restart_matches(
+            self, spark, queries, tmp_path):
+        from pg_ts_semantic_headline_spark.streaming import (
+            load_query_registry, save_query_registry)
+        path = str(tmp_path / "registry")
+        docs = spark.createDataFrame(DOCS, ["doc_id", "content"])
+        before = {(r["doc_id"], r["query_id"]) for r in
+                  percolate(docs, queries, config=CONFIG).collect()}
+        save_query_registry(spark, queries, path)
+        resumed = load_query_registry(spark, path)   # the 'restart'
+        after = {(r["doc_id"], r["query_id"]) for r in
+                 percolate(docs, resumed, config=CONFIG).collect()}
+        assert after == before == expected_matches(queries)
+
+    def test_reload_does_not_relexize(self, spark, tmp_path):
+        # the persisted tree is the COMPILED form: a lexeme that is not a
+        # stemmer fixpoint must survive a save/load unchanged
+        from pg_ts_semantic_headline_spark.streaming import (
+            load_query_registry, save_query_registry)
+        q = to_tspquery(CONFIG, "universe")  # english stem: 'univers'
+        lex = q.phrases[0].items[0][0]
+        path = str(tmp_path / "registry")
+        save_query_registry(spark, {"q": q}, path)
+        back = load_query_registry(spark, path)["q"]
+        assert back.phrases[0].items[0][0] == lex
+        assert back == q
+
+    def test_pattern_registry_roundtrip(self, spark, tmp_path):
+        from pg_ts_semantic_headline_spark.streaming import (
+            load_pattern_registry, percolate_patterns,
+            save_pattern_registry)
+        pats = {"p_mj": "merge join", "p_fox": "fox"}
+        path = str(tmp_path / "patterns")
+        save_pattern_registry(spark, pats, path)
+        assert load_pattern_registry(spark, path) == pats
+        docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+        before = {(r["doc_id"], r["query_id"]) for r in
+                  percolate_patterns(docs, pats).collect()}
+        after = {(r["doc_id"], r["query_id"]) for r in
+                 percolate_patterns(
+                     docs, load_pattern_registry(spark, path)).collect()}
+        assert after == before and before  # non-empty and identical

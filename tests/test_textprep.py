@@ -217,6 +217,57 @@ class TestTspvectorOps:
         assert [(r["start_pos"], r["end_pos"]) for r in before] == \
                [(r["start_pos"], r["end_pos"]) for r in after] == [(2, 3)]
 
+    def test_setweight_and_filter(self, spark):
+        # PG: ts_filter(setweight(tsv,'A','{cat}'), '{a}') keeps only the
+        # A-labeled positions; holes and survivor positions unchanged
+        from pg_ts_semantic_headline_spark.functions.tspvector_ops import (
+            tsp_filter, tsp_setweight)
+        df = self._analyzed(spark, [(1, "fat cat sat fat")])
+        r = df.select(
+            tsp_setweight("lexemes", "b").alias("w_all"),
+            tsp_setweight("lexemes", "A", targets=["cat"]).alias("w_cat"),
+        ).collect()[0]
+        assert r["w_all"] == ["B", "B", "B", "B"]
+        # 3-arg form: untargeted slots default to PG's implicit 'D'
+        assert r["w_cat"] == ["D", "A", "D", "D"]
+        kept = df.select(tsp_filter(
+            "lexemes", tsp_setweight("lexemes", "A", targets=["cat"]),
+            ["a"]).alias("kept")).collect()[0]["kept"]
+        assert kept == [None, "cat", None, None]
+
+    def test_setweight_relabel_and_holes(self, spark):
+        # relabeling composes: existing weights pass through for
+        # untargeted slots; stopword holes stay NULL in the weights array
+        from pg_ts_semantic_headline_spark.functions.tspvector_ops import (
+            tsp_filter, tsp_setweight)
+        df = self._analyzed(spark, [(1, "the fat cat")], config="english")
+        lex = df.select("lexemes").collect()[0]["lexemes"]
+        assert lex[0] is None   # 'the' is an english stopword hole
+        out = df.select(
+            tsp_setweight(
+                "lexemes", "A", targets=["cat"],
+                weights=tsp_setweight("lexemes", "B")).alias("w"),
+        ).collect()[0]["w"]
+        assert out == [None, "B", "A"]
+        # filtering on a label nothing carries empties the vector
+        none_kept = df.select(tsp_filter(
+            "lexemes", tsp_setweight("lexemes", "B"), ["c"])
+            .alias("k")).collect()[0]["k"]
+        assert none_kept == [None, None, None]
+
+    def test_setweight_filter_validation(self, spark):
+        import pytest
+        from pg_ts_semantic_headline_spark.functions.tspvector_ops import (
+            tsp_filter, tsp_setweight)
+        with pytest.raises(ValueError, match="label"):
+            tsp_setweight("lexemes", "E")
+        with pytest.raises(ValueError, match="targets"):
+            tsp_setweight("lexemes", "A", targets=[])
+        with pytest.raises(ValueError, match="weight"):
+            tsp_filter("lexemes", "weights", [])
+        with pytest.raises(ValueError, match="unrecognized"):
+            tsp_filter("lexemes", "weights", ["A", "x", "E"])
+
     def test_concat_shifts_right_positions(self, spark):
         import pyspark.sql.functions as F
         from pg_ts_semantic_headline_spark.functions.tspvector_ops import (

@@ -154,8 +154,20 @@ def test_substring_case_sensitive(spark, index, corpus_df):
 
 def test_substring_short_pattern_full_scan_warns(spark, index, corpus_df):
     with pytest.warns(UserWarning, match="full-scan"):
-        got = ids(substring_search(index, corpus_df, "ox"))
+        got = ids(substring_search(index, corpus_df, "ox",
+                                   allow_full_scan=True))
     assert got == [8]
+
+
+def test_unprunable_pattern_refused_by_default(spark, index, corpus_df):
+    # a pattern the index cannot prune must fail loudly, not silently scan
+    # the corpus; allow_full_scan=True is the explicit opt-in (tested above)
+    with pytest.raises(ValueError, match="allow_full_scan"):
+        substring_search(index, corpus_df, "ox")
+    with pytest.raises(ValueError, match="allow_full_scan"):
+        like_search(index, corpus_df, "%a%")
+    with pytest.raises(ValueError, match="allow_full_scan"):
+        regex_search(index, corpus_df, r"(sort|spark)")
 
 
 def test_like_search_exact(spark, index, corpus_df):
@@ -172,7 +184,9 @@ def test_regex_search_exact(spark, index, corpus_df):
                     r"(sort|spark)", r"jo[a-z]+n"]:
         expect = sorted(
             i for i, t in CORPUS if t is not None and re.search(pattern, t))
-        assert ids(regex_search(index, corpus_df, pattern)) == expect, pattern
+        got = ids(regex_search(index, corpus_df, pattern,
+                               allow_full_scan=True))
+        assert got == expect, pattern
 
 
 def test_candidates_actually_prune(spark, index, corpus_df):
@@ -288,10 +302,10 @@ def test_delete_and_compact(spark, corpus_df):
         assert 0 not in sims and 1 not in sims
         # the full-scan fallback path honors tombstones as well
         with pytest.warns(UserWarning, match="full-scan"):
-            fb = ids(substring_search(idx2, corpus_df, "ox"))
+            fb = ids(substring_search(idx2, corpus_df, "ox", allow_full_scan=True))
         assert fb == [8]
         with pytest.warns(UserWarning, match="full-scan"):
-            fb2 = ids(substring_search(idx2, corpus_df, "me"))
+            fb2 = ids(substring_search(idx2, corpus_df, "me", allow_full_scan=True))
         assert 0 not in fb2 and 1 not in fb2
         # compaction folds tombstones in and clears them
         compact_trigram_index(spark, d)
@@ -361,7 +375,7 @@ def test_regex_search_with_escapes_end_to_end(spark):
         assert ids(regex_search(idx, df, r"foo\nbar")) == [0]
         # operand escape degrades to full-scan verify, loudly but exactly
         with pytest.warns(UserWarning, match="full-scan"):
-            got = ids(regex_search(idx, df, r"foo\x6ebar"))
+            got = ids(regex_search(idx, df, r"foo\x6ebar", allow_full_scan=True))
         assert got == [1]
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -443,11 +457,11 @@ def test_zero_trigram_doc_delete_visible_in_fullscan(spark):
         build_trigram_index(df, d, n_buckets=4)
         idx = load_trigram_index(spark, d)
         with pytest.warns(UserWarning, match="full-scan"):
-            assert ids(substring_search(idx, df, "普通")) == [1]
+            assert ids(substring_search(idx, df, "普通", allow_full_scan=True)) == [1]
         delete_documents(idx, [1])
         idx = load_trigram_index(spark, d)
         with pytest.warns(UserWarning, match="full-scan"):
-            assert ids(substring_search(idx, df, "普通")) == []
+            assert ids(substring_search(idx, df, "普通", allow_full_scan=True)) == []
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
