@@ -3,6 +3,12 @@ entry on Spark and its oracle_sql() in DuckDB over the same sf dir, compare
 row count, column names, and order-insensitive values.
 
 Usage: python scripts/check_oracle.py [sf_dir] [only_query ...]
+
+With SPARK_GRAFT_GATE_JSON=<path> set, also writes the driver-format
+correctness file ({query: {rows_match, schema_match, hash_match,
+spark_rows, oracle_rows, err}, ...}) covering every entry run — the
+committed CORRECTNESS_LOCAL artifact for entries past the driver gate's
+budget.
 """
 
 import math
@@ -61,11 +67,16 @@ def main():
     import time
 
     ok = fail = 0
+    report: dict = {}
     t_start = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "err": None}
+        report[name] = rec
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -75,6 +86,10 @@ def main():
             drows = res.fetchall()
             sc, sr = norm_rows(scols, srows)
             dc, dr = norm_rows(dcols, drows)
+            rec["spark_rows"], rec["oracle_rows"] = len(sr), len(dr)
+            rec["schema_match"] = sc == dc
+            rec["rows_match"] = len(sr) == len(dr)
+            rec["hash_match"] = sc == dc and sr == dr
             if sc != dc:
                 print(f"FAIL {name}: columns {sc} vs {dc}")
                 fail += 1
@@ -95,9 +110,16 @@ def main():
                       f"{time.time() - t0:.1f}s)", flush=True)
                 ok += 1
         except Exception as ex:
-            print(f"ERROR {name}: {type(ex).__name__}: {str(ex)[:300]}")
+            rec["err"] = f"{type(ex).__name__}: {str(ex)[:300]}"
+            print(f"ERROR {name}: {rec['err']}")
             fail += 1
     print(f"\n{ok} ok, {fail} failed, {time.time() - t_start:.1f}s total")
+    json_path = os.environ.get("SPARK_GRAFT_GATE_JSON")
+    if json_path:
+        import json
+        with open(json_path, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_path} ({len(report)} entries)")
     spark.stop()
     sys.exit(1 if fail else 0)
 
