@@ -46,10 +46,29 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 _analyzed_cache: dict = {}
 
 
+def _session_key(spark) -> str:
+    """Per-session cache key: the SparkContext applicationId embeds the
+    context's start timestamp, so a stop-and-recreate in the same process
+    gets a fresh key — unlike id(spark), which CPython can hand to a new
+    session object at the old one's freed address, colliding the caches
+    onto DataFrames rooted in a dead context."""
+    return spark.sparkContext.applicationId
+
+
+def _prune_dead_sessions(cache: dict, app: str) -> None:
+    """Drop cached entries whose session is gone (key[0] != live app id):
+    their lineage is dead and their persist slots were freed with the
+    context, so keeping them only leaks driver memory."""
+    for k in [k for k in cache if k[0] != app]:
+        cache.pop(k, None)
+
+
 def _analyzed(spark, sf_dir, config="simple"):
     from pg_ts_semantic_headline_spark.plans.analyze import with_analysis
-    key = (id(spark), sf_dir, config)
+    app = _session_key(spark)
+    key = (app, sf_dir, config)
     if key not in _analyzed_cache:
+        _prune_dead_sessions(_analyzed_cache, app)
         _analyzed_cache[key] = with_analysis(
             _docs(spark, sf_dir).selectExpr("doc_id", "text as content"),
             content_col="content", config=config).persist()
@@ -633,7 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _vec_index(spark, sf, kind):
         import tempfile
         from pg_ts_semantic_headline_spark.operators import similarity as S
-        key = (id(spark), sf, kind)
+        key = (_session_key(spark), sf, kind)
         if key not in _gate_vec:
             emb = _emb(spark, sf)
             d = tempfile.mkdtemp(prefix=f"tsp_gate_{kind}_")
@@ -774,7 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import tempfile
         from pg_ts_semantic_headline_spark.plans.index_build import (
             build_index, load_index)
-        key = (id(spark), sf)
+        key = (_session_key(spark), sf)
         if key not in _gate_indexes:
             idx_dir = tempfile.mkdtemp(prefix="tsp_gate_idx_")
             build_index(spark, _docs(spark, sf).selectExpr(
@@ -830,7 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import tempfile
         from pg_ts_semantic_headline_spark.operators.trigram import (
             build_trigram_index, load_trigram_index)
-        key = (id(spark), sf)
+        key = (_session_key(spark), sf)
         if key not in _gate_trgm:
             d = tempfile.mkdtemp(prefix="tsp_trgm_idx_")
             build_trigram_index(_docs(spark, sf), d, n_buckets=16)
@@ -1109,7 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import tempfile
         from pg_ts_semantic_headline_spark.plans.fielded import (
             build_fielded_index, load_fielded_index)
-        key = (id(spark), sf)
+        key = (_session_key(spark), sf)
         if key not in _gate_fielded:
             s = F.split(F.col("text"), " ")
             d = _docs(spark, sf).select(
@@ -1375,7 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pg_ts_semantic_headline_spark.plans.query_compiler import (
             to_tspquery)
         from pg_ts_semantic_headline_spark.plans.search import bm25_topk
-        key = (id(spark), sf)
+        key = (_session_key(spark), sf)
         if key not in _gate_syn:
             fd, path = tempfile.mkstemp(suffix=".json")
             import os
@@ -1409,7 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pg_ts_semantic_headline_spark.plans.query_compiler import (
             to_tspquery)
         from pg_ts_semantic_headline_spark.plans.search import bm25_topk
-        key = (id(spark), sf)
+        key = (_session_key(spark), sf)
         if key not in _gate_thes:
             fd, path = tempfile.mkstemp(suffix=".json")
             import os
@@ -1443,7 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pg_ts_semantic_headline_spark.plans.index_build import (
             build_index, load_index)
         from pg_ts_semantic_headline_spark.plans.search import bm25_topk
-        key = (id(spark), sf)
+        key = (_session_key(spark), sf)
         if key not in _gate_ml:
             fd, path = tempfile.mkstemp(suffix=".json")
             os.close(fd)
@@ -1521,7 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             build_index, load_index)
         from pg_ts_semantic_headline_spark.plans.search import (
             bm25_topk_federated)
-        key = (id(spark), sf)
+        key = (_session_key(spark), sf)
         if key not in _gate_shards:
             docs = _docs(spark, sf)
             mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")) \
@@ -1552,7 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pg_ts_semantic_headline_spark.plans.index_build import (
             build_index, load_index)
         from pg_ts_semantic_headline_spark.plans.search import bm25_topk
-        key = (id(spark), sf)
+        key = (_session_key(spark), sf)
         if key not in _gate_code:
             docs = _docs(spark, sf).select(
                 "doc_id",

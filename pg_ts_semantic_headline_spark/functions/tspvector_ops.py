@@ -112,10 +112,6 @@ def tsp_setweight(lexemes: Column | str, label: str,
         return F.transform(
             lex, lambda x: F.when(x.isNotNull(), F.lit(label))
                             .cast("string"))
-    if not targets:
-        raise ValueError("setweight targets list is empty — pass None to "
-                         "label every position, or list the lexemes")
-    tgt = F.array(*[F.lit(t) for t in targets])
     if weights is None:
         # 3-arg form over an unlabeled vector: untargeted slots get PG's
         # implicit default 'D'
@@ -123,6 +119,16 @@ def tsp_setweight(lexemes: Column | str, label: str,
             lex, lambda x: F.when(x.isNotNull(), F.lit("D")).cast("string"))
     else:
         prev = _col(weights)
+    if not targets:
+        # PG's setweight(tsv, 'A', '{}') labels nothing — keep existing
+        # weights (computed-empty target lists are a normal pipeline
+        # outcome, same contract as tsp_delete([])), normalizing unset
+        # non-hole slots to 'D' exactly as a never-matching target would
+        return F.zip_with(
+            lex, prev,
+            lambda x, w: F.when(x.isNull(), F.lit(None).cast("string"))
+                          .otherwise(F.coalesce(w, F.lit("D"))))
+    tgt = F.array(*[F.lit(t) for t in targets])
     return F.zip_with(
         lex, prev,
         lambda x, w: F.when(x.isNull(), F.lit(None).cast("string"))

@@ -13,6 +13,7 @@ making the stub explicit rather than silent.
 
 from __future__ import annotations
 
+import numbers
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -80,7 +81,6 @@ DECODER_CONTRACT_KEYS = ("width", "height", "format")
 
 
 def _validated_meta(m, decoder_name: str) -> dict:
-    import numbers
     if not isinstance(m, dict) or any(k not in m
                                       for k in DECODER_CONTRACT_KEYS):
         raise TypeError(

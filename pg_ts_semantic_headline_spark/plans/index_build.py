@@ -606,8 +606,14 @@ def publish_index(spark: SparkSession, index_dir: str,
     completed (_SUCCESS), so a reader racing a publish sees either the
     old target or the new one, never a half state; and two concurrent
     publishers that both computed v=N+1 cannot silently clobber each
-    other — rename is atomic on HDFS/local FS, so exactly one claims the
-    version and the loser raises (retry to land at v=N+2). The previous
+    other — the claim uses FileContext.rename, which is atomic and
+    THROWS if the destination exists (unlike FileSystem.rename, whose
+    move-INTO-existing-directory semantics would let the losing racer
+    "succeed" with its pointer nested invisibly inside the winner's), so
+    exactly one claims the version and the loser raises (retry to land
+    at v=N+2). Alias dirs therefore belong on a filesystem with atomic
+    directory rename (HDFS, local, ABFS) — on a rename-by-copy object
+    store put the alias on the metastore-grade path. The previous
     `keep-1` versions are retained so an in-flight reader that already
     resolved an older pointer can finish against its target; prune the
     superseded index DIRECTORIES themselves on whatever delay covers the
@@ -633,32 +639,44 @@ def publish_index(spark: SparkSession, index_dir: str,
      .coalesce(1).write.option("compression", INDEX_CODEC)
      .mode("overwrite").parquet(tmp))
     jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(alias_dir).getFileSystem(
-        spark._jsc.hadoopConfiguration())
-    # claim v=N with a non-overwriting rename: if a concurrent publisher
-    # already took it (or rename fails for any reason), fail LOUDLY —
-    # never clobber an already-published pointer. A v=N WITHOUT _SUCCESS
-    # is a dead half-publish (this scheme renames only fully-committed
-    # pointer dirs into place, so a live racer never exposes one):
-    # reclaim it.
-    dst = jvm.org.apache.hadoop.fs.Path(f"{alias_dir}/v={n}")
-    if fs.exists(dst):
-        if fs.exists(jvm.org.apache.hadoop.fs.Path(
-                f"{alias_dir}/v={n}/_SUCCESS")):
-            fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    conf = spark._jsc.hadoopConfiguration()
+    fs = hpath(alias_dir).getFileSystem(conf)
+    # claim v=N with FileContext.rename and NO Options.Rename.OVERWRITE:
+    # atomic, and it THROWS FileAlreadyExistsException when dst exists.
+    # (FileSystem.rename is the wrong primitive here: into an existing
+    # directory it moves the source INSIDE and returns true, so a losing
+    # concurrent publisher would "succeed" while its pointer sits nested
+    # and invisible — a silently lost publish.) tmp is a fully-committed
+    # pointer dir (the parquet commit put _SUCCESS inside) BEFORE the
+    # rename, so every v=N this protocol produces is complete: dead
+    # half-publishes cannot exist and no reclaim path is needed. A v=N
+    # WITHOUT _SUCCESS therefore came from outside the protocol; refuse
+    # it rather than delete it — any auto-reclaim is check-then-delete,
+    # and two reclaimers can destroy each other's committed pointer.
+    dst = hpath(f"{alias_dir}/v={n}")
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        hpath(alias_dir).toUri(), conf)
+    no_overwrite = spark.sparkContext._gateway.new_array(
+        jvm.org.apache.hadoop.fs.Options.Rename, 0)
+    try:
+        fc.rename(hpath(tmp), dst, no_overwrite)
+    except Exception as e:
+        fs.delete(hpath(tmp), True)
+        if "FileAlreadyExistsException" not in str(e):
+            raise
+        if fs.exists(hpath(f"{alias_dir}/v={n}/_SUCCESS")):
             raise RuntimeError(
-                f"publish race: {alias_dir}/v={n} already exists (another "
-                f"publisher claimed the version) — retry to publish as "
-                f"v={n + 1}")
-        fs.delete(dst, True)
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst):
-        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+                f"publish race: {alias_dir}/v={n} was claimed by a "
+                f"concurrent publisher — retry to publish as v={n + 1}"
+            ) from e
         raise RuntimeError(
-            f"publish race: lost the rename claim on {alias_dir}/v={n} "
-            f"to a concurrent publisher — retry to publish as v={n + 1}")
+            f"{alias_dir}/v={n} exists without _SUCCESS — it was not "
+            f"produced by publish_index (this protocol renames only "
+            f"fully-committed pointer dirs into place); remove the "
+            f"directory manually, then retry") from e
     for old in versions[:max(0, len(versions) - (keep - 1))]:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{alias_dir}/v={old}"),
-                  True)
+        fs.delete(hpath(f"{alias_dir}/v={old}"), True)
     return n
 
 

@@ -319,26 +319,32 @@ def upsert_documents(
     scratch = f"{index_dir}/_upsert_scratch"
     flags.write.option("compression", INDEX_CODEC) \
         .mode("overwrite").parquet(scratch)
-    flagged = spark.read.parquet(scratch)
-    report = {"unchanged": 0, "changed": 0, "new": 0}
-    for r in flagged.groupBy("_status").count().collect():  # ≤ 3 rows
-        report[r["_status"]] = int(r["count"])
-    if report["changed"] + report["new"] == 0:
+    try:
+        flagged = spark.read.parquet(scratch)
+        report = {"unchanged": 0, "changed": 0, "new": 0}
+        for r in flagged.groupBy("_status").count().collect():  # ≤ 3 rows
+            report[r["_status"]] = int(r["count"])
+        if report["changed"] + report["new"] == 0:
+            # no gen bump, no stale marker: blockmax stays live
+            return report
+        ids_df = (flagged.where(F.col("_status") != "unchanged")
+                  .select(F.col("doc_id").alias(doc_id)))
+        # no broadcast hint: the ingest set can be the whole batch; both
+        # sides are batch-scale and AQE broadcasts the small side on its
+        # own
+        to_ingest = docs.join(ids_df, on=doc_id, how="left_semi")
+        # replace=True tombstones every ingested id; for brand-new ids
+        # that is a no-op (tombstones kill strictly-lower generations
+        # only), so one merge covers both classes
+        merge_batch(spark, index_dir, to_ingest, content_col=content_col,
+                    config=config, doc_id=doc_id,
+                    replace=report["changed"] > 0)
+        return report
+    finally:
+        # the scratch dir must not outlive the call even on a failed
+        # merge: it sits inside the index tree and a later run's
+        # mode("overwrite") could race a reader of the leftover
         _delete_path(spark, scratch)
-        return report  # no gen bump, no stale marker: blockmax stays live
-    ids_df = (flagged.where(F.col("_status") != "unchanged")
-              .select(F.col("doc_id").alias(doc_id)))
-    # no broadcast hint: the ingest set can be the whole batch; both
-    # sides are batch-scale and AQE broadcasts the small side on its own
-    to_ingest = docs.join(ids_df, on=doc_id, how="left_semi")
-    # replace=True tombstones every ingested id; for brand-new ids that
-    # is a no-op (tombstones kill strictly-lower generations only), so
-    # one merge covers both classes
-    merge_batch(spark, index_dir, to_ingest, content_col=content_col,
-                config=config, doc_id=doc_id,
-                replace=report["changed"] > 0)
-    _delete_path(spark, scratch)
-    return report
 
 
 def delete_docs(spark: SparkSession, index_dir: str,
@@ -373,29 +379,43 @@ def delete_docs(spark: SparkSession, index_dir: str,
             f"through_gen={new_gen} must exceed the current stats "
             f"generation {int(stats['gen'])}")
     scratch = None
-    if isinstance(doc_ids, DataFrame):
-        if len(doc_ids.columns) != 1:
-            raise ValueError(
-                f"doc_ids DataFrame must have exactly one column, got "
-                f"{doc_ids.columns}")
-        scratch = f"{index_dir}/_delete_scratch"
-        (doc_ids.select(F.col(doc_ids.columns[0]).cast("long")
-                        .alias("doc_id")).distinct()
-         .write.option("compression", INDEX_CODEC)
-         .mode("overwrite").parquet(scratch))
-        tombs = (spark.read.parquet(scratch)
-                 .withColumn("before_gen", F.lit(new_gen).cast("int")))
-    else:
-        tombs = spark.createDataFrame(
-            [(int(i), new_gen) for i in doc_ids],
-            "doc_id long, before_gen int")
-    # deleted docs' postings span arbitrary term buckets → wildcard marker
-    _write_stale_marker(spark, paths, [-1], new_gen)
-    tombs.write.option("compression", INDEX_CODEC).mode("append") \
-        .parquet(paths.tombstones)
-    _reaggregate(spark, paths, stats, new_gen)
-    if scratch is not None:
-        _delete_path(spark, scratch)
+    try:
+        if isinstance(doc_ids, DataFrame):
+            if len(doc_ids.columns) != 1:
+                raise ValueError(
+                    f"doc_ids DataFrame must have exactly one column, got "
+                    f"{doc_ids.columns}")
+            scratch = f"{index_dir}/_delete_scratch"
+            # try_cast (NULL on failure in ANSI and legacy modes alike)
+            # then an explicit null gate: a non-numeric or null id must
+            # raise, like the list form's int(i) does — a silent NULL
+            # would turn the whole delete into a no-op (NULL joins
+            # nothing in _apply_tombstones)
+            (doc_ids.select(F.col(doc_ids.columns[0]).try_cast("long")
+                            .alias("doc_id")).distinct()
+             .write.option("compression", INDEX_CODEC)
+             .mode("overwrite").parquet(scratch))
+            ids = spark.read.parquet(scratch)
+            if ids.where(F.col("doc_id").isNull()).limit(1).count():
+                raise ValueError(
+                    "delete_docs: doc_ids contains null or non-numeric "
+                    "values that do not cast to long — deleting nothing "
+                    "would be silent, so refusing the whole batch")
+            tombs = ids.withColumn("before_gen",
+                                   F.lit(new_gen).cast("int"))
+        else:
+            tombs = spark.createDataFrame(
+                [(int(i), new_gen) for i in doc_ids],
+                "doc_id long, before_gen int")
+        # deleted docs' postings span arbitrary term buckets → wildcard
+        # marker
+        _write_stale_marker(spark, paths, [-1], new_gen)
+        tombs.write.option("compression", INDEX_CODEC).mode("append") \
+            .parquet(paths.tombstones)
+        _reaggregate(spark, paths, stats, new_gen)
+    finally:
+        if scratch is not None:
+            _delete_path(spark, scratch)
 
 
 def _decode_packed_rows(tomb_ids: set):

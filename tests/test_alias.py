@@ -99,8 +99,10 @@ class TestIndexAlias:
 
 
 class TestPublishRace:
-    """Writer-vs-writer safety: a committed v=N is never clobbered; a dead
-    half-publish (no _SUCCESS) is reclaimed."""
+    """Writer-vs-writer safety: a committed v=N is never clobbered; the
+    claim itself is a non-overwriting FileContext rename, so the loser
+    raises at the rename (not at a racy pre-check) and a foreign
+    incomplete v=N is refused, never auto-deleted."""
 
     def test_concurrent_publish_raises_not_clobbers(self, spark,
                                                     two_indexes, tmp_path,
@@ -132,15 +134,30 @@ class TestPublishRace:
         assert publish_index(spark, green, alias) == 3
         assert resolve_index_alias(spark, alias) == green
 
-    def test_dead_half_publish_is_reclaimed(self, spark, two_indexes,
-                                            tmp_path):
+    def test_foreign_incomplete_version_is_refused(self, spark,
+                                                   two_indexes, tmp_path):
+        """A v=N without _SUCCESS cannot be produced by publish_index
+        (only fully-committed pointer dirs are renamed into place), so
+        one that exists came from outside the protocol. Auto-reclaim
+        would be check-then-delete — two reclaimers can destroy each
+        other's committed pointer — so the publisher refuses loudly and
+        tells the operator to remove it."""
         import os
+        import shutil
         root, blue, green = two_indexes
         alias = str(tmp_path / "halfdead")
         assert publish_index(spark, blue, alias) == 1
-        # a crashed publisher left v=2 WITHOUT _SUCCESS
+        # someone hand-copied a pointer dir in, minus the commit marker
         os.makedirs(os.path.join(alias, "v=2"))
         with open(os.path.join(alias, "v=2", "part-junk.parquet"), "wb"):
             pass
+        with pytest.raises(RuntimeError, match="without _SUCCESS"):
+            publish_index(spark, green, alias)
+        # refusal cleaned its temp pointer up and left v=1 live
+        assert not [d for d in os.listdir(alias)
+                    if d.startswith(".publish_tmp_")]
+        assert resolve_index_alias(spark, alias) == blue
+        # operator remediation: remove the foreign dir, retry
+        shutil.rmtree(os.path.join(alias, "v=2"))
         assert publish_index(spark, green, alias) == 2
         assert resolve_index_alias(spark, alias) == green

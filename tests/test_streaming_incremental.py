@@ -456,6 +456,17 @@ def test_delete_docs_dataframe_form(spark, tmp_path):
     with pytest.raises(ValueError, match="one column"):
         delete_docs(spark, out, spark.createDataFrame(
             [(1, "x")], ["doc_id", "junk"]))
+    # non-numeric ids cast to NULL would silently delete NOTHING
+    # (NULL joins no tombstone) — the whole batch must be refused,
+    # matching the list form's int(i) ValueError, and the refusal must
+    # not leave scratch litter or tombstones behind
+    with pytest.raises(ValueError, match="non-numeric"):
+        delete_docs(spark, out, spark.createDataFrame(
+            [("not-a-doc-id",), ("2",)], ["doc_id"]))
+    assert not _path_exists(spark, f"{out}/_delete_scratch")
+    assert not _path_exists(spark, IndexPaths(out).tombstones)
+    assert len(load_index(spark, out).tokens
+               .select("doc_id").distinct().collect()) == 3
     ids = spark.createDataFrame([(1,), (3,)], ["doc_id"])
     delete_docs(spark, out, ids)
     idx = load_index(spark, out)

@@ -261,12 +261,26 @@ class TestTspvectorOps:
             tsp_filter, tsp_setweight)
         with pytest.raises(ValueError, match="label"):
             tsp_setweight("lexemes", "E")
-        with pytest.raises(ValueError, match="targets"):
-            tsp_setweight("lexemes", "A", targets=[])
         with pytest.raises(ValueError, match="weight"):
             tsp_filter("lexemes", "weights", [])
         with pytest.raises(ValueError, match="unrecognized"):
             tsp_filter("lexemes", "weights", ["A", "x", "E"])
+
+    def test_setweight_empty_targets_is_identity(self, spark):
+        # PG: setweight(tsv, 'A', '{}') labels nothing — a computed-empty
+        # target list keeps existing weights (unset slots normalize to
+        # PG's implicit 'D'), same contract as tsp_delete([])
+        from pg_ts_semantic_headline_spark.functions.tspvector_ops import (
+            tsp_setweight)
+        df = self._analyzed(spark, [(1, "the fat cat")], config="english")
+        r = df.select(
+            tsp_setweight("lexemes", "A", targets=[]).alias("bare"),
+            tsp_setweight("lexemes", "A", targets=[],
+                          weights=tsp_setweight("lexemes", "B"))
+            .alias("kept"),
+        ).collect()[0]
+        assert r["bare"] == [None, "D", "D"]   # holes stay NULL
+        assert r["kept"] == [None, "B", "B"]   # existing labels survive
 
     def test_concat_shifts_right_positions(self, spark):
         import pyspark.sql.functions as F
