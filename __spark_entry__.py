@@ -1705,6 +1705,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pack_sequences)
         return pack_sequences(_docs(spark, sf), 64, n_shards=4)
 
+    def q102(spark, sf):
+        # PG ts_stat over the analyzed stream: (word, ndoc, nentry)
+        from pg_ts_semantic_headline_spark.plans.matches import ts_stat
+        return ts_stat(_analyzed(spark, sf), config="simple")
+
+    def q103(spark, sf):
+        # PG ts_stat off the persisted index — live postings ARE the
+        # (term, doc, tf) aggregate, so the statistic is one dictionary-
+        # keyed agg with zero re-tokenization
+        from pg_ts_semantic_headline_spark.plans.matches import (
+            ts_stat_indexed)
+        return ts_stat_indexed(_built_index(spark, sf))
+
     # Ordered cheapest-first (measured at sf0.01): the driver's gate may
     # stop at a budget, so pure column-algebra entries run before the
     # entries that pay a shared index build, and each shared-index family
@@ -1737,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": q67,
         "tsp_indexable_text": q01,
         "tsvector_to_table": q04,
+        "ts_stat": q102,
         "to_tspquery": q07,
         "docstats": q14,
         "lang_id": q25,
@@ -1762,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_boilerplate": q57,
         "tsp_query_matches": q10,
         "bm25_topk_indexed": q34,
+        "ts_stat_indexed": q103,
         "suggest_terms": q48,
         "prefix_search": q84,
         "ts_rank_cd": q86,
@@ -2245,6 +2260,20 @@ FROM documents
 """,
         "to_tsp_text_array": f"WITH {TOKS_CTE.strip()} SELECT doc_id, pos, token FROM toks",
         "tsvector_to_table": f"WITH {TOKS_CTE.strip()} SELECT doc_id, pos, lower(token) AS lexeme FROM toks",
+        "ts_stat": f"""
+WITH {TOKS_CTE.strip()}
+SELECT lower(token) AS word,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS ndoc,
+       CAST(count(*) AS BIGINT) AS nentry
+FROM toks GROUP BY lower(token)
+""",
+        "ts_stat_indexed": f"""
+WITH {TOKS_CTE.strip()}
+SELECT lower(token) AS word,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS ndoc,
+       CAST(count(*) AS BIGINT) AS nentry
+FROM toks GROUP BY lower(token)
+""",
         "slice_array": """
 SELECT doc_id,
        array_to_string((string_split(text, ' '))[3:7], ' ') AS sliced

@@ -162,3 +162,104 @@ def tsp_query_matches(
 
     return limited.select(doc_id, "phrase_id", "words", "ts_query",
                           "start_pos", "end_pos")
+
+
+def ts_stat(
+    docs: DataFrame,
+    config: str = "english",
+    content_col: str = "content",
+    doc_id: str = "doc_id",
+    min_ndoc: int = 1,
+    min_nentry: int = 1,
+) -> DataFrame:
+    """PG ``ts_stat(sqlquery)`` — corpus-wide lexeme statistics.
+
+    Returns (word, ndoc, nentry): for every lexeme, the number of
+    documents it occurs in and its total number of occurrences — PG's
+    exact output columns (tsvector_ops.c ts_stat / PG docs §12.4.4,
+    "Gathering Document Statistics"). The reference inherits this PG
+    built-in unchanged, so parity means matching PG, not the reference.
+
+    `docs` may be raw (analyzed here through `config`) or already carry a
+    `lexemes` column (the output of `with_analysis` / a build stage), in
+    which case no re-analysis happens. Stopword holes (NULL slots in the
+    dense form) are not lexemes and are excluded, like PG.
+
+    `min_ndoc` / `min_nentry` prefilter the result the way PG users wrap
+    ts_stat with HAVING — at corpus scale the dictionary is small next to
+    the corpus, but pushing the floor into the agg output keeps the
+    driver/collect side tiny for the common "top dictionary" use.
+
+    Plan: one per-(lexeme, doc) partial-aggregated shuffle (key is
+    near-unique, hot lexemes spread across docs), then the dictionary
+    agg on lexeme — vocabulary-sized, map-side combined. No UDF beyond
+    the shared analyze kernel; never one row per token on the wire past
+    the first combine.
+    """
+    if "lexemes" not in docs.columns:
+        from .analyze import with_analysis
+        docs = with_analysis(docs, content_col=content_col, config=config)
+    lex = explode_lexemes(docs, doc_id)
+    per_doc = lex.groupBy(F.col("lex").alias("word"), F.col(doc_id)) \
+                 .agg(F.count("*").alias("tf"))
+    out = (per_doc.groupBy("word")
+           .agg(F.count("*").alias("ndoc"), F.sum("tf").alias("nentry")))
+    if min_ndoc > 1:
+        out = out.where(F.col("ndoc") >= min_ndoc)
+    if min_nentry > 1:
+        out = out.where(F.col("nentry") >= min_nentry)
+    return out
+
+
+def ts_stat_indexed(index, min_ndoc: int = 1, min_nentry: int = 1) -> DataFrame:
+    """``ts_stat`` off a persisted index — zero re-tokenization.
+
+    The postings table already IS the (term, doc, tf) aggregate, so the
+    whole statistic is one vocabulary-keyed agg over tombstone-filtered
+    live rows (load_index applies `_tombstones`, so stats reflect
+    deletes/replaces immediately, before any compaction): ndoc = live
+    postings rows per term, nentry = Σ tf. The terms/ dictionary is NOT
+    read — its df/cf are build-time values that a pending tombstone
+    sweep may not reflect yet; live rows are always correct.
+
+    Accepts a main ``Index`` (plans/index_build.py) — for the fielded
+    index use `ts_stat_fielded`, whose field filter is the analog of
+    PG's ts_stat weights argument."""
+    out = (index.postings
+           .groupBy(F.col("term").alias("word"))
+           .agg(F.count("*").alias("ndoc"), F.sum("tf").alias("nentry")))
+    if min_ndoc > 1:
+        out = out.where(F.col("ndoc") >= min_ndoc)
+    if min_nentry > 1:
+        out = out.where(F.col("nentry") >= min_nentry)
+    return out
+
+
+def ts_stat_fielded(findex, fields: list[str] | None = None,
+                    min_ndoc: int = 1, min_nentry: int = 1) -> DataFrame:
+    """``ts_stat('...', 'ab')`` — the weights-filtered form, mapped onto
+    the fielded index (README: PG weight labels A-D ≙ BM25F fields).
+
+    `fields` restricts the statistic to those field names (None = all);
+    ndoc counts documents where the lexeme occurs in ANY selected field,
+    matching PG's "count once per document" semantics when several
+    weights are requested. Same live-rows-only contract as
+    `ts_stat_indexed` (the fielded loader applies its tombstones)."""
+    rows = findex.postings
+    if fields is not None:
+        codes = []
+        for f in fields:
+            if f not in findex.fields:
+                raise ValueError(
+                    f"unknown field {f!r}; index has {findex.fields}")
+            codes.append(findex.fields.index(f))
+        rows = rows.where(F.col("field").isin(codes))
+    per_doc = (rows.groupBy(F.col("term").alias("word"), F.col("doc_id"))
+               .agg(F.sum("tf").alias("tf")))
+    out = (per_doc.groupBy("word")
+           .agg(F.count("*").alias("ndoc"), F.sum("tf").alias("nentry")))
+    if min_ndoc > 1:
+        out = out.where(F.col("ndoc") >= min_ndoc)
+    if min_nentry > 1:
+        out = out.where(F.col("nentry") >= min_nentry)
+    return out

@@ -1,0 +1,107 @@
+"""PG ts_stat parity: (word, ndoc, nentry) statistics — ad-hoc, indexed,
+and the fielded (weights-argument analog) forms.
+
+PG semantics pinned here (docs §12.4.4): ndoc = number of documents the
+lexeme appears in, nentry = total occurrences; with a weights argument,
+only entries carrying one of the named weights count, but a document still
+counts once even when several selected weights hit.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_ts_semantic_headline_spark.plans.analyze import with_analysis
+from pg_ts_semantic_headline_spark.plans.matches import (
+    ts_stat, ts_stat_fielded, ts_stat_indexed)
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the cat ran"),
+    (3, "dogs ran and ran"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "content"])
+
+
+def _as_map(df):
+    return {r["word"]: (r["ndoc"], r["nentry"]) for r in df.collect()}
+
+
+def test_ts_stat_simple_counts(spark, docs):
+    stats = _as_map(ts_stat(docs, config="simple"))
+    # "the": docs 1 (twice) and 2 (once) -> ndoc 2, nentry 3
+    assert stats["the"] == (2, 3)
+    assert stats["ran"] == (2, 3)  # doc 2 once, doc 3 twice
+    assert stats["cat"] == (2, 2)
+    assert stats["mat"] == (1, 1)
+    assert "and" in stats  # simple config keeps stopwords
+
+
+def test_ts_stat_english_excludes_stopword_holes(spark, docs):
+    stats = _as_map(ts_stat(docs, config="english"))
+    assert "the" not in stats  # stopword holes are not lexemes
+    assert stats["cat"] == (2, 2)
+    assert stats["dog"] == (1, 1)  # stemmed
+
+
+def test_ts_stat_accepts_preanalyzed(spark, docs):
+    pre = with_analysis(docs, content_col="content", config="simple")
+    assert _as_map(ts_stat(pre)) == _as_map(ts_stat(docs, config="simple"))
+
+
+def test_ts_stat_min_filters(spark, docs):
+    out = _as_map(ts_stat(docs, config="simple", min_ndoc=2))
+    assert set(out) == {"the", "cat", "ran"}
+    out = _as_map(ts_stat(docs, config="simple", min_nentry=3))
+    assert set(out) == {"the", "ran"}
+
+
+def test_ts_stat_indexed_equals_adhoc_and_tracks_deletes(spark, docs,
+                                                         tmp_path):
+    from pg_ts_semantic_headline_spark.plans.index_build import (
+        build_index, load_index)
+    from pg_ts_semantic_headline_spark.streaming.incremental import (
+        delete_docs)
+
+    idx_dir = str(tmp_path / "idx")
+    build_index(spark, docs, idx_dir, config="simple", n_buckets=4,
+                resume=False)
+    idx = load_index(spark, idx_dir)
+    assert _as_map(ts_stat_indexed(idx)) == _as_map(
+        ts_stat(docs, config="simple"))
+
+    # live-rows contract: a tombstoned doc leaves the stats immediately
+    delete_docs(spark, idx_dir, [3])
+    after = _as_map(ts_stat_indexed(load_index(spark, idx_dir)))
+    assert after == _as_map(
+        ts_stat(docs.where(F.col("doc_id") != 3), config="simple"))
+    assert "dogs" not in after and after["ran"] == (1, 1)
+
+
+def test_ts_stat_fielded_field_filter(spark, tmp_path):
+    from pg_ts_semantic_headline_spark.plans.fielded import (
+        build_fielded_index, load_fielded_index)
+
+    rows = spark.createDataFrame(
+        [(1, "cat tales", "the cat sat on the cat mat"),
+         (2, "dog days", "a dog ran")],
+        ["doc_id", "title", "body"])
+    out = str(tmp_path / "fidx")
+    build_fielded_index(spark, rows, out, field_cols=["title", "body"],
+                        config="simple", n_buckets=4)
+    fidx = load_fielded_index(spark, out)
+
+    both = _as_map(ts_stat_fielded(fidx))
+    # "cat": title once (doc 1) + body twice (doc 1) -> ndoc 1, nentry 3
+    assert both["cat"] == (1, 3)
+    title_only = _as_map(ts_stat_fielded(fidx, fields=["title"]))
+    assert title_only["cat"] == (1, 1)
+    assert "sat" not in title_only
+    body_only = _as_map(ts_stat_fielded(fidx, fields=["body"]))
+    assert body_only["cat"] == (1, 2)
+
+    with pytest.raises(ValueError, match="unknown field"):
+        ts_stat_fielded(fidx, fields=["abstract"])
