@@ -1718,6 +1718,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ts_stat_indexed)
         return ts_stat_indexed(_built_index(spark, sf))
 
+    def q104(spark, sf):
+        # plainto_tsquery parity: words AND-ed as single-lexeme phrases,
+        # operators treated as punctuation, never raises — compiled to
+        # the same phrase-table shape as q07/q08/q82
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            plainto_tspquery)
+        a = _phrase_rows(spark, plainto_tspquery(
+            "simple", "merge sort window"), "pl_a")
+        b = _phrase_rows(spark, plainto_tspquery(
+            "english", "The Fat & Rats:C"), "pl_b")
+        c = _phrase_rows(spark, plainto_tspquery(
+            "english", "the and of"), "pl_c")
+        return a.unionByName(b).unionByName(c)
+
+    def q105(spark, sf):
+        # end-to-end plainto retrieval over the persisted index: the
+        # AND-of-terms tree drives matching_docs, BM25 ranks survivors;
+        # k covers the corpus so the full scored set is compared
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            plainto_tspquery)
+        from pg_ts_semantic_headline_spark.plans.search import search
+        index = _built_index(spark, sf)
+        q = plainto_tspquery("simple", "merge sort window")
+        return (search(index, q, k=100000, mode="blockmax")
+                .withColumn("score_e4", _e4(F.col("score")))
+                .select("doc_id", "score_e4"))
+
     # Ordered cheapest-first (measured at sf0.01): the driver's gate may
     # stop at a budget, so pure column-algebra entries run before the
     # entries that pay a shared index build, and each shared-index family
@@ -1751,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsp_indexable_text": q01,
         "tsvector_to_table": q04,
         "ts_stat": q102,
+        "plainto_tspquery": q104,
         "to_tspquery": q07,
         "docstats": q14,
         "lang_id": q25,
@@ -1777,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsp_query_matches": q10,
         "bm25_topk_indexed": q34,
         "ts_stat_indexed": q103,
+        "plainto_search": q105,
         "suggest_terms": q48,
         "prefix_search": q84,
         "ts_rank_cd": q86,
@@ -2139,7 +2168,8 @@ def _phrase_values(pairs) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from pg_ts_semantic_headline_spark.plans.query_compiler import (
-        phraseto_tspquery, to_tspquery, websearch_to_tspquery)
+        phraseto_tspquery, plainto_tspquery, to_tspquery,
+        websearch_to_tspquery)
 
     def phrase_rows(compiled, qid):
         return [(qid, pid, lex, pos, plen, pspan)
@@ -2153,6 +2183,12 @@ def oracle_sql() -> dict[str, str]:
                     "english", 'signal -"segmentation fault"'), "w_b")
                 + phrase_rows(websearch_to_tspquery(
                     "english", '""" )( dummy \\ query <-> or "sad cat"'), "w_c"))
+    q104_rows = (phrase_rows(plainto_tspquery(
+                     "simple", "merge sort window"), "pl_a")
+                 + phrase_rows(plainto_tspquery(
+                     "english", "The Fat & Rats:C"), "pl_b")
+                 + phrase_rows(plainto_tspquery(
+                     "english", "the and of"), "pl_c"))
     q08_rows = (phrase_rows(phraseto_tspquery("english", "fortune, through the kingdom"), "p_a")
                 + phrase_rows(phraseto_tspquery("english", "decide negatively"), "p_b")
                 + phrase_rows(phraseto_tspquery("simple", "merge sort JOIN"), "p_c"))
@@ -2288,6 +2324,18 @@ FROM documents
         "to_tspquery": _phrase_values(q07_rows),
         "phraseto_tspquery": _phrase_values(q08_rows),
         "websearch_to_tspquery": _phrase_values(q82_rows),
+        "plainto_tspquery": _phrase_values(q104_rows),
+        "plainto_search": _bm25_score_sql(["merge", "sort", "window"]) + """
+, hits AS (
+  SELECT doc_id FROM toks WHERE token = 'merge'
+  INTERSECT
+  SELECT doc_id FROM toks WHERE token = 'sort'
+  INTERSECT
+  SELECT doc_id FROM toks WHERE token = 'window'
+)
+SELECT s.doc_id, CAST(ROUND(s.score * 10000) AS BIGINT) AS score_e4
+FROM scored s JOIN hits USING (doc_id)
+""",
         "websearch_search": _bm25_score_sql(["merge", "sort", "window"]) + """
 , hits AS (
   SELECT DISTINCT doc_id FROM (

@@ -5,6 +5,7 @@ from .query_compiler import (
     TSQueryParseError,
     empty_tspquery,
     phraseto_tspquery,
+    plainto_tspquery,
     to_tspquery,
     ts_rewrite,
     ts_rewrite_rules_df,
@@ -23,7 +24,8 @@ from .ranking import (
 
 __all__ = [
     "CompiledQuery", "Phrase", "TSQueryParseError", "empty_tspquery",
-    "ltr_features", "min_span_docs", "phraseto_tspquery", "prf_search",
+    "ltr_features", "min_span_docs", "phraseto_tspquery",
+    "plainto_tspquery", "prf_search",
     "proximity_rerank", "rank_metrics", "rm3_expand", "to_tspquery",
     "ts_rewrite", "ts_rewrite_rules_df",
     "slop_match_docs", "ts_rank_cd",

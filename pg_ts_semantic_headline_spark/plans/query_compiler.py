@@ -327,6 +327,32 @@ def _phrase_node(text: str, config: str) -> Node | None:
                                               for lx, p in items)))
 
 
+def plainto_tspquery(config: str, text: str | None = None) -> CompiledQuery:
+    """PostgreSQL's `plainto_tsquery`: parse and normalize the text, then
+    AND every surviving lexeme — PG docs §12.3.2 describe it as phraseto
+    with `&` inserted between words instead of `<->`, and that is exactly
+    how it is built here: the same whole-text analyzer pass as
+    `phraseto_tspquery` (so punctuation and stopwords behave identically),
+    each surviving lexeme becoming a single-lexeme phrase under one AND.
+    `plainto_tsquery('english', 'The Fat Rats')` → `fat & rat`.
+    Operators in the input (`& | ! <->`) are plain punctuation — this
+    function never raises. Duplicated words stay duplicated in the tree
+    (PG keeps `sort & sort`); `phrases` dedups for highlighting like every
+    other constructor. Deviation (repo-wide analyzer discipline): a
+    compound like `child-bearing` contributes its split parts as
+    independent AND terms, where PG would also AND the whole compound.
+    With one argument, the session default config applies."""
+    if text is None:
+        config, text = _DEFAULT_CONFIG, config
+    lexemes = analyze_text_simple(unaccent(text), config)
+    nodes = tuple(Node("phrase", phrase=Phrase(((lx, 1),)))
+                  for lx in lexemes if lx is not None)
+    root = (None if not nodes
+            else nodes[0] if len(nodes) == 1 else Node("and", nodes))
+    phrases = _dedupe(_collect_positive_phrases(root))
+    return CompiledQuery(config, text, root, phrases)
+
+
 def websearch_to_tspquery(config: str, text: str | None = None) -> CompiledQuery:
     """PostgreSQL's `websearch_to_tsquery`: the end-user search-box syntax
     (pg docs §12.3.2; the reference inherits it from core PG — it has no

@@ -404,3 +404,52 @@ class TestTsqueryContains:
             fired = (render_tspquery(ts_rewrite(query, [(target, sub)]).root)
                      != render_tspquery(query.root))
             assert tsquery_contains(query, target) == fired, s
+
+
+class TestPlaintoTspquery:
+    """PG doc examples (§12.3.2 plainto_tsquery): words AND-ed, operators
+    are punctuation, never raises."""
+
+    def test_pg_doc_example(self):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            plainto_tspquery)
+        assert _render(plainto_tspquery(
+            "english", "The Fat Rats").root) == "('fat' & 'rat')"
+
+    def test_operators_are_punctuation(self):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            plainto_tspquery)
+        q = plainto_tspquery("english", "The Fat & Rats:C")
+        assert _render(q.root) == "('fat' & 'rat' & 'c')"
+
+    def test_all_stopwords_empty(self):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            plainto_tspquery)
+        q = plainto_tspquery("english", "the and of")
+        assert q.root is None and q.phrases == ()
+
+    def test_single_word(self):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            plainto_tspquery)
+        q = plainto_tspquery("simple", "Window")
+        assert _render(q.root) == "'window'"
+
+    def test_duplicates_kept_in_tree(self):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            plainto_tspquery)
+        q = plainto_tspquery("simple", "sort the sort")
+        assert _render(q.root) == "('sort' & 'the' & 'sort')"
+        # phrases dedup for highlighting like every other constructor
+        assert len(q.phrases) == 2
+
+    def test_arity_one_uses_default_config(self):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            get_default_text_search_config, plainto_tspquery,
+            set_default_text_search_config)
+        prev = get_default_text_search_config()
+        try:
+            set_default_text_search_config("simple")
+            assert _render(plainto_tspquery(
+                "The Rats").root) == "('the' & 'rats')"
+        finally:
+            set_default_text_search_config(prev)
