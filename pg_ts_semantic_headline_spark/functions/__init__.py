@@ -8,6 +8,7 @@ from .lexize import (
     analyze_text_simple,
     lexize_chunk,
     lexize_word,
+    ts_debug,
 )
 from .stemmer_de import stem_german
 from .stemmer_en import stem_english
@@ -20,6 +21,6 @@ __all__ = [
     "is_supported_config", "make_synonym_config", "make_thesaurus_config",
     "analyze_document", "analyze_text_simple", "lexize_chunk", "lexize_word",
     "stem_german", "stem_english", "ENGLISH_STOPWORDS", "GERMAN_STOPWORDS",
-    "STOPWORDS_BY_CONFIG", "to_tsp_text_array", "tsp_indexable_text",
-    "tsp_present_text", "unaccent",
+    "STOPWORDS_BY_CONFIG", "to_tsp_text_array", "ts_debug",
+    "tsp_indexable_text", "tsp_present_text", "unaccent",
 ]

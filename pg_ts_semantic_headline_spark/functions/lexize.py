@@ -327,3 +327,104 @@ def analyze_text_simple(content: str, config: str) -> list[str | None]:
     if config.startswith(THESAURUS_PREFIX):
         lexemes = apply_thesaurus(lexemes, config)
     return lexemes
+
+
+def ts_debug(config: str, text: str | None = None) -> list[dict]:
+    """PG ``ts_debug(config, text)`` — per-token analyzer introspection
+    (PG docs §12.8.1): for every token the parser emits, which dictionary
+    consumed it and what lexemes came out. The debugging companion to
+    `ts_stat`: "why does this query (not) match" answers start here.
+
+    Returns driver-side rows (like the tsquery utilities — this is a
+    human-in-the-loop debug tool, not a corpus operator) of
+    ``{token, alias, dictionary, lexemes}``:
+
+    - token       — the accent-PRESERVING surface chunk (what a headline
+                    would restore), including any code-config camelCase
+                    split marks;
+    - alias       — parser classification, PG's names for the classes the
+                    engine's tokenizer distinguishes: `asciiword`, `word`
+                    (non-ASCII letters), `numword` (digit-bearing — routed
+                    to the simple dictionary, never stemmed), `blank`
+                    (strips to nothing);
+    - dictionary  — `simple`, `<base>_stem`, `synonym`, `thesaurus`, or
+                    None for blanks;
+    - lexemes     — [] when the dictionary consumed the token as a
+                    stopword (PG prints {}), None for blanks, else the
+                    emitted lexemes. A thesaurus phrase substitutes on its
+                    FIRST token; the swallowed continuation slots show
+                    `thesaurus` with [] (they hold position gaps, per the
+                    repo's alignment invariant).
+
+    With one argument, the session default config applies (same arity
+    convention as the query constructors)."""
+    if text is None:
+        from ..plans.query_compiler import _DEFAULT_CONFIG
+        config, text = _DEFAULT_CONFIG, config
+    if text is None:
+        return []
+    canon = tsp_indexable_text(text)
+    is_code = base_config(config) == "code"
+    if is_code and canon:
+        canon = camel_mark(canon)
+    tokens = canon.split(" ") if canon else []
+    if text.isascii():
+        indexed = canon
+    else:
+        indexed = tsp_indexable_text(unaccent(text))
+        if is_code and indexed:
+            indexed = camel_mark(indexed)
+    chunks = indexed.split(" ") if indexed else []
+    if len(chunks) != len(tokens):  # same guard as analyze_document
+        chunks = (chunks + [""] * len(tokens))[: len(tokens)]
+    pre = [lexize_chunk(c, config) for c in chunks]
+    post = (apply_thesaurus(list(pre), config)
+            if config.startswith(THESAURUS_PREFIX) else pre)
+
+    rows = []
+    for token, chunk, lx_pre, lx_post in zip(tokens, chunks, pre, post):
+        core = _RE_STRIP.sub("", chunk)
+        if not core:
+            rows.append({"token": token, "alias": "blank",
+                         "dictionary": None, "lexemes": None})
+            continue
+        lower = core.lower()
+        # alias classifies the ORIGINAL surface form (PG parses before any
+        # dictionary sees the token); lexize still runs unaccented
+        surface = _RE_STRIP.sub("", token) or core
+        if _RE_HAS_DIGIT.search(surface):
+            alias = "numword"
+        elif surface.isascii():
+            alias = "asciiword"
+        else:
+            alias = "word"
+        cfg = config
+        if cfg.startswith(SYNONYM_PREFIX):
+            base, mapping = _synonym_spec(cfg)
+            if lower in mapping:
+                sub = mapping[lower]
+                rows.append({"token": token, "alias": alias,
+                             "dictionary": "synonym",
+                             "lexemes": [] if sub is None else [sub]})
+                continue
+            cfg = base
+        elif cfg.startswith(THESAURUS_PREFIX):
+            if lx_post != lx_pre:  # substituted head or swallowed tail
+                rows.append({"token": token, "alias": alias,
+                             "dictionary": "thesaurus",
+                             "lexemes": [] if lx_post is None
+                             else [lx_post]})
+                continue
+            cfg = _thesaurus_spec(cfg)[0]
+        stemmer = _STEMMERS[cfg]
+        if stemmer is None or _RE_HAS_DIGIT.search(lower):
+            rows.append({"token": token, "alias": alias,
+                         "dictionary": "simple", "lexemes": [lower]})
+        elif lower in STOPWORDS_BY_CONFIG[cfg]:
+            rows.append({"token": token, "alias": alias,
+                         "dictionary": f"{cfg}_stem", "lexemes": []})
+        else:
+            rows.append({"token": token, "alias": alias,
+                         "dictionary": f"{cfg}_stem",
+                         "lexemes": [stemmer(lower)]})
+    return rows

@@ -105,3 +105,69 @@ def test_ts_stat_fielded_field_filter(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown field"):
         ts_stat_fielded(fidx, fields=["abstract"])
+
+
+class TestTsDebug:
+    """PG §12.8.1 ts_debug-shaped analyzer introspection (driver-side)."""
+
+    def test_english_stopword_stem_numword(self):
+        from pg_ts_semantic_headline_spark.functions.lexize import ts_debug
+        rows = ts_debug("english", "The Fat Cats 4ever")
+        by_tok = {r["token"]: r for r in rows}
+        assert by_tok["The"]["dictionary"] == "english_stem"
+        assert by_tok["The"]["lexemes"] == []          # stopword consumed
+        assert by_tok["Cats"]["lexemes"] == ["cat"]
+        assert by_tok["4ever"] == {"token": "4ever", "alias": "numword",
+                                   "dictionary": "simple",
+                                   "lexemes": ["4ever"]}
+        assert all(r["alias"] == "asciiword" for t, r in by_tok.items()
+                   if t != "4ever")
+
+    def test_simple_config_never_stems(self):
+        from pg_ts_semantic_headline_spark.functions.lexize import ts_debug
+        rows = ts_debug("simple", "The Cats")
+        assert [r["lexemes"] for r in rows] == [["the"], ["cats"]]
+        assert {r["dictionary"] for r in rows} == {"simple"}
+
+    def test_non_ascii_word_alias_and_unaccent(self):
+        from pg_ts_semantic_headline_spark.functions.lexize import ts_debug
+        rows = ts_debug("german", "Bücher")
+        assert rows[0]["alias"] == "word"
+        assert rows[0]["token"] == "Bücher"            # display keeps accents
+        assert rows[0]["lexemes"] == ["buch"]          # lexize unaccents
+
+    def test_synonym_hit_and_custom_stopword(self, tmp_path):
+        from pg_ts_semantic_headline_spark.functions.lexize import (
+            make_synonym_config, ts_debug)
+        cfg = make_synonym_config(
+            "english", {"pgsql": "postgres", "noise": None},
+            str(tmp_path / "syn.txt"))
+        rows = ts_debug(cfg, "pgsql noise cats")
+        assert rows[0] == {"token": "pgsql", "alias": "asciiword",
+                           "dictionary": "synonym", "lexemes": ["postgres"]}
+        assert rows[1]["dictionary"] == "synonym" and rows[1]["lexemes"] == []
+        assert rows[2]["dictionary"] == "english_stem"
+
+    def test_thesaurus_head_and_swallowed_tail(self, tmp_path):
+        from pg_ts_semantic_headline_spark.functions.lexize import (
+            make_thesaurus_config, ts_debug)
+        cfg = make_thesaurus_config(
+            "english", {"supernovae stars": "sn"},
+            str(tmp_path / "thes.txt"))
+        rows = ts_debug(cfg, "supernovae stars shine")
+        assert rows[0]["dictionary"] == "thesaurus"
+        assert rows[0]["lexemes"] == ["sn"]
+        assert rows[1]["dictionary"] == "thesaurus"
+        assert rows[1]["lexemes"] == []                # position hole kept
+        assert rows[2]["dictionary"] == "english_stem"
+
+    def test_arity_one_default_config(self):
+        from pg_ts_semantic_headline_spark.functions.lexize import ts_debug
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            get_default_text_search_config, set_default_text_search_config)
+        prev = get_default_text_search_config()
+        try:
+            set_default_text_search_config("simple")
+            assert ts_debug("Cats")[0]["lexemes"] == ["cats"]
+        finally:
+            set_default_text_search_config(prev)
