@@ -606,3 +606,49 @@ def _count_groups(node):
         return 1 + _count_groups(node.children[0])
     return (len(node.children) - 1
             + sum(_count_groups(c) for c in node.children))
+
+
+class TestPlaintoNeverRaises:
+    """plainto_tsquery contract: ANY input is a valid query — operators are
+    punctuation; the tree is None, one single-lexeme phrase, or an AND of
+    single-lexeme phrases, and it agrees with the analyzer's lexemes."""
+
+    text = st.text(max_size=120) | st.text(
+        alphabet='"-or()<>&|! \t\nabcé:*0123', max_size=120)
+
+    @given(text, st.sampled_from(["simple", "english", "german"]))
+    @settings(max_examples=300, deadline=None)
+    def test_never_raises_and_shape(self, s, config):
+        from pg_ts_semantic_headline_spark.functions.lexize import (
+            analyze_text_simple)
+        from pg_ts_semantic_headline_spark.functions.unaccent import unaccent
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            plainto_tspquery)
+
+        q = plainto_tspquery(config, s)
+        expected = [lx for lx in analyze_text_simple(unaccent(s), config)
+                    if lx is not None]
+        if not expected:
+            assert q.root is None and q.phrases == ()
+            return
+        nodes = (q.root,) if q.root.op == "phrase" else q.root.children
+        assert all(n.op == "phrase" and n.phrase.length == 1 for n in nodes)
+        assert [n.phrase.items[0][0] for n in nodes] == expected
+
+
+class TestTsDebugAgreesWithAnalyzer:
+    """ts_debug is a VIEW of the same pipeline analyze_document runs:
+    row-for-row, its lexemes column must reproduce the analyzer's lexeme
+    stream (single lexeme, or None for stopword/blank holes)."""
+
+    @given(text_strategy, st.sampled_from(["simple", "english", "german"]))
+    @settings(max_examples=300, deadline=None)
+    def test_rowwise_agreement(self, text, config):
+        from pg_ts_semantic_headline_spark.functions.lexize import (
+            analyze_document, ts_debug)
+
+        tokens, lexemes = analyze_document(text, config)
+        rows = ts_debug(config, text)
+        assert [r["token"] for r in rows] == tokens
+        got = [r["lexemes"][0] if r["lexemes"] else None for r in rows]
+        assert got == lexemes
