@@ -1,4 +1,5 @@
-from .fsck import verify_index
+from .fsck import (verify_fielded_index, verify_index, verify_trigram_index,
+                   verify_vector_index)
 from .query_compiler import (
     CompiledQuery,
     Phrase,
@@ -29,5 +30,6 @@ __all__ = [
     "proximity_rerank", "rank_metrics", "rm3_expand", "to_tspquery",
     "ts_rewrite", "ts_rewrite_rules_df",
     "slop_match_docs", "ts_rank_cd",
-    "verify_index", "websearch_to_tspquery",
+    "verify_fielded_index", "verify_index", "verify_trigram_index",
+    "verify_vector_index", "websearch_to_tspquery",
 ]

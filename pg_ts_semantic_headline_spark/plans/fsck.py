@@ -287,3 +287,311 @@ def verify_index(spark: SparkSession, index_dir: str,
                 "wrote (bitrot / partial restore)")
 
     return spark.createDataFrame(rows, REPORT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Family checkers: publish_index flips EVERY persisted family (main,
+# fielded, trigram, LSH/IVF/IVF-PQ vector), so each family needs the same
+# pre-flight audit before an alias flip or after a restore. Shallow =
+# metadata + dictionary-scale scans; deep = full-scan reconciliations.
+# All operator imports are lazy: fsck loads with plans/__init__ and must
+# not drag the operators package (which imports back into plans) in at
+# module-import time.
+# ---------------------------------------------------------------------------
+
+
+def _misrouted(df: DataFrame, col: str, n_buckets: int,
+               bucket_col: str = "bucket") -> int:
+    return (df.where(F.pmod(F.xxhash64(col), F.lit(n_buckets))
+                     .cast("int") != F.col(bucket_col)).count())
+
+
+def _report(spark: SparkSession, rows: list) -> DataFrame:
+    return spark.createDataFrame(rows, REPORT_SCHEMA)
+
+
+def verify_fielded_index(spark: SparkSession, index_dir: str,
+                         deep: bool = False) -> DataFrame:
+    """Audit a fielded (BM25F) index — plans/fielded.py layout. Invariants
+    are the documented consequences of `_recompute_meta` (df and the exact
+    integer sumdls are republished from live rows on every mutation) and
+    the delete-then-re-add replace contract (at most one live generation
+    per doc). Same report shape as `verify_index`."""
+    from ..operators.generations import live_rows
+
+    rows: list[tuple] = []
+
+    def add(check, status, expected="", actual="", detail=""):
+        rows.append((check, status, str(expected), str(actual), detail))
+
+    try:
+        st = spark.read.parquet(f"{index_dir}/stats").first()
+    except Exception as exc:
+        add("stats_readable", "fail", "readable stats/",
+            type(exc).__name__, "cannot read stats; aborting")
+        return _report(spark, rows)
+    add("stats_readable", "ok")
+    fields = list(st["fields"])
+    sumdls = [int(x) for x in st["sumdls"]]
+    n_buckets, gen = int(st["n_buckets"]), int(st["gen"])
+    if not fields or len(sumdls) != len(fields):
+        add("stats_fields", "fail", "len(sumdls) == len(fields) >= 1",
+            f"fields={fields} sumdls={sumdls}")
+        return _report(spark, rows)
+    add("stats_fields", "ok", len(fields), len(sumdls))
+
+    ok_layout = True
+    for name in ("postings", "terms"):
+        here = _path_exists(spark, f"{index_dir}/{name}")
+        add(f"layout_{name}", "ok" if here else "fail",
+            "directory present", here)
+        ok_layout = ok_layout and here
+    if not ok_layout:
+        return _report(spark, rows)
+
+    tombs = (spark.read.parquet(f"{index_dir}/_tombstones")
+             if _path_exists(spark, f"{index_dir}/_tombstones") else None)
+    if tombs is not None:
+        tgen = tombs.agg(F.max("gen").alias("m")).first()["m"]
+        if tgen is not None and int(tgen) > gen:
+            add("tombstone_gen", "fail", f"<= stats.gen={gen}", tgen,
+                "a tombstone postdates the published generation")
+        else:
+            add("tombstone_gen", "ok", f"<= stats.gen={gen}", tgen)
+
+    terms = spark.read.parquet(f"{index_dir}/terms")
+    bad_terms = _misrouted(terms, "term", n_buckets)
+    add("bucket_routing_terms", "fail" if bad_terms else "ok", 0, bad_terms,
+        "bucket != xxhash64(term) % n_buckets breaks directory pruning")
+
+    if not deep:
+        return _report(spark, rows)
+
+    post = spark.read.parquet(f"{index_dir}/postings")
+    bad_post = _misrouted(post, "term", n_buckets)
+    add("bucket_routing_postings", "fail" if bad_post else "ok", 0, bad_post)
+
+    live = live_rows(post, tombs, "doc_id")
+    multi_gen = (live.groupBy("doc_id")
+                 .agg(F.count_distinct("gen").alias("g"))
+                 .where(F.col("g") > 1).count())
+    add("one_live_gen_per_doc", "fail" if multi_gen else "ok", 0, multi_gen,
+        "docs with several live generations — a re-add without the "
+        "delete half of the replace contract")
+
+    per_term = (live.groupBy("term")
+                .agg(F.count_distinct("doc_id").alias("df_live")))
+    df_bad = (terms.join(per_term, on="term", how="full")
+              .where(F.coalesce("df", F.lit(-1))
+                     != F.coalesce("df_live", F.lit(-1))).count())
+    add("terms_vs_postings_df", "fail" if df_bad else "ok", 0, df_bad,
+        "terms whose df != live distinct-doc count (or one side only)")
+
+    per_doc = (live.groupBy("doc_id")
+               .agg(F.first("dls").alias("dls"),
+                    F.count_distinct("dls").alias("ndls")))
+    dls_bad = per_doc.where(F.col("ndls") > 1).count()
+    add("dls_consistent", "fail" if dls_bad else "ok", 0, dls_bad,
+        "docs whose rows disagree on the per-field length vector")
+    agg = per_doc.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.col("dls")[i]).alias(f"s{i}")
+          for i in range(len(fields))]).first()
+    n_live = int(agg["n"])
+    sums_live = [int(agg[f"s{i}"] or 0) for i in range(len(fields))]
+    add("stats_n_docs", "fail" if n_live != int(st["n_docs"]) else "ok",
+        st["n_docs"], n_live,
+        "" if n_live == int(st["n_docs"]) else
+        "stats.n_docs != live distinct docs — BM25F norms are wrong")
+    add("stats_sumdls", "fail" if sums_live != sumdls else "ok",
+        sumdls, sums_live,
+        "" if sums_live == sumdls else
+        "exact per-field length sums drifted — avg wdl reconstruction "
+        "is no longer bit-identical")
+    return _report(spark, rows)
+
+
+def verify_trigram_index(spark: SparkSession, index_dir: str,
+                         deep: bool = False) -> DataFrame:
+    """Audit a trigram index — operators/trigram.py layout: distinct
+    (tg, doc_id, gen) postings routed by xxhash64(tg), docstats carrying
+    each live doc's |T(doc)|, generation-stamped tombstones."""
+    from ..operators.generations import live_rows
+
+    rows: list[tuple] = []
+
+    def add(check, status, expected="", actual="", detail=""):
+        rows.append((check, status, str(expected), str(actual), detail))
+
+    try:
+        meta = spark.read.parquet(f"{index_dir}/meta").first()
+    except Exception as exc:
+        add("meta_readable", "fail", "readable meta/", type(exc).__name__,
+            "cannot read meta; aborting")
+        return _report(spark, rows)
+    add("meta_readable", "ok")
+    n_buckets = int(meta["n_buckets"])
+    max_gen = int(meta["max_gen"]) if "max_gen" in meta else 0
+
+    ok_layout = True
+    for name in ("postings", "docstats"):
+        here = _path_exists(spark, f"{index_dir}/{name}")
+        add(f"layout_{name}", "ok" if here else "fail",
+            "directory present", here)
+        ok_layout = ok_layout and here
+    if not ok_layout:
+        return _report(spark, rows)
+
+    tombs = (spark.read.parquet(f"{index_dir}/tombstones")
+             if _path_exists(spark, f"{index_dir}/tombstones") else None)
+    if tombs is not None:
+        tgen = tombs.agg(F.max("gen").alias("m")).first()["m"]
+        if tgen is not None and int(tgen) > max_gen:
+            add("tombstone_gen", "fail", f"<= meta.max_gen={max_gen}", tgen,
+                "a tombstone postdates the published generation")
+        else:
+            add("tombstone_gen", "ok", f"<= meta.max_gen={max_gen}", tgen)
+
+    if not deep:
+        return _report(spark, rows)
+
+    post = spark.read.parquet(f"{index_dir}/postings")
+    bad_post = _misrouted(post, "tg", n_buckets)
+    add("bucket_routing_postings", "fail" if bad_post else "ok", 0, bad_post,
+        "bucket != xxhash64(tg) % n_buckets — the driver-side pure-Python "
+        "bucket replica would prune these rows away")
+    over_gen = post.where(F.col("gen") > max_gen).count()
+    add("gen_vs_meta", "fail" if over_gen else "ok", 0, over_gen,
+        "postings rows from a generation newer than meta.max_gen — a "
+        "writer died between the append and the meta publish")
+    dup = int(post.count()
+              - post.select("tg", "doc_id", "gen").distinct().count())
+    add("postings_distinct", "fail" if dup else "ok", 0, dup,
+        "duplicate (tg, doc_id, gen) rows inflate AND-count candidates")
+
+    live_post = live_rows(post, tombs, "doc_id")
+    live_stats = live_rows(spark.read.parquet(f"{index_dir}/docstats"),
+                           tombs, "doc_id")
+    per_doc = (live_post.groupBy("doc_id")
+               .agg(F.count_distinct("tg").alias("tg_live")))
+    mism = (per_doc.join(live_stats.select("doc_id", "n_trigrams"),
+                         on="doc_id", how="full")
+            .where(F.coalesce("tg_live", F.lit(-1))
+                   != F.coalesce("n_trigrams", F.lit(-1))).count())
+    add("docstats_vs_postings", "fail" if mism else "ok", 0, mism,
+        "live docs whose |T(doc)| disagrees between docstats and postings "
+        "— similarity() denominators are wrong for these docs")
+    return _report(spark, rows)
+
+
+def verify_vector_index(spark: SparkSession, index_dir: str,
+                        deep: bool = False) -> DataFrame:
+    """Audit a persisted vector index — LSH (meta/), IVF (centroids/), or
+    IVF-PQ (centroids/ + pq/), detected from the layout. The deep pass
+    re-derives every row's partition from the STORED quantizer (planes /
+    centroids) and counts disagreements: a misassigned row is silently
+    unreachable at query time (the probe set never reads its directory),
+    which no query-path test can catch."""
+    from ..operators.generations import live_rows
+
+    rows: list[tuple] = []
+
+    def add(check, status, expected="", actual="", detail=""):
+        rows.append((check, status, str(expected), str(actual), detail))
+
+    has_meta = _path_exists(spark, f"{index_dir}/meta")
+    has_cent = _path_exists(spark, f"{index_dir}/centroids")
+    has_pq = _path_exists(spark, f"{index_dir}/pq")
+    family = ("lsh" if has_meta else
+              "ivfpq" if has_cent and has_pq else
+              "ivf" if has_cent else None)
+    if family is None:
+        add("family", "fail", "meta/ or centroids/ present", "neither",
+            "not a vector index directory")
+        return _report(spark, rows)
+    add("family", "ok", "", family)
+    if not _path_exists(spark, f"{index_dir}/vectors"):
+        add("layout_vectors", "fail", "directory present", False)
+        return _report(spark, rows)
+    add("layout_vectors", "ok", "directory present", True)
+
+    import numpy as np
+
+    if family == "lsh":
+        meta = spark.read.parquet(f"{index_dir}/meta").first()
+        dim = int(meta["dim"])
+        part_col = "bucket"
+    else:
+        crows = spark.read.parquet(f"{index_dir}/centroids").collect()
+        crows.sort(key=lambda r: r["list_id"])
+        cent = np.vstack([np.asarray(r["centroid"], dtype=np.float64)
+                          for r in crows])
+        dim = cent.shape[1]
+        part_col = "list_id"
+        ids_ok = [int(r["list_id"]) for r in crows] == list(range(len(crows)))
+        add("centroid_ids_dense", "ok" if ids_ok else "fail",
+            f"0..{len(crows) - 1}", "dense" if ids_ok else "gapped",
+            "" if ids_ok else "loaders vstack by sorted list_id; a gap "
+            "shifts every later list's centroid")
+
+    max_gen = 0
+    if _path_exists(spark, f"{index_dir}/genmeta"):
+        max_gen = int(spark.read.parquet(f"{index_dir}/genmeta")
+                      .first()["max_gen"])
+    tombs = (spark.read.parquet(f"{index_dir}/tombstones")
+             if _path_exists(spark, f"{index_dir}/tombstones") else None)
+    if tombs is not None:
+        tgen = tombs.agg(F.max("gen").alias("m")).first()["m"]
+        if tgen is not None and int(tgen) > max_gen:
+            add("tombstone_gen", "fail", f"<= genmeta.max_gen={max_gen}",
+                tgen, "a tombstone postdates the published generation")
+        else:
+            add("tombstone_gen", "ok", f"<= genmeta.max_gen={max_gen}", tgen)
+
+    if not deep:
+        return _report(spark, rows)
+
+    vectors = spark.read.parquet(f"{index_dir}/vectors")
+    bad_dim = vectors.where(F.size("embedding") != dim).count()
+    add("embedding_dim", "fail" if bad_dim else "ok", 0, bad_dim,
+        f"rows whose embedding length != {dim}")
+    live = live_rows(vectors, tombs, "vec_id")
+    dup = (live.groupBy("vec_id").count()
+           .where(F.col("count") > 1).count())
+    add("unique_live_ids", "fail" if dup else "ok", 0, dup,
+        "vec_ids with several live rows — re-add without delete")
+
+    if family == "lsh":
+        from ..operators.similarity import (lsh_bucket_arrow,
+                                            random_hyperplanes)
+        planes = random_hyperplanes(dim, int(meta["n_planes"]),
+                                    int(meta["seed"]))
+        recomputed = lsh_bucket_arrow(planes)(F.col("embedding"))
+    else:
+        from ..operators.similarity import ivf_assign_arrow
+        recomputed = ivf_assign_arrow(cent)(F.col("embedding"))
+    bad_assign = vectors.where(F.col(part_col) != recomputed).count()
+    add("partition_assignment", "fail" if bad_assign else "ok",
+        0, bad_assign,
+        f"rows whose stored {part_col} disagrees with the stored "
+        "quantizer — unreachable by any probe set smaller than the "
+        "whole index")
+
+    if family == "ivfpq":
+        codes = spark.read.parquet(f"{index_dir}/codes")
+        live_codes = live_rows(codes, tombs, "vec_id")
+        bad_ids = (live.select("vec_id")
+                   .exceptAll(live_codes.select("vec_id")).count()
+                   + live_codes.select("vec_id")
+                   .exceptAll(live.select("vec_id")).count())
+        add("codes_vs_vectors_ids", "fail" if bad_ids else "ok", 0, bad_ids,
+            "live id sets of codes/ and vectors/ diverge — ADC shortlist "
+            "and re-rank see different candidate sets")
+        m_val = (spark.read.parquet(f"{index_dir}/pq")
+                 .agg(F.max("subspace").alias("m")).first()["m"])
+        if m_val is not None:
+            m = int(m_val) + 1
+            bad_len = codes.where(F.length("code") != m).count()
+            add("code_length", "fail" if bad_len else "ok", 0, bad_len,
+                f"codes whose byte length != m={m} (one uint8 per subspace)")
+    return _report(spark, rows)
