@@ -1,4 +1,5 @@
-from .fsck import (verify_fielded_index, verify_index, verify_trigram_index,
+from .fsck import (detect_index_family, verify_any_index,
+                   verify_fielded_index, verify_index, verify_trigram_index,
                    verify_vector_index)
 from .query_compiler import (
     CompiledQuery,
@@ -30,6 +31,7 @@ __all__ = [
     "proximity_rerank", "rank_metrics", "rm3_expand", "to_tspquery",
     "ts_rewrite", "ts_rewrite_rules_df",
     "slop_match_docs", "ts_rank_cd",
+    "detect_index_family", "verify_any_index",
     "verify_fielded_index", "verify_index", "verify_trigram_index",
     "verify_vector_index", "websearch_to_tspquery",
 ]

@@ -595,3 +595,41 @@ def verify_vector_index(spark: SparkSession, index_dir: str,
             add("code_length", "fail" if bad_len else "ok", 0, bad_len,
                 f"codes whose byte length != m={m} (one uint8 per subspace)")
     return _report(spark, rows)
+
+
+def detect_index_family(spark: SparkSession, index_dir: str) -> str:
+    """'main' | 'fielded' | 'trigram' | 'vector', from the layout:
+    main and fielded both carry stats/ (distinguished by which schema the
+    one-row table has); trigram and LSH carry meta/ (distinguished by
+    fields); IVF / IVF-PQ carry centroids/. Raises on none of the above."""
+    if _path_exists(spark, f"{index_dir}/stats"):
+        st = spark.read.parquet(f"{index_dir}/stats").first()
+        if "prep_version" in st.__fields__:
+            return "main"
+        if "fields" in st.__fields__:
+            return "fielded"
+        raise ValueError(f"{index_dir}/stats has neither a main nor a "
+                         f"fielded schema: {st.__fields__}")
+    if _path_exists(spark, f"{index_dir}/meta"):
+        meta = spark.read.parquet(f"{index_dir}/meta").first()
+        if "n_planes" in meta.__fields__:
+            return "vector"
+        if "max_gen" in meta.__fields__:
+            return "trigram"
+        raise ValueError(f"{index_dir}/meta has neither a trigram nor an "
+                         f"LSH schema: {meta.__fields__}")
+    if _path_exists(spark, f"{index_dir}/centroids"):
+        return "vector"
+    raise ValueError(f"{index_dir} is not a persisted index of any family "
+                     "(no stats/, meta/, or centroids/)")
+
+
+def verify_any_index(spark: SparkSession, index_dir: str,
+                     deep: bool = False) -> DataFrame:
+    """Family-dispatching audit: detect what lives at `index_dir` and run
+    the matching verifier. The one-call pre-flight `publish_index(...,
+    verify=True)` uses before flipping an alias."""
+    family = detect_index_family(spark, index_dir)
+    fn = {"main": verify_index, "fielded": verify_fielded_index,
+          "trigram": verify_trigram_index, "vector": verify_vector_index}
+    return fn[family](spark, index_dir, deep=deep)

@@ -595,7 +595,8 @@ def _alias_versions(spark: SparkSession, alias_dir: str) -> list[int]:
 
 
 def publish_index(spark: SparkSession, index_dir: str,
-                  alias_dir: str, keep: int = 2) -> int:
+                  alias_dir: str, keep: int = 2,
+                  verify: "bool | str" = False) -> int:
     """Point `alias_dir` at `index_dir` — the zero-downtime (blue-green)
     reindex flip: build or compact into a NEW directory, then publish it
     under the alias every reader loads. Returns the new alias version.
@@ -621,15 +622,38 @@ def publish_index(spark: SparkSession, index_dir: str,
     typo'd path must not brick every reader at resolve time).
 
     Works for EVERY persisted index family: the main/fielded indexes
-    carry `stats/`, the trigram and vector (LSH/IVF/IVF-PQ) indexes
-    carry `meta/`. load_index follows an alias transparently; the other
-    families' loaders take `resolve_index_alias(spark, alias_dir)`."""
+    carry `stats/`, the trigram and LSH indexes carry `meta/`, the
+    IVF/IVF-PQ indexes carry `centroids/`. load_index follows an alias
+    transparently; the other families' loaders take
+    `resolve_index_alias(spark, alias_dir)`.
+
+    `verify=True` runs the family-dispatched fsck (plans/fsck.py,
+    shallow; `verify="deep"` adds the full-scan reconciliations) and
+    REFUSES the flip on any failed check — the one-call pre-flight for
+    pointing traffic at a restored or freshly-compacted index."""
     if keep < 1:
         raise ValueError("keep must be >= 1")
     if not (_path_exists(spark, IndexPaths(index_dir).stats)
-            or _path_exists(spark, f"{index_dir}/meta")):
+            or _path_exists(spark, f"{index_dir}/meta")
+            or _path_exists(spark, f"{index_dir}/centroids")):
         raise ValueError(
-            f"{index_dir} is not a built index (no stats/ or meta/)")
+            f"{index_dir} is not a built index (no stats/, meta/, or "
+            f"centroids/)")
+    if verify:
+        # verify=True runs the family-dispatched shallow audit;
+        # verify="deep" adds the full-scan reconciliations. Any `fail`
+        # row aborts the publish — never flip traffic onto an index
+        # that does not pass its own invariants.
+        from .fsck import verify_any_index
+        rep = verify_any_index(spark, index_dir,
+                               deep=(verify == "deep")).collect()
+        fails = [f"{r['check']}: expected {r['expected']} got "
+                 f"{r['actual']} ({r['detail']})"
+                 for r in rep if r["status"] == "fail"]
+        if fails:
+            raise ValueError(
+                f"refusing to publish {index_dir}: fsck found "
+                f"{len(fails)} failed check(s) — " + "; ".join(fails))
     import uuid
 
     versions = _alias_versions(spark, alias_dir)

@@ -161,3 +161,72 @@ class TestPublishRace:
         shutil.rmtree(os.path.join(alias, "v=2"))
         assert publish_index(spark, green, alias) == 2
         assert resolve_index_alias(spark, alias) == green
+
+
+class TestPublishVerify:
+    """publish_index(verify=...) — the fsck pre-flight gates the flip."""
+
+    def test_healthy_main_publishes_with_deep_verify(self, spark,
+                                                     two_indexes):
+        root, blue, _ = two_indexes
+        alias = f"{root}/verified_alias"
+        assert publish_index(spark, blue, alias, verify="deep") == 1
+        assert resolve_index_alias(spark, alias) == blue
+
+    def test_family_dispatch_and_ivf_publishes(self, spark, two_indexes):
+        """An IVF index carries centroids/ but neither stats/ nor meta/ —
+        it must both pass target validation and dispatch to the vector
+        verifier."""
+        import random
+
+        from pg_ts_semantic_headline_spark.operators.similarity import (
+            build_ivf_index)
+        from pg_ts_semantic_headline_spark.plans.fsck import (
+            detect_index_family)
+        root, _, _ = two_indexes
+        rng = random.Random(3)
+        df = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(20)],
+            "vec_id long, embedding array<double>")
+        vdir, alias = f"{root}/ivf", f"{root}/ivf_alias"
+        build_ivf_index(df, vdir, n_lists=3)
+        assert detect_index_family(spark, vdir) == "vector"
+        assert publish_index(spark, vdir, alias, verify="deep") == 1
+        assert resolve_index_alias(spark, alias) == vdir
+
+    def test_corrupt_index_refused(self, spark, two_indexes, tmp_path):
+        """A tampered stats table must abort the publish loudly."""
+        from pg_ts_semantic_headline_spark.plans.fielded import (
+            build_fielded_index)
+        root, _, _ = two_indexes
+        fdir = str(tmp_path / "fidx")
+        build_fielded_index(
+            spark, spark.createDataFrame(
+                [(1, "alpha", "beta gamma"), (2, "delta", "beta")],
+                ["doc_id", "title", "body"]),
+            fdir, field_cols=["title", "body"], config=CONFIG, n_buckets=2)
+        st = spark.read.parquet(f"{fdir}/stats").collect()[0].asDict()
+        st["n_docs"] = 99
+        spark.createDataFrame(
+            [tuple(st.values())],
+            "n_docs long, sumdls array<long>, fields array<string>, "
+            "config string, n_buckets int, gen long"
+        ).write.mode("overwrite").parquet(f"{fdir}/stats")
+        with pytest.raises(ValueError, match="refusing to publish"):
+            publish_index(spark, fdir, f"{root}/bad_alias", verify="deep")
+        # no alias version was claimed by the refused publish
+        assert _alias_versions(spark, f"{root}/bad_alias") == []
+
+    def test_detect_families(self, spark, two_indexes, tmp_path):
+        from pg_ts_semantic_headline_spark.operators.trigram import (
+            build_trigram_index)
+        from pg_ts_semantic_headline_spark.plans.fsck import (
+            detect_index_family)
+        root, blue, _ = two_indexes
+        assert detect_index_family(spark, blue) == "main"
+        tdir = str(tmp_path / "trgm")
+        build_trigram_index(spark.createDataFrame(
+            [(1, "needle haystack")], ["doc_id", "text"]), tdir)
+        assert detect_index_family(spark, tdir) == "trigram"
+        with pytest.raises(ValueError, match="not a persisted index"):
+            detect_index_family(spark, str(tmp_path / "nothing"))
