@@ -36,12 +36,21 @@ run_once() {
 
 # best-of-2 per level: the sandbox VM has CPU-steal spikes; min wall time is
 # the steady-state throughput estimate
+# RUNS=1 runs each level once — for short healthy-bandwidth windows where
+# a best-of-2 pair (~12 min) outlives the window; the window-validity check
+# then rests on the bracketing membw probes instead of run agreement
+RUNS=${RUNS:-2}
 run() {
   local cores=$1
   local a b
   a=$(run_once "$cores")
-  b=$(run_once "$cores")
-  python - "$a" "$b" <<'EOF'
+  if [ "$RUNS" -ge 2 ]; then
+    b=$(run_once "$cores")
+    set -- "$a" "$b"
+  else
+    set -- "$a"
+  fi
+  python - "$@" <<'EOF'
 import json, sys
 runs = [json.loads(x) for x in sys.argv[1:]]
 best = max(runs, key=lambda r: r["files_per_sec"])

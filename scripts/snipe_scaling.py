@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Window-sniper for the N->4N scaling pair on a bandwidth-throttled host.
+
+This sandbox VM's memory bandwidth is externally throttled most of the
+time (<1 GB/s aggregate) with brief, unpredictable healthy windows
+(20-40 GB/s). A scaling pair measured across a window boundary is
+meaningless (BENCH/BASELINE.md section 2b documents several such polluted
+pairs, unredacted). Idle time does NOT refill the budget (measured:
+15.7 GB/s -> 0.4 GB/s after 150 s idle), so the only strategy left is to
+poll cheaply and fire the pair the moment a window opens.
+
+Loop:
+  1. gate-probe aggregate copy bandwidth at 4 and 16 processes (~2 s each)
+  2. if the substrate itself scales (bw16 >= GATE_RATIO * bw4 and
+     bw4 >= GATE_ABS_GBPS), fire scripts/run_scaling.sh with RUNS=1
+     (single run per level, ~3-4 min total, to fit inside the window)
+  3. validate the pair post-hoc with the run's own bracketing probes:
+     both levels must have seen healthy bandwidth DURING the build
+     (membw_N >= 6 GB/s and membw ceiling efficiency >= 0.4)
+  4. exit on the first valid pair (any efficiency - honesty over cherry-
+     picking); keep polling otherwise, up to MAX_HOURS
+
+Results append to /tmp/scaling_sniper.log; the final valid pair lands in
+/tmp/scaling_sniper_result.json.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from scaling_job import host_membw_probe  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOG = "/tmp/scaling_sniper.log"
+RESULT = "/tmp/scaling_sniper_result.json"
+GATE_ABS_GBPS = 8.0
+GATE_RATIO = 2.5
+MAX_HOURS = float(os.environ.get("SNIPE_MAX_HOURS", "3.5"))
+POLL_SEC = float(os.environ.get("SNIPE_POLL_SEC", "210"))
+
+
+def log(msg: str) -> None:
+    line = f"{time.strftime('%H:%M:%S')} {msg}"
+    print(line, flush=True)
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+
+
+def gate() -> tuple[float, float]:
+    bw4 = host_membw_probe(4, seconds=2.0)
+    bw16 = host_membw_probe(16, seconds=2.0)
+    return bw4, bw16
+
+
+def fire() -> dict | None:
+    env = dict(os.environ, RUNS="1", N_CORES="4", OUT_BASE="/dev/shm")
+    p = subprocess.run(
+        ["bash", "scripts/run_scaling.sh", "/root/testdata/sf0.1", "96", "4"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200,
+    )
+    lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+    if p.returncode != 0 or not lines:
+        log(f"pair FAILED rc={p.returncode}: {p.stderr[-300:]}")
+        return None
+    summary = json.loads(lines[-1])
+    log(f"pair: {json.dumps(summary)}")
+    return summary
+
+
+def valid(s: dict) -> bool:
+    m_n = s.get("membw_gb_per_sec_N") or 0
+    mceil = s.get("membw_ceiling_efficiency") or 0
+    return m_n >= 6.0 and mceil >= 0.4
+
+
+def main() -> int:
+    deadline = time.time() + MAX_HOURS * 3600
+    attempt = 0
+    while time.time() < deadline:
+        bw4, bw16 = gate()
+        healthy = bw4 >= GATE_ABS_GBPS and bw16 >= GATE_RATIO * bw4
+        log(f"gate bw4={bw4:.1f} bw16={bw16:.1f} -> {'FIRE' if healthy else 'wait'}")
+        if healthy:
+            attempt += 1
+            s = fire()
+            if s and valid(s):
+                with open(RESULT, "w") as f:
+                    json.dump(s, f)
+                log(f"VALID pair captured (raw eff {s['scaling_efficiency']})")
+                return 0
+            if s:
+                log("pair polluted mid-run (membw probes); continuing")
+        time.sleep(POLL_SEC)
+    log("deadline reached without a valid pair")
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
