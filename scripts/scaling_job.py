@@ -129,7 +129,14 @@ def main():
     # build; the before/after mean is the window estimate the efficiency
     # ratio is normalized against
     probe_before = host_cpu_probe(cores)
-    membw_before = host_membw_probe(cores)
+    # membw probes at a FIXED 4 processes regardless of the level's cores:
+    # a pure-memcpy probe at 16 processes collapses to ~1 GB/s on this host
+    # even in healthy windows (measured 16p=0.8 GB/s while 4p=61 GB/s
+    # seconds apart, both orders) — a concurrency-triggered throttle the
+    # mixed compute/memory Spark build does not hit. Per-level-cores probes
+    # made the two levels' brackets incomparable and falsely flagged every
+    # 4N level as window-polluted.
+    membw_before = host_membw_probe(4)
     t0 = time.time()
     # min_analyze_partitions=0: input is already repartitioned+cached above;
     # the small-input guard keys off source inputFiles and would add a
@@ -148,7 +155,7 @@ def main():
         "host_cpu_units_per_sec": round(
             (probe_before + host_cpu_probe(cores)) / 2, 1),
         "host_membw_gb_per_sec": round(
-            (membw_before + host_membw_probe(cores)) / 2, 2),
+            (membw_before + host_membw_probe(4)) / 2, 2),
         "stages": {k: round(v, 2) for k, v in metrics.items()},
     }))
     spark.stop()

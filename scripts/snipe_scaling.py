@@ -10,13 +10,16 @@ pairs, unredacted). Idle time does NOT refill the budget (measured:
 poll cheaply and fire the pair the moment a window opens.
 
 Loop:
-  1. gate-probe aggregate copy bandwidth at 4 and 16 processes (~2 s each)
-  2. if the substrate itself scales (bw16 >= GATE_RATIO * bw4 and
-     bw4 >= GATE_ABS_GBPS), fire scripts/run_scaling.sh with RUNS=1
+  1. gate-probe aggregate copy bandwidth at 4 processes (~2 s). A
+     16-process probe is NOT part of the gate: pure-memcpy at 16 procs
+     collapses to ~1 GB/s on this host even in windows where a 4-proc
+     probe reads 40-60 GB/s seconds apart (measured both orders) - a
+     concurrency throttle the mixed compute/memory build does not hit.
+  2. if bw4 >= GATE_ABS_GBPS, fire scripts/run_scaling.sh with RUNS=1
      (single run per level, ~3-4 min total, to fit inside the window)
-  3. validate the pair post-hoc with the run's own bracketing probes:
-     both levels must have seen healthy bandwidth DURING the build
-     (membw_N >= 6 GB/s and membw ceiling efficiency >= 0.4)
+  3. validate the pair post-hoc with the run's own bracketing 4-proc
+     probes: both levels must have seen healthy bandwidth around their
+     builds (membw_N and membw_4N >= 8 GB/s)
   4. exit on the first valid pair (any efficiency - honesty over cherry-
      picking); keep polling otherwise, up to MAX_HOURS
 
@@ -35,8 +38,7 @@ from scaling_job import host_membw_probe  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = "/tmp/scaling_sniper.log"
 RESULT = "/tmp/scaling_sniper_result.json"
-GATE_ABS_GBPS = 8.0
-GATE_RATIO = 2.5
+GATE_ABS_GBPS = 10.0
 MAX_HOURS = float(os.environ.get("SNIPE_MAX_HOURS", "3.5"))
 POLL_SEC = float(os.environ.get("SNIPE_POLL_SEC", "210"))
 
@@ -48,10 +50,8 @@ def log(msg: str) -> None:
         f.write(line + "\n")
 
 
-def gate() -> tuple[float, float]:
-    bw4 = host_membw_probe(4, seconds=2.0)
-    bw16 = host_membw_probe(16, seconds=2.0)
-    return bw4, bw16
+def gate() -> float:
+    return host_membw_probe(4, seconds=2.0)
 
 
 def fire() -> dict | None:
@@ -71,17 +71,17 @@ def fire() -> dict | None:
 
 def valid(s: dict) -> bool:
     m_n = s.get("membw_gb_per_sec_N") or 0
-    mceil = s.get("membw_ceiling_efficiency") or 0
-    return m_n >= 6.0 and mceil >= 0.4
+    m_4n = s.get("membw_gb_per_sec_4N") or 0
+    return m_n >= 8.0 and m_4n >= 8.0
 
 
 def main() -> int:
     deadline = time.time() + MAX_HOURS * 3600
     attempt = 0
     while time.time() < deadline:
-        bw4, bw16 = gate()
-        healthy = bw4 >= GATE_ABS_GBPS and bw16 >= GATE_RATIO * bw4
-        log(f"gate bw4={bw4:.1f} bw16={bw16:.1f} -> {'FIRE' if healthy else 'wait'}")
+        bw4 = gate()
+        healthy = bw4 >= GATE_ABS_GBPS
+        log(f"gate bw4={bw4:.1f} -> {'FIRE' if healthy else 'wait'}")
         if healthy:
             attempt += 1
             s = fire()
