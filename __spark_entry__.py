@@ -2840,7 +2840,7 @@ ext AS (
              END) AS sumdist_e9
   FROM gaps GROUP BY doc_id
 ),
-uniq AS (SELECT doc_id, count(DISTINCT token) AS nuniq
+uniq AS (SELECT doc_id, count(DISTINCT lower(token)) AS nuniq
          FROM toks GROUP BY doc_id)
 SELECT r.doc_id, r.rank_e6,
        CAST(ROUND(

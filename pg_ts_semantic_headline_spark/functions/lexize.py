@@ -174,8 +174,19 @@ def apply_thesaurus(lexemes: list, config: str) -> list:
     """Greedy longest-match substitution over a base-lexeme stream
     (None = stopword slot). Output is position-aligned with the input:
     the substitute sits at the first matched slot, the rest become None."""
+    return _apply_thesaurus_roles(lexemes, config)[0]
+
+
+def _apply_thesaurus_roles(lexemes: list, config: str) -> tuple[list, list]:
+    """apply_thesaurus plus a position-aligned role list: 'head' at a
+    matched phrase's first slot, 'tail' at its swallowed rest, None
+    elsewhere. ts_debug needs the ROLES, not a value diff: a substitute
+    can equal the head's own base lexeme, and a '?'-matched stopword tail
+    slot is None both before and after, so comparing pre/post values
+    misattributes exactly those rows."""
     _, trie = _thesaurus_spec(config)
     out = list(lexemes)
+    roles: list = [None] * len(out)
     n = len(out)
     i = 0
     while i < n:
@@ -187,15 +198,17 @@ def apply_thesaurus(lexemes: list, config: str) -> list:
                 if i + m <= n and all(
                         out[i + j] == pat[j] for j in range(1, m)):
                     out[i] = sub
+                    roles[i] = "head"
                     for j in range(1, m):
                         out[i + j] = None
+                        roles[i + j] = "tail"
                     i += m
                     break
             else:
                 i += 1
         else:
             i += 1
-    return out
+    return out, roles
 
 
 @lru_cache(maxsize=64)
@@ -378,11 +391,14 @@ def ts_debug(config: str, text: str | None = None) -> list[dict]:
     if len(chunks) != len(tokens):  # same guard as analyze_document
         chunks = (chunks + [""] * len(tokens))[: len(tokens)]
     pre = [lexize_chunk(c, config) for c in chunks]
-    post = (apply_thesaurus(list(pre), config)
-            if config.startswith(THESAURUS_PREFIX) else pre)
+    if config.startswith(THESAURUS_PREFIX):
+        post, th_roles = _apply_thesaurus_roles(list(pre), config)
+    else:
+        post, th_roles = pre, [None] * len(pre)
 
     rows = []
-    for token, chunk, lx_pre, lx_post in zip(tokens, chunks, pre, post):
+    for token, chunk, lx_pre, lx_post, th_role in zip(
+            tokens, chunks, pre, post, th_roles):
         core = _RE_STRIP.sub("", chunk)
         if not core:
             rows.append({"token": token, "alias": "blank",
@@ -409,7 +425,11 @@ def ts_debug(config: str, text: str | None = None) -> list[dict]:
                 continue
             cfg = base
         elif cfg.startswith(THESAURUS_PREFIX):
-            if lx_post != lx_pre:  # substituted head or swallowed tail
+            # attribute by the recorded match ROLE, not a pre/post value
+            # diff: a substitute equal to the head's own base lexeme, or
+            # a '?'-matched stopword tail (None before and after), has
+            # lx_post == lx_pre yet was consumed by the thesaurus
+            if th_role is not None:
                 rows.append({"token": token, "alias": alias,
                              "dictionary": "thesaurus",
                              "lexemes": [] if lx_post is None

@@ -555,6 +555,12 @@ def verify_vector_index(spark: SparkSession, index_dir: str,
     bad_dim = vectors.where(F.size("embedding") != dim).count()
     add("embedding_dim", "fail" if bad_dim else "ok", 0, bad_dim,
         f"rows whose embedding length != {dim}")
+    # the assignment re-derivation below feeds embeddings to the stored
+    # quantizer's vstack/matmul kernel, which raises on a ragged batch —
+    # run it over well-formed rows only (the ragged ones are already the
+    # embedding_dim fail count; one corrupt row must not abort the audit)
+    wellformed = (vectors if not bad_dim
+                  else vectors.where(F.size("embedding") == dim))
     live = live_rows(vectors, tombs, "vec_id")
     dup = (live.groupBy("vec_id").count()
            .where(F.col("count") > 1).count())
@@ -570,7 +576,7 @@ def verify_vector_index(spark: SparkSession, index_dir: str,
     else:
         from ..operators.similarity import ivf_assign_arrow
         recomputed = ivf_assign_arrow(cent)(F.col("embedding"))
-    bad_assign = vectors.where(F.col(part_col) != recomputed).count()
+    bad_assign = wellformed.where(F.col(part_col) != recomputed).count()
     add("partition_assignment", "fail" if bad_assign else "ok",
         0, bad_assign,
         f"rows whose stored {part_col} disagrees with the stored "
@@ -578,6 +584,15 @@ def verify_vector_index(spark: SparkSession, index_dir: str,
         "whole index")
 
     if family == "ivfpq":
+        # family detection only needs centroids/ + pq/, so a partial
+        # restore can present an ivfpq index with codes/ missing — that
+        # is a fail row for the report, not a raw AnalysisException that
+        # aborts the audit (and the publish_index(verify=True) pre-flight)
+        if not _path_exists(spark, f"{index_dir}/codes"):
+            add("layout_codes", "fail", "directory present", False,
+                "ivfpq index without its codes/ table — ADC shortlist "
+                "has nothing to scan")
+            return _report(spark, rows)
         codes = spark.read.parquet(f"{index_dir}/codes")
         live_codes = live_rows(codes, tombs, "vec_id")
         bad_ids = (live.select("vec_id")
@@ -614,7 +629,12 @@ def detect_index_family(spark: SparkSession, index_dir: str) -> str:
         meta = spark.read.parquet(f"{index_dir}/meta").first()
         if "n_planes" in meta.__fields__:
             return "vector"
-        if "max_gen" in meta.__fields__:
+        # key off n_buckets, not max_gen: legacy trigram metas predate
+        # max_gen (load_trigram_index and verify_trigram_index both
+        # default it to 0), and the verify pre-flight matters most on
+        # exactly those old indexes (n_planes was checked first, so an
+        # LSH meta carrying n_buckets cannot reach this branch)
+        if "n_buckets" in meta.__fields__:
             return "trigram"
         raise ValueError(f"{index_dir}/meta has neither a trigram nor an "
                          f"LSH schema: {meta.__fields__}")

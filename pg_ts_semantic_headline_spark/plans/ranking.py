@@ -264,26 +264,31 @@ def ts_rank_cd(
               .agg(F.min("pos").alias("p")))
     summand = F.round(F.lit(1_000_000.0)
                       / (F.col("p") - F.col("l") + 1)).cast("long")
-    ranked = (covers.groupBy("doc_id")
-              .agg(F.sum(summand).alias("rank_e6")))
     if norm & 4:
         # extent stats for RANK_NORM_EXTDIST: midpoints of the minimal
         # covers in position order, Σ 1/(gap) over consecutive pairs with
         # a positive gap (tsrank.c tracks PrevExtPos across ALL extents,
         # so lag() over every midpoint — not just the positive-gap ones —
         # is the faithful shape). e9-quantized integer sum: order-free.
+        # Rank and extent stats come out of ONE groupBy over the cover
+        # rows: a separate extagg branch + join would re-evaluate the
+        # covers lineage (positions explode + running-max window — the
+        # operator's most expensive stage) once per branch.
         wext = Window.partitionBy("doc_id").orderBy("_mid")
-        mids = covers.select(
-            "doc_id", ((F.col("l") + F.col("p")) / F.lit(2.0)).alias("_mid"))
-        ext = mids.withColumn("_prev", F.lag("_mid").over(wext))
-        extagg = ext.groupBy("doc_id").agg(
+        ext = (covers
+               .withColumn("_mid", (F.col("l") + F.col("p")) / F.lit(2.0))
+               .withColumn("_prev", F.lag("_mid").over(wext)))
+        ranked = ext.groupBy("doc_id").agg(
+            F.sum(summand).alias("rank_e6"),
             F.count("*").cast("long").alias("_next"),
             F.sum(F.when(F.col("_prev").isNotNull()
                          & (F.col("_mid") > F.col("_prev")),
                          F.round(F.lit(1e9)
                                  / (F.col("_mid") - F.col("_prev")))
                          .cast("long"))).alias("_sumdist_e9"))
-        ranked = ranked.join(extagg, on="doc_id", how="left")
+    else:
+        ranked = (covers.groupBy("doc_id")
+                  .agg(F.sum(summand).alias("rank_e6")))
     raw = F.col("rank_e6") / 1e6
     return _apply_normalization(index, ranked, raw, norm)
 

@@ -220,6 +220,20 @@ def merge_batch(
         # replaced docs' OLD postings live in arbitrary buckets; the
         # wildcard makes compaction rebuild everything they could shadow
         touched = [-1]
+        # validate BEFORE any append: a doc_id that does not cast to
+        # long would become a NULL tombstone that joins no postings in
+        # _apply_tombstones — the replace silently degrades to a
+        # duplicate-producing plain append. Same refusal contract as
+        # delete_docs' DataFrame form; checked here, ahead of the
+        # marker, so a refused batch leaves the index untouched.
+        if analyzed.where(F.col("doc_id").try_cast("long").isNull()) \
+                .limit(1).count():
+            analyzed.unpersist()
+            raise ValueError(
+                "merge_batch(replace=True): batch contains null or "
+                "non-numeric doc_ids that do not cast to long — their "
+                "tombstones would be silent no-ops, so refusing the "
+                "whole batch")
 
     # marker FIRST: any reader from here on sees packed=None, never new
     # rows scored against stale block metadata
@@ -250,7 +264,7 @@ def merge_batch(
         # safe against recache-by-path: `analyzed` is cached (materialized
         # by the touched-buckets action above) and roots at batch_docs,
         # never at the index's own tables.
-        (analyzed.select(F.col("doc_id").cast("long").alias("doc_id"))
+        (analyzed.select(F.col("doc_id").try_cast("long").alias("doc_id"))
          .distinct()
          .withColumn("before_gen", F.lit(new_gen).cast("int"))
          .write.option("compression", INDEX_CODEC).mode("append")

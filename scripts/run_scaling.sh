@@ -87,13 +87,16 @@ if h8 and h32:
     ceil = (h32 / h8) / (r32["cores"] / r8["cores"])
     out["host_ceiling_efficiency"] = round(ceil, 3)
     out["efficiency_vs_host_ceiling"] = round(eff / ceil, 3)
-# memory-bandwidth ceiling: the Arrow string stages live between the two
-# ceilings; a window where membw at 4N barely exceeds membw at N cannot
-# scale string-heavy stages no matter what the CPU probe says
+# memory-bandwidth window drift: both levels now probe at a FIXED 4
+# processes (a >=16-process memcpy probe collapses to ~1 GB/s on this
+# host even in healthy windows — scaling_job.py), so the two readings
+# measure the SAME quantity and their ratio is how much the window
+# changed between the levels (~1.0 = stable window). The old
+# membw_ceiling_efficiency divided this by the core ratio, which was
+# only meaningful when probes ran at each level's core count.
 m8, m32 = r8.get("host_membw_gb_per_sec"), r32.get("host_membw_gb_per_sec")
 if m8 and m32:
-    mceil = (m32 / m8) / (r32["cores"] / r8["cores"])
-    out["membw_ceiling_efficiency"] = round(mceil, 3)
+    out["membw_window_drift_4N_over_N"] = round(m32 / m8, 3)
     out["membw_gb_per_sec_N"] = m8
     out["membw_gb_per_sec_4N"] = m32
 print(json.dumps(out))

@@ -56,10 +56,17 @@ def gate() -> float:
 
 def fire() -> dict | None:
     env = dict(os.environ, RUNS="1", N_CORES="4", OUT_BASE="/dev/shm")
-    p = subprocess.run(
-        ["bash", "scripts/run_scaling.sh", "/root/testdata/sf0.1", "96", "4"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200,
-    )
+    try:
+        p = subprocess.run(
+            ["bash", "scripts/run_scaling.sh",
+             "/root/testdata/sf0.1", "96", "4"],
+            cwd=REPO, env=env, capture_output=True, text=True, timeout=1200,
+        )
+    except subprocess.TimeoutExpired:
+        # the window collapsing mid-pair can slow the build many-fold;
+        # a hung pair must not kill the remaining hours of sniping
+        log("pair TIMED OUT after 1200s (window collapse mid-run); continuing")
+        return None
     lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
     if p.returncode != 0 or not lines:
         log(f"pair FAILED rc={p.returncode}: {p.stderr[-300:]}")

@@ -42,6 +42,22 @@ def test_merge_batch_updates_index(spark, index_dir):
     assert df_beta == 22
 
 
+def test_merge_replace_refuses_uncastable_doc_ids(spark, index_dir):
+    """replace=True with doc_ids that don't cast to long must refuse the
+    whole batch BEFORE any write: a silently-NULL tombstone would join no
+    postings, degrading the replace to a duplicate-producing append."""
+    bad = spark.createDataFrame(
+        [("doc-5", "alpha beta replacement text")], ["doc_id", "content"])
+    before = load_index(spark, index_dir)
+    n_before = before.n_docs
+    with pytest.raises(ValueError, match="non-numeric doc_ids"):
+        merge_batch(spark, index_dir, bad, config=CONFIG, replace=True)
+    # refusal happened ahead of the stale marker + appends: index unchanged
+    after = load_index(spark, index_dir)
+    assert after.n_docs == n_before
+    assert after.tokens.where(F.col("doc_id").isNull()).count() == 0
+
+
 def test_merge_invalidates_packed_blocks(spark, tmp_path):
     """A merge must not leave stale block-max metadata behind: merged docs
     are absent from packed meta (never block-max candidates) and stored

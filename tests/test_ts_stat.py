@@ -161,6 +161,25 @@ class TestTsDebug:
         assert rows[1]["lexemes"] == []                # position hole kept
         assert rows[2]["dictionary"] == "english_stem"
 
+    def test_thesaurus_attribution_when_substitute_equals_base(self, tmp_path):
+        # the substitute can stem-collide with the head's own base lexeme
+        # (supernovae -> supernova) and a phrase tail can be a stopword
+        # matched by the '?' slot (None before AND after): both rows must
+        # still attribute to the thesaurus, which a pre/post value diff
+        # cannot see — attribution keys off the recorded match span
+        from pg_ts_semantic_headline_spark.functions.lexize import (
+            lexize_chunk, make_thesaurus_config, ts_debug)
+        assert lexize_chunk("supernovae", "english") == "supernova"
+        cfg = make_thesaurus_config(
+            "english", {"supernovae the stars": "supernova"},
+            str(tmp_path / "thes2.txt"))
+        rows = ts_debug(cfg, "supernovae the stars shine")
+        assert [r["dictionary"] for r in rows] == [
+            "thesaurus", "thesaurus", "thesaurus", "english_stem"]
+        assert rows[0]["lexemes"] == ["supernova"]     # head, value unchanged
+        assert rows[1]["lexemes"] == []                # '?'-matched stopword
+        assert rows[2]["lexemes"] == []                # swallowed tail
+
     def test_arity_one_default_config(self):
         from pg_ts_semantic_headline_spark.functions.lexize import ts_debug
         from pg_ts_semantic_headline_spark.plans.query_compiler import (
