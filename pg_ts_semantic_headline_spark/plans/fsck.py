@@ -78,10 +78,7 @@ def verify_index(spark: SparkSession, index_dir: str,
     adds the full-scan reconciliations (bucket routing on the big tables,
     dictionary-vs-postings, packed-vs-postings, build checksums)."""
     paths = IndexPaths(index_dir)
-    rows: list[tuple] = []
-
-    def add(check, status, expected="", actual="", detail=""):
-        rows.append((check, status, str(expected), str(actual), detail))
+    rows, add = _new_report()
 
     # ---- stats + layout ----
     try:
@@ -168,13 +165,10 @@ def verify_index(spark: SparkSession, index_dir: str,
         tombs = spark.read.parquet(paths.tombstones)
         tokens = _apply_tombstones(tokens, tombs)
         postings = _apply_tombstones(postings, tombs)
-        tgen = tombs.agg(F.max("before_gen").alias("m")).first()["m"]
-        if tgen is not None and int(tgen) > gen:
-            add("tombstone_gen", "fail", f"<= stats.gen={gen}", tgen,
-                "a tombstone postdates the published generation — a "
-                "writer died between tombstone append and stats publish")
-        else:
-            add("tombstone_gen", "ok", f"<= stats.gen={gen}", tgen)
+        _check_tombstone_gen(
+            add, tombs, gen, "stats.gen", gen_col="before_gen",
+            detail="a tombstone postdates the published generation — a "
+                   "writer died between tombstone append and stats publish")
 
     live = tokens.agg(F.count("*").alias("n"),
                       F.avg("dl").alias("a")).first()
@@ -310,6 +304,31 @@ def _report(spark: SparkSession, rows: list) -> DataFrame:
     return spark.createDataFrame(rows, REPORT_SCHEMA)
 
 
+def _new_report() -> tuple:
+    """(rows, add) pair every family checker accumulates its report in —
+    one definition so the four reports' row shape cannot drift apart."""
+    rows: list[tuple] = []
+
+    def add(check, status, expected="", actual="", detail=""):
+        rows.append((check, status, str(expected), str(actual), detail))
+
+    return rows, add
+
+
+def _check_tombstone_gen(add, tombs, bound: int, bound_label: str,
+                         gen_col: str = "gen",
+                         detail: str = "a tombstone postdates the "
+                                       "published generation") -> None:
+    """Shared invariant across every generation-stamped family: no
+    tombstone may postdate the published generation bound."""
+    tgen = tombs.agg(F.max(gen_col).alias("m")).first()["m"]
+    if tgen is not None and int(tgen) > bound:
+        add("tombstone_gen", "fail", f"<= {bound_label}={bound}", tgen,
+            detail)
+    else:
+        add("tombstone_gen", "ok", f"<= {bound_label}={bound}", tgen)
+
+
 def verify_fielded_index(spark: SparkSession, index_dir: str,
                          deep: bool = False) -> DataFrame:
     """Audit a fielded (BM25F) index — plans/fielded.py layout. Invariants
@@ -319,10 +338,7 @@ def verify_fielded_index(spark: SparkSession, index_dir: str,
     per doc). Same report shape as `verify_index`."""
     from ..operators.generations import live_rows
 
-    rows: list[tuple] = []
-
-    def add(check, status, expected="", actual="", detail=""):
-        rows.append((check, status, str(expected), str(actual), detail))
+    rows, add = _new_report()
 
     try:
         st = spark.read.parquet(f"{index_dir}/stats").first()
@@ -352,12 +368,7 @@ def verify_fielded_index(spark: SparkSession, index_dir: str,
     tombs = (spark.read.parquet(f"{index_dir}/_tombstones")
              if _path_exists(spark, f"{index_dir}/_tombstones") else None)
     if tombs is not None:
-        tgen = tombs.agg(F.max("gen").alias("m")).first()["m"]
-        if tgen is not None and int(tgen) > gen:
-            add("tombstone_gen", "fail", f"<= stats.gen={gen}", tgen,
-                "a tombstone postdates the published generation")
-        else:
-            add("tombstone_gen", "ok", f"<= stats.gen={gen}", tgen)
+        _check_tombstone_gen(add, tombs, gen, "stats.gen")
 
     terms = spark.read.parquet(f"{index_dir}/terms")
     bad_terms = _misrouted(terms, "term", n_buckets)
@@ -418,10 +429,7 @@ def verify_trigram_index(spark: SparkSession, index_dir: str,
     each live doc's |T(doc)|, generation-stamped tombstones."""
     from ..operators.generations import live_rows
 
-    rows: list[tuple] = []
-
-    def add(check, status, expected="", actual="", detail=""):
-        rows.append((check, status, str(expected), str(actual), detail))
+    rows, add = _new_report()
 
     try:
         meta = spark.read.parquet(f"{index_dir}/meta").first()
@@ -445,12 +453,7 @@ def verify_trigram_index(spark: SparkSession, index_dir: str,
     tombs = (spark.read.parquet(f"{index_dir}/tombstones")
              if _path_exists(spark, f"{index_dir}/tombstones") else None)
     if tombs is not None:
-        tgen = tombs.agg(F.max("gen").alias("m")).first()["m"]
-        if tgen is not None and int(tgen) > max_gen:
-            add("tombstone_gen", "fail", f"<= meta.max_gen={max_gen}", tgen,
-                "a tombstone postdates the published generation")
-        else:
-            add("tombstone_gen", "ok", f"<= meta.max_gen={max_gen}", tgen)
+        _check_tombstone_gen(add, tombs, max_gen, "meta.max_gen")
 
     if not deep:
         return _report(spark, rows)
@@ -494,10 +497,7 @@ def verify_vector_index(spark: SparkSession, index_dir: str,
     which no query-path test can catch."""
     from ..operators.generations import live_rows
 
-    rows: list[tuple] = []
-
-    def add(check, status, expected="", actual="", detail=""):
-        rows.append((check, status, str(expected), str(actual), detail))
+    rows, add = _new_report()
 
     has_meta = _path_exists(spark, f"{index_dir}/meta")
     has_cent = _path_exists(spark, f"{index_dir}/centroids")
@@ -541,12 +541,7 @@ def verify_vector_index(spark: SparkSession, index_dir: str,
     tombs = (spark.read.parquet(f"{index_dir}/tombstones")
              if _path_exists(spark, f"{index_dir}/tombstones") else None)
     if tombs is not None:
-        tgen = tombs.agg(F.max("gen").alias("m")).first()["m"]
-        if tgen is not None and int(tgen) > max_gen:
-            add("tombstone_gen", "fail", f"<= genmeta.max_gen={max_gen}",
-                tgen, "a tombstone postdates the published generation")
-        else:
-            add("tombstone_gen", "ok", f"<= genmeta.max_gen={max_gen}", tgen)
+        _check_tombstone_gen(add, tombs, max_gen, "genmeta.max_gen")
 
     if not deep:
         return _report(spark, rows)
