@@ -79,7 +79,13 @@ def fire() -> dict | None:
 def valid(s: dict) -> bool:
     m_n = s.get("membw_gb_per_sec_N") or 0
     m_4n = s.get("membw_gb_per_sec_4N") or 0
-    return m_n >= 8.0 and m_4n >= 8.0
+    if not (m_n >= 8.0 and m_4n >= 8.0):
+        return False
+    # both legs healthy is not enough: a window half-closing mid-pair
+    # (e.g. 45 -> 21 GB/s, measured) starves only the 4N leg and fakes a
+    # low efficiency. Require the two legs to have seen comparable hosts.
+    drift = m_4n / m_n if m_n else 0.0
+    return 0.6 <= drift <= 1.67
 
 
 def main() -> int:
