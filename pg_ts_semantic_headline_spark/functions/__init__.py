@@ -9,6 +9,7 @@ from .lexize import (
     lexize_chunk,
     lexize_word,
     ts_debug,
+    ts_lexize,
 )
 from .stemmer_de import stem_german
 from .stemmer_en import stem_english
@@ -28,6 +29,6 @@ __all__ = [
     "analyze_document", "analyze_text_simple", "lexize_chunk", "lexize_word",
     "stem_german", "stem_english", "stem_french", "ENGLISH_STOPWORDS",
     "GERMAN_STOPWORDS", "FRENCH_STOPWORDS",
-    "STOPWORDS_BY_CONFIG", "to_tsp_text_array", "ts_debug",
+    "STOPWORDS_BY_CONFIG", "to_tsp_text_array", "ts_debug", "ts_lexize",
     "tsp_indexable_text", "tsp_present_text", "unaccent",
 ]

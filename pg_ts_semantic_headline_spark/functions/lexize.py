@@ -296,6 +296,53 @@ def lexize_word(word: str, config: str) -> str | None:
     return lx
 
 
+def ts_lexize(dictionary: str, token: str) -> list[str] | None:
+    """PG ``ts_lexize(dict regdictionary, token text)`` (PG docs §12.8.3):
+    run ONE dictionary over ONE token. Returns the emitted lexemes, []
+    when the dictionary consumed the token as a stopword (PG prints {}),
+    or None when the dictionary does not recognize the token.
+
+    Dictionary names follow ts_debug's attribution: ``simple``,
+    ``english_stem``/``german_stem``/``french_stem`` (a bare config name
+    is accepted as its stem dictionary), or a full ``synonym:``/
+    ``thesaurus:`` config string — for those, None signals a miss (PG's
+    synonym template returns NULL on a miss so the next dictionary in
+    the chain runs; the stem dictionaries never return NULL).
+
+    Unlike `lexize_word`, there is no numword routing here: PG's
+    ts_lexize bypasses the parser, so a digit-bearing token handed to a
+    stem dictionary is stemmed like any other word."""
+    core = _RE_STRIP.sub("", token)
+    if not core:
+        return None
+    lower = core.lower()
+    if dictionary == "simple":
+        return [lower]
+    if dictionary.startswith(SYNONYM_PREFIX):
+        _, mapping = _synonym_spec(dictionary)
+        if lower in mapping:
+            sub = mapping[lower]
+            return [] if sub is None else [sub]
+        return None
+    if dictionary.startswith(THESAURUS_PREFIX):
+        base, trie = _thesaurus_spec(dictionary)
+        lx = ts_lexize(base, token)
+        anchor = lx[0] if lx else None
+        for pat, sub in trie.get(anchor, []):
+            if len(pat) == 1:
+                return [sub]
+        return None
+    base = dictionary[:-5] if dictionary.endswith("_stem") else dictionary
+    if base not in _STEMMERS:
+        raise ValueError(f"unknown dictionary {dictionary!r}")
+    stemmer = _STEMMERS[base]
+    if stemmer is None:
+        return [lower]
+    if lower in STOPWORDS_BY_CONFIG[base]:
+        return []
+    return [stemmer(lower)]
+
+
 def analyze_document(content: str, config: str) -> tuple[list[str], list[str | None]]:
     """Return (tokens, lexemes), position-aligned 1:1.
 

@@ -190,3 +190,57 @@ class TestTsDebug:
             assert ts_debug("Cats")[0]["lexemes"] == ["cats"]
         finally:
             set_default_text_search_config(prev)
+
+
+class TestTsLexize:
+    """PG ts_lexize(dict, token): one dictionary, one token — [] for a
+    stopword hit, None for a miss (synonym/thesaurus templates), no
+    numword routing (ts_lexize bypasses the parser)."""
+
+    def test_stem_dictionaries(self):
+        from pg_ts_semantic_headline_spark.functions.lexize import ts_lexize
+        assert ts_lexize("english_stem", "supernovae") == ["supernova"]
+        assert ts_lexize("english_stem", "the") == []
+        assert ts_lexize("french_stem", "chevaux") == ["cheval"]
+        # bare config name resolves to its stem dictionary
+        assert ts_lexize("german", "bleibenden") == \
+            ts_lexize("german_stem", "bleibenden")
+
+    def test_simple_dictionary(self):
+        from pg_ts_semantic_headline_spark.functions.lexize import ts_lexize
+        assert ts_lexize("simple", "Spark!") == ["spark"]
+        assert ts_lexize("simple", "...") is None  # strips to nothing
+
+    def test_no_numword_routing(self):
+        # PG: ts_lexize('english_stem','ties123') stems — the numword
+        # rerouting happens in the parser, which ts_lexize bypasses
+        from pg_ts_semantic_headline_spark.functions.lexize import ts_lexize
+        assert ts_lexize("english_stem", "123abc") == \
+            [__import__("pg_ts_semantic_headline_spark.functions.stemmer_en",
+                        fromlist=["stem_english"]).stem_english("123abc")]
+
+    def test_synonym_hit_miss_and_stopword(self, tmp_path):
+        from pg_ts_semantic_headline_spark.functions.lexize import (
+            make_synonym_config, ts_lexize)
+        cfg = make_synonym_config(
+            "english", {"colour": "color", "noise": None},
+            str(tmp_path / "syn.json"))
+        assert ts_lexize(cfg, "colour") == ["color"]
+        assert ts_lexize(cfg, "noise") == []       # custom stopword
+        assert ts_lexize(cfg, "anything") is None  # miss -> next dict
+
+    def test_thesaurus_single_word_entry(self, tmp_path):
+        from pg_ts_semantic_headline_spark.functions.lexize import (
+            make_thesaurus_config, ts_lexize)
+        cfg = make_thesaurus_config(
+            "english", {"supernovae": "sn", "supernovae stars": "sn"},
+            str(tmp_path / "th.json"))
+        # single-token lookup can only match single-word entries
+        assert ts_lexize(cfg, "supernovae") == ["sn"]
+        assert ts_lexize(cfg, "star") is None
+
+    def test_unknown_dictionary_raises(self):
+        import pytest
+        from pg_ts_semantic_headline_spark.functions.lexize import ts_lexize
+        with pytest.raises(ValueError, match="unknown dictionary"):
+            ts_lexize("klingon_stem", "word")
