@@ -51,6 +51,11 @@ def log(msg: str) -> None:
 
 
 def gate() -> float:
+    # refuse to fire while OTHER work is loading the box (a concurrent
+    # Spark job slows one leg and fakes the efficiency in either
+    # direction); the bandwidth probe alone cannot see CPU contention
+    if os.getloadavg()[0] > 4.0:
+        return 0.0
     return host_membw_probe(4, seconds=2.0)
 
 
