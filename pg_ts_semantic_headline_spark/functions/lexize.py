@@ -12,8 +12,9 @@ Per-config behavior mirrors PostgreSQL's regconfigs:
 - english: tokens containing digits → lowercase only (numword → simple
   dict); otherwise stopword check then Porter2 stem
 - german:  same shape with the German stopword list and Snowball stemmer
-- french:  same shape with the French stopword list and Snowball stemmer
-  (an extension beyond the reference's english/german/simple test surface)
+- french / spanish: same shape with the respective stopword lists and
+  Snowball stemmers (extensions beyond the reference's english/german/
+  simple test surface)
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ from functools import lru_cache
 from .chars import BELL, SMC_CLASS
 from .stemmer_de import stem_german
 from .stemmer_en import stem_english
+from .stemmer_es import stem_spanish
 from .stemmer_fr import stem_french
 from .stopwords import STOPWORDS_BY_CONFIG
 from .textprep import tsp_indexable_text
@@ -39,6 +41,7 @@ _STEMMERS = {
     "english": stem_english,
     "german": stem_german,
     "french": stem_french,
+    "spanish": stem_spanish,
     "simple": None,
     # source-code config: lowercase, no stopwords, no stemming (like
     # simple), plus camelCase splitting in the canonicalization step —
