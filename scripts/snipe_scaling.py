@@ -106,9 +106,11 @@ def main() -> int:
             if s and valid(s):
                 with open(RESULT, "w") as f:
                     json.dump(s, f)
-                log(f"VALID pair captured (raw eff {s['scaling_efficiency']})")
-                return 0
-            if s:
+                with open(RESULT + "l", "a") as f:  # .jsonl: every valid pair
+                    f.write(json.dumps(s) + "\n")
+                log(f"VALID pair captured (raw eff {s['scaling_efficiency']})"
+                    " — continuing to poll (report-all protocol)")
+            elif s:
                 log("pair polluted mid-run (membw probes); continuing")
         time.sleep(POLL_SEC)
     log("deadline reached without a valid pair")
