@@ -1745,6 +1745,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("score_e4", _e4(F.col("score")))
                 .select("doc_id", "score_e4"))
 
+    def q106(spark, sf):
+        # inline tsquery prefix ('wind':* — the reference's own TODO
+        # wildcard, README.md:257): compiled to a prefix slot, expanded
+        # against the index dictionary (expand_query_prefixes), boolean
+        # AND with a plain term; the oracle is the LIKE-prefix
+        # equivalent over the same tokens
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            to_tspquery)
+        from pg_ts_semantic_headline_spark.plans.search import matching_docs
+        index = _built_index(spark, sf)
+        q = to_tspquery("simple", "wind:* & merge")
+        return matching_docs(index, q).select("doc_id")
+
     # Ordered cheapest-first (measured at sf0.01): the driver's gate may
     # stop at a budget, so pure column-algebra entries run before the
     # entries that pay a shared index build, and each shared-index family
@@ -1806,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_indexed": q34,
         "ts_stat_indexed": q103,
         "plainto_search": q105,
+        "prefix_inline_search": q106,
         "suggest_terms": q48,
         "prefix_search": q84,
         "ts_rank_cd": q86,
@@ -2335,6 +2349,13 @@ FROM documents
 )
 SELECT s.doc_id, CAST(ROUND(s.score * 10000) AS BIGINT) AS score_e4
 FROM scored s JOIN hits USING (doc_id)
+""",
+        "prefix_inline_search": f"""
+WITH {TOKS_CTE.strip()}
+SELECT DISTINCT t.doc_id
+FROM toks t
+WHERE t.token LIKE 'wind%'
+  AND t.doc_id IN (SELECT doc_id FROM toks WHERE token = 'merge')
 """,
         "websearch_search": _bm25_score_sql(["merge", "sort", "window"]) + """
 , hits AS (

@@ -320,6 +320,8 @@ def ts_semantic_headline(
     passage selection over raw content, then the fast path over ONLY the
     selected passage — the re-analysis phase 2 pays for ~MaxWords words
     per doc, not the whole document."""
+    from .query_compiler import require_no_prefixes
+    require_no_prefixes(query, "ts_semantic_headline (ad-hoc, no dictionary)")
     cfg = config or query.config
     opts = parse_headline_options(options)
     min_words = int(opts.get("MinWords", 15))

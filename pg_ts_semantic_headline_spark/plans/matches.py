@@ -102,6 +102,8 @@ def tsp_query_matches(
 
     Returns (doc_id, phrase_id, words, ts_query, start_pos, end_pos).
     """
+    from .query_compiler import require_no_prefixes
+    require_no_prefixes(query, "tsp_query_matches (ad-hoc, no dictionary)")
     spark = docs.sparkSession
     if not query.phrases:
         return spark.createDataFrame([], StructType([

@@ -46,8 +46,15 @@ class Phrase:
 
     `items` is a tuple of (lexeme, position); positions preserve stopword
     gaps ('fortune, through the kingdom' → fortune:1 kingdom:4).
+
+    `prefix_slots` marks positions whose lexeme is a tsquery PREFIX
+    (`'spar':*`): the lexeme matches every dictionary term it prefixes.
+    Prefix phrases cannot be matched directly — expand them against an
+    index dictionary first (`plans.search.expand_query_prefixes`), which
+    rewrites the query into a plain OR over concrete phrases.
     """
     items: tuple[tuple[str, int], ...]
+    prefix_slots: tuple[int, ...] = ()
 
     @property
     def length(self) -> int:
@@ -63,11 +70,16 @@ class Phrase:
     def render(self) -> str:
         if not self.items:
             return ""
-        parts = [f"'{self.items[0][0]}'"]
+        star = set(self.prefix_slots)
+
+        def term(lex: str, pos: int) -> str:
+            return f"'{lex}':*" if pos in star else f"'{lex}'"
+
+        parts = [term(self.items[0][0], self.items[0][1])]
         for (_, p0), (lex, p1) in zip(self.items, self.items[1:]):
             gap = p1 - p0
             parts.append("<->" if gap == 1 else f"<{gap}>")
-            parts.append(f"'{lex}'")
+            parts.append(term(lex, p1))
         return " ".join(parts)
 
 
@@ -94,6 +106,20 @@ class CompiledQuery:
             for lex, _ in ph.items:
                 seen.setdefault(lex)
         return tuple(seen)
+
+    @property
+    def has_prefixes(self) -> bool:
+        """True when any phrase — incl. inside negated branches, which
+        `phrases` drops — carries a `:*` prefix slot. Such a query must
+        be expanded against an index dictionary before matching
+        (`plans.search.expand_query_prefixes`)."""
+        def walk(node) -> bool:
+            if node is None:
+                return False
+            if node.op == "phrase":
+                return bool(node.phrase.prefix_slots)
+            return any(walk(c) for c in node.children)
+        return walk(self.root)
 
     def phrase_table(self) -> list[tuple[int, str, int, int, int, str]]:
         """Rows (phrase_id, lexeme, rel_pos, length, span, phrase_query) —
@@ -205,42 +231,87 @@ class _Parser:
             return node
         if kind in ("word", "quoted"):
             self._next()
+            # PG's quoted-prefix form tokenizes the label separately
+            # ("'spar':*" → quoted + word ":*"): re-attach it
+            nkind, nval = self._peek()
+            if nkind == "word" and re.fullmatch(r":\*?[A-Da-d]*", nval):
+                self._next()
+                val += nval
             return ("term", val)
         raise self._unexpected(kind, val)
 
 
+# tsquery label suffix on a term: ':*' (prefix match), ':AB..' (weight
+# restriction), or ':*AB..' (both). Weights have no engine analog (no
+# per-position labels by design — see README "Porting setweight") and
+# raise rather than silently changing the query's meaning. NB a
+# mid-word ':' between word chars ('cat:A') never reaches this check:
+# the reference's own intra-word-delimiter rule (to_tspquery.sql:26-27)
+# turns it into a <1> phrase link first, and we mirror that; weights
+# raise in label position ("'cat':A", trailing ':A' after a quoted
+# term) where the reference regex does not rewrite them.
+_RE_LABEL_SUFFIX = re.compile(r"^(.*?):(\*?)([A-Da-d]*)$")
+
+
+def _split_prefix_marker(word: str) -> tuple[str, bool]:
+    """(bare_word, is_prefix) from a raw term token; raises on weight
+    labels and on a bare marker with no word in front of it."""
+    m = _RE_LABEL_SUFFIX.match(word)
+    if not m or (not m.group(2) and not m.group(3)):
+        return word, False
+    base, star, weights = m.groups()
+    if weights:
+        raise TSQueryParseError(
+            f"weight labels in tsquery term {word!r} are not supported: "
+            "the index stores no per-position labels — use the fielded "
+            "index (build_fielded_index/bm25f_topk) for field-restricted "
+            "search; see README 'Porting setweight from PG'")
+    if not base:
+        raise TSQueryParseError(f"dangling prefix marker {word!r}")
+    return base, bool(star)
+
+
 def _lexize_tree(node, config: str):
     """Lexize raw terms; stopwords vanish but keep positional gaps in
-    sequences (PG: 'a <-> the <-> b' → 'a <2> b')."""
+    sequences (PG: 'a <-> the <-> b' → 'a <2> b'). A ':*' suffix marks
+    the slot as a prefix; like PG, the word is still lexized first
+    (to_tsquery('english','running:*') → 'run':*), and a prefix-marked
+    stopword vanishes like any stopword."""
     if node is None:
         return None
     op = node[0]
     if op == "term":
-        lex = lexize_word(node[1], config)
+        word, star = _split_prefix_marker(node[1])
+        lex = lexize_word(word, config)
         if lex is None:
             return None
-        return Node("phrase", phrase=Phrase(((lex, 1),)))
+        return Node("phrase", phrase=Phrase(((lex, 1),),
+                                            prefix_slots=(1,) if star else ()))
     if op == "not":
         child = _lexize_tree(node[1], config)
         return Node("not", (child,)) if child is not None else None
     if op == "seq":
-        pos, items = 0, []
+        pos, items, stars = 0, [], []
         for idx, (child, gap) in enumerate(node[1]):
             pos = 1 if idx == 0 else pos + gap
-            lex = None
+            lex = star = None
             if child[0] == "term":
-                lex = lexize_word(child[1], config)
+                word, star = _split_prefix_marker(child[1])
+                lex = lexize_word(word, config)
             elif child[0] == "not":
                 lex = None  # negation inside phrase: treated as gap
             else:
                 raise TSQueryParseError("nested groups inside phrases unsupported")
             if lex is not None:
                 items.append((lex, pos))
+                if star:
+                    stars.append(pos)
         if not items:
             return None
         base = min(p for _, p in items)
         norm = tuple((lx, p - base + 1) for lx, p in items)
-        return Node("phrase", phrase=Phrase(norm))
+        slots = tuple(p - base + 1 for p in stars)
+        return Node("phrase", phrase=Phrase(norm, prefix_slots=slots))
     # and / or
     children = [_lexize_tree(c, config) for c in node[1]]
     children = [c for c in children if c is not None]
@@ -268,8 +339,9 @@ def _collect_positive_phrases(node: Node | None) -> list[Phrase]:
 def _dedupe(phrases: list[Phrase]) -> tuple[Phrase, ...]:
     seen, out = set(), []
     for ph in phrases:
-        if ph.items not in seen:
-            seen.add(ph.items)
+        key = (ph.items, ph.prefix_slots)
+        if key not in seen:
+            seen.add(key)
             out.append(ph)
     return tuple(out)
 
@@ -436,7 +508,7 @@ def _canon_key(node: Node) -> tuple:
     normalizations MUST agree or degenerate targets never match).
     Phrases are atomic (a sub-phrase of a longer phrase never matches)."""
     if node.op == "phrase":
-        return ("p", node.phrase.items)
+        return ("p", node.phrase.items, node.phrase.prefix_slots)
     if node.op == "not":
         return ("!", _canon_key(node.children[0]))
     # flatten on child KEYS, not child nodes: a child whose own dedupe
@@ -579,6 +651,17 @@ def ts_rewrite(query: CompiledQuery,
                 break
     phrases = _dedupe(_collect_positive_phrases(root))
     return CompiledQuery(query.config, query.raw, root, phrases)
+
+
+def require_no_prefixes(query: CompiledQuery, context: str) -> None:
+    """Loud guard for plans that cannot see an index dictionary: a `:*`
+    prefix query reaching them would otherwise silently behave as an
+    exact-lexeme query."""
+    if isinstance(query, CompiledQuery) and query.has_prefixes:
+        raise ValueError(
+            f"{context} cannot evaluate a ':*' prefix query directly; "
+            "expand it against an index first: "
+            "plans.search.expand_query_prefixes(index, query)")
 
 
 def render_tspquery(node: Node | None) -> str:

@@ -289,6 +289,8 @@ def bm25_topk(
     """Top-k (doc_id, score), deterministic order (score desc, doc_id asc).
     `mode`: "exact", "blockmax", or "auto" (cost-based pick between the
     two rank-identical strategies — see choose_bm25_mode)."""
+    if isinstance(query, CompiledQuery):
+        query = expand_query_prefixes(index, query)
     terms = list(query.lexemes) if isinstance(query, CompiledQuery) else list(query)
     if not terms:
         spark = index.postings.sparkSession
@@ -952,6 +954,7 @@ def matching_docs(index: Index, query: CompiledQuery) -> DataFrame:
     scan."""
     from dataclasses import replace
 
+    query = expand_query_prefixes(index, query)
     spark = index.postings.sparkSession
     phrases, seen = [], set()
     for ph in _all_phrases(query.root):
@@ -1032,6 +1035,7 @@ def search(
 
     Returns (doc_id, score) in deterministic rank order.
     """
+    query = expand_query_prefixes(index, query)  # once, for both stages
     cands = matching_docs(index, query) if enforce_boolean else None
     return bm25_topk(index, query, k=k, mode=mode, candidate_docs=cands)
 
@@ -1074,6 +1078,8 @@ def search_batch(
     out_schema = "query_id string, doc_id long, score double, rank int"
     if not queries:
         return spark.createDataFrame([], out_schema)
+    queries = {qid: expand_query_prefixes(index, q)
+               for qid, q in queries.items()}
     rows, meta = _flatten_queries(queries)
     all_lex = sorted({r[2] for r in rows})
 
@@ -1132,6 +1138,9 @@ def search_with_headlines(
     512 winners the plan falls back to in-plan semi-joins."""
     from .headline import ts_fast_headline
 
+    # expand prefixes up front: the headline stage must highlight the
+    # concrete expansions, not the raw ':*' lexeme
+    query = expand_query_prefixes(index, query)
     hits = search(index, query, k=k, mode=mode)
     spark = index.postings.sparkSession
     if k <= 512:
@@ -1632,6 +1641,103 @@ def fuzzy_bm25_topk(
     return bm25_topk(index, sorted(set(terms)), k=k, mode=mode)
 
 
+def _expand_lexized(index: Index, lx: str, max_expansions: int) -> list[str]:
+    """Dictionary terms starting with the ALREADY-LEXIZED prefix `lx`,
+    (df desc, term asc), capped with a warning — the shared scan behind
+    expand_prefix and expand_query_prefixes (which hold query-side
+    lexemes and must not lexize twice: stemming is not idempotent)."""
+    import warnings
+
+    rows = (index.terms.where(F.col("term").startswith(lx))
+            .select("term", "df")
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(max_expansions + 1).collect())
+    if len(rows) > max_expansions:
+        warnings.warn(
+            f"prefix {lx!r} matches more than {max_expansions} "
+            f"dictionary terms; scoring the {max_expansions} most frequent")
+        rows = rows[:max_expansions]
+    return [r["term"] for r in rows]
+
+
+#: a lexeme no analyzer can emit (tokenization strips control chars):
+#: substituted for a prefix with zero dictionary expansions so the
+#: phrase keeps its place in the boolean tree and matches nothing —
+#: dropping the phrase instead would CHANGE and/or semantics
+_IMPOSSIBLE_LEXEME = "\x00<no-expansion>"
+
+
+def expand_query_prefixes(index: Index, query: CompiledQuery,
+                          max_expansions: int = 32,
+                          max_phrase_alternatives: int = 256) -> CompiledQuery:
+    """Rewrite a `:*` prefix query into a concrete query against this
+    index's dictionary: every prefix slot is replaced by its dictionary
+    expansions (df desc, capped per slot at `max_expansions`, like
+    Lucene's max_expansions contract), a phrase with several prefix
+    slots becomes an OR over the cartesian product of expansions (capped
+    at `max_phrase_alternatives` — raises past it rather than silently
+    truncating a phrase), and a prefix with NO expansions becomes an
+    impossible phrase so AND/NOT semantics stay exact. The result has
+    no prefix slots and flows through every plan — matching, ranking,
+    headlines highlight each concrete expansion — unchanged.
+
+    No-op (same object) for queries without prefixes. One bucket-
+    pruned two-column dictionary scan per distinct prefix lexeme;
+    nothing corpus-sized is touched."""
+    from itertools import product
+
+    from .query_compiler import (
+        _collect_positive_phrases, _dedupe, CompiledQuery as _CQ, Node,
+        Phrase)
+
+    if not isinstance(query, CompiledQuery) or not query.has_prefixes:
+        return query
+
+    cache: dict[str, list[str]] = {}
+
+    def expansions(lx: str) -> list[str]:
+        if lx not in cache:
+            cache[lx] = _expand_lexized(index, lx, max_expansions)
+        return cache[lx]
+
+    def walk(node):
+        if node is None:
+            return None
+        if node.op == "phrase":
+            ph = node.phrase
+            if not ph.prefix_slots:
+                return node
+            star = set(ph.prefix_slots)
+            lists = []
+            for lx, pos in ph.items:
+                if pos in star:
+                    exp = expansions(lx)
+                    if not exp:
+                        return Node("phrase", phrase=Phrase(
+                            ((_IMPOSSIBLE_LEXEME, 1),)))
+                    lists.append([(e, pos) for e in exp])
+                else:
+                    lists.append([(lx, pos)])
+            total = 1
+            for lst in lists:
+                total *= len(lst)
+            if total > max_phrase_alternatives:
+                raise ValueError(
+                    f"prefix phrase {ph.render()} expands to {total} "
+                    f"alternatives (> {max_phrase_alternatives}); narrow "
+                    "the prefixes or raise max_phrase_alternatives")
+            alts = [Node("phrase", phrase=Phrase(tuple(combo)))
+                    for combo in product(*lists)]
+            return alts[0] if len(alts) == 1 else Node("or", tuple(alts))
+        if node.op == "not":
+            return Node("not", (walk(node.children[0]),))
+        return Node(node.op, tuple(walk(c) for c in node.children))
+
+    root = walk(query.root)
+    return _CQ(query.config, query.raw, root,
+               _dedupe(_collect_positive_phrases(root)))
+
+
 def expand_prefix(index: Index, prefix: str,
                   max_expansions: int = 32,
                   config: str | None = None) -> list[str]:
@@ -1658,16 +1764,7 @@ def expand_prefix(index: Index, prefix: str,
         warnings.warn(f"prefix {prefix!r} lexizes to a stopword; "
                       "prefix query matches nothing")
         return []
-    rows = (index.terms.where(F.col("term").startswith(lx))
-            .select("term", "df")
-            .orderBy(F.desc("df"), F.asc("term"))
-            .limit(max_expansions + 1).collect())
-    if len(rows) > max_expansions:
-        warnings.warn(
-            f"prefix {prefix!r} matches more than {max_expansions} "
-            f"dictionary terms; scoring the {max_expansions} most frequent")
-        rows = rows[:max_expansions]
-    return [r["term"] for r in rows]
+    return _expand_lexized(index, lx, max_expansions)
 
 
 def prefix_search(

@@ -70,9 +70,15 @@ def _flatten_queries(queries: dict[str, CompiledQuery]):
     same reason as plans/search._all_phrases), not the highlight list."""
     from ..plans.search import _all_phrases
 
+    from ..plans.query_compiler import require_no_prefixes
+
     rows, meta = [], {}
     gid = 0
     for qid, q in queries.items():
+        # standing queries match against document streams, not an index
+        # dictionary — a ':*' prefix cannot be expanded here. search_batch
+        # expands against its index BEFORE flattening, so it never trips.
+        require_no_prefixes(q, f"standing query {qid!r} (no dictionary)")
         pid_by_items = {}
         for ph in _all_phrases(q.root):
             if ph.items in pid_by_items:
