@@ -1753,9 +1753,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # equivalent over the same tokens
         from pg_ts_semantic_headline_spark.plans.query_compiler import (
             to_tspquery)
-        from pg_ts_semantic_headline_spark.plans.search import matching_docs
+        from pg_ts_semantic_headline_spark.plans.search import (
+            expand_query_prefixes, matching_docs)
         index = _built_index(spark, sf)
         q = to_tspquery("simple", "wind:* & merge")
+        # expand UNCAPPED: the SQL oracle's LIKE 'wind%' has no
+        # expansion cap, so a >32-term dictionary at larger sf must not
+        # make the pair diverge
+        q = expand_query_prefixes(index, q, max_expansions=1_000_000,
+                                  max_phrase_alternatives=1_000_000)
         return matching_docs(index, q).select("doc_id")
 
     # Ordered cheapest-first (measured at sf0.01): the driver's gate may

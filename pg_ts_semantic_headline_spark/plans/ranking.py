@@ -56,6 +56,16 @@ def _terms_of(query) -> list[str]:
     return sorted(set(query))
 
 
+def _expanded(index, query):
+    """Normalize a ':*' prefix query against this index before any term
+    extraction — every index-backed ranking entry calls this first, so a
+    prefix query never silently degrades to its bare lexeme."""
+    if isinstance(query, CompiledQuery) and query.has_prefixes:
+        from .search import expand_query_prefixes
+        return expand_query_prefixes(index, query)
+    return query
+
+
 # PG tsrank.c's normalization bitmask (RANK_NORM_*): 1 log-length,
 # 2 length, 4 extent distance (ts_rank_cd only), 8 unique-word count,
 # 16 log-unique-word count, 32 rank/(rank+1). Flags compose.
@@ -234,6 +244,7 @@ def ts_rank_cd(
     only for candidate docs/blocks (`_positions_hay`), so cost is
     O(candidates × query tf) like every other ranking operator here.
     """
+    query = _expanded(index, query)
     norm = _check_normalization(normalization)
     ts = _terms_of(query)
     spark = index.postings.sparkSession
@@ -386,6 +397,7 @@ def ts_rank(
     pass the retrieval top-k as candidates (the proximity_rerank
     shape) rather than ranking a corpus.
     """
+    query = _expanded(index, query)
     norm = _check_normalization(normalization)
     if variant not in ("auto", "or", "and"):
         raise ValueError(f"variant must be 'auto', 'or' or 'and', "
@@ -493,6 +505,7 @@ def proximity_rerank(
     scan row-group-prunes on IN-literals (the search_with_headlines
     winners trick); deeper reranks switch to an in-plan semi-join.
     """
+    query = _expanded(index, query)
     terms = _terms_of(query)
     spark = index.postings.sparkSession
     out_schema = "doc_id long, score double, span int"
@@ -542,6 +555,7 @@ def rm3_expand(
     exactly (same guarantee more_like_this_by_id relies on), and the
     whole feedback stage touches fb_docs rows, not the corpus.
     """
+    query = _expanded(index, query)
     from collections import Counter
 
     from ..functions.lexize import analyze_text_simple
@@ -590,6 +604,7 @@ def prf_search(
     Two pruned postings scans total (feedback pass + expanded pass),
     independent of corpus size. Returns (doc_id, score) in rank order.
     """
+    query = _expanded(index, query)
     terms = _terms_of(query)
     spark = index.postings.sparkSession
     if not terms:
@@ -624,6 +639,7 @@ def ltr_features(
     a smell); omit it to featurize all matching docs (the offline
     training-set sweep, still one pruned scan + one window).
     """
+    query = _expanded(index, query)
     terms = _terms_of(query)
     spark = index.postings.sparkSession
     out_schema = ("doc_id long, n_matched int, sum_tf long, dl int, "

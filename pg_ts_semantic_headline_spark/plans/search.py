@@ -194,10 +194,15 @@ def bm25_topk_federated(
     survives the union, and the per-doc aggregation is a single hash
     agg (doc_ids must be globally unique across shards, the same
     contract the shards' builder already assumes)."""
-    terms = sorted(set(
-        query.lexemes if isinstance(query, CompiledQuery) else query))
     if not indexes:
         raise ValueError("need at least one index")
+    if isinstance(query, CompiledQuery):
+        # expand against the FIRST shard's dictionary (shards of one
+        # corpus share an analyzer; a term unknown to a shard scores 0
+        # there, same as any federated term)
+        query = expand_query_prefixes(indexes[0], query)
+    terms = sorted(set(
+        query.lexemes if isinstance(query, CompiledQuery) else query))
     spark = indexes[0].postings.sparkSession
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
@@ -259,6 +264,8 @@ def plan_search(index: Index, query: CompiledQuery | list[str]) -> DataFrame:
     is one bucket-pruned dictionary lookup, nothing else."""
     from ..functions.xxhash import term_bucket
 
+    query = expand_query_prefixes(index, query) \
+        if isinstance(query, CompiledQuery) else query
     spark = index.postings.sparkSession
     schema = ("term string, bucket int, df long, idf double, "
               "corpus_frac double, in_dictionary boolean, "
@@ -834,7 +841,10 @@ def phrase_match_docs(index: Index, query: CompiledQuery,
                       anchor_docs: DataFrame | None = None,
                       anchor_small: bool = False) -> DataFrame:
     """(doc_id, phrase_id, n_matches) via positional intersection on the
-    pruned postings — the indexed form of the matches plan.
+    pruned postings — the indexed form of the matches plan. NB phrase_id
+    numbering follows the query's OWN tree; callers that pass a prefix
+    query get it expanded here, so compute phrase ids from the SAME
+    expanded query (matching_docs expands before calling in).
 
     Length-1 "phrases" (plain boolean leaves like the `a` in `a & !b`)
     never touch positions: occurrence == tf > 0, so they resolve from the
@@ -852,6 +862,7 @@ def phrase_match_docs(index: Index, query: CompiledQuery,
     ids before any payload is touched — a phrase containing a common
     lexeme decodes a handful of blocks instead of the lexeme's whole
     posting range."""
+    query = expand_query_prefixes(index, query)
     spark = index.postings.sparkSession
     if not query.phrases:
         return spark.createDataFrame([], "doc_id long, phrase_id int, n_matches long")
@@ -1559,6 +1570,8 @@ def bm25_topk_paged(
     engines given the same idf inputs. Each page costs one bucket-pruned
     postings scan; the cursor filter reaches the aggregate before the
     top-k sort, so page depth never grows the sorted set."""
+    if isinstance(query, CompiledQuery):
+        query = expand_query_prefixes(index, query)
     terms = sorted(set(query.lexemes if isinstance(query, CompiledQuery)
                        else query))
     spark = index.postings.sparkSession
@@ -1641,23 +1654,30 @@ def fuzzy_bm25_topk(
     return bm25_topk(index, sorted(set(terms)), k=k, mode=mode)
 
 
-def _expand_lexized(index: Index, lx: str, max_expansions: int) -> list[str]:
-    """Dictionary terms starting with the ALREADY-LEXIZED prefix `lx`,
-    (df desc, term asc), capped with a warning — the shared scan behind
-    expand_prefix and expand_query_prefixes (which hold query-side
-    lexemes and must not lexize twice: stemming is not idempotent)."""
-    import warnings
-
+def _expand_lexized_full(index: Index, lx: str,
+                         max_expansions: int) -> tuple[list[str], bool]:
+    """(dictionary terms starting with the ALREADY-LEXIZED prefix `lx`
+    (df desc, term asc, capped at max_expansions), truncated?) — the
+    shared scan behind expand_prefix and expand_query_prefixes (which
+    hold query-side lexemes and must not lexize twice: stemming is not
+    idempotent)."""
     rows = (index.terms.where(F.col("term").startswith(lx))
             .select("term", "df")
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(max_expansions + 1).collect())
-    if len(rows) > max_expansions:
+    truncated = len(rows) > max_expansions
+    return [r["term"] for r in rows[:max_expansions]], truncated
+
+
+def _expand_lexized(index: Index, lx: str, max_expansions: int) -> list[str]:
+    import warnings
+
+    terms, truncated = _expand_lexized_full(index, lx, max_expansions)
+    if truncated:
         warnings.warn(
             f"prefix {lx!r} matches more than {max_expansions} "
-            f"dictionary terms; scoring the {max_expansions} most frequent")
-        rows = rows[:max_expansions]
-    return [r["term"] for r in rows]
+            f"dictionary terms; using the {max_expansions} most frequent")
+    return terms
 
 
 #: a lexeme no analyzer can emit (tokenization strips control chars):
@@ -1693,14 +1713,14 @@ def expand_query_prefixes(index: Index, query: CompiledQuery,
     if not isinstance(query, CompiledQuery) or not query.has_prefixes:
         return query
 
-    cache: dict[str, list[str]] = {}
+    cache: dict[str, tuple[list[str], bool]] = {}
 
-    def expansions(lx: str) -> list[str]:
+    def expansions(lx: str) -> tuple[list[str], bool]:
         if lx not in cache:
-            cache[lx] = _expand_lexized(index, lx, max_expansions)
+            cache[lx] = _expand_lexized_full(index, lx, max_expansions)
         return cache[lx]
 
-    def walk(node):
+    def walk(node, negated: bool = False):
         if node is None:
             return None
         if node.op == "phrase":
@@ -1711,7 +1731,23 @@ def expand_query_prefixes(index: Index, query: CompiledQuery,
             lists = []
             for lx, pos in ph.items:
                 if pos in star:
-                    exp = expansions(lx)
+                    exp, truncated = expansions(lx)
+                    if truncated:
+                        if negated:
+                            # truncating a NEGATED prefix is not a recall
+                            # haircut, it is WRONG results: docs holding
+                            # only the dropped terms would pass the NOT
+                            raise ValueError(
+                                f"negated prefix '{lx}':* matches more "
+                                f"than {max_expansions} dictionary terms;"
+                                " truncation under NOT would return docs"
+                                " that do contain the prefix — raise "
+                                "max_expansions to cover the full set")
+                        import warnings
+                        warnings.warn(
+                            f"prefix {lx!r} matches more than "
+                            f"{max_expansions} dictionary terms; using "
+                            f"the {max_expansions} most frequent")
                     if not exp:
                         return Node("phrase", phrase=Phrase(
                             ((_IMPOSSIBLE_LEXEME, 1),)))
@@ -1730,8 +1766,9 @@ def expand_query_prefixes(index: Index, query: CompiledQuery,
                     for combo in product(*lists)]
             return alts[0] if len(alts) == 1 else Node("or", tuple(alts))
         if node.op == "not":
-            return Node("not", (walk(node.children[0]),))
-        return Node(node.op, tuple(walk(c) for c in node.children))
+            return Node("not", (walk(node.children[0], not negated),))
+        return Node(node.op,
+                    tuple(walk(c, negated) for c in node.children))
 
     root = walk(query.root)
     return _CQ(query.config, query.raw, root,

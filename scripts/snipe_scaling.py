@@ -20,8 +20,10 @@ Loop:
   3. validate the pair post-hoc with the run's own bracketing 4-proc
      probes: both levels must have seen healthy bandwidth around their
      builds (membw_N and membw_4N >= 8 GB/s)
-  4. exit on the first valid pair (any efficiency - honesty over cherry-
-     picking); keep polling otherwise, up to MAX_HOURS
+  4. append every guard-passing pair to RESULT+'l' (.jsonl) and keep
+     polling until MAX_HOURS — one pair in a flapping substrate regime
+     is not representative; the round report shows all of them (any
+     efficiency - honesty over cherry-picking)
 
 Results append to /tmp/scaling_sniper.log; the final valid pair lands in
 /tmp/scaling_sniper_result.json.
@@ -95,7 +97,7 @@ def valid(s: dict) -> bool:
 
 def main() -> int:
     deadline = time.time() + MAX_HOURS * 3600
-    attempt = 0
+    attempt = captured = 0
     while time.time() < deadline:
         bw4 = gate()
         healthy = bw4 >= GATE_ABS_GBPS
@@ -104,6 +106,7 @@ def main() -> int:
             attempt += 1
             s = fire()
             if s and valid(s):
+                captured += 1
                 with open(RESULT, "w") as f:
                     json.dump(s, f)
                 with open(RESULT + "l", "a") as f:  # .jsonl: every valid pair
@@ -113,8 +116,8 @@ def main() -> int:
             elif s:
                 log("pair polluted mid-run (membw probes); continuing")
         time.sleep(POLL_SEC)
-    log("deadline reached without a valid pair")
-    return 1
+    log(f"deadline reached with {captured} valid pair(s) captured")
+    return 0 if captured else 1
 
 
 if __name__ == "__main__":

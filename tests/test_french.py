@@ -98,24 +98,31 @@ class TestFrenchConfig:
         # accented stopwords survive unaccenting upstream of this call,
         # so the raw accented form IS filtered when passed directly
         assert lexize_word("même", "french") is None
+        # PG's french.stop genuinely lacks 'les'/'ils' (verified against
+        # tsearch_data/french.stop) — they stem like ordinary words
+        assert lexize_word("les", "french") == "le"
 
     def test_digit_tokens_use_simple_dictionary(self):
         assert lexize_word("utf8", "french") == "utf8"
 
     def test_analyze_document_alignment(self):
         tokens, lexemes = analyze_document(
-            "Les chevaux importants mangeaient", "french")
-        assert tokens == ["Les", "chevaux", "importants", "mangeaient"]
-        # 'les' stopword hole keeps the position; others stem
+            "La jument et les chevaux mangeaient", "french")
+        assert tokens == ["La", "jument", "et", "les", "chevaux",
+                          "mangeaient"]
+        # 'la'/'et' stopword holes keep positions; 'les' is NOT a PG
+        # stopword (verified against tsearch_data/french.stop) and stems
         assert lexemes[0] is None
-        assert lexemes[1] == "cheval"
+        assert lexemes[2] is None
+        assert lexemes[3] == "le"
+        assert lexemes[4] == "cheval"
         assert len(lexemes) == len(tokens)
 
     def test_ts_debug_attribution(self):
-        rows = ts_debug("french", "les chevaux 42")
+        rows = ts_debug("french", "la chevaux 42")
         by_token = {r["token"]: r for r in rows}
-        assert by_token["les"]["dictionary"] == "french_stem"
-        assert by_token["les"]["lexemes"] == []          # stopword
+        assert by_token["la"]["dictionary"] == "french_stem"
+        assert by_token["la"]["lexemes"] == []           # stopword
         assert by_token["chevaux"]["lexemes"] == ["cheval"]
         assert by_token["42"]["dictionary"] == "simple"
 

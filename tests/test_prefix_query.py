@@ -169,3 +169,79 @@ class TestExpansionAndSearch:
         solo = {r["doc_id"] for r in
                 search(index, qs["a"], k=10).collect()}
         assert by_q["a"] == solo
+
+
+@pytest.mark.usefixtures("spark")
+class TestReviewFixes:
+    """Fixes from the round-4 review of the prefix feature."""
+
+    def test_negated_prefix_truncation_raises(self, spark, tmp_path):
+        # truncating a NEGATED prefix would RETURN docs that contain the
+        # prefix; the expansion must refuse instead of silently widening
+        from pg_ts_semantic_headline_spark.plans.index_build import (
+            build_index, load_index)
+        from pg_ts_semantic_headline_spark.plans.search import (
+            expand_query_prefixes)
+        docs = spark.createDataFrame(
+            [(i, f"pre{i} window") for i in range(6)],
+            ["doc_id", "content"])
+        d = str(tmp_path / "negidx")
+        build_index(spark, docs, d, config="simple")
+        index = load_index(spark, d)
+        q = to_tspquery("simple", "window & !pre:*")
+        with pytest.raises(ValueError, match="negated prefix"):
+            expand_query_prefixes(index, q, max_expansions=3)
+        # positive-slot truncation stays a warning, not an error
+        qp = to_tspquery("simple", "pre:*")
+        with pytest.warns(UserWarning, match="most frequent"):
+            e = expand_query_prefixes(index, qp, max_expansions=3)
+        assert len(e.lexemes) == 3
+
+    def test_ranking_plans_expand_prefixes(self, spark, tmp_path):
+        from pg_ts_semantic_headline_spark.plans.index_build import (
+            build_index, load_index)
+        from pg_ts_semantic_headline_spark.plans.ranking import (
+            ltr_features, ts_rank, ts_rank_cd)
+        from pg_ts_semantic_headline_spark.plans.search import (
+            bm25_topk_paged, plan_search)
+        docs = spark.createDataFrame(
+            [(1, "spark window merge"), (2, "sparse matrix window"),
+             (3, "row scan order")], ["doc_id", "content"])
+        d = str(tmp_path / "rankidx")
+        build_index(spark, docs, d, config="simple")
+        index = load_index(spark, d)
+        q = to_tspquery("simple", "spar:*")
+        assert {r["doc_id"] for r in ts_rank(index, q).collect()} == {1, 2}
+        # ts_rank_cd requires a cover holding EVERY term (its documented
+        # all-terms semantics), so probe it with a single-expansion
+        # prefix: 'wind:*' -> {'window'}
+        q_cd = to_tspquery("simple", "wind:*")
+        assert {r["doc_id"] for r in
+                ts_rank_cd(index, q_cd).collect()} == {1, 2}
+        assert {r["doc_id"] for r in
+                bm25_topk_paged(index, q, k=10).collect()} == {1, 2}
+        assert {r["doc_id"] for r in
+                ltr_features(index, q).collect()} == {1, 2}
+        terms = {r["term"] for r in plan_search(index, q).collect()}
+        assert terms == {"spark", "sparse"}
+
+
+class TestStopwordPGParity:
+    def test_lists_match_pg_stop_files_when_available(self):
+        # the module contract is VERBATIM parity with PG's shipped stop
+        # files; verify against the real files on hosts that have them
+        import glob
+        import os
+        from pg_ts_semantic_headline_spark.functions import stopwords as sw
+        candidates = glob.glob(
+            "/usr/share/postgresql/*/tsearch_data/english.stop")
+        if not candidates:
+            pytest.skip("no PostgreSQL tsearch_data on this host")
+        base = os.path.dirname(candidates[0])
+        for name, attr in [("english", "ENGLISH_STOPWORDS"),
+                           ("german", "GERMAN_STOPWORDS"),
+                           ("french", "FRENCH_STOPWORDS"),
+                           ("spanish", "SPANISH_STOPWORDS")]:
+            pg = set(open(os.path.join(base, f"{name}.stop"),
+                          encoding="utf-8").read().split())
+            assert set(getattr(sw, attr)) == pg, name
