@@ -55,8 +55,11 @@ def log(msg: str) -> None:
 def gate() -> float:
     # refuse to fire while OTHER work is loading the box (a concurrent
     # Spark job slows one leg and fakes the efficiency in either
-    # direction); the bandwidth probe alone cannot see CPU contention
-    if os.getloadavg()[0] > 4.0:
+    # direction); the bandwidth probe alone cannot see CPU contention.
+    # Both the 1- and 5-minute averages must be low: bursty workloads
+    # (a Spark session mid-startup) dip the 1-min value below the bar
+    # for long enough to slip a one-instant sample
+    if max(os.getloadavg()[:2]) > 4.0:
         return 0.0
     return host_membw_probe(4, seconds=2.0)
 
