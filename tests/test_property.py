@@ -116,7 +116,8 @@ text_strategy = st.text(
 
 
 class TestAnalyzeProperties:
-    @given(text_strategy, st.sampled_from(["simple", "english", "german"]))
+    @given(text_strategy, st.sampled_from(
+        ["simple", "english", "german", "french", "spanish"]))
     @settings(max_examples=250, deadline=None,
               suppress_health_check=[HealthCheck.too_slow])
     def test_position_alignment(self, text, config):
@@ -652,3 +653,45 @@ class TestTsDebugAgreesWithAnalyzer:
         assert [r["token"] for r in rows] == tokens
         got = [r["lexemes"][0] if r["lexemes"] else None for r in rows]
         assert got == lexemes
+
+
+class TestPrefixQueryProperties:
+    """Properties of the ':*' prefix-slot machinery (round-4 feature)."""
+
+    @given(st.lists(st.sampled_from(
+        ["spark", "merge:*", "window", "'sort':*", "batch:*", "query"]),
+        min_size=1, max_size=5),
+        st.sampled_from(["&", "|", "<->"]))
+    @settings(max_examples=80, deadline=None)
+    def test_compile_marks_only_starred_slots(self, words, op):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            to_tspquery)
+        q = to_tspquery("simple", f" {op} ".join(words))
+        starred = {w.split(":")[0].strip("'") for w in words
+                   if w.endswith(":*")}
+        marked = {lex for ph in q.phrases
+                  for lex, pos in ph.items if pos in ph.prefix_slots}
+        plain = {lex for ph in q.phrases
+                 for lex, pos in ph.items if pos not in ph.prefix_slots}
+        assert marked == starred
+        # a lexeme is starred exactly where written, never leaks to
+        # neighboring slots
+        assert plain == {w.strip("'") for w in words
+                         if not w.endswith(":*")}
+        assert q.has_prefixes == bool(starred)
+
+    @given(st.text(
+        alphabet="ab c&|!()<>:*'\"-12", min_size=0, max_size=24))
+    @settings(max_examples=300, deadline=None)
+    def test_compile_never_raises_except_parse_error(self, text):
+        from pg_ts_semantic_headline_spark.plans.query_compiler import (
+            TSQueryParseError, to_tspquery)
+        try:
+            q = to_tspquery("simple", text)
+        except TSQueryParseError:
+            return  # loud parse errors are the contract
+        # compiled queries always expose a consistent surface
+        for ph in q.phrases:
+            positions = [p for _, p in ph.items]
+            assert all(s in positions for s in ph.prefix_slots)
+            ph.render()  # never raises
