@@ -38,8 +38,9 @@ def _regions(word: str) -> tuple[int, int]:
 
 def stem_german(word: str) -> str:
     word = word.replace("ß", "ss")
-    if len(word) <= 2:
-        return word
+    # no short-word early-return: the umlaut finalization applies at any
+    # length ('üâ' -> 'uâ', live-PG-verified); regions are empty for
+    # short words so no suffix step can fire anyway
 
     # Protect u/y between vowels from being treated as vowels.
     chars = list(word)
@@ -48,7 +49,11 @@ def stem_german(word: str) -> str:
             chars[i] = chars[i].upper()
     word = "".join(chars)
 
-    r1, r2 = _regions(word.lower())
+    # regions are computed on the MARKED string: a protected U/y between
+    # vowels counts as a consonant here (lowercasing first would undo the
+    # mark — live-PG cross-validation caught 'jouer': R1 must start after
+    # the marked U, giving 'jou' like german_stem, not 'jouer')
+    r1, r2 = _regions(word)
 
     # Step 1
     if word.endswith(("em", "ern", "er")):

@@ -117,7 +117,10 @@ def stem_english(word: str) -> str:
     elif word.endswith(("us", "ss")):
         pass
     elif word.endswith("s"):
-        if any(c in _VOWELS for c in word[:-2].lower()):
+        # vowel test on the MARKED string: consonant-Y must not count
+        # (lowercasing would turn it back into vowel y — live-PG
+        # cross-validation caught 'ymrys')
+        if any(c in _VOWELS for c in word[:-2]):
             word = word[:-1]
 
     if word in _EXCEPTIONS_1A:
@@ -132,7 +135,7 @@ def stem_english(word: str) -> str:
         for suf in ("ingly", "edly", "ing", "ed"):
             if word.endswith(suf):
                 stem = word[: -len(suf)]
-                if any(c in _VOWELS for c in stem.lower()):
+                if any(c in _VOWELS for c in stem):  # marked string (see 1a)
                     word = stem
                     if word.endswith(("at", "bl", "iz")):
                         word += "e"

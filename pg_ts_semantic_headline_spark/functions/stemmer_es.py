@@ -258,8 +258,8 @@ def _step3(s: str, rv: int) -> str:
 
 
 def stem_spanish(word: str) -> str:
-    if len(word) <= 2:
-        return word
+    # no short-word guard: Snowball Spanish has none, and the final
+    # acute-accent removal applies at any length
     s = word
     rv = _mark_rv(s)
     r1, r2 = _mark_r1r2(s)

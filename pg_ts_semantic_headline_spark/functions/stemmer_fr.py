@@ -253,7 +253,10 @@ def _step2a(s: str, rv: int) -> tuple[str, bool]:
         if not (s.endswith(suf) and _in(rv, n, m)):
             continue
         p = n - m - 1
-        if p >= rv and not _isv(s[p]):
+        # the preceding non-vowel must not be the 'H' marker (ï -> Hi):
+        # Snowball's i_verb_suffix tests `not 'H' non-v` so a word like
+        # 'dëï' keeps its final ï (live-PG cross-validation)
+        if p >= rv and not _isv(s[p]) and s[p] != "H":
             return s[:-m], True
         return s, False
     return s, False
@@ -368,8 +371,8 @@ def _postlude(s: str) -> str:
 
 
 def stem_french(word: str) -> str:
-    if len(word) <= 2:
-        return word
+    # no short-word guard: Snowball French has none, and steps 5/6 and
+    # the postlude apply at any length ('él' -> 'el', live-PG-verified)
     s = _prelude(word)
     rv = _mark_rv(s)
     r1, r2 = _mark_r1r2(s)

@@ -1,0 +1,32 @@
+"""Live-PostgreSQL stemmer parity: diff every stemmer against the real
+`ts_lexize('<lang>_stem', word)` on a throwaway PG instance.
+
+The strongest oracle the stemmers can have — the actual snowball
+implementations PG ships, not hand-traced goldens. Skips cleanly on
+hosts without PostgreSQL binaries. See
+scripts/validate_stemmers_pg.py for the full-size run and the three
+real divergences this harness caught in round 4.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+PG_BIN = "/usr/lib/postgresql/15/bin"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.skipif(not os.path.exists(f"{PG_BIN}/initdb"),
+                    reason="no PostgreSQL binaries on this host")
+def test_stemmers_match_live_pg():
+    # modest fuzz budget for CI (the script defaults to 9000); the
+    # validator exits non-zero on ANY mismatch and prints the diffs
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "validate_stemmers_pg.py"),
+         "800", "1234"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "TOTAL mismatches: 0" in out.stdout
