@@ -10,15 +10,25 @@
 - `ts_semantic_headline` (/root/reference/sql/ts_semantic_headline.sql:52-70):
   the 1:1 ts_headline replacement. Faithful two-phase flow: phase 1
   reimplements PostgreSQL's built-in ts_headline default (non-fragment)
-  passage selection — minimal covers containing every distinct query
-  lexeme, best cover by query-word count (first wins ties), window
-  extended forward to MinWords words skipping ShortWord-or-shorter end
-  words, backward at document end, document-head passage when no cover —
-  then phase 2 runs TS_FAST_HEADLINE over the selected passage with the
-  reference's forced MaxFragments=30,MinWords=64,MaxWords=64 overlay
-  (:64-68), COALESCE to the trimmed passage on no exact phrase match
-  (:69). Verified string-exact against every ad-hoc pgTAP assertion in
-  english_lang_test.sql:33-95 and german_lang_test.sql:111-149.
+  passage selection IN CANONICAL-CHUNK space (PG counts parser word
+  tokens: compounds count as their parts, non-ASCII symbol runs count
+  as words) — hlCover enumeration anchors each cover on the first
+  query-item word at-or-after the scan point and closes it at the
+  smallest index whose window SATISFIES the query phrase-/boolean-aware
+  (NOT-branches vacuous); each cover is resized (truncate to MaxWords;
+  extend forward to MinWords ending on a word longer than ShortWord OR
+  a query-item word, backward under the same rule only when the
+  document ends early), covers then compete on query-item word count
+  within the resized window, first wins ties; document-head MinWords
+  passage (no ShortWord logic) when no cover — then phase 2 runs
+  TS_FAST_HEADLINE over the selected passage with the reference's
+  forced MaxFragments=30,MinWords=64,MaxWords=64 overlay (:64-68),
+  COALESCE to the trimmed passage on no exact phrase match (:69).
+  Verified string-exact against every ad-hoc pgTAP assertion in
+  english_lang_test.sql:33-95 and german_lang_test.sql:111-149, AND
+  fuzz-validated 0-divergent against the LIVE reference extension
+  running in PostgreSQL (scripts/validate_reference_pg.py, ~1000
+  doc×query cases across several seeds).
 
 All arithmetic (option parsing defaults, integer division, the pad formula,
 bucket key, density ordering) follows the reference line for line.
@@ -182,97 +192,206 @@ _RE_STRIP_LEAD = re.compile(r"^\W+", re.UNICODE)
 _RE_STRIP_TAIL = re.compile(r"\W+$", re.UNICODE)
 
 
-def _select_passage(toks: list, match_sets: list, required: frozenset,
-                    min_words: int, max_words: int,
-                    short_word: int) -> tuple[int, int]:
-    """PostgreSQL default (non-fragment) ts_headline passage selection over
-    whitespace tokens: enumerate minimal covers holding every distinct
-    query lexeme, pick the cover with the most query-item words (first
-    wins ties), then size the window — forward to >= min_words ending on a
-    word longer than ShortWord, capped at max_words; backward when the
-    document ends first; document head when no cover exists."""
-    n = len(toks)
-    # pg's hlCover needs EVERY distinct query item in the window — a query
-    # lexeme absent from the whole document means NO cover (fallback to the
-    # document head), even when the other lexemes all occur
-    seen = set()
-    for s in match_sets:
-        seen |= s
-    if not required <= seen:
-        required = frozenset()
-
-    def wlen(tok: str) -> int:
-        return len(_RE_STRIP_TAIL.sub("", _RE_STRIP_LEAD.sub("", tok)))
-
-    def grow(p: int, q: int) -> tuple[int, int]:
-        curlen = q - p + 1
-        if curlen >= max_words:
-            return p, p + max_words - 1
-        e, i = q, q + 1
-        while i < n and curlen < max_words:
-            curlen += 1
-            e = i
-            if curlen >= min_words and wlen(toks[i]) > short_word:
+def _phrase_starts(phrase, chunk_lex: list) -> tuple[list, int]:
+    """(sorted start indices where the phrase matches the chunk stream,
+    span) — PG's headline machinery is PHRASE-AWARE (live-probed: a
+    '<->' query with no adjacent occurrence has NO cover and falls back
+    to the document head), so satisfaction must check aligned
+    positions, not bag presence."""
+    items = phrase.items
+    base = items[0][1]
+    span = phrase.span
+    n = len(chunk_lex)
+    starts = []
+    for s in range(n - span):
+        ok = True
+        for lx, pos in items:
+            if chunk_lex[s + (pos - base)] != lx:
+                ok = False
                 break
-            i += 1
-        b = p
-        while curlen < min_words and b > 0:
-            b -= 1
-            curlen += 1
-        while b > 0 and curlen < max_words and wlen(toks[b]) <= short_word:
-            b -= 1
-            curlen += 1
+        if ok:
+            starts.append(s)
+    return starts, span
+
+
+def _formula_sat(node, l: int, r: int, starts: dict) -> bool:
+    """PG hlCover's satisfaction test for window [l..r]: phrase = an
+    aligned match fully inside the window, AND/OR boolean, NOT-branches
+    vacuously true (live-PG probes: 'aaa & !zzz' covers like plain
+    'aaa'; 'aaa & zzz' with zzz absent has NO cover; 'aaa | zzz' covers
+    on aaa alone)."""
+    if node is None:
+        return False
+    if node.op == "phrase":
+        import bisect
+        ss, span = starts[id(node.phrase)]
+        i = bisect.bisect_left(ss, l)
+        return i < len(ss) and ss[i] + span <= r
+    if node.op == "not":
+        return True
+    if node.op == "and":
+        return all(_formula_sat(c, l, r, starts) for c in node.children)
+    return any(_formula_sat(c, l, r, starts) for c in node.children)
+
+
+def _has_positive_leaf(node) -> bool:
+    if node is None:
+        return False
+    if node.op == "phrase":
+        return True
+    if node.op == "not":
+        return False
+    return any(_has_positive_leaf(c) for c in node.children)
+
+
+def _collect_phrases(node, out: list) -> None:
+    if node is None:
+        return
+    if node.op == "phrase":
+        out.append(node.phrase)
+        return
+    for c in node.children:
+        _collect_phrases(c, out)
+
+
+def _select_passage(n: int, chunk_lex: list, word_lens: list, root,
+                    item_lexemes: frozenset, min_words: int,
+                    max_words: int, short_word: int) -> tuple[int, int]:
+    """PostgreSQL default (non-fragment) ts_headline passage selection,
+    in CANONICAL-CHUNK space (PG counts parser word tokens: a
+    hyphenated compound counts as its parts — live-PG-probed).
+
+    Every rule here is pinned by live-PG probes (scripts/
+    validate_reference_pg.py + the round-4 probe session):
+    - covers = minimal windows whose present-item set SATISFIES the
+      positive boolean structure (OR needs one side, AND needs all,
+      NOT vacuous);
+    - each cover is RESIZED first, then covers compete on poslen
+      (query-item words inside the resized window, including negated
+      items — PG marks those too), FIRST cover wins ties;
+    - resize: covers longer than MaxWords truncate to their first
+      MaxWords words; shorter-than-MinWords covers extend forward
+      until >= MinWords ending on a word longer than ShortWord (capped
+      at MaxWords), then backward under the same rule when the
+      document ends first;
+    - NOCOVER: plain first-MinWords document head, NO ShortWord logic
+      (probed: the fallback happily ends on a short word)."""
+
+    def resize(p: int, q: int) -> tuple[int, int]:
+        curlen = q - p + 1
+        if curlen > max_words:
+            return p, p + max_words - 1
+        b, e = p, q
+        if curlen < min_words:
+            i = q + 1
+            while i < n and curlen < max_words:
+                curlen += 1
+                e = i
+                if curlen >= min_words and (word_lens[i] > short_word
+                                            or chunk_lex[i] is not None):
+                    # a query-item word ends the window even when short
+                    # ('... dog' golden-fuzz case); PG treats item words
+                    # as good endings regardless of ShortWord
+                    break
+                i += 1
+            # backward ONLY when the document ended before MinWords; it
+            # keeps extending past short words until a long word (probed:
+            # [43..59] case) — but a window whose forward pass met
+            # MinWords never moves its start (probed: covers starting on
+            # a short match word stay put)
+            if curlen < min_words:
+                while b > 0 and curlen < max_words:
+                    b -= 1
+                    curlen += 1
+                    if curlen >= min_words and (word_lens[b] > short_word
+                                                or chunk_lex[b] is not None):
+                        break
         return b, e
 
-    covers = []
-    if required:
-        # minimal windows containing all required lexemes (two pointers)
-        from collections import Counter
-        cnt: Counter = Counter()
-        have, left = 0, 0
-        for right in range(n):
-            for x in match_sets[right]:
-                cnt[x] += 1
-                if cnt[x] == 1:
-                    have += 1
-            while have == len(required):
-                if any(cnt[x] == 1 for x in match_sets[left]):
-                    break
-                for x in match_sets[left]:
-                    cnt[x] -= 1
-                left += 1
-            if have == len(required):
-                covers.append((left, right))
-                for x in match_sets[left]:
-                    cnt[x] -= 1
-                    if cnt[x] == 0:
-                        have -= 1
-                left += 1
+    covers: list = []
+    if root is not None and _has_positive_leaf(root):
+        phrases: list = []
+        _collect_phrases(root, phrases)
+        starts = {id(ph): _phrase_starts(ph, chunk_lex) for ph in phrases}
+        # PG hlCover, as pinned by live probes: p anchors on the FIRST
+        # position >= scan start holding ANY query item (even one from a
+        # bag-unsatisfied phrase — the 'decide <-> negatively' fuzz doc
+        # anchors on an earlier lone 'decide'); q is the SMALLEST index
+        # where [p..q] SATISFIES the query phrase-/boolean-aware; then
+        # the scan advances p+1. No q for the widest window => no
+        # further cover for any later p either (windows only shrink).
+        item_pos = [i for i in range(n) if chunk_lex[i] is not None]
+        import bisect as _b
+        s = 0
+        while True:
+            k = _b.bisect_left(item_pos, s)
+            if k >= len(item_pos):
+                break
+            p = item_pos[k]
+            if not _formula_sat(root, p, n - 1, starts):
+                break
+            lo, hi = p, n - 1
+            while lo < hi:          # min q with sat(p, q): monotone in q
+                mid = (lo + hi) // 2
+                if _formula_sat(root, p, mid, starts):
+                    hi = mid
+                else:
+                    lo = mid + 1
+            covers.append((p, lo))
+            s = p + 1
 
     if not covers:
-        # no cover: document-head passage (pg's NOCOVER behavior)
-        return grow(0, 0) if n else (0, -1)
+        if n == 0:
+            return (0, -1)
+        return (0, min(min_words, n) - 1)
 
     best, bestlen = None, -1
     for p, q in covers:
-        hi = min(q, p + max_words - 1)
-        poslen = sum(1 for i in range(p, hi + 1) if match_sets[i])
+        b, e = resize(p, q)
+        poslen = sum(1 for i in range(b, e + 1)
+                     if chunk_lex[i] in item_lexemes)
         if poslen > bestlen:
-            best, bestlen = (p, q), poslen
-    return grow(*best)
+            best, bestlen = (b, e), poslen
+    return best
+
+
+def _all_item_lexemes(node, out: set) -> None:
+    """Every query-item lexeme, INCLUDING negated branches — PG's
+    headline machinery marks (and counts in poslen) negated items too;
+    only the engine's fast-path highlight stage restricts to positive
+    phrases, which is also the reference's behavior (its
+    tsquery_to_tsvector drops negations before highlighting)."""
+    if node is None:
+        return
+    if node.op == "phrase":
+        for lx, _ in node.phrase.items:
+            out.add(lx)
+        return
+    for c in node.children:
+        _all_item_lexemes(c, out)
 
 
 def _pg_passage_udf(query: CompiledQuery, cfg: str, min_words: int,
                     max_words: int, short_word: int):
-    """Arrow UDF: raw content -> the pg-selected passage string. Token
-    emission matches pg's generateHeadline: the passage ends at the last
-    WORD (trailing punctuation stripped) unless it reaches the document
-    edge, where the raw edge token is kept verbatim (english_lang golden 4
-    keeps 'hill.' at document end; german golden 1 drops the comma after
-    'Mädchen' mid-document)."""
-    from ..functions.lexize import analyze_text_simple
+    """Arrow UDF: raw content -> the pg-selected passage string.
 
-    qlex = frozenset(query.lexemes)
+    Works in canonical-chunk space (PG word-token counting: hyphenated
+    compounds count as their parts), mapping the selected chunk window
+    back to raw text. A window boundary inside a compound emits only
+    the covered parts' original characters ('child-bearing' cut after
+    'child' emits 'child'), matching PG's generateHeadline; edge tokens
+    keep raw punctuation only at the document edges (english golden 4
+    keeps 'hill.' at document end; german golden 1 drops the comma
+    after 'Mädchen' mid-document)."""
+    from ..functions.chars import BELL
+    from ..functions.lexize import analyze_text_simple
+    from ..functions.textprep import tsp_indexable_text
+
+    item_lex: set = set()
+    _all_item_lexemes(query.root, item_lex)
+    item_lexemes = frozenset(item_lex)
+    root = query.root
+    strip_w = re.compile(r"\W+", re.UNICODE)
 
     def one(content: str) -> str:
         if content is None:
@@ -282,25 +401,70 @@ def _pg_passage_udf(query: CompiledQuery, cfg: str, min_words: int,
             return ""
         memo: dict = {}
 
-        def mset(tok: str) -> frozenset:
+        def tok_chunks(tok: str):
             got = memo.get(tok)
             if got is None:
+                canon = tsp_indexable_text(tok)
+                ctexts = canon.split(" ") if canon else []
                 lexs = analyze_text_simple(tok, cfg)
-                got = qlex.intersection(x for x in lexs if x is not None)
+                if len(lexs) < len(ctexts):
+                    lexs = lexs + [None] * (len(ctexts) - len(lexs))
+                got = [(c.replace(BELL, ""),
+                        len(strip_w.sub("", c)),
+                        lexs[i] if lexs[i] in item_lexemes else None)
+                       for i, c in enumerate(ctexts)]
+                if not got:
+                    # pure-symbol token: ASCII symbols are parser blanks
+                    # (uncounted), but non-ASCII symbol runs ('—', '…')
+                    # are 'word' tokens in PG's parser and COUNT toward
+                    # MinWords/MaxWords (the german corpus golden pins
+                    # this: 'hatte — doch' is three words)
+                    sym = sum(1 for ch in tok
+                              if ord(ch) > 127 and not ch.isspace())
+                    if sym:
+                        got = [(tok, sym, None)]
                 memo[tok] = got
             return got
 
-        match_sets = [mset(t) for t in toks] if qlex else [frozenset()] * len(toks)
-        b, e = _select_passage(toks, match_sets, qlex, min_words, max_words,
+        # flat chunk arrays + owner mapping
+        chunk_lex: list = []
+        word_lens: list = []
+        owner: list = []        # (tok_idx, chunk_idx_in_tok, n_chunks)
+        originals: list = []
+        for ti, tok in enumerate(toks):
+            cs = tok_chunks(tok)
+            for ci, (orig, wl, lx) in enumerate(cs):
+                chunk_lex.append(lx)
+                word_lens.append(wl)
+                owner.append((ti, ci, len(cs)))
+                originals.append(orig)
+        n = len(chunk_lex)
+        if n == 0:
+            return ""
+
+        b, e = _select_passage(n, chunk_lex, word_lens, root,
+                               item_lexemes, min_words, max_words,
                                short_word)
         if e < b:
             return ""
-        window = list(toks[b:e + 1])
+
+        tb, jb, _ = owner[b]
+        te, je, ke = owner[e]
+        if tb == te:
+            cs = tok_chunks(toks[tb])
+            text = "".join(o for o, _, _ in cs[jb:je + 1])
+            window = [text]
+        else:
+            first = (toks[tb] if jb == 0 else
+                     "".join(o for o, _, _ in tok_chunks(toks[tb])[jb:]))
+            last = (toks[te] if je == ke - 1 else
+                    "".join(o for o, _, _ in tok_chunks(toks[te])[:je + 1]))
+            window = [first] + toks[tb + 1:te] + [last]
         if b > 0:
             window[0] = _RE_STRIP_LEAD.sub("", window[0])
-        if e < len(toks) - 1:
+        if e < n - 1:
             window[-1] = _RE_STRIP_TAIL.sub("", window[-1])
-        return " ".join(window)
+        return " ".join(w for w in window if w)
 
     def run(content: pd.Series) -> pd.Series:
         return content.map(one)

@@ -50,3 +50,20 @@ def test_analyzer_matches_live_pg_to_tsvector():
     assert out.returncode == 0, out.stdout + out.stderr
     assert "TOTAL diverging texts: 0" in out.stdout
     assert "protocol-case divergences (expected 5): 5" in out.stdout
+
+
+@pytest.mark.skipif(not os.path.exists(f"{PG_BIN}/initdb"),
+                    reason="no PostgreSQL binaries on this host")
+def test_semantic_headline_matches_live_reference():
+    """End-to-end parity against the ACTUAL reference extension loaded
+    into a throwaway PostgreSQL: TSP_QUERY_MATCHES rows and
+    TS_SEMANTIC_HEADLINE strings over randomized docs × the query set.
+    The strongest oracle the flagship API can have; round 4 used it to
+    derive PG's real hlCover/resize rules (87 → 0 divergences)."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "validate_reference_pg.py"),
+         "10", "99"],
+        capture_output=True, text=True, timeout=560)
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-500:]
+    assert "divergences: 0" in out.stdout
