@@ -95,7 +95,14 @@ def valid(s: dict) -> bool:
     # (e.g. 45 -> 21 GB/s, measured) starves only the 4N leg and fakes a
     # low efficiency. Require the two legs to have seen comparable hosts.
     drift = m_4n / m_n if m_n else 0.0
-    return 0.6 <= drift <= 1.67
+    if not (0.6 <= drift <= 1.67):
+        return False
+    # and the pair's own bracketing CPU probes must read a near-clean
+    # box: a concurrent local job slipping past the loadavg gate slows
+    # the N leg and INFLATES efficiency (measured: a 0.838 raw pair
+    # with ceiling 0.833 during a test-suite run, N-leg 43% below its
+    # clean-window rate)
+    return (s.get("host_ceiling_efficiency") or 0) >= 0.9
 
 
 def main() -> int:
