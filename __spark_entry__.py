@@ -2442,38 +2442,69 @@ GROUP BY doc_id
         # longer than 3 chars (capped at 35 / the doc end, extending
         # backward when the doc ends first), then highlight every exact
         # match inside the passage — mirrors plans/headline.py phase 1+2.
+        # PG-true non-fragment passage selection (live-reference-derived,
+        # plans/headline.py module docs): one cover per 'merge'
+        # occurrence, each resized (forward to >= 15 words ending on a
+        # long-or-item word, capped at 35; backward under the same rule
+        # when the document ends early), covers compete on occurrence
+        # count within the resized window, first wins ties; no-match
+        # fallback = plain first 15 words
         "ts_semantic_headline": """
-WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-dims AS (SELECT doc_id, l, len(l) AS n,
-                NULLIF(list_position(l, 'merge'), 0) AS p FROM base),
-start AS (SELECT doc_id, l, n, p, COALESCE(p, 1) AS s FROM dims),
-scan AS (
-  SELECT st.doc_id,
-         min(CASE WHEN j >= st.s + 14 AND j <= st.s + 34
-                   AND length(st.l[j]) > 3 THEN j END) AS fwd_e,
-         max(CASE WHEN j <= least(st.s, st.n - 14)
-                   AND length(st.l[j]) > 3 THEN j END) AS back_b
-  FROM start st, LATERAL (SELECT unnest(generate_series(1, st.n)) AS j) t
-  GROUP BY st.doc_id
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS l,
+                     len(string_split(text, ' ')) AS n FROM documents),
+occ AS (
+  SELECT b.doc_id, b.l, b.n, t.j AS p
+  FROM base b, LATERAL (SELECT unnest(generate_series(1, b.n)) AS j) t
+  WHERE b.l[t.j] = 'merge'
 ),
-win AS (
-  SELECT st.doc_id, st.l, st.n, st.p,
-         CASE WHEN st.n - st.s + 1 >= 15 THEN st.s
-              ELSE COALESCE(sc.back_b, 1) END AS b,
-         CASE WHEN sc.fwd_e IS NOT NULL THEN sc.fwd_e
-              WHEN st.s + 34 <= st.n THEN st.s + 34
-              ELSE st.n END AS e
-  FROM start st JOIN scan sc USING (doc_id)
+fwd AS (
+  SELECT o.doc_id, o.p, o.l, o.n,
+         COALESCE(
+           (SELECT min(u.j)
+            FROM (SELECT unnest(generate_series(o.p + 14,
+                                    least(o.p + 34, o.n))) AS j) u
+            WHERE length(o.l[u.j]) > 3 OR o.l[u.j] = 'merge'),
+           least(o.p + 34, o.n)) AS e
+  FROM occ o
 ),
-passage AS (
-  SELECT doc_id, p, array_to_string(l[b:e], ' ') AS ptxt FROM win
+wins AS (
+  SELECT f.doc_id, f.p, f.l, f.e,
+         CASE WHEN f.e - f.p + 1 >= 15 THEN f.p
+              ELSE COALESCE(
+                (SELECT max(u.j)
+                 FROM (SELECT unnest(generate_series(
+                            greatest(1, f.e - 34), f.e - 14)) AS j) u
+                 WHERE length(f.l[u.j]) > 3 OR f.l[u.j] = 'merge'),
+                greatest(1, f.e - 34)) END AS b
+  FROM fwd f
+),
+scored AS (
+  SELECT w.doc_id, w.p, w.b, w.e, w.l,
+         (SELECT count(*)
+          FROM (SELECT unnest(generate_series(w.b, w.e)) AS j) u
+          WHERE w.l[u.j] = 'merge') AS poslen
+  FROM wins w
+),
+best AS (
+  SELECT doc_id, b, e, l FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY poslen DESC, p ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+withfall AS (
+  SELECT ba.doc_id,
+         CASE WHEN be.doc_id IS NULL
+              THEN array_to_string(ba.l[1:least(15, ba.n)], ' ')
+              ELSE array_to_string(be.l[be.b:be.e], ' ') END AS ptxt,
+         be.doc_id IS NOT NULL AS matched
+  FROM base ba LEFT JOIN best be USING (doc_id)
 )
 SELECT doc_id,
-       CASE WHEN p IS NULL THEN ptxt
-            ELSE trim(regexp_replace(' ' || ptxt || ' ', ' (merge) ',
+       CASE WHEN matched
+            THEN trim(regexp_replace(' ' || ptxt || ' ', ' (merge) ',
                                      ' <b>\\1</b> ', 'g'))
-       END AS headline
-FROM passage
+            ELSE ptxt END AS headline
+FROM withfall
 """,
         "docstats": f"WITH {TOKS_CTE.strip()} SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id",
         "corpus_stats": f"""
