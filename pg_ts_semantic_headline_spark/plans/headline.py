@@ -460,10 +460,18 @@ def _pg_passage_udf(query: CompiledQuery, cfg: str, min_words: int,
             last = (toks[te] if je == ke - 1 else
                     "".join(o for o, _, _ in tok_chunks(toks[te])[:je + 1]))
             window = [first] + toks[tb + 1:te] + [last]
+        # edge punctuation stripping (generateHeadline drops the blank
+        # run after the last word) — but a pure-SYMBOL word token at the
+        # edge ('—' counts as a parser word) must survive: stripping
+        # would delete the word itself, not trailing blanks
         if b > 0:
-            window[0] = _RE_STRIP_LEAD.sub("", window[0])
+            lead = _RE_STRIP_LEAD.sub("", window[0])
+            if lead:
+                window[0] = lead
         if e < n - 1:
-            window[-1] = _RE_STRIP_TAIL.sub("", window[-1])
+            tail = _RE_STRIP_TAIL.sub("", window[-1])
+            if tail:
+                window[-1] = tail
         return " ".join(w for w in window if w)
 
     def run(content: pd.Series) -> pd.Series:

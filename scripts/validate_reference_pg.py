@@ -13,7 +13,21 @@ the oracle, executed live. The reference SQL is only EXECUTED here
 (concatenated into the scratch database exactly like its package.sh
 does); nothing is copied into the engine.
 
-Usage: python scripts/validate_reference_pg.py [n_docs] [seed]
+Usage: python scripts/validate_reference_pg.py [n_docs] [seed] [config]
+
+config = english (default) or german. The German sweep classifies one
+KNOWN oracle artifact instead of failing on it: this harness's
+throwaway PG runs under the C locale, where the reference's own SQL
+regexes see `\\w` as ASCII-only and strip a window-LEADING umlaut
+letter ('über' -> 'ber'); the engine keeps the goldens' environment
+semantics (umlauts are letters AND non-ASCII symbol runs count as
+parser words — the combination the reference's own pgTAP expected
+strings pin, reproduced here only under the C-locale word-class side).
+Locale probes: a C.utf8 instance classifies '—' as blank and produces
+a LONGER window than the german golden, while the C instance matches
+the golden's dash counting but mangles leading umlauts — the goldens'
+source environment (BSD-style wctype) had both dash-as-word and
+umlauts-as-letters, which is exactly what the engine implements.
 """
 
 import os
@@ -28,15 +42,43 @@ from validate_stemmers_pg import start_throwaway_pg  # noqa: E402
 
 REFERENCE_SQL_DIR = "/root/reference/sql"
 
-WORDS = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog",
-         "spark", "window", "merge", "sort", "running", "quickly",
-         "fortune", "kingdom", "child-bearing", "don't", "naïve",
-         "decide", "negatively", "batch", "stream", "jumped", "dogs"]
+VOCAB = {
+    "english": ["the", "quick", "brown", "fox", "jumps", "over", "lazy",
+                "dog", "spark", "window", "merge", "sort", "running",
+                "quickly", "fortune", "kingdom", "child-bearing", "don't",
+                "naïve", "decide", "negatively", "batch", "stream",
+                "jumped", "dogs"],
+    "german": ["der", "die", "das", "Hund", "schläft", "im", "Garten",
+               "neben", "dem", "Haus", "bleibenden", "Gäste", "zechten",
+               "Hochzeitsgeschenk", "selbstverständlich", "Seezungen",
+               "gestiftet", "Mädchen", "schöne", "Würde", "große",
+               "kleine", "Bücher", "Kinder", "spielen", "draußen",
+               "über", "straße", "—", "Fenster"],
+}
 
-QUERIES = ["jumping", "quick <-> brown", "fox & dog", "lazy | spark",
-           "the <2> fox", "dog & !cat", "running", "merge <-> sort",
-           "fortune", "decide negatively".replace(" ", " <-> "),
-           "window | sort", "quick & brown & fox"]
+QUERY_SET = {
+    "english": ["jumping", "quick <-> brown", "fox & dog", "lazy | spark",
+                "the <2> fox", "dog & !cat", "running", "merge <-> sort",
+                "fortune", "decide <-> negatively", "window | sort",
+                "quick & brown & fox"],
+    "german": ["Gäste", "bleibenden <-> Gäste", "Hund & Garten",
+               "zechten | spielen", "schöne", "Kinder & !Katze",
+               "Bücher"],
+}
+
+_UMLAUTS = "üäößÜÄÖ"
+
+
+def _is_c_locale_umlaut_artifact(eng: str, ref: str) -> bool:
+    """True when the only difference is the oracle's C-locale regex
+    stripping leading non-ASCII letters off the window's first token."""
+    if not eng or not ref or eng == ref:
+        return False
+    et, rt = eng.split(" ", 1) if " " in eng else (eng, ""), \
+        ref.split(" ", 1) if " " in ref else (ref, "")
+    if et[1] != rt[1]:
+        return False
+    return et[0].lstrip(_UMLAUTS) == rt[0] and et[0] != rt[0]
 
 
 def _psql(sock, port, args, **kw):
@@ -98,9 +140,10 @@ def ref_headline(sock, port, config, content, qtext):
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    config = sys.argv[3] if len(sys.argv) > 3 else "english"
 
     rng = random.Random(seed)
-    docs = [" ".join(rng.choice(WORDS)
+    docs = [" ".join(rng.choice(VOCAB[config])
                      for _ in range(rng.randint(4, 40)))
             for _ in range(n_docs)]
 
@@ -125,14 +168,13 @@ def main():
         from pg_ts_semantic_headline_spark.plans.query_compiler import (
             to_tspquery)
 
-        config = "english"
         df = spark.createDataFrame(
             list(enumerate(docs)), ["doc_id", "content"])
         analyzed = with_analysis(df, config=config).cache()
         analyzed.count()
 
-        n_cases = mism = ref_err = 0
-        for qtext in QUERIES:
+        n_cases = mism = ref_err = artifacts = 0
+        for qtext in QUERY_SET[config]:
             cq = to_tspquery(config, qtext)
             # engine sides, one action per query over ALL docs
             eng_m = {}
@@ -151,6 +193,10 @@ def main():
                     continue
                 em = sorted(eng_m.get(did, []))
                 eh = eng_h.get(did)
+                if em == rm and eh != rh \
+                        and _is_c_locale_umlaut_artifact(eh, rh):
+                    artifacts += 1
+                    continue
                 if em != rm or eh != rh:
                     mism += 1
                     if mism <= 6:
@@ -164,7 +210,8 @@ def main():
                             print("  headline engine", repr(eh))
                             print("           ref   ", repr(rh))
         print(f"cases: {n_cases}  divergences: {mism}  "
-              f"reference-errors(skipped): {ref_err}")
+              f"reference-errors(skipped): {ref_err}  "
+              f"c-locale-umlaut-artifacts: {artifacts}")
         return 0 if mism == 0 else 1
     finally:
         if cleanup:

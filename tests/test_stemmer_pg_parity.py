@@ -67,3 +67,18 @@ def test_semantic_headline_matches_live_reference():
         capture_output=True, text=True, timeout=560)
     assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-500:]
     assert "divergences: 0" in out.stdout
+
+
+@pytest.mark.skipif(not os.path.exists(f"{PG_BIN}/initdb"),
+                    reason="no PostgreSQL binaries on this host")
+def test_semantic_headline_matches_live_reference_german():
+    """Same end-to-end oracle on the German config (umlauts, ß, the
+    em-dash parser-word case the golden pins); the validator classifies
+    the known C-locale oracle artifact apart from real divergences."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "validate_reference_pg.py"),
+         "8", "17", "german"],
+        capture_output=True, text=True, timeout=560)
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-500:]
+    assert "divergences: 0" in out.stdout
