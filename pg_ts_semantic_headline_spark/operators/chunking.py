@@ -120,24 +120,41 @@ def sample_token_budget_exact(df: DataFrame, budget_tokens: int,
 def source_mix_weights(df: DataFrame, alpha: float = 0.7,
                        by: str = "source",
                        text_col: str = "text") -> DataFrame:
-    """(source, n_docs, n_tokens, weight): temperature-scaled sampling
-    weights for multi-source training mixes — weight ∝ n_tokens^alpha,
-    normalized to sum 1 (the published recipe behind multilingual /
-    multi-corpus temperature sampling: alpha=1 is proportional, alpha→0
-    approaches uniform, upweighting small sources). One aggregation over
-    the corpus; the normalization window runs over the source-count-sized
-    result, not the data. Pair with `sample_token_budget(stratify_by=by,
-    budget = weight·total_budget)` to realize the mix."""
+    """(source, n_docs, n_tokens, scaled_e6, weight): temperature-scaled
+    sampling weights for multi-source training mixes — weight ∝
+    n_tokens^alpha, normalized to sum 1 (the published recipe behind
+    multilingual / multi-corpus temperature sampling: alpha=1 is
+    proportional, alpha→0 approaches uniform, upweighting small sources).
+    One aggregation over the corpus; the normalization window runs over
+    the source-count-sized result, not the data. Pair with
+    `sample_token_budget(stratify_by=by, budget = weight·total_budget)`
+    to realize the mix.
+
+    Determinism contract: the one transcendental (`pow`, which is NOT
+    correctly rounded by IEEE-754 and so may differ by an ulp between
+    libm implementations) is quantized to an e6 BIGINT (`scaled_e6`)
+    immediately, and `weight` is the ratio of those integers — IEEE
+    division IS correctly rounded, so downstream consumers quantizing
+    `weight` (e.g. to e4 for a cross-engine gate) see bit-identical
+    values whenever `scaled_e6` agrees. The e6 quantization loses ~1e-6
+    relative accuracy, irrelevant for sampling weights, and shrinks the
+    residual pow-ulp boundary surface ~100× vs rounding a normalized e4
+    weight directly (the round-4 driver flake class)."""
     from pyspark.sql import Window
 
     agg = (df.groupBy(by)
            .agg(F.count("*").alias("n_docs"),
                 F.sum(F.size(_tok(F.col(text_col)))).alias("n_tokens")))
-    scaled = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
-    total = F.sum(scaled).over(Window.partitionBy())
-    return (agg.withColumn("weight", scaled / total)
+    scaled_e6 = F.round(
+        F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+        * F.lit(1e6)).cast("long")
+    agg = agg.withColumn("scaled_e6", scaled_e6)
+    total = F.sum("scaled_e6").over(Window.partitionBy())
+    return (agg.withColumn(
+                "weight",
+                F.col("scaled_e6").cast("double") / total.cast("double"))
             .select(F.col(by).alias("source"), "n_docs", "n_tokens",
-                    "weight"))
+                    "scaled_e6", "weight"))
 
 
 def pack_sequences(df: DataFrame, max_tokens: int,

@@ -196,3 +196,70 @@ class TestPackSequences:
         assert {r["shard"] for r in rows} == {0, 1}
         with _p.raises(ValueError):
             pack_sequences(df, 0)
+
+
+class TestSourceMixIntegerGate:
+    """Round-5 determinism contract for source_mix_weights: pow is
+    quantized to an e6 BIGINT inside the operator, and the e4 gate weight
+    is an integer-ratio rounding whose only remaining op (IEEE double
+    division) is correctly rounded — so Spark and DuckDB agree whenever
+    scaled_e6 agrees, including on exact .5 e4 boundaries (the round-4
+    driver flake class)."""
+
+    def test_operator_emits_quantized_scaled_e6(self, spark):
+        from pg_ts_semantic_headline_spark.operators.chunking import (
+            source_mix_weights)
+        rows = [(i, "s_big" if i < 90 else "s_small", "tok " * 50)
+                for i in range(100)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string")
+        out = {r["source"]: r for r in
+               source_mix_weights(df, alpha=0.7).collect()}
+        for r in out.values():
+            # scaled_e6 is exactly round(pow(n_tokens, 0.7) * 1e6)
+            assert r["scaled_e6"] == round(r["n_tokens"] ** 0.7 * 1e6)
+        tot = sum(r["scaled_e6"] for r in out.values())
+        # weight is the exact integer ratio (one correctly-rounded div)
+        for r in out.values():
+            assert r["weight"] == r["scaled_e6"] / tot
+
+    def test_e4_ratio_rounding_matches_duckdb_on_boundaries(self, spark):
+        """Constructed .5 boundary: scaled_e6=(9999, 10001) → total 20000
+        → 9999·1e4/20000 = 4999.5 EXACTLY (representable double); both
+        engines must round half-up to 5000. Plus off-boundary pairs."""
+        import duckdb
+        from pyspark.sql import Window
+        cases = [(9999, 10001), (1, 1), (3, 5), (12345, 7655),
+                 (1, 199999), (499999, 500001)]
+        for s1, s2 in cases:
+            total = s1 + s2
+            df = spark.createDataFrame([(s1,), (s2,)], "scaled_e6 long")
+            w = Window.partitionBy()
+            got = sorted(r[0] for r in df.select(
+                F.round(F.col("scaled_e6") * F.lit(1e4)
+                        / F.sum("scaled_e6").over(w).cast("double"))
+                .cast("long").alias("w")).collect())
+            duck = sorted(r[0] for r in duckdb.sql(
+                f"SELECT CAST(ROUND(s * 1e4 / CAST({total} AS DOUBLE)) "
+                f"AS BIGINT) FROM (VALUES ({s1}), ({s2})) v(s)").fetchall())
+            assert got == duck, (s1, s2, got, duck)
+        # pin the half-up boundary value itself
+        assert 5000 in [r[0] for r in duckdb.sql(
+            "SELECT CAST(ROUND(9999 * 1e4 / 20000.0) AS BIGINT)"
+        ).fetchall()]
+
+    def test_pow_e6_quantization_parity_sweep(self, spark):
+        """Empirical residual-risk scan: round(pow(n,0.7)·1e6) agrees
+        between the JVM and DuckDB's libm for every n_tokens 1..50000 on
+        this platform. A failure here would name the exact n where the
+        one remaining ulp surface bites."""
+        import duckdb
+        jvm = dict(spark.range(1, 50001).select(
+            F.col("id"),
+            F.round(F.pow(F.col("id").cast("double"), F.lit(0.7))
+                    * F.lit(1e6)).cast("long").alias("s")).collect())
+        duck = dict(duckdb.sql(
+            "SELECT r AS id, CAST(ROUND(pow(r, 0.7) * 1e6) AS BIGINT) "
+            "FROM range(1, 50001) t(r)").fetchall())
+        mism = [n for n in jvm if jvm[n] != duck[n]]
+        assert not mism, mism[:20]
