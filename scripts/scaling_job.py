@@ -61,9 +61,21 @@ def host_membw_probe(procs: int, seconds: float = 4.0,
     def copy_loop(q, barrier):
         # allocate BEFORE the timed window (spawn + numpy import + a
         # 2×mb allocation can eat a whole short window otherwise), and
-        # rendezvous so every process measures the same interval
+        # rendezvous so every process measures the same interval.
+        # WARM UP untimed (round-5 fix): the first streaming burst after
+        # a memory-idle period on this VM reads 30–100× low — measured
+        # 0.39/0.76/11.4 GB/s cold-first vs 38–70 GB/s on the immediate
+        # next call, three idle-gap trials — because the hypervisor
+        # (free-page reporting / ballooning) must re-populate pages on
+        # first touch. ~0.7 s of untimed copies pays that cost before
+        # the barrier, so the timed window measures the SUSTAINABLE
+        # bandwidth of the window rather than the cold-start transient
+        # (this artifact is what put the r4 bench bracket at 0.38 GB/s).
         src = np.ones(mb * 1024 * 1024 // 8, dtype=np.int64)
         dst = np.empty_like(src)
+        t_w = time.time()
+        while time.time() - t_w < 0.7:
+            np.copyto(dst, src)
         barrier.wait()
         t0 = time.time()
         n = 0
