@@ -12,9 +12,13 @@ Per-config behavior mirrors PostgreSQL's regconfigs:
 - english: tokens containing digits → lowercase only (numword → simple
   dict); otherwise stopword check then Porter2 stem
 - german:  same shape with the German stopword list and Snowball stemmer
-- french / spanish: same shape with the respective stopword lists and
-  Snowball stemmers (extensions beyond the reference's english/german/
-  simple test surface)
+- french / spanish / portuguese / italian / russian: same shape with the
+  respective stopword lists and Snowball stemmers (extensions beyond the
+  reference's english/german/simple test surface — the reference accepts
+  any REGCONFIG via its overloads, /root/reference/sql/to_tspquery.sql:
+  36-45, so these are the largest web-corpus languages routed through
+  the same registry; each is validated to 0 mismatches against a live
+  PostgreSQL 15 by scripts/validate_stemmers_pg.py)
 """
 
 from __future__ import annotations
@@ -27,6 +31,9 @@ from .stemmer_de import stem_german
 from .stemmer_en import stem_english
 from .stemmer_es import stem_spanish
 from .stemmer_fr import stem_french
+from .stemmer_it import stem_italian
+from .stemmer_pt import stem_portuguese
+from .stemmer_ru import stem_russian
 from .stopwords import STOPWORDS_BY_CONFIG
 from .textprep import tsp_indexable_text
 from .unaccent import unaccent
@@ -42,6 +49,9 @@ _STEMMERS = {
     "german": stem_german,
     "french": stem_french,
     "spanish": stem_spanish,
+    "portuguese": stem_portuguese,
+    "italian": stem_italian,
+    "russian": stem_russian,
     "simple": None,
     # source-code config: lowercase, no stopwords, no stemming (like
     # simple), plus camelCase splitting in the canonicalization step —
@@ -277,6 +287,15 @@ def lexize_chunk(chunk: str, config: str) -> str | None:
             + ("; this index was built with a per-document config column —"
                " pass an explicit config= to driver-side re-analysis"
                if config == "percolumn" else ""))
+    if config == "russian" and lower.isascii():
+        # PG's built-in `russian` regconfig maps the parser's asciiword/
+        # asciihword token types to english_stem (verified by ts_debug on
+        # live PG 15), so pure-ASCII tokens take the ENGLISH stopword
+        # list and Porter2 — 'running the мальчики' indexes as
+        # 'run:1 мальчик:3'. Non-Latin-only configs are the only ones
+        # with this split; every Latin config routes asciiword to its
+        # own stemmer.
+        config = "english"
     stemmer = _STEMMERS[config]
     if stemmer is None:
         return lower

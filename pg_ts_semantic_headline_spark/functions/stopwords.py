@@ -5,7 +5,7 @@ PostgreSQL ships the Snowball project's stopword files
 spanish regconfigs consult them before stemming, the `simple` config has
 none. Lookup happens on the lowercased token. The lists below are the
 VERBATIM contents of PG 15's tsearch_data/{english,german,french,
-spanish}.stop — including upstream quirks like spanish.stop's
+spanish,portuguese,italian,russian}.stop — including upstream quirks like spanish.stop's
 'vosostros'/'vosostras' spellings — so stopword behavior matches PG
 exactly. Note the reference pipeline UNACCENTs document text *before*
 analysis (/root/reference/sql/to_tspvector.sql:23), so accented
@@ -93,10 +93,72 @@ tuvieron tuviera tuvieras tuviéramos tuvierais tuvieran tuviese tuvieses
 tuviésemos tuvieseis tuviesen teniendo tenido tenida tenidos tenidas tened
 """.split())
 
+PORTUGUESE_STOPWORDS = frozenset("""
+de a o que e do da em um para com não uma os no se na por mais as dos como
+mas ao ele das à seu sua ou quando muito nos já eu também só pelo pela até
+isso ela entre depois sem mesmo aos seus quem nas me esse eles você essa
+num nem suas meu às minha numa pelos elas qual nós lhe deles essas esses
+pelas este dele tu te vocês vos lhes meus minhas teu tua teus tuas nosso
+nossa nossos nossas dela delas esta estes estas aquele aquela aqueles
+aquelas isto aquilo estou está estamos estão estive esteve estivemos
+estiveram estava estávamos estavam estivera estivéramos esteja estejamos
+estejam estivesse estivéssemos estivessem estiver estivermos estiverem hei
+há havemos hão houve houvemos houveram houvera houvéramos haja hajamos
+hajam houvesse houvéssemos houvessem houver houvermos houverem houverei
+houverá houveremos houverão houveria houveríamos houveriam sou somos são
+era éramos eram fui foi fomos foram fora fôramos seja sejamos sejam fosse
+fôssemos fossem for formos forem serei será seremos serão seria seríamos
+seriam tenho tem temos tém tinha tínhamos tinham tive teve tivemos tiveram
+tivera tivéramos tenha tenhamos tenham tivesse tivéssemos tivessem tiver
+tivermos tiverem terei terá teremos terão teria teríamos teriam
+""".split())
+
+ITALIAN_STOPWORDS = frozenset("""
+ad al allo ai agli all agl alla alle con col coi da dal dallo dai dagli
+dall dagl dalla dalle di del dello dei degli dell degl della delle in nel
+nello nei negli nell negl nella nelle su sul sullo sui sugli sull sugl
+sulla sulle per tra contro io tu lui lei noi voi loro mio mia miei mie tuo
+tua tuoi tue suo sua suoi sue nostro nostra nostri nostre vostro vostra
+vostri vostre mi ti ci vi lo la li le gli ne il un uno una ma ed se perché
+anche come dov dove che chi cui non più quale quanto quanti quanta quante
+quello quelli quella quelle questo questi questa queste si tutto tutti a c
+e i l o ho hai ha abbiamo avete hanno abbia abbiate abbiano avrò avrai
+avrà avremo avrete avranno avrei avresti avrebbe avremmo avreste avrebbero
+avevo avevi aveva avevamo avevate avevano ebbi avesti ebbe avemmo aveste
+ebbero avessi avesse avessimo avessero avendo avuto avuta avuti avute sono
+sei è siamo siete sia siate siano sarò sarai sarà saremo sarete saranno
+sarei saresti sarebbe saremmo sareste sarebbero ero eri era eravamo
+eravate erano fui fosti fu fummo foste furono fossi fosse fossimo fossero
+essendo faccio fai facciamo fanno faccia facciate facciano farò farai farà
+faremo farete faranno farei faresti farebbe faremmo fareste farebbero
+facevo facevi faceva facevamo facevate facevano feci facesti fece facemmo
+faceste fecero facessi facesse facessimo facessero facendo sto stai sta
+stiamo stanno stia stiate stiano starò starai starà staremo starete
+staranno starei staresti starebbe staremmo stareste starebbero stavo stavi
+stava stavamo stavate stavano stetti stesti stette stemmo steste stettero
+stessi stesse stessimo stessero stando
+""".split())
+
+RUSSIAN_STOPWORDS = frozenset("""
+и в во не что он на я с со как а то все она так его но да ты к у же вы за
+бы по только ее мне было вот от меня еще нет о из ему теперь когда даже ну
+вдруг ли если уже или ни быть был него до вас нибудь опять уж вам ведь там
+потом себя ничего ей может они тут где есть надо ней для мы тебя их чем
+была сам чтоб без будто чего раз тоже себе под будет ж тогда кто этот того
+потому этого какой совсем ним здесь этом один почти мой тем чтобы нее
+сейчас были куда зачем всех никогда можно при наконец два об другой хоть
+после над больше тот через эти нас про всего них какая много разве три эту
+моя впрочем хорошо свою этой перед иногда лучше чуть том нельзя такой им
+более всегда конечно всю между
+""".split())
+
 STOPWORDS_BY_CONFIG = {
     "english": ENGLISH_STOPWORDS,
     "german": GERMAN_STOPWORDS,
     "french": FRENCH_STOPWORDS,
     "spanish": SPANISH_STOPWORDS,
+    "portuguese": PORTUGUESE_STOPWORDS,
+    "italian": ITALIAN_STOPWORDS,
+    "russian": RUSSIAN_STOPWORDS,
     "simple": frozenset(),
 }

@@ -32,7 +32,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from validate_stemmers_pg import start_throwaway_pg  # noqa: E402
 
-CONFIGS = ["simple", "english", "german", "french", "spanish"]
+CONFIGS = ["simple", "english", "german", "french", "spanish",
+           "portuguese", "italian", "russian"]
 
 FRAGMENTS = [
     "spark", "Window", "don't", "hyphen-ated", "a.b", "x_y", "3.14",
@@ -40,6 +41,10 @@ FRAGMENTS = [
     "état", "HTTP", "it's", "semi;colon", "dot.", "-lead", "trail-",
     "(paren)", "quote\"d", "mul--ti", "a,b,c", "über-groß", "café",
     "straße", "2nd", "e.g.", "fox's", "qualités", "canciones",
+    # round-5 configs: Portuguese nasal vowels, Italian apostrophe
+    # elision, Cyrillic (with ё) through the same canonicalizer
+    "canções", "coração", "você", "città", "perché", "l'aria",
+    "книги", "чёрный", "объявление", "мальчики", "жизнь",
 ]
 
 
@@ -112,7 +117,7 @@ def main():
                 print("  engine:", e)
                 print("  pg:    ", p)
         print("TOTAL diverging texts:", total)
-        print("protocol-case divergences (expected 5):", proto_diverged)
+        print("protocol-case divergences (expected 8):", proto_diverged)
         return 0 if total == 0 else 1
     finally:
         if cleanup:

@@ -35,7 +35,20 @@ import tempfile
 
 PG_BIN = "/usr/lib/postgresql/15/bin"
 TSEARCH = "/usr/share/postgresql/15/tsearch_data"
-LANGS = ["english", "german", "french", "spanish"]
+LANGS = ["english", "german", "french", "spanish",
+         "portuguese", "italian", "russian"]
+
+# per-language fuzz alphabets: the shared Latin-accented pool for the
+# western European stemmers, plus the language's own specials; Cyrillic
+# for Russian (ё included — PG's russian_stem must agree on it too)
+_LATIN = "abcdefghijklmnopqrstuvwxyzéèêëàâîïôûùáíóúüñçäöß"
+FUZZ_ALPHABET = {
+    "english": _LATIN, "german": _LATIN, "french": _LATIN,
+    "spanish": _LATIN,
+    "portuguese": _LATIN + "ãõâêô",
+    "italian": _LATIN + "àèìòù",
+    "russian": "абвгдежзийклмнопрстуфхцчшщъыьэюяё",
+}
 
 
 def _run(cmd, **kw):
@@ -93,20 +106,31 @@ def pg_lexize(sock, port, dict_name, words):
     return res
 
 
-def build_vocab(n_fuzz, seed):
+def build_vocab(n_fuzz, seed, lang):
     vocab = set()
-    for lang in LANGS:
-        path = os.path.join(TSEARCH, f"{lang}.stop")
-        if os.path.exists(path):
-            vocab |= set(open(path, encoding="utf-8").read().split())
-    rng = random.Random(seed)
-    al = "abcdefghijklmnopqrstuvwxyzéèêëàâîïôûùáíóúüñçäöß"
+    path = os.path.join(TSEARCH, f"{lang}.stop")
+    if os.path.exists(path):
+        vocab |= set(open(path, encoding="utf-8").read().split())
+    rng = random.Random(seed + hash(lang) % 1000)
+    al = FUZZ_ALPHABET[lang]
     vocab |= {"".join(rng.choice(al)
                       for _ in range(rng.randint(1, 13)))
               for _ in range(n_fuzz)}
     # the divergences this harness has caught, pinned forever
     vocab |= {"jouer", "üâ", "él", "dëï", "ymrys", "continuellement",
               "chevaux", "niños", "bleibenden", "running"}
+    if lang == "portuguese":
+        vocab |= {"canções", "coração", "proposições", "emoções",
+                  "habilidades", "nações", "lã", "põe", "você", "fáceis",
+                  "guiìe", "cação", "raça", "faça", "quiçá"}
+    if lang == "italian":
+        vocab |= {"abbandonerò", "pubblicità", "qualità", "perché",
+                  "città", "più", "laggiù", "mandargli", "vendendolo",
+                  "crocchi", "crocchio", "funghi", "banche"}
+    if lang == "russian":
+        vocab |= {"важнейшими", "красивее", "насекомые", "выживший",
+                  "подъезд", "объявление", "чёрный", "её", "жизнь",
+                  "книгой", "стеной", "веснушчатый"}
     return sorted(w for w in vocab
                   if w and re.fullmatch(r"[^\s'_]+", w))
 
@@ -122,17 +146,29 @@ def main():
         stem_spanish
     from pg_ts_semantic_headline_spark.functions.stemmer_fr import \
         stem_french
+    from pg_ts_semantic_headline_spark.functions.stemmer_it import \
+        stem_italian
+    from pg_ts_semantic_headline_spark.functions.stemmer_pt import \
+        stem_portuguese
+    from pg_ts_semantic_headline_spark.functions.stemmer_ru import \
+        stem_russian
     mine = {"english_stem": stem_english, "german_stem": stem_german,
-            "french_stem": stem_french, "spanish_stem": stem_spanish}
+            "french_stem": stem_french, "spanish_stem": stem_spanish,
+            "portuguese_stem": stem_portuguese,
+            "italian_stem": stem_italian, "russian_stem": stem_russian}
+    only = os.environ.get("PGV_ONLY")
+    if only:
+        mine = {k: v for k, v in mine.items()
+                if k.split("_")[0] in only.split(",")}
 
     sock, port = os.environ.get("PGV_SOCKET"), os.environ.get("PGV_PORT")
     cleanup = None
     if not sock:
         sock, port, cleanup = start_throwaway_pg()
     try:
-        vocab = build_vocab(n_fuzz, seed)
         total = 0
         for dname, fn in mine.items():
+            vocab = build_vocab(n_fuzz, seed, dname.split("_")[0])
             mm = []
             for i in range(0, len(vocab), 500):
                 chunk = vocab[i:i + 500]

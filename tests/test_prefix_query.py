@@ -241,7 +241,10 @@ class TestStopwordPGParity:
         for name, attr in [("english", "ENGLISH_STOPWORDS"),
                            ("german", "GERMAN_STOPWORDS"),
                            ("french", "FRENCH_STOPWORDS"),
-                           ("spanish", "SPANISH_STOPWORDS")]:
+                           ("spanish", "SPANISH_STOPWORDS"),
+                           ("portuguese", "PORTUGUESE_STOPWORDS"),
+                           ("italian", "ITALIAN_STOPWORDS"),
+                           ("russian", "RUSSIAN_STOPWORDS")]:
             pg = set(open(os.path.join(base, f"{name}.stop"),
                           encoding="utf-8").read().split())
             assert set(getattr(sw, attr)) == pg, name
