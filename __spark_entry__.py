@@ -685,6 +685,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return doc_fingerprint(_docs(spark, sf))
 
     def q29(spark, sf):
+        # REAL header decode (round-5): synthesize actual PNG/JPEG/GIF
+        # header BYTES per doc (dims derived from doc_id), then parse
+        # them back with image_header_decoder through the mapInPandas
+        # decode plan. The oracle recomputes the dims from doc_id
+        # arithmetic, so any decode bug (endianness, marker walk,
+        # offsets) or synth bug breaks the equality.
+        from pg_ts_semantic_headline_spark.operators.multimodal import (
+            decode_media, image_header_decoder)
+        d = _docs(spark, sf).select(
+            F.col("doc_id").cast("long").alias("doc_id"))
+        w = (F.lit(16) + F.col("doc_id") % 512).cast("int")
+        h = (F.lit(16) + (F.col("doc_id") * 7) % 512).cast("int")
+
+        def be32(c):
+            return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+        def be16(c):
+            return F.unhex(F.lpad(F.hex(c), 4, "0"))
+
+        def le16(c):
+            hx = F.lpad(F.hex(c), 4, "0")
+            return F.unhex(F.concat(F.substring(hx, 3, 2),
+                                    F.substring(hx, 1, 2)))
+
+        png = F.concat(F.lit(b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR"),
+                       be32(w), be32(h))
+        jpg = F.concat(F.lit(b"\xff\xd8\xff\xc0\x00\x11\x08"),
+                       be16(h), be16(w))
+        gif = F.concat(F.lit(b"GIF89a"), le16(w), le16(h))
+        payload = (F.when(F.col("doc_id") % 3 == 0, png)
+                   .when(F.col("doc_id") % 3 == 1, jpg)
+                   .otherwise(gif))
+        src = d.select(
+            "doc_id", F.lit("image").alias("kind"),
+            payload.alias("payload"),
+            F.length(payload).cast("long").alias("n_bytes"))
+        return (decode_media(src, decoder=image_header_decoder)
+                .select("doc_id", "width", "height", "format", "n_bytes"))
+
+    def q29b(spark, sf):
         return (attach_binary(_docs(spark, sf))
                 .select("doc_id", "kind", "n_bytes", "sha256"))
 
@@ -1938,6 +1978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q33,
         "ts_semantic_headline": q13,
         "trigram_similarity_join": q73,
+        "multimodal_attach": q29b,
     })
 
 
@@ -3348,7 +3389,21 @@ SELECT doc_id,
        count(*) AS n_shingles
 FROM h GROUP BY doc_id
 """,
+        # real header decode: Spark synthesizes PNG/JPEG/GIF header
+        # bytes and parses them back; the oracle recomputes the encoded
+        # dimensions from the same doc_id arithmetic (n_bytes are the
+        # fixed header sizes: PNG 24, JPEG SOI+SOF0 11, GIF 10)
         "multimodal_metadata": """
+SELECT doc_id,
+       CAST(16 + doc_id % 512 AS INTEGER) AS width,
+       CAST(16 + (doc_id * 7) % 512 AS INTEGER) AS height,
+       CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+       CAST(CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN 24 WHEN 1 THEN 11 ELSE 10 END AS BIGINT) AS n_bytes
+FROM documents
+""",
+        "multimodal_attach": """
 SELECT doc_id, 'image' AS kind,
        CAST(strlen(text) AS BIGINT) AS n_bytes,
        sha256(text) AS sha256

@@ -2,13 +2,15 @@
 
 Images/audio/video ride through the engine as opaque `binary` columns plus a
 typed metadata struct. The Spark-side plumbing — schemas, Arrow batch shapes,
-mapInPandas iteration, partition sizing — is real and tested; the actual
-codec step is stubbed (the image/audio libraries are not in this container)
-behind `decoder=` hooks: the default `deterministic_fake_decoder` derives
-stable pseudo-metadata from the payload bytes so pipelines are testable
-end-to-end, and a real decoder (PIL/ffmpeg) drops in without touching the
-plan. Passing `decoder=None` raises NotImplementedError at plan-build time,
-making the stub explicit rather than silent.
+mapInPandas iteration, partition sizing — is real and tested. Two decoders
+ship: `image_header_decoder` is REAL — it parses PNG/JPEG/GIF/BMP/WebP
+container headers for width/height/format with no external deps (the
+production shape for a metadata pass over a binary column: O(header) bytes
+read per blob) — and `deterministic_fake_decoder` remains the stand-in for
+full pixel/audio decode paths whose libraries (PIL/ffmpeg) are not in this
+container; either drops into `decoder=` without touching the plan. Passing
+`decoder=None` raises NotImplementedError at plan-build time, making a
+missing codec explicit rather than silent.
 """
 
 from __future__ import annotations
@@ -71,6 +73,99 @@ def deterministic_fake_decoder(payload: bytes) -> dict:
         h = (h * 131 + b) % (1 << 31)
     return {"width": 64 + h % 1024, "height": 64 + (h // 1024) % 1024,
             "format": ["png", "jpeg", "webp"][h % 3]}
+
+
+def image_header_decoder(payload: bytes) -> dict:
+    """REAL decoder for image dimensions, no external deps: parses the
+    container headers of PNG / JPEG / GIF / BMP / WebP (VP8, VP8L, VP8X)
+    from the first bytes of the payload — the same information PIL's
+    `Image.open(...).size` reads, without decoding pixel data. This is
+    the production shape for a metadata-extraction pass over a 100 TB
+    binary column: O(header) bytes examined per blob, contract-validated
+    like every decoder. Unknown/truncated/corrupt payloads return the
+    all-None row rather than raising (bad blobs are data, not bugs;
+    filter on `format IS NULL` downstream)."""
+    none = {"width": None, "height": None, "format": None}
+    if not payload:
+        return none
+    b = payload
+    try:
+        # PNG: 8-byte signature, IHDR must be the first chunk; width and
+        # height are big-endian uint32 at offsets 16 and 20
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+            if b[12:16] == b"IHDR":
+                return {"width": int.from_bytes(b[16:20], "big"),
+                        "height": int.from_bytes(b[20:24], "big"),
+                        "format": "png"}
+            return none
+        # JPEG: SOI then marker segments; dimensions live in the first
+        # SOFn frame header (C0-CF minus the non-frame C4/C8/CC)
+        if b[:2] == b"\xff\xd8":
+            i = 2
+            while i + 4 <= len(b):
+                if b[i] != 0xFF:        # not a marker — corrupt stream
+                    return none
+                marker = b[i + 1]
+                if marker == 0xFF:      # fill byte
+                    i += 1
+                    continue
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2              # standalone markers, no length
+                    continue
+                seg_len = int.from_bytes(b[i + 2:i + 4], "big")
+                if seg_len < 2:
+                    return none
+                if (0xC0 <= marker <= 0xCF
+                        and marker not in (0xC4, 0xC8, 0xCC)):
+                    if i + 9 > len(b):
+                        return none
+                    return {"width": int.from_bytes(b[i + 7:i + 9], "big"),
+                            "height": int.from_bytes(b[i + 5:i + 7], "big"),
+                            "format": "jpeg"}
+                i += 2 + seg_len
+            return none
+        # GIF: 6-byte version, then little-endian uint16 logical screen
+        if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            return {"width": int.from_bytes(b[6:8], "little"),
+                    "height": int.from_bytes(b[8:10], "little"),
+                    "format": "gif"}
+        # BMP: 'BM', signed little-endian int32 at 18/22 (height may be
+        # negative for top-down rows — report the magnitude)
+        if b[:2] == b"BM" and len(b) >= 26:
+            return {"width": int.from_bytes(b[18:22], "little",
+                                            signed=True),
+                    "height": abs(int.from_bytes(b[22:26], "little",
+                                                 signed=True)),
+                    "format": "bmp"}
+        # WebP: RIFF container, three encodings (per-branch length
+        # guards: VP8 reads through byte 30, VP8L through 25, VP8X 30)
+        if b[:4] == b"RIFF" and b[8:12] == b"WEBP" and len(b) >= 25:
+            chunk = b[12:16]
+            if chunk == b"VP8 ":       # lossy: dims after the frame tag
+                if len(b) < 30 or b[23:26] != b"\x9d\x01\x2a":
+                    return none
+                return {"width": int.from_bytes(b[26:28], "little")
+                        & 0x3FFF,
+                        "height": int.from_bytes(b[28:30], "little")
+                        & 0x3FFF,
+                        "format": "webp"}
+            if chunk == b"VP8L":       # lossless: 14-bit dims minus one
+                if b[20] != 0x2F:
+                    return none
+                bits = int.from_bytes(b[21:25], "little")
+                return {"width": (bits & 0x3FFF) + 1,
+                        "height": ((bits >> 14) & 0x3FFF) + 1,
+                        "format": "webp"}
+            if chunk == b"VP8X":       # extended: 24-bit canvas minus one
+                if len(b) < 30:
+                    return none
+                return {"width": int.from_bytes(b[24:27], "little") + 1,
+                        "height": int.from_bytes(b[27:30], "little") + 1,
+                        "format": "webp"}
+            return none
+        return none
+    except (IndexError, ValueError):
+        return none
 
 
 #: keys a decoder callable must return; values: width/height int or

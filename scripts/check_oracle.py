@@ -11,6 +11,7 @@ committed CORRECTNESS_LOCAL artifact for entries past the driver gate's
 budget.
 """
 
+import json
 import math
 import os
 import sys
@@ -41,6 +42,39 @@ def norm_rows(cols, rows):
     for r in rows:
         out.append(tuple(norm_cell(r[i]) for i in order))
     return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def compare_result(scols, srows, dcols, drows) -> dict:
+    """Driver-gate-shaped comparison record for one entry, including the
+    round-5 forensics payload (`first_diff`) on any divergence. Pure —
+    unit-tested by tests/test_entry_contract.py's forced mismatches."""
+    rec = {"rows_match": False, "schema_match": False,
+           "hash_match": False, "spark_rows": None,
+           "oracle_rows": None, "err": None}
+    sc, sr = norm_rows(scols, srows)
+    dc, dr = norm_rows(dcols, drows)
+    rec["spark_rows"], rec["oracle_rows"] = len(sr), len(dr)
+    rec["schema_match"] = sc == dc
+    rec["rows_match"] = len(sr) == len(dr)
+    rec["hash_match"] = sc == dc and sr == dr
+    if sc != dc:
+        rec["first_diff"] = {"kind": "columns", "spark": sc, "oracle": dc}
+    elif len(sr) != len(dr):
+        s_only = [r for r in sr if r not in set(dr)][:2]
+        d_only = [r for r in dr if r not in set(sr)][:2]
+        rec["first_diff"] = {
+            "kind": "rows", "columns": sc,
+            "spark_only": [[repr(v) for v in r] for r in s_only],
+            "oracle_only": [[repr(v) for v in r] for r in d_only]}
+    elif sr != dr:
+        diff = [i for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
+        i0 = diff[0]
+        rec["first_diff"] = {
+            "kind": "values", "columns": sc,
+            "n_differing": len(diff), "row_index": i0,
+            "spark": [repr(v) for v in sr[i0]],
+            "oracle": [repr(v) for v in dr[i0]]}
+    return rec
 
 
 def main():
@@ -84,31 +118,20 @@ def main():
             res = con.execute(osql[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
-            sc, sr = norm_rows(scols, srows)
-            dc, dr = norm_rows(dcols, drows)
-            rec["spark_rows"], rec["oracle_rows"] = len(sr), len(dr)
-            rec["schema_match"] = sc == dc
-            rec["rows_match"] = len(sr) == len(dr)
-            rec["hash_match"] = sc == dc and sr == dr
-            if sc != dc:
-                print(f"FAIL {name}: columns {sc} vs {dc}")
-                fail += 1
-            elif len(sr) != len(dr):
-                print(f"FAIL {name}: rows {len(sr)} vs {len(dr)}")
-                print("  spark-only sample:", [r for r in sr if r not in set(dr)][:2])
-                print("  duck-only sample:", [r for r in dr if r not in set(sr)][:2])
-                fail += 1
-            elif sr != dr:
-                diff = [i for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
-                print(f"FAIL {name}: {len(diff)} differing rows of {len(sr)}")
-                for i in diff[:3]:
-                    print(f"  spark: {sr[i]}")
-                    print(f"  duck : {dr[i]}")
-                fail += 1
-            else:
-                print(f"ok   {name} ({len(sr)} rows, "
+            # forensics payload (round-5): on ANY divergence the JSON
+            # artifact carries the concrete diverging rows (first_diff),
+            # so a driver-only flake (like r4's source_mix_weights) is
+            # diagnosable from CORRECTNESS_LOCAL alone
+            rec.update(compare_result(scols, srows, dcols, drows))
+            report[name] = rec
+            if rec["hash_match"]:
+                print(f"ok   {name} ({rec['spark_rows']} rows, "
                       f"{time.time() - t0:.1f}s)", flush=True)
                 ok += 1
+            else:
+                print(f"FAIL {name}: "
+                      f"{json.dumps(rec.get('first_diff'))[:500]}")
+                fail += 1
         except Exception as ex:
             rec["err"] = f"{type(ex).__name__}: {str(ex)[:300]}"
             print(f"ERROR {name}: {rec['err']}")
@@ -116,7 +139,6 @@ def main():
     print(f"\n{ok} ok, {fail} failed, {time.time() - t_start:.1f}s total")
     json_path = os.environ.get("SPARK_GRAFT_GATE_JSON")
     if json_path:
-        import json
         with open(json_path, "w") as f:
             json.dump(report, f, indent=2)
         print(f"wrote {json_path} ({len(report)} entries)")

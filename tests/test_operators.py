@@ -550,6 +550,84 @@ class TestMultimodal:
             with pytest.raises(Exception, match="violated the contract"):
                 decode_media(media, decoder=bad).collect()
 
+    def test_image_header_decoder_real_formats(self):
+        # REAL decoder: crafted container headers for every supported
+        # format, dimensions chosen to catch endianness mistakes
+        # (width != height, both > 255 where the format allows)
+        from pg_ts_semantic_headline_spark.operators.multimodal import (
+            image_header_decoder as dec)
+        png = (b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR"
+               + (800).to_bytes(4, "big") + (601).to_bytes(4, "big"))
+        assert dec(png) == {"width": 800, "height": 601, "format": "png"}
+        # JPEG with a COM segment before SOF0 (marker walk must skip it)
+        jpg = (b"\xff\xd8"
+               + b"\xff\xfe\x00\x04hi"                      # COM, len 4
+               + b"\xff\xc0\x00\x11\x08"
+               + (480).to_bytes(2, "big") + (640).to_bytes(2, "big"))
+        assert dec(jpg) == {"width": 640, "height": 480, "format": "jpeg"}
+        gif = b"GIF89a" + (320).to_bytes(2, "little") \
+            + (200).to_bytes(2, "little")
+        assert dec(gif) == {"width": 320, "height": 200, "format": "gif"}
+        bmp = (b"BM" + b"\x00" * 16
+               + (1024).to_bytes(4, "little", signed=True)
+               + (-768).to_bytes(4, "little", signed=True))  # top-down
+        assert dec(bmp) == {"width": 1024, "height": 768, "format": "bmp"}
+        # WebP lossy (VP8): 14-bit LE dims after the 9D 01 2A start code
+        vp8 = (b"RIFF" + b"\x00" * 4 + b"WEBP" + b"VP8 " + b"\x00" * 4
+               + b"\x00\x00\x00" + b"\x9d\x01\x2a"
+               + (550).to_bytes(2, "little") + (368).to_bytes(2, "little"))
+        assert dec(vp8) == {"width": 550, "height": 368, "format": "webp"}
+        # WebP lossless (VP8L): packed 14+14 bit dims minus one
+        bits = (417 - 1) | ((302 - 1) << 14)
+        vp8l = (b"RIFF" + b"\x00" * 4 + b"WEBP" + b"VP8L" + b"\x00" * 4
+                + b"\x2f" + bits.to_bytes(4, "little") + b"\x00" * 4)
+        assert dec(vp8l) == {"width": 417, "height": 302, "format": "webp"}
+        # WebP extended (VP8X): 24-bit canvas minus one
+        vp8x = (b"RIFF" + b"\x00" * 4 + b"WEBP" + b"VP8X" + b"\x00" * 8
+                + (1920 - 1).to_bytes(3, "little")
+                + (1080 - 1).to_bytes(3, "little"))
+        assert dec(vp8x) == {"width": 1920, "height": 1080,
+                             "format": "webp"}
+
+    def test_image_header_decoder_rejects_garbage(self):
+        # corrupt/truncated/unknown payloads are DATA, not bugs: all-None
+        from pg_ts_semantic_headline_spark.operators.multimodal import (
+            image_header_decoder as dec)
+        none = {"width": None, "height": None, "format": None}
+        assert dec(None) == none
+        assert dec(b"") == none
+        assert dec(b"not an image at all") == none
+        assert dec(b"\x89PNG\r\n\x1a\n\x00\x00") == none      # truncated
+        assert dec(b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dXXXX"
+                   + b"\x00" * 8) == none                     # not IHDR
+        assert dec(b"\xff\xd8\x00\x00") == none               # bad marker
+        assert dec(b"\xff\xd8\xff\xd9") == none               # EOI, no SOF
+        assert dec(b"RIFF\x00\x00\x00\x00WEBPXXXX"
+                   + b"\x00" * 20) == none                    # odd chunk
+
+    def test_image_header_decoder_through_decode_plan(self, spark):
+        # the real decoder rides the same mapInPandas plan: synth a PNG
+        # and a JPEG payload as DataFrame binary columns and decode
+        rows = [(1, "image",
+                 b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR"
+                 + (33).to_bytes(4, "big") + (44).to_bytes(4, "big")),
+                (2, "image",
+                 b"\xff\xd8\xff\xc0\x00\x11\x08"
+                 + (77).to_bytes(2, "big") + (66).to_bytes(2, "big"))]
+        from pyspark.sql import functions as SF
+        df = (spark.createDataFrame(
+                  rows, "doc_id long, kind string, payload binary")
+              .withColumn("n_bytes",
+                          SF.length("payload").cast("long")))
+        from pg_ts_semantic_headline_spark.operators.multimodal import (
+            decode_media, image_header_decoder)
+        got = {r["doc_id"]: r for r in
+               decode_media(df, decoder=image_header_decoder).collect()}
+        assert (got[1]["width"], got[1]["height"], got[1]["format"]) == \
+               (33, 44, "png")
+        assert (got[2]["width"], got[2]["height"], got[2]["format"]) == \
+               (66, 77, "jpeg")
+
     def test_frame_sampling_offsets(self, text_df):
         frames = sample_frames(attach_binary(text_df), n_frames=4)
         rows = [r for r in frames.collect() if r["doc_id"] == 0]
