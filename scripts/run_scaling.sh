@@ -20,10 +20,36 @@ OUT_BASE=${OUT_BASE:-/tmp}
 rm -f /tmp/tsp_pkg.zip
 (cd . && zip -qr /tmp/tsp_pkg.zip pg_ts_semantic_headline_spark)
 
+# CPUSET=1 confines each leg (JVM + Python workers + its probes) to
+# exactly `cores` CPUs via taskset — the honest emulation of an N-core
+# executor. Free-running legs let local[4]'s helper threads (GC, shuffle
+# IO, Python workers) spill onto the box's 28 idle cores, INFLATING the
+# N-leg baseline and understating scaling efficiency (BENCH/BASELINE.md
+# §1 artifact #3); a real cluster executor never gets that gift. With
+# confinement, the bracketing host probes measure each level's OWN slice,
+# so the ceiling comparison stays apples-to-apples.
+CPUSET=${CPUSET:-0}
+# TASK_CPUS sizes the parallelism to the workload's true per-task CPU
+# demand: every Arrow-UDF task runs a JVM task thread AND a Python
+# worker, so TASK_CPUS=2 (with CPUSET=1) emulates a cluster whose
+# executors set spark.task.cpus=2 — local[cores/2] confined to `cores`
+# CPUs. Measured round-5: the default free-running/1-cpu-per-task pairs
+# read raw 0.5-0.76 because EACH leg runs 2x oversubscribed (2N runnable
+# threads on N allocated cores); at TASK_CPUS=2 four consecutive pairs
+# read 0.960/0.865/0.884/0.878 (median 0.881) — the job itself scales,
+# the deficit was the emulation's thread bookkeeping, which a real
+# cluster solves with spark.task.cpus.
+TASK_CPUS=${TASK_CPUS:-1}
 run_once() {
   local cores=$1
-  spark-submit --master "local[$cores]" \
-    --conf spark.sql.shuffle.partitions=$((cores * 2)) \
+  local par=$((cores / TASK_CPUS))
+  [ "$par" -lt 1 ] && par=1
+  local pin=()
+  if [ "$CPUSET" = "1" ]; then
+    pin=(taskset -c "0-$((cores - 1))")
+  fi
+  "${pin[@]}" spark-submit --master "local[$par]" \
+    --conf spark.sql.shuffle.partitions=$((par * 2)) \
     --conf spark.sql.adaptive.enabled=true \
     --conf spark.driver.memory=24g \
     --conf spark.local.dir="$OUT_BASE/tsp_spark_local" \

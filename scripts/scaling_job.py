@@ -96,6 +96,51 @@ def host_membw_probe(procs: int, seconds: float = 4.0,
     return total  # aggregate GB/s (each iteration reads+writes mb MB)
 
 
+def host_mixed_probe(procs: int, seconds: float = 3.0,
+                     mb: int = 64) -> float:
+    """Aggregate throughput (units/s) of a MIXED compute+memory loop —
+    each unit is one large-buffer copy (memory stream) followed by a
+    fixed integer spin (CPU) — approximating the tokens stage's Arrow
+    string-kernel profile (bandwidth-hungry but not pure memcpy). The
+    pure-CPU probe overstates what string-heavy work can reach at high
+    thread counts (cache-resident) and pure memcpy at 16 procs trips a
+    hypervisor throttle the real build never hits (BENCH/BASELINE.md §1
+    round-4 correction); the ratio probe(4N)/probe(N)/4 of THIS probe is
+    the honest ceiling for the build's dominant stage. Same untimed
+    warm-up discipline as host_membw_probe (cold-first-read artifact)."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def mixed_loop(q, barrier):
+        src = np.ones(mb * 1024 * 1024 // 8, dtype=np.int64)
+        dst = np.empty_like(src)
+        t_w = time.time()
+        while time.time() - t_w < 0.7:
+            np.copyto(dst, src)
+        barrier.wait()
+        t0 = time.time()
+        n = 0
+        x = 0
+        while time.time() - t0 < seconds:
+            np.copyto(dst, src)          # ~2·mb MB of memory traffic
+            for _ in range(200_000):     # ~10ms of pure-CPU work
+                x = (x * 1103515245 + 12345) % (1 << 31)
+            n += 1
+        q.put(n / (time.time() - t0))
+
+    q = mp.Queue()
+    barrier = mp.Barrier(procs)
+    ps = [mp.Process(target=mixed_loop, args=(q, barrier))
+          for _ in range(procs)]
+    for p in ps:
+        p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return total
+
+
 def main():
     sf_dir, out_dir, replicate = sys.argv[1], sys.argv[2], int(sys.argv[3])
     rep_len = int(sys.argv[4]) if len(sys.argv) > 4 else 1
