@@ -12,7 +12,7 @@ Per-config behavior mirrors PostgreSQL's regconfigs:
 - english: tokens containing digits → lowercase only (numword → simple
   dict); otherwise stopword check then Porter2 stem
 - german:  same shape with the German stopword list and Snowball stemmer
-- french / spanish / portuguese / italian / russian: same shape with the
+- french / spanish / portuguese / italian / russian / dutch: same shape with the
   respective stopword lists and Snowball stemmers (extensions beyond the
   reference's english/german/simple test surface — the reference accepts
   any REGCONFIG via its overloads, /root/reference/sql/to_tspquery.sql:
@@ -33,6 +33,7 @@ from .stemmer_es import stem_spanish
 from .stemmer_fr import stem_french
 from .stemmer_it import stem_italian
 from .stemmer_pt import stem_portuguese
+from .stemmer_nl import stem_dutch
 from .stemmer_ru import stem_russian
 from .stopwords import STOPWORDS_BY_CONFIG
 from .textprep import tsp_indexable_text
@@ -52,6 +53,7 @@ _STEMMERS = {
     "portuguese": stem_portuguese,
     "italian": stem_italian,
     "russian": stem_russian,
+    "dutch": stem_dutch,
     "simple": None,
     # source-code config: lowercase, no stopwords, no stemming (like
     # simple), plus camelCase splitting in the canonicalization step —

@@ -5,7 +5,7 @@ PostgreSQL ships the Snowball project's stopword files
 spanish regconfigs consult them before stemming, the `simple` config has
 none. Lookup happens on the lowercased token. The lists below are the
 VERBATIM contents of PG 15's tsearch_data/{english,german,french,
-spanish,portuguese,italian,russian}.stop — including upstream quirks like spanish.stop's
+spanish,portuguese,italian,russian,dutch}.stop — including upstream quirks like spanish.stop's
 'vosostros'/'vosostras' spellings — so stopword behavior matches PG
 exactly. Note the reference pipeline UNACCENTs document text *before*
 analysis (/root/reference/sql/to_tspvector.sql:23), so accented
@@ -152,6 +152,16 @@ RUSSIAN_STOPWORDS = frozenset("""
 более всегда конечно всю между
 """.split())
 
+DUTCH_STOPWORDS = frozenset("""
+de en van ik te dat die in een hij het niet zijn is was op aan met als
+voor had er maar om hem dan zou of wat mijn men dit zo door over ze zich
+bij ook tot je mij uit der daar haar naar heb hoe heeft hebben deze u want
+nog zal me zij nu ge geen omdat iets worden toch al waren veel meer doen
+toen moet ben zonder kan hun dus alles onder ja eens hier wie werd altijd
+doch wordt wezen kunnen ons zelf tegen na reeds wil kon niets uw iemand
+geweest andere
+""".split())
+
 STOPWORDS_BY_CONFIG = {
     "english": ENGLISH_STOPWORDS,
     "german": GERMAN_STOPWORDS,
@@ -160,5 +170,6 @@ STOPWORDS_BY_CONFIG = {
     "portuguese": PORTUGUESE_STOPWORDS,
     "italian": ITALIAN_STOPWORDS,
     "russian": RUSSIAN_STOPWORDS,
+    "dutch": DUTCH_STOPWORDS,
     "simple": frozenset(),
 }

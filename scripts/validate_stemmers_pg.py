@@ -36,7 +36,7 @@ import tempfile
 PG_BIN = "/usr/lib/postgresql/15/bin"
 TSEARCH = "/usr/share/postgresql/15/tsearch_data"
 LANGS = ["english", "german", "french", "spanish",
-         "portuguese", "italian", "russian"]
+         "portuguese", "italian", "russian", "dutch"]
 
 # per-language fuzz alphabets: the shared Latin-accented pool for the
 # western European stemmers, plus the language's own specials; Cyrillic
@@ -48,6 +48,7 @@ FUZZ_ALPHABET = {
     "portuguese": _LATIN + "ãõâêô",
     "italian": _LATIN + "àèìòù",
     "russian": "абвгдежзийклмнопрстуфхцчшщъыьэюяё",
+    "dutch": _LATIN + "ij",
 }
 
 
@@ -150,12 +151,15 @@ def main():
         stem_italian
     from pg_ts_semantic_headline_spark.functions.stemmer_pt import \
         stem_portuguese
+    from pg_ts_semantic_headline_spark.functions.stemmer_nl import \
+        stem_dutch
     from pg_ts_semantic_headline_spark.functions.stemmer_ru import \
         stem_russian
     mine = {"english_stem": stem_english, "german_stem": stem_german,
             "french_stem": stem_french, "spanish_stem": stem_spanish,
             "portuguese_stem": stem_portuguese,
-            "italian_stem": stem_italian, "russian_stem": stem_russian}
+            "italian_stem": stem_italian, "russian_stem": stem_russian,
+            "dutch_stem": stem_dutch}
     only = os.environ.get("PGV_ONLY")
     if only:
         mine = {k: v for k, v in mine.items()

@@ -244,7 +244,8 @@ class TestStopwordPGParity:
                            ("spanish", "SPANISH_STOPWORDS"),
                            ("portuguese", "PORTUGUESE_STOPWORDS"),
                            ("italian", "ITALIAN_STOPWORDS"),
-                           ("russian", "RUSSIAN_STOPWORDS")]:
+                           ("russian", "RUSSIAN_STOPWORDS"),
+                           ("dutch", "DUTCH_STOPWORDS")]:
             pg = set(open(os.path.join(base, f"{name}.stop"),
                           encoding="utf-8").read().split())
             assert set(getattr(sw, attr)) == pg, name
