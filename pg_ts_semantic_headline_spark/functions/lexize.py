@@ -12,7 +12,8 @@ Per-config behavior mirrors PostgreSQL's regconfigs:
 - english: tokens containing digits → lowercase only (numword → simple
   dict); otherwise stopword check then Porter2 stem
 - german:  same shape with the German stopword list and Snowball stemmer
-- french / spanish / portuguese / italian / russian / dutch: same shape with the
+- french / spanish / portuguese / italian / russian / dutch / swedish /
+  norwegian / danish: same shape with the
   respective stopword lists and Snowball stemmers (extensions beyond the
   reference's english/german/simple test surface — the reference accepts
   any REGCONFIG via its overloads, /root/reference/sql/to_tspquery.sql:
@@ -35,6 +36,7 @@ from .stemmer_it import stem_italian
 from .stemmer_pt import stem_portuguese
 from .stemmer_nl import stem_dutch
 from .stemmer_ru import stem_russian
+from .stemmer_scand import stem_danish, stem_norwegian, stem_swedish
 from .stopwords import STOPWORDS_BY_CONFIG
 from .textprep import tsp_indexable_text
 from .unaccent import unaccent
@@ -54,6 +56,9 @@ _STEMMERS = {
     "italian": stem_italian,
     "russian": stem_russian,
     "dutch": stem_dutch,
+    "swedish": stem_swedish,
+    "norwegian": stem_norwegian,
+    "danish": stem_danish,
     "simple": None,
     # source-code config: lowercase, no stopwords, no stemming (like
     # simple), plus camelCase splitting in the canonicalization step —

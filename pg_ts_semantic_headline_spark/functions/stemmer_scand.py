@@ -1,0 +1,222 @@
+"""Swedish, Norwegian and Danish Snowball stemmers.
+
+The three Scandinavian algorithms behind PostgreSQL's `swedish_stem`,
+`norwegian_stem` and `danish_stem` dictionaries — structurally similar
+(one big R1-limited suffix among + an s-with-valid-ending rule + small
+cleanup steps), so they share helpers in one module. Same integration
+contract as the other Snowball modules; each validated against a LIVE
+PostgreSQL 15 `ts_lexize` by scripts/validate_stemmers_pg.py
+(0-mismatch bar).
+
+All three mark R1 with the character-aware `hop 3` floor (like German,
+unlike Dutch's byte-literal `$p1 = 3`), so character counting is exact
+here.
+"""
+
+from __future__ import annotations
+
+_V_SV = set("aeiouyäåö")
+_V_NO = set("aeiouyæåø")
+_V_DA = set("aeiouyæåø")
+
+
+def _mark_r1(s: str, vowels: set) -> int:
+    """R1 start (chars), with the region before it adjusted to at least
+    3 letters (`test hop 3 setmark x ... try($p1 < x $p1 = x)`)."""
+    n = len(s)
+    r1 = n
+    for i in range(1, n):
+        if s[i] not in vowels and s[i - 1] in vowels:
+            r1 = i + 1
+            break
+    if r1 < 3:
+        r1 = 3 if n >= 3 else n
+    return r1
+
+
+def _in(r1: int, n: int, suf_len: int) -> bool:
+    return n - suf_len >= r1
+
+
+# ---------------------------------------------------------------- Swedish
+
+_SV_STEP1 = sorted([
+    "a", "arna", "erna", "heterna", "orna", "ad", "e", "ade", "ande",
+    "arne", "are", "aste", "en", "anden", "aren", "heten", "ern", "ar",
+    "er", "heter", "or", "as", "arnas", "ernas", "ornas", "es", "ades",
+    "andes", "ens", "arens", "hetens", "erns", "at", "andet", "het",
+    "ast",
+], key=len, reverse=True)
+
+_SV_S_ENDING = set("bcdfghjklmnoprtvy")
+
+_SV_STEP2 = ("dd", "gd", "nn", "dt", "gt", "kt", "tt")
+
+
+def stem_swedish(word: str) -> str:
+    s = word
+    r1 = _mark_r1(s, _V_SV)
+
+    # step 1: one longest-match among over the suffix list AND the
+    # s-with-valid-ending rule (a failed s-condition does not fall back)
+    n = len(s)
+    best = None
+    for suf in _SV_STEP1:
+        if s.endswith(suf) and _in(r1, n, len(suf)):
+            best = ("del", suf)
+            break
+    # the 's' rule competes in the same R1-limited among; it can only
+    # win when no longer listed suffix matched-and-fit (fall-through)
+    if best is None and s.endswith("s") and _in(r1, n, 1):
+        if n >= 2 and s[-2] in _SV_S_ENDING:
+            best = ("del", "s")
+        else:
+            best = ("keep", "s")
+    if best and best[0] == "del":
+        s = s[:-len(best[1])]
+
+    # step 2: undouble after a listed consonant pair
+    n = len(s)
+    for suf in _SV_STEP2:
+        if s.endswith(suf) and _in(r1, n, 2):
+            s = s[:-1]
+            break
+
+    # step 3
+    n = len(s)
+    if s.endswith("fullt") and _in(r1, n, 5):
+        return s[:-1]
+    if s.endswith("löst") and _in(r1, n, 4):
+        return s[:-1]
+    for suf in ("elig", "lig", "els", "ig"):
+        if s.endswith(suf) and _in(r1, n, len(suf)):
+            return s[:-len(suf)]
+    return s
+
+
+# --------------------------------------------------------------- Norwegian
+
+_NO_STEP1_DEL = sorted([
+    "a", "e", "ede", "ande", "ende", "ane", "ene", "hetene", "en",
+    "heten", "ar", "er", "heter", "as", "es", "edes", "endes", "enes",
+    "hetenes", "ens", "hetens", "ers", "ets", "et", "het", "ast",
+], key=len, reverse=True)
+
+_NO_S_ENDING = set("bcdfghjlmnoprtvyz")
+
+
+def _no_valid_s(stem: str) -> bool:
+    if not stem:
+        return False
+    c = stem[-1]
+    if c in _NO_S_ENDING:
+        return True
+    # or k not preceded by a vowel
+    return c == "k" and (len(stem) < 2 or stem[-2] not in _V_NO)
+
+
+def stem_norwegian(word: str) -> str:
+    s = word
+    r1 = _mark_r1(s, _V_NO)
+
+    # step 1: unified longest-match among: delete-group | s | erte/ert
+    n = len(s)
+    cands = [("del", x) for x in _NO_STEP1_DEL] + \
+            [("er_sub", "erte"), ("er_sub", "ert"), ("s", "s")]
+    cands.sort(key=lambda t: -len(t[1]))
+    for kind, suf in cands:
+        if not (s.endswith(suf) and _in(r1, n, len(suf))):
+            continue
+        if kind == "del":
+            s = s[:-len(suf)]
+        elif kind == "er_sub":
+            s = s[:-len(suf)] + "er"
+        else:  # 's'
+            if _no_valid_s(s[:-1]):
+                s = s[:-1]
+        break
+
+    # step 2: dt / vt -> delete the t
+    n = len(s)
+    if (s.endswith("dt") or s.endswith("vt")) and _in(r1, n, 2):
+        s = s[:-1]
+
+    # step 3: d-suffixes, delete
+    n = len(s)
+    for suf in ("hetslov", "eleg", "elig", "elov", "slov", "leg",
+                "lig", "lov", "eig", "ig", "els"):
+        if s.endswith(suf) and _in(r1, n, len(suf)):
+            return s[:-len(suf)]
+    return s
+
+
+# ----------------------------------------------------------------- Danish
+
+_DA_STEP1_DEL = sorted([
+    "hed", "ethed", "ered", "e", "erede", "ende", "erende", "ene",
+    "erne", "ere", "en", "heden", "eren", "er", "heder", "erer",
+    "heds", "es", "endes", "erendes", "enes", "ernes", "eres", "ens",
+    "hedens", "erens", "ers", "ets", "erets", "et", "eret",
+], key=len, reverse=True)
+
+_DA_S_ENDING = set("abcdfghjklmnoprtvyzå")
+
+# the source's `c` grouping — ASCII consonants only (no æ/å/ø, and no
+# accented letters), used by undouble
+_DA_C = set("bcdfghjklmnpqrstvwxz")
+
+_DA_STEP2 = ("gd", "dt", "gt", "kt")
+
+
+def stem_danish(word: str) -> str:
+    s = word
+    r1 = _mark_r1(s, _V_DA)
+
+    # step 1: longest among delete-group | s-with-valid-ending
+    n = len(s)
+    matched = False
+    for suf in _DA_STEP1_DEL:
+        if s.endswith(suf) and _in(r1, n, len(suf)):
+            s = s[:-len(suf)]
+            matched = True
+            break
+    if not matched and s.endswith("s") and _in(r1, n, 1):
+        if n >= 2 and s[-2] in _DA_S_ENDING:
+            s = s[:-1]
+
+    # step 2: consonant-pair tail -> delete last letter
+    n = len(s)
+    for suf in _DA_STEP2:
+        if s.endswith(suf) and _in(r1, n, 2):
+            s = s[:-1]
+            break
+
+    # step 3: igst, then ig/lig/elig/els (delete + repeat step 2) or
+    # løst -> løs
+    if s.endswith("igst") and _in(r1, len(s), 4):
+        s = s[:-2]
+    n = len(s)
+    if s.endswith("løst") and _in(r1, n, 4):
+        s = s[:-1]
+    else:
+        for suf in ("elig", "lig", "els", "ig"):
+            if s.endswith(suf) and _in(r1, n, len(suf)):
+                s = s[:-len(suf)]
+                n = len(s)
+                for s2 in _DA_STEP2:
+                    if s.endswith(s2) and _in(r1, n, 2):
+                        s = s[:-1]
+                        break
+                break
+
+    # step 4 (undouble): the Danish source captures `[c] -> ch` with the
+    # EXPLICIT ASCII consonant grouping c = 'bcdfghjklmnpqrstvwxz' (not
+    # non-v, so ï/ä/ß doubles survive — live-PG fuzz caught this). The
+    # `setlimit tomark p1` wraps ONLY the bracketed [c], so the deleted
+    # letter must lie in R1 but the preceding equal letter need not
+    # ('dirr' -> 'dir' with r1 = 3 — also pinned from the fuzz).
+    n = len(s)
+    if (n >= 2 and s[-1] == s[-2] and s[-1] in _DA_C
+            and _in(r1, n, 1)):
+        s = s[:-1]
+    return s

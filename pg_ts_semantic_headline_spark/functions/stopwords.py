@@ -5,7 +5,7 @@ PostgreSQL ships the Snowball project's stopword files
 spanish regconfigs consult them before stemming, the `simple` config has
 none. Lookup happens on the lowercased token. The lists below are the
 VERBATIM contents of PG 15's tsearch_data/{english,german,french,
-spanish,portuguese,italian,russian,dutch}.stop — including upstream quirks like spanish.stop's
+spanish,portuguese,italian,russian,dutch,swedish,norwegian,danish}.stop — including upstream quirks like spanish.stop's
 'vosostros'/'vosostras' spellings — so stopword behavior matches PG
 exactly. Note the reference pipeline UNACCENTs document text *before*
 analysis (/root/reference/sql/to_tspvector.sql:23), so accented
@@ -162,6 +162,41 @@ doch wordt wezen kunnen ons zelf tegen na reeds wil kon niets uw iemand
 geweest andere
 """.split())
 
+SWEDISH_STOPWORDS = frozenset("""
+och det att i en jag hon som han på den med var sig för så till är men ett
+om hade de av icke mig du henne då sin nu har inte hans honom skulle
+hennes där min man ej vid kunde något från ut när efter upp vi dem vara
+vad över än dig kan sina här ha mot alla under någon eller allt mycket
+sedan ju denna själv detta åt utan varit hur ingen mitt ni bli blev oss
+din dessa några deras blir mina samma vilken er sådan vår blivit dess inom
+mellan sådant varför varje vilka ditt vem vilket sitta sådana vart dina
+vars vårt våra ert era vilkas
+""".split())
+
+NORWEGIAN_STOPWORDS = frozenset("""
+og i jeg det at en et den til er som på de med han av ikke ikkje der så
+var meg seg men ett har om vi min mitt ha hadde hun nå over da ved fra du
+ut sin dem oss opp man kan hans hvor eller hva skal selv sjøl her alle vil
+bli ble blei blitt kunne inn når være kom noen noe ville dere som deres
+kun ja etter ned skulle denne for deg si sine sitt mot å meget hvorfor
+dette disse uten hvordan ingen din ditt blir samme hvilken hvilke sånn
+inni mellom vår hver hvem vors hvis både bare enn fordi før mange også
+slik vært være båe begge siden dykk dykkar dei deira deires deim di då eg
+ein eit eitt elles honom hjå ho hoe henne hennar hennes hoss hossen ikkje
+ingi inkje korleis korso kva kvar kvarhelst kven kvi kvifor me medan mi
+mine mykje no nokon noka nokor noko nokre si sia sidan so somt somme um
+upp vere vore verte vort varte vart
+""".split())
+
+DANISH_STOPWORDS = frozenset("""
+og i jeg det at en den til er som på de med han af for ikke der var mig
+sig men et har om vi min havde ham hun nu over da fra du ud sin dem os op
+man hans hvor eller hvad skal selv her alle vil blev kunne ind når være
+dog noget ville jo deres efter ned skulle denne end dette mit også under
+have dig anden hende mine alt meget sit sine vor mod disse hvis din nogle
+hos blive mange ad bliver hendes været thi jer sådan
+""".split())
+
 STOPWORDS_BY_CONFIG = {
     "english": ENGLISH_STOPWORDS,
     "german": GERMAN_STOPWORDS,
@@ -171,5 +206,8 @@ STOPWORDS_BY_CONFIG = {
     "italian": ITALIAN_STOPWORDS,
     "russian": RUSSIAN_STOPWORDS,
     "dutch": DUTCH_STOPWORDS,
+    "swedish": SWEDISH_STOPWORDS,
+    "norwegian": NORWEGIAN_STOPWORDS,
+    "danish": DANISH_STOPWORDS,
     "simple": frozenset(),
 }

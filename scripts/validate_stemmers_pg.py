@@ -36,7 +36,8 @@ import tempfile
 PG_BIN = "/usr/lib/postgresql/15/bin"
 TSEARCH = "/usr/share/postgresql/15/tsearch_data"
 LANGS = ["english", "german", "french", "spanish",
-         "portuguese", "italian", "russian", "dutch"]
+         "portuguese", "italian", "russian", "dutch",
+         "swedish", "norwegian", "danish"]
 
 # per-language fuzz alphabets: the shared Latin-accented pool for the
 # western European stemmers, plus the language's own specials; Cyrillic
@@ -49,6 +50,9 @@ FUZZ_ALPHABET = {
     "italian": _LATIN + "àèìòù",
     "russian": "абвгдежзийклмнопрстуфхцчшщъыьэюяё",
     "dutch": _LATIN + "ij",
+    "swedish": _LATIN + "åäö",
+    "norwegian": _LATIN + "æåø",
+    "danish": _LATIN + "æåø",
 }
 
 
@@ -155,11 +159,16 @@ def main():
         stem_dutch
     from pg_ts_semantic_headline_spark.functions.stemmer_ru import \
         stem_russian
+    from pg_ts_semantic_headline_spark.functions.stemmer_scand import (
+        stem_danish, stem_norwegian, stem_swedish)
     mine = {"english_stem": stem_english, "german_stem": stem_german,
             "french_stem": stem_french, "spanish_stem": stem_spanish,
             "portuguese_stem": stem_portuguese,
             "italian_stem": stem_italian, "russian_stem": stem_russian,
-            "dutch_stem": stem_dutch}
+            "dutch_stem": stem_dutch,
+            "swedish_stem": stem_swedish,
+            "norwegian_stem": stem_norwegian,
+            "danish_stem": stem_danish}
     only = os.environ.get("PGV_ONLY")
     if only:
         mine = {k: v for k, v in mine.items()

@@ -245,7 +245,10 @@ class TestStopwordPGParity:
                            ("portuguese", "PORTUGUESE_STOPWORDS"),
                            ("italian", "ITALIAN_STOPWORDS"),
                            ("russian", "RUSSIAN_STOPWORDS"),
-                           ("dutch", "DUTCH_STOPWORDS")]:
+                           ("dutch", "DUTCH_STOPWORDS"),
+                           ("swedish", "SWEDISH_STOPWORDS"),
+                           ("norwegian", "NORWEGIAN_STOPWORDS"),
+                           ("danish", "DANISH_STOPWORDS")]:
             pg = set(open(os.path.join(base, f"{name}.stop"),
                           encoding="utf-8").read().split())
             assert set(getattr(sw, attr)) == pg, name
