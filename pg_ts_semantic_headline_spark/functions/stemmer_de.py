@@ -25,14 +25,20 @@ def _regions(word: str) -> tuple[int, int]:
         if word[i] not in _VOWELS and word[i - 1] in _VOWELS:
             r1 = i + 1
             break
-    # R1 is adjusted so that the region before it has at least 3 letters.
-    if r1 < 3:
-        r1 = 3 if n >= 3 else n
+    # R2 scans onward from the UNADJUSTED r1 — the 3-letter floor
+    # applies to p1 only, AFTER p2 is marked (`gopast v gopast non-v
+    # setmark p1 ... setmark p2; try($p1 < x $p1 = x)`). Computing r2
+    # from the adjusted r1 skipped boundaries between the raw mark and
+    # the floor ('upaqaung' must lose its 'ung': raw r1=2 ⇒ r2=4, not 7
+    # — seeded live-PG fuzz, round 5).
     r2 = n
     for i in range(r1 + 1, n):
         if word[i] not in _VOWELS and word[i - 1] in _VOWELS:
             r2 = i + 1
             break
+    # R1 is adjusted so that the region before it has at least 3 letters.
+    if r1 < 3:
+        r1 = 3 if n >= 3 else n
     return r1, r2
 
 

@@ -40,25 +40,61 @@ def _prelude(word: str) -> str:
     vowels -> U/I, y next to a vowel -> Y, u after q -> U, and the
     diaereses ë/ï -> He/Hi (H is a consonant marker the postlude strips).
     Examples from the algorithm text: jouer->joUer, ennuie->ennuIe,
-    yeux->Yeux, quand->qUand, croyiez->croYiez."""
+    yeux->Yeux, quand->qUand, croyiez->croYiez.
+
+    Faithful `repeat goto` semantics (round-5 seeded-fuzz fix): the
+    source tries the branches IN ORDER at each cursor position, and the
+    `v ['u'] v` branch outranks `['y'] v` — so in 'yuoccation' the u is
+    marked (y stays a vowel, collapsing R1/R2 to 2/4 and deleting
+    'ation' -> 'yuocc', live-PG-verified), where a per-letter scan that
+    marks y first gets R2=7 and keeps 'at'. After a successful mark the
+    cursor lands at the END of the matched pattern, so the vowel that
+    closed one match can open the next."""
     s = list(word)
     i = 0
     while i < len(s):
         c = s[i]
-        if (c in "ui" and i > 0 and _isv(s[i - 1])
-                and i + 1 < len(s) and _isv(s[i + 1])):
-            s[i] = c.upper()
-        elif c == "y" and ((i > 0 and _isv(s[i - 1]))
-                           or (i + 1 < len(s) and _isv(s[i + 1]))):
-            s[i] = "Y"
-        elif c == "u" and i > 0 and s[i - 1] == "q":
-            s[i] = "U"
-        elif c == _E_DIAER:
+        # diaereses respell FIRST — before the vowel-mark branch: live-PG
+        # evidence 'ëyíáë' behaves as 'Heyíá(He)' (rv=2, final e
+        # deleted), i.e. a word-initial ë becomes He rather than acting
+        # as the v of an ë['y'] mark
+        # cursor resumes AT the replacement (advance 1, landing on the
+        # H): the i of a fresh 'Hi' must be able to open a later
+        # v['u']v / v['i']v mark — live-PG evidence 'pïuation' → 'pïuat'
+        # (the U-mark after Hi collapses r2 onto the 'ion') and
+        # '…ïii' → '…ïi' (I-mark makes the final i verb-suffix-deletable)
+        if c == _E_DIAER:
             s[i:i + 1] = ["H", "e"]
             i += 1
-        elif c == _I_DIAER:
+            continue
+        if c == _I_DIAER:
             s[i:i + 1] = ["H", "i"]
             i += 1
+            continue
+        # v [ u]v / i]v / y] — second char marked. The trailing vowel is
+        # re-scanned (resume ON it, not past it): live-PG evidence
+        # 'ïßùöùiïf' → the ï AFTER the I-mark still respells to Hi,
+        # exposing the 'if' suffix ('…ùiïf' → '…ùi').
+        if _isv(c) and i + 1 < len(s):
+            c2 = s[i + 1]
+            if (c2 in "ui" and i + 2 < len(s) and _isv(s[i + 2])):
+                s[i + 1] = c2.upper()
+                i += 2
+                continue
+            if c2 == "y":
+                s[i + 1] = "Y"
+                i += 2
+                continue
+        # branch 4: [y] v — trailing vowel re-scanned, as in branch 1
+        if c == "y" and i + 1 < len(s) and _isv(s[i + 1]):
+            s[i] = "Y"
+            i += 1
+            continue
+        # branch 5: q [u]
+        if c == "q" and i + 1 < len(s) and s[i + 1] == "u":
+            s[i + 1] = "U"
+            i += 2
+            continue
         i += 1
     return "".join(s)
 
@@ -341,10 +377,15 @@ def _step4(s: str, rv: int, r2: int) -> tuple[str, bool]:
             return s[:-m] + "i", True
         if g == "e":
             return s[:-m], True
-        if g == "gue":  # ë preceded by gu (gu inside the RV limit)
-            if s.endswith("gu" + _E_DIAER) and _in(rv, n, 3):
-                return s[:-m], True
-            return s, changed
+        if g == "gue":
+            # a LITERAL ë here is one the prelude's cursor jumped over
+            # (it only survives respelling-to-He after an I/U/Y mark,
+            # e.g. 'kàIë'); the residual among deletes it whenever it
+            # lies in RV — live-PG probes: kàië→kài, aiguë→aigu,
+            # cigurë→cigur, abcë kept only because its ë sits left of
+            # RV (round-5 seeded-fuzz fix; the old gu-only condition
+            # wrongly kept vowel-preceded cases)
+            return s[:-m], True
         return s, changed
     return s, changed
 

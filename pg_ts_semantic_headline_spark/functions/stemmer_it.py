@@ -234,7 +234,10 @@ _STEP2 = sorted([
     "irono", "isca", "iscano", "isce", "isci", "isco", "iscono",
     "issero", "ita", "ite", "iti", "ito", "iva", "ivamo", "ivano",
     "ivate", "ivi", "ivo", "ono", "uta", "ute", "uti", "uto", "ar",
-    "ir",
+    # the infinitives: 'are' appears above; 'ere'/'ire' were initially
+    # missed and caught by the analyzer cross-language sweep
+    # ('vanskeligere' -> 'vanskelig', 'finire' -> 'fin' per live PG)
+    "ere", "ire", "ir",
 ], key=len, reverse=True)
 
 

@@ -120,9 +120,12 @@ def _step2(s: str, r1: int) -> tuple[str, bool]:
     return s, False
 
 
-def _step3a(s: str, r1: int) -> str:
+def _step3a(s: str, r1: int, r2: int) -> str:
+    """heid deletion is conditioned on R2 (seeded fuzz vs live PG:
+    'asbeheid' keeps its heid — R1 would delete it); the follow-up en
+    removal is the step-1 R1 rule."""
     n = len(s)
-    if s.endswith("heid") and _in(r1, s, 4) and (n < 5 or s[-5] != "c"):
+    if s.endswith("heid") and _in(r2, s, 4) and (n < 5 or s[-5] != "c"):
         s = s[:-4]
         # then treat a preceding en as in step 1
         if s.endswith("en"):
@@ -185,7 +188,7 @@ def stem_dutch(word: str) -> str:
 
     s = _step1(s, r1)
     s, e_removed = _step2(s, r1)
-    s = _step3a(s, r1)
+    s = _step3a(s, r1, r2)
     s = _step3b(s, r1, r2, e_removed)
     s = _step4(s)
     return _postlude(s)

@@ -88,7 +88,10 @@ def stem_swedish(word: str) -> str:
         return s[:-1]
     if s.endswith("löst") and _in(r1, n, 4):
         return s[:-1]
-    for suf in ("elig", "lig", "els", "ig"):
+    # NOTE: unlike Danish/Norwegian there is no 'elig' here — the
+    # Swedish list is exactly lig/ig/els ('hemmeligheten' -> 'hemme',
+    # caught by the analyzer cross-language sweep, pinned in tests)
+    for suf in ("lig", "els", "ig"):
         if s.endswith(suf) and _in(r1, n, len(suf)):
             return s[:-len(suf)]
     return s
@@ -191,9 +194,10 @@ def stem_danish(word: str) -> str:
             s = s[:-1]
             break
 
-    # step 3: igst, then ig/lig/elig/els (delete + repeat step 2) or
-    # løst -> løs
-    if s.endswith("igst") and _in(r1, len(s), 4):
+    # step 3: igst (the source's `['st'] 'ig' delete` carries NO R1
+    # limit — seeded fuzz vs live PG: 'åqigst' -> 'åqig'), then
+    # ig/lig/elig/els (delete + repeat step 2) or løst -> løs
+    if s.endswith("igst"):
         s = s[:-2]
     n = len(s)
     if s.endswith("løst") and _in(r1, n, 4):

@@ -33,7 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from validate_stemmers_pg import start_throwaway_pg  # noqa: E402
 
 CONFIGS = ["simple", "english", "german", "french", "spanish",
-           "portuguese", "italian", "russian"]
+           "portuguese", "italian", "russian", "dutch", "swedish",
+           "norwegian", "danish"]
 
 FRAGMENTS = [
     "spark", "Window", "don't", "hyphen-ated", "a.b", "x_y", "3.14",
@@ -45,6 +46,10 @@ FRAGMENTS = [
     # elision, Cyrillic (with ё) through the same canonicalizer
     "canções", "coração", "você", "città", "perché", "l'aria",
     "книги", "чёрный", "объявление", "мальчики", "жизнь",
+    # Scandinavian + Dutch fragments: ij digraph, å/æ/ø, doubled
+    # consonants hitting the undouble/limit edges
+    "boeken", "ijsje", "böcker", "bøker", "bøger", "vanskeligere",
+    "hemmeligheten", "grootste",
 ]
 
 
@@ -117,7 +122,7 @@ def main():
                 print("  engine:", e)
                 print("  pg:    ", p)
         print("TOTAL diverging texts:", total)
-        print("protocol-case divergences (expected 8):", proto_diverged)
+        print("protocol-case divergences (expected 12):", proto_diverged)
         return 0 if total == 0 else 1
     finally:
         if cleanup:

@@ -111,16 +111,55 @@ def pg_lexize(sock, port, dict_name, words):
     return res
 
 
+# Suffix-seeded fuzz (round-5 hardening): pure-random letters almost
+# never form real suffixes (P(4-char suffix) ~ 1e-6), which let two
+# transcription bugs slip past 9k-word runs (Italian missing 'ere'/'ire',
+# Swedish wrongly including 'elig' — both caught by the analyzer sweep's
+# cross-language fragments instead). This pool is transcribed from the
+# published algorithm pages INDEPENDENTLY of the engine's tables and is
+# applied across ALL languages, so an engine list that dropped or
+# invented a suffix gets exercised with realistic stems around it.
+SUFFIX_POOL = """
+ing ed ly ness ful ement ements ation ations ique isme able iste eux
+euse ance ence ité ités ive ives eaux aux amment emment ment ments
+heit keit ung lich ig isch end ern em er en es e s est elig eleg lig
+leg els lov slov hetslov ig eig baar bar lijk heid heden ende ande
+erte ert ast are arna erna orna aste heter heten hetens ornas ernas
+arnas andet anden igst løst fullt dd gd nn dt gt kt tt ere ire are ar
+ir azione azioni atore atori logia logie uzione usione enza enze
+amento amenti imento imenti ità ivo ivi iva ive anza anze ichi iche
+isti iste ismi ista oso osa osi ose abile ibile mente erò erà iscono
+iamo ando endo ano ono uta ute uti uto ata ate ati ato eza ezas ico
+ica icos icas ismo ismos ável ível istas osos osas amentos imentos
+adora ador ação ções ança ância ências ência logía logías ución
+uciones amente idade idades iras ira eis éis emos amos aron ieron
+ado ido ando iendo ar er ía ían aba aban ase iese ara iera ería iría
+ción ciones miento mientos dor dora dores doras ista istas ísimo
+ov ев ов ие ье ами ями ой ей ий ый ом его ому ими ыми ую юю ая яя
+ость ост ение ания ился ывать ивать ать ять еть уть ешь ется ются
+вший вшись ующий ленно нный ская ский ское
+""".split()
+
+
 def build_vocab(n_fuzz, seed, lang):
     vocab = set()
     path = os.path.join(TSEARCH, f"{lang}.stop")
     if os.path.exists(path):
         vocab |= set(open(path, encoding="utf-8").read().split())
-    rng = random.Random(seed + hash(lang) % 1000)
+    # zlib.crc32, not hash(): str hash is salted per process, which made
+    # identical invocations test different vocabularies
+    import zlib
+    rng = random.Random(seed + zlib.crc32(lang.encode()) % 1000)
     al = FUZZ_ALPHABET[lang]
     vocab |= {"".join(rng.choice(al)
                       for _ in range(rng.randint(1, 13)))
               for _ in range(n_fuzz)}
+    # suffix-seeded words: random short stem + a real suffix from the
+    # cross-language pool, so suffix-table transcription errors can't
+    # hide behind (1/|alphabet|)^len odds
+    vocab |= {"".join(rng.choice(al) for _ in range(rng.randint(2, 6)))
+              + rng.choice(SUFFIX_POOL)
+              for _ in range(max(n_fuzz // 3, 200))}
     # the divergences this harness has caught, pinned forever
     vocab |= {"jouer", "üâ", "él", "dëï", "ymrys", "continuellement",
               "chevaux", "niños", "bleibenden", "running"}

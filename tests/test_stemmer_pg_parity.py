@@ -38,7 +38,7 @@ def test_analyzer_matches_live_pg_to_tsvector():
     """Full-analyzer parity: engine analyze_document vs PG to_tsvector
     over engine-canonicalized text (the reference's own composition,
     to_tspvector.sql:19-27) — tokenizer, stopwords, stemmer and
-    position alignment jointly, across all eight configs. The single
+    position alignment jointly, across all twelve configs. The single
     pinned divergence (PG drops protocol tokens positionlessly,
     breaking the reference's own alignment invariant after URLs) is
     asserted as diverging by the validator itself."""
@@ -49,7 +49,7 @@ def test_analyzer_matches_live_pg_to_tsvector():
         capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "TOTAL diverging texts: 0" in out.stdout
-    assert "protocol-case divergences (expected 8): 8" in out.stdout
+    assert "protocol-case divergences (expected 12): 12" in out.stdout
 
 
 @pytest.mark.skipif(not os.path.exists(f"{PG_BIN}/initdb"),
